@@ -1,0 +1,90 @@
+"""Column-level helpers: the only "custom" scalar machinery the engine
+needs (SURVEY.md §4: template compiler, vector math). Everything is built
+from pyspark.sql.functions Column expressions — JVM-side, codegen-friendly,
+no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, functions as F
+
+# --- ${var} template → Column compiler (SURVEY.md §2.8 F6 / §2.10 U4) ------
+#
+# The reference expands `${band}/${nite}`-style directory patterns per row in
+# Python (`replace_vars_single`, bin/save_DBB_stagein_to_DBB.py:180-184).
+# Here the pattern is compiled ONCE at plan-build time into a concat of
+# literals and column refs, so expansion happens in whole-stage codegen.
+
+_TEMPLATE_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def compile_template(pattern: str) -> Column:
+    """Compile a ``${var}`` path template into a single Column expression.
+
+    >>> compile_template("${source}/${lang}/doc_${doc_id}.parquet")
+    Column<concat(source, /, lang, /doc_, doc_id, .parquet)>
+    """
+    parts: list[Column] = []
+    pos = 0
+    for m in _TEMPLATE_RE.finditer(pattern):
+        if m.start() > pos:
+            parts.append(F.lit(pattern[pos : m.start()]))
+        parts.append(F.col(m.group(1)).cast("string"))
+        pos = m.end()
+    if pos < len(pattern):
+        parts.append(F.lit(pattern[pos:]))
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts)
+
+
+def template_columns(pattern: str) -> list[str]:
+    """Column names referenced by a template (for validation/partitioning)."""
+    return _TEMPLATE_RE.findall(pattern)
+
+
+# --- vector math over array<float>/array<double> (SURVEY.md §2.11 C3) ------
+#
+# Expression-only (zip_with + aggregate): stays JVM-side, works on any array
+# column without UDF serialization. Accumulate in double.
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- money-sum discipline for oracle parity --------------------------------
+#
+# Accumulated double sums differ in final bits between engines; route
+# money-style aggregations through DECIMAL(18,2) (exact, associative) and
+# surface as double. The oracle SQL mirrors this with
+# CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+
+
+def money_sum(col: Column | str, alias: str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(col.cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def MONEY_SUM_SQL(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"

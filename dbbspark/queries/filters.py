@@ -1,0 +1,201 @@
+"""Projection/filter/predicate layer (SURVEY.md §2.2 P1-P8).
+
+All predicates are Column expressions so Catalyst pushes them into the
+parquet scan (PushedFilters) — the declarative form of the reference's
+SQL-string WHERE clauses and Python if-gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import query
+from ..domain import FAILURES_SQL, failures
+from ..tables import load_table
+
+
+@query(
+    "q_case_dispatch",
+    oracle="""
+    WITH f AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'purchase'
+                    THEN printf('DECam_%08d.fits', event_id)
+                  WHEN event_type = 'signup'
+                    THEN printf('manifest_SN-X2_%d.json', event_id)
+                  ELSE printf('stage_%d.tmp', event_id) END AS fname
+      FROM events)
+    SELECT event_id, fname,
+           CASE WHEN fname LIKE '%.fits' THEN 'raw'
+                WHEN fname LIKE 'manifest_SN%' AND fname LIKE '%.json'
+                  THEN 'snmanifest'
+                ELSE NULL END AS filetype
+    FROM f
+    """,
+    doc="P1: extension-dispatch filetype routing — endswith('.fits')→raw, "
+    "startswith('manifest_SN')&endswith('.json')→snmanifest, else NULL "
+    "(get_filetype, bin/save_DBB_stagein_to_DBB.py:36-45).",
+)
+def q_case_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fname = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.format_string("DECam_%08d.fits", F.col("event_id")),
+        )
+        .when(
+            F.col("event_type") == "signup",
+            F.format_string("manifest_SN-X2_%d.json", F.col("event_id")),
+        )
+        .otherwise(F.format_string("stage_%d.tmp", F.col("event_id")))
+    )
+    df = ev.select("event_id", fname.alias("fname"))
+    filetype = (
+        F.when(F.col("fname").endswith(".fits"), "raw")
+        .when(
+            F.col("fname").startswith("manifest_SN") & F.col("fname").endswith(".json"),
+            "snmanifest",
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select("event_id", "fname", filetype.alias("filetype"))
+
+
+@query(
+    "q_filter_valid",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_type IS NOT NULL
+      AND value IS NOT NULL
+      AND value >= 0
+      AND props IS NOT NULL
+    """,
+    doc="P2: validity gate — rows failing required-field checks are routed "
+    "to quarantine instead of processed (check_valid / handle_bad_file, "
+    "bin/save_DBB_stagein_to_DBB.py:143-149,158,199-201).",
+)
+def q_filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    valid = (
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & F.col("props").isNotNull()
+    )
+    return ev.where(valid).select("event_id", "event_type", "value")
+
+
+@query(
+    "q_checksum_mismatch",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN md5('corrupt')
+                  ELSE md5(text) END AS declared_md5,
+             md5(text) AS actual_md5
+      FROM documents)
+    SELECT doc_id, declared_md5, actual_md5
+    FROM d WHERE declared_md5 != actual_md5
+    """,
+    doc="P3: checksum-equality predicate — declared md5 (from the notify "
+    "file) vs computed md5 of content; mismatches quarantine "
+    "(bin/save_DBB_stagein_to_DBB.py:100-109,170-177).",
+)
+def q_checksum_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    actual = F.md5(F.col("text").cast("binary"))
+    declared = F.when(F.col("doc_id") % 97 == 0, F.md5(F.lit("corrupt"))).otherwise(actual)
+    d = docs.select(
+        "doc_id", declared.alias("declared_md5"), actual.alias("actual_md5")
+    )
+    return d.where(F.col("declared_md5") != F.col("actual_md5"))
+
+
+@query(
+    "q_range_inlist",
+    oracle="""
+    SELECT o_orderkey AS expnum,
+           o_custkey AS propid,
+           o_orderstatus AS obstype,
+           o_orderdate AS date,
+           o_totalprice AS exptime
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '2000-12-31'
+      AND (o_orderstatus != 'F'
+           OR o_orderpriority IN ('1-URGENT', '2-HIGH'))
+    """,
+    doc="P4+P7: range + disjunctive IN-list predicate with renaming "
+    "projection — the SISPI exposure query shape "
+    "(bin/monitor_DBB_stagein.py:738,742).",
+)
+def q_range_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pred = F.col("o_orderdate").between("1998-01-01", "2000-12-31") & (
+        (F.col("o_orderstatus") != "F")
+        | F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return orders.where(pred).select(
+        F.col("o_orderkey").alias("expnum"),
+        F.col("o_custkey").alias("propid"),
+        F.col("o_orderstatus").alias("obstype"),
+        F.col("o_orderdate").alias("date"),
+        F.col("o_totalprice").alias("exptime"),
+    )
+
+
+@query(
+    "q_rlike_filter",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE regexp_matches(text, 'hash\\s+(scan|join)')
+       OR text LIKE '%window window%'
+    """,
+    doc="P5: regex predicates — 'DES supernova' rlike selection and "
+    "grep-style containment (bin/monitor_DBB_stagein.py:766,844,239,272).",
+)
+def q_rlike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("text").rlike(r"hash\s+(scan|join)") | F.col("text").contains("window window")
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_ci_equality",
+    oracle=f"""
+    WITH fails AS ({FAILURES_SQL})
+    SELECT nite,
+           COUNT(CASE WHEN lower(rejected_msg) = 'duplicate file' THEN 1 END) AS cnt_dup,
+           COUNT(CASE WHEN lower(rejected_msg) != 'duplicate file' THEN 1 END) AS cnt_fail
+    FROM fails GROUP BY nite
+    """,
+    doc="P6+A4: case-insensitive split of duplicates vs real failures per "
+    "nite (bin/monitor_DBB_stagein.py:848-853,679-684).",
+)
+def q_ci_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fails = failures(spark, sf_dir)
+    is_dup = F.lower(F.col("rejected_msg")) == "duplicate file"
+    return fails.groupBy("nite").agg(
+        F.count(F.when(is_dup, 1)).alias("cnt_dup"),
+        F.count(F.when(~is_dup, 1)).alias("cnt_fail"),
+    )
+
+
+@query(
+    "q_column_intersect",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    """,
+    doc="P8: column-intersection projection — keep only the columns that "
+    "exist in the target table's schema (DBB_BAD_FILE insert, "
+    "bin/save_DBB_stagein_to_DBB.py:274-278). The target schema here is "
+    "(doc_id, lang, source, rejected_msg); documents lacks rejected_msg.",
+)
+def q_column_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    target_schema = ["doc_id", "lang", "source", "rejected_msg"]
+    keep = [c for c in target_schema if c in docs.columns]
+    return docs.select(*keep)

@@ -1,0 +1,176 @@
+"""Reconciliation layer — the monitor's core analytics (SURVEY.md §2.3
+J3/J4, §2.4 A1/A2/A3).
+
+The reference computes "missing" (delivered by the observatory but absent
+from the archive) and "extra" (in the archive but unknown to the
+observatory) by looping nested dicts per nite
+(`bin/monitor_DBB_stagein.py:1012-1038`). Here each report is a chain of
+anti-joins + a grouped count — one shuffle per aggregation, anti-joins
+broadcast when a side is small, and the whole report is a single Catalyst
+DAG instead of per-nite loops.
+
+Missing/extra definitions (bin/monitor_DBB_stagein.py:5, 1022-1028):
+- missing = sispi(delivered) − desdm − failures
+- extra   = desdm − sispi(all, delivered or not)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import query
+from ..domain import DESDM_SQL, FAILURES_SQL, NITE_SQL, SISPI_SQL, desdm, failures, sispi
+from ..tables import load_table
+
+_RECON_CTES = f"""
+    WITH sispi AS ({SISPI_SQL}),
+         desdm AS ({DESDM_SQL}),
+         fails AS ({FAILURES_SQL}),
+         missing AS (
+           SELECT s.nite, s.expnum, s.propid, s.obstype
+           FROM sispi s
+           WHERE s.delivered
+             AND s.expnum NOT IN (SELECT expnum FROM desdm)
+             AND s.expnum NOT IN (SELECT expnum FROM fails)),
+         extra AS (
+           SELECT d.nite, d.expnum, d.propid, d.obstype
+           FROM desdm d
+           WHERE d.expnum NOT IN (SELECT expnum FROM sispi))
+"""
+
+
+def missing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = sispi(spark, sf_dir).where("delivered")
+    d = desdm(spark, sf_dir).select("expnum")
+    f_ = failures(spark, sf_dir).select("expnum")
+    return (
+        s.join(d, "expnum", "left_anti")
+        .join(f_, "expnum", "left_anti")
+        .select("nite", "expnum", "propid", "obstype")
+    )
+
+
+def extra_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = desdm(spark, sf_dir)
+    s = sispi(spark, sf_dir).select("expnum")
+    return d.join(s, "expnum", "left_anti").select("nite", "expnum", "propid", "obstype")
+
+
+@query(
+    "q_anti_missing",
+    oracle=_RECON_CTES + "SELECT nite, expnum, propid, obstype FROM missing",
+    doc="J3: left-anti-join 'missing' report — delivered but never archived "
+    "and not failed (bin/monitor_DBB_stagein.py:1028).",
+    tags=("join", "reconcile"),
+)
+def q_anti_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return missing_df(spark, sf_dir)
+
+
+@query(
+    "q_anti_extra",
+    oracle=_RECON_CTES + "SELECT nite, expnum, propid, obstype FROM extra",
+    doc="J4: left-anti-join 'extra' report — archived but unknown to the "
+    "observatory (bin/monitor_DBB_stagein.py:1023).",
+    tags=("join", "reconcile"),
+)
+def q_anti_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extra_df(spark, sf_dir)
+
+
+@query(
+    "q_group_count",
+    oracle=_RECON_CTES
+    + """
+    , nites AS (SELECT DISTINCT """
+    + NITE_SQL
+    + """ AS nite FROM events)
+    SELECT n.nite,
+           coalesce(s.cnt, 0) AS cnt_sispi,
+           coalesce(sd.cnt, 0) AS cnt_delivered,
+           coalesce(d.cnt, 0) AS cnt_desdm,
+           coalesce(f.cnt, 0) AS cnt_fail,
+           coalesce(m.cnt, 0) AS cnt_missing,
+           coalesce(x.cnt, 0) AS cnt_extra
+    FROM nites n
+    LEFT JOIN (SELECT nite, COUNT(*) AS cnt FROM sispi GROUP BY nite) s USING (nite)
+    LEFT JOIN (SELECT nite, COUNT(*) AS cnt FROM sispi WHERE delivered GROUP BY nite) sd USING (nite)
+    LEFT JOIN (SELECT nite, COUNT(*) AS cnt FROM desdm GROUP BY nite) d USING (nite)
+    LEFT JOIN (SELECT nite, COUNT(*) AS cnt FROM fails GROUP BY nite) f USING (nite)
+    LEFT JOIN (SELECT nite, COUNT(*) AS cnt FROM missing GROUP BY nite) m USING (nite)
+    LEFT JOIN (SELECT nite, COUNT(*) AS cnt FROM extra GROUP BY nite) x USING (nite)
+    """,
+    doc="A1: the per-nite reconciliation summary — cnt_sispi/cnt_delivered/"
+    "cnt_desdm/cnt_fail/cnt_missing/cnt_extra per nite "
+    "(bin/monitor_DBB_stagein.py:1012-1038). The flagship query.",
+    tags=("agg", "reconcile", "flagship"),
+)
+def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from ..domain import nite_col
+
+    nites = ev.select(nite_col(F.col("ts")).alias("nite")).distinct()
+    s = sispi(spark, sf_dir)
+
+    def cnt(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy("nite").agg(F.count("*").alias(alias))
+
+    out = (
+        nites.join(cnt(s, "c_sispi"), "nite", "left")
+        .join(cnt(s.where("delivered"), "c_delivered"), "nite", "left")
+        .join(cnt(desdm(spark, sf_dir), "c_desdm"), "nite", "left")
+        .join(cnt(failures(spark, sf_dir), "c_fail"), "nite", "left")
+        .join(cnt(missing_df(spark, sf_dir), "c_missing"), "nite", "left")
+        .join(cnt(extra_df(spark, sf_dir), "c_extra"), "nite", "left")
+    )
+    zero = F.lit(0).cast("bigint")
+    return out.select(
+        "nite",
+        F.coalesce("c_sispi", zero).alias("cnt_sispi"),
+        F.coalesce("c_delivered", zero).alias("cnt_delivered"),
+        F.coalesce("c_desdm", zero).alias("cnt_desdm"),
+        F.coalesce("c_fail", zero).alias("cnt_fail"),
+        F.coalesce("c_missing", zero).alias("cnt_missing"),
+        F.coalesce("c_extra", zero).alias("cnt_extra"),
+    )
+
+
+@query(
+    "q_group_collect",
+    oracle=_RECON_CTES
+    + """
+    SELECT propid, obstype, list_sort(list(expnum)) AS expnums
+    FROM missing GROUP BY propid, obstype
+    """,
+    doc="A2: two-level grouped expnum lists — missing exposures summarized "
+    "propid → obstype → [expnums] (bin/monitor_DBB_stagein.py:968-981). "
+    "Lists sorted for deterministic compare.",
+    tags=("agg", "reconcile"),
+)
+def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        missing_df(spark, sf_dir)
+        .groupBy("propid", "obstype")
+        .agg(F.sort_array(F.collect_list("expnum")).alias("expnums"))
+    )
+
+
+@query(
+    "q_group_collect_set",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(month(l_shipdate) AS INT) AS ship_month,
+           list_sort(list(DISTINCT l_suppkey)) AS suppkeys
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus, 3
+    """,
+    doc="A3: multi-key group + set-valued aggregate — manifest filenames "
+    "per (nite, field, band) (bin/monitor_DBB_stagein.py:913-917), on the "
+    "lineitem analog per FIXTURES.md §3.",
+    tags=("agg",),
+)
+def q_group_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_returnflag", "l_linestatus", F.month("l_shipdate").alias("ship_month")
+    ).agg(F.sort_array(F.collect_set("l_suppkey")).alias("suppkeys"))

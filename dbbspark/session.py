@@ -1,0 +1,72 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The reference runs single-threaded Python (SURVEY.md §4); here all physical
+concerns (vectorization, codegen, shuffle, spill, adaptive re-planning) are
+delegated to Spark. The settings below are the ones that matter at 100 TB:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting,
+  dynamic join-strategy demotion to broadcast),
+- explicit shuffle-partition default sized for the local test harness
+  (on a real cluster this is overridden; AQE coalesces the excess),
+- Arrow enabled so pandas_udf extractors (SURVEY.md §2.10 U3) move data in
+  columnar batches instead of row-at-a-time pickling,
+- nanosAsLong so TIMESTAMP(NANOS) parquet (the `events` fixture) is
+  readable; `tables.py` restores a proper TimestampType column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every entry point applies to whatever session it is
+# handed (the verify driver owns session creation, so these must be settable
+# on a live session — all of them are SQL runtime confs).
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic time semantics: fixture timestamps are naive; interpret
+    # them as UTC everywhere so date_format/unix-epoch math matches the
+    # DuckDB oracle (which is timezone-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it unless
+    # nanos are surfaced as long (tables.py converts back to timestamp).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive query execution: runtime shuffle coalescing + skew handling.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas_udf / toPandas boundaries.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply deterministic/scale confs to an externally-created session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf locked down on this session build — leave as-is.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "dbbspark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
+    cluster the master/config come from spark-submit and this builder only
+    contributes SQL confs.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("DBBSPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

@@ -1,0 +1,124 @@
+"""Local oracle harness — mirrors the driver's correctness gate.
+
+For each declared query: run the Spark builder and the DuckDB oracle SQL on
+the same parquet tables, sort columns by name, canonicalize rows, and
+compare row count + values order-insensitively. Used by tests and the
+`python -m dbbspark.verify` CLI while iterating.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+from .catalog import CATALOG, QuerySpec, load_all
+from .tables import TABLE_NAMES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    """Canonical, hashable form of one cell (order-insensitive compare)."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        # round-trip repr keeps full precision; driver-style value hash
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    if hasattr(v, "tolist"):  # numpy scalar or array
+        return _canon_cell(v.tolist())
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return repr(v)
+
+
+def _canon_frame(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    out.sort()
+    return out
+
+
+def compare_query(
+    spark, con: duckdb.DuckDBPyConnection, spec: QuerySpec, sf_dir: str
+) -> dict:
+    res: dict = {"name": spec.name}
+    sdf = spec.builder(spark, sf_dir)
+    spark_pd = sdf.toPandas()
+    res["spark_rows"] = len(spark_pd)
+    if spec.oracle is None:
+        res["status"] = "rows_only"
+        res["ok"] = len(spark_pd) >= 0
+        return res
+    oracle_pd = con.execute(spec.oracle).fetchdf()
+    res["oracle_rows"] = len(oracle_pd)
+    if sorted(spark_pd.columns) != sorted(oracle_pd.columns):
+        res["status"] = "column_mismatch"
+        res["ok"] = False
+        res["detail"] = f"spark={sorted(spark_pd.columns)} oracle={sorted(oracle_pd.columns)}"
+        return res
+    if len(spark_pd) != len(oracle_pd):
+        res["status"] = "rowcount_mismatch"
+        res["ok"] = False
+        return res
+    a, b = _canon_frame(spark_pd), _canon_frame(oracle_pd)
+    if a == b:
+        res["status"] = "match"
+        res["ok"] = True
+    else:
+        res["status"] = "value_mismatch"
+        res["ok"] = False
+        diffs = [(x, y) for x, y in zip(a, b) if x != y]
+        res["detail"] = f"{len(diffs)} differing rows; first: {diffs[0] if diffs else None}"
+    return res
+
+
+def main(argv: list[str]) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf", default="/root/testdata/sf0.001")
+    p.add_argument("names", nargs="*")
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    load_all()
+    spark = get_spark("dbbspark-verify")
+    con = duckdb_connect(args.sf)
+    names = args.names or sorted(CATALOG)
+    failed = 0
+    for name in names:
+        spec = CATALOG[name]
+        try:
+            res = compare_query(spark, con, spec, args.sf)
+        except Exception as e:  # noqa: BLE001
+            res = {"name": name, "status": "error", "ok": False, "detail": f"{type(e).__name__}: {e}"}
+        mark = "PASS" if res["ok"] else "FAIL"
+        if not res["ok"]:
+            failed += 1
+        line = f"{mark} {name:28s} {res['status']:18s} rows={res.get('spark_rows', '?')}"
+        if not res["ok"]:
+            line += f"\n     {res.get('detail', '')[:500]}"
+        print(line, flush=True)
+    print(f"{len(names) - failed}/{len(names)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
