@@ -1,1 +1,94 @@
-"""(populated in later build steps)"""
+"""Aggregation layer (SURVEY.md §2.4 A5-A9; A1-A4 live in reconcile.py).
+
+All aggregations here are single groupBy passes: Spark's HashAggregate
+does map-side partial aggregation automatically (A10), so each is one
+shuffle of pre-combined partials — the property that keeps them linear at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import query
+from ..tables import load_table
+
+
+@query(
+    "q_scalar_max",
+    oracle="""
+    SELECT event_type,
+           max(ts) AS latest_ts,
+           arg_max(event_id, ts) AS latest_event_id,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="A5: scalar max / latest-row lookup — latest log file, latest "
+    "failure (bin/monitor_DBB_stagein.py:170-181,992). max_by is the "
+    "relational form of 'sort then take last'. (ts is unique in the "
+    "fixtures, so arg_max is deterministic.)",
+    tags=("agg",),
+)
+def q_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"),
+        F.max_by("event_id", "ts").alias("latest_event_id"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="A7: distinct — the reference's key-set semantics of dict/set "
+    "unions (bin/monitor_DBB_stagein.py:338,1023,1028).",
+    tags=("agg",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 100) AS BIGINT) AS value_bucket,
+           COUNT(*) AS cnt,
+           GROUPING(event_type) AS g_type,
+           GROUPING(CAST(floor(value / 100) AS BIGINT)) AS g_bucket
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(floor(value / 100) AS BIGINT))
+    """,
+    doc="A8 (closure): rollup — replaces the reference's two separate "
+    "summary passes (per-nite + per-propid, bin/monitor_DBB_stagein.py:"
+    "1012-1038 vs 968-981) with one multi-level aggregation.",
+    tags=("agg", "closure"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 100).cast("bigint")
+    d = ev.select("event_type", bucket.alias("value_bucket"))
+    return d.rollup("event_type", "value_bucket").agg(
+        F.count("*").alias("cnt"),
+        F.grouping("event_type").cast("bigint").alias("g_type"),
+        F.grouping("value_bucket").cast("bigint").alias("g_bucket"),
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle=None,  # approximate: engines' sketches differ; rows-only check.
+    doc="A9 (closure, 100 TB): HyperLogLog approx_count_distinct + "
+    "approx_percentile — the sketches that replace exact distinct/quantile "
+    "at scale. tests/test_aggregates.py asserts ≤5% error vs exact.",
+    tags=("agg", "closure", "approx"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.count("*").alias("cnt"),
+    )

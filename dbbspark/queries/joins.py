@@ -1,1 +1,252 @@
-"""(populated in later build steps)"""
+"""Join layer (SURVEY.md §2.3 J1-J10).
+
+Join-strategy notes for 100 TB:
+- J1 (dim lookup): small dimension → broadcast hash join (automatic under
+  autoBroadcastJoinThreshold; the reference prefetches dims by hand).
+- J2/J5/J7 (enrichment/semi/multikey): equi joins; shuffle hash or
+  broadcast depending on side sizes — left to Catalyst + AQE.
+- J3/J4 (anti): see queries/reconcile.py.
+- J6 (interval): bucketized equi rewrite (operators/intervals.py) — the
+  naive theta form is quadratic.
+- J10 (big×big): sort-merge join pinned with a merge hint; at scale both
+  sides would be bucketed on the join key to eliminate the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import query
+from ..domain import DESDM_SQL, FAILURES_SQL, SISPI_SQL, desdm, failures, sispi
+from ..functions import MONEY_SUM_SQL, money_sum
+from ..operators.intervals import interval_join
+from ..tables import load_table
+
+
+@query(
+    "q_equi_join",
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS cnt, {MONEY_SUM_SQL("c_acctbal", "sum_bal")}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="J1: equi lookup join against a small dimension — the per-nite "
+    "exposure fetch loop (bin/monitor_DBB_stagein.py:790-803) as one "
+    "broadcast hash join.",
+    tags=("join",),
+)
+def q_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"), money_sum("c_acctbal", "sum_bal"))
+    )
+
+
+@query(
+    "q_left_enrich",
+    oracle=f"""
+    WITH sispi AS ({SISPI_SQL}), desdm AS ({DESDM_SQL})
+    SELECT s.expnum, s.nite, s.obstype,
+           CASE WHEN d.expnum IS NOT NULL THEN 'Y' ELSE 'N' END AS in_archive,
+           coalesce(d.exptime, -1.0) AS archive_exptime
+    FROM sispi s LEFT JOIN desdm d ON s.expnum = d.expnum
+    """,
+    doc="J2: left-outer enrichment join with Y/N presence flag and NULL "
+    "fill — combine_sne_info (bin/monitor_DBB_stagein.py:51-98).",
+    tags=("join",),
+)
+def q_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = sispi(spark, sf_dir).alias("s")
+    d = desdm(spark, sf_dir).alias("d")
+    return s.join(d, F.col("s.expnum") == F.col("d.expnum"), "left").select(
+        F.col("s.expnum").alias("expnum"),
+        F.col("s.nite").alias("nite"),
+        F.col("s.obstype").alias("obstype"),
+        F.when(F.col("d.expnum").isNotNull(), "Y").otherwise("N").alias("in_archive"),
+        F.coalesce(F.col("d.exptime"), F.lit(-1.0)).alias("archive_exptime"),
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle=f"""
+    WITH sispi AS ({SISPI_SQL}), fails AS ({FAILURES_SQL})
+    SELECT f.nite, f.expnum, f.orig_filename
+    FROM fails f
+    WHERE EXISTS (SELECT 1 FROM sispi s
+                  WHERE s.nite = f.nite AND s.expnum = f.expnum)
+    """,
+    doc="J5: left-semi join — failures kept only when their (nite, expnum) "
+    "appears in SISPI (fail_by_nite, bin/monitor_DBB_stagein.py:819-828).",
+    tags=("join",),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f_ = failures(spark, sf_dir)
+    s = sispi(spark, sf_dir)
+    return f_.join(s, ["nite", "expnum"], "left_semi").select(
+        "nite", "expnum", "orig_filename"
+    )
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS propid,
+             min(o_orderdate) AS start_time,
+             min(o_orderdate) + INTERVAL 30 DAY AS end_time
+      FROM orders GROUP BY o_custkey)
+    SELECT iv.propid, COUNT(*) AS cnt_in_window
+    FROM orders o JOIN iv
+      ON o.o_orderdate >= iv.start_time AND o.o_orderdate <= iv.end_time
+    GROUP BY iv.propid
+    """,
+    doc="J6: interval (theta/range) join — propid validity windows vs "
+    "per-nite timestamps (bin/monitor_DBB_stagein.py:868-877). Spark side "
+    "uses the bucketized equi rewrite (operators/intervals.py); naive form "
+    "is a BroadcastNestedLoopJoin that dies at scale.",
+    tags=("join", "interval"),
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.groupBy(F.col("o_custkey").alias("propid")).agg(
+        F.min("o_orderdate").alias("start_time"),
+        (F.min("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("end_time"),
+    )
+    probe = orders.select("o_orderkey", "o_orderdate")
+    joined = interval_join(probe, iv, "o_orderdate", "start_time", "end_time", bucket_days=30)
+    return joined.groupBy("propid").agg(F.count("*").alias("cnt_in_window"))
+
+
+@query(
+    "q_multikey_join",
+    oracle="""
+    WITH manifest AS (
+      SELECT DISTINCT l_returnflag, l_linestatus,
+             CAST(month(l_shipdate) AS INT) AS ship_month
+      FROM lineitem WHERE l_quantity > 45)
+    SELECT g.l_returnflag, g.l_linestatus, g.ship_month, g.cnt,
+           CASE WHEN m.l_returnflag IS NOT NULL THEN 'Y' ELSE 'N' END AS has_manifest
+    FROM (SELECT l_returnflag, l_linestatus,
+                 CAST(month(l_shipdate) AS INT) AS ship_month, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2, 3) g
+    LEFT JOIN manifest m
+      ON g.l_returnflag = m.l_returnflag
+     AND g.l_linestatus = m.l_linestatus
+     AND g.ship_month = m.ship_month
+    """,
+    doc="J7: multi-key existence join — manifest presence on the composite "
+    "(nite, field, band) key (bin/monitor_DBB_stagein.py:77-84,913-917).",
+    tags=("join",),
+)
+def q_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus", "ship_month"]
+    with_month = li.withColumn("ship_month", F.month("l_shipdate"))
+    manifest = with_month.where(F.col("l_quantity") > 45).select(*keys).distinct()
+    grouped = with_month.groupBy(*keys).agg(F.count("*").alias("cnt"))
+    m = manifest.withColumnRenamed("l_returnflag", "m_rf")
+    joined = grouped.join(
+        m,
+        (grouped.l_returnflag == m.m_rf)
+        & (grouped.l_linestatus == m.l_linestatus)
+        & (grouped.ship_month == m.ship_month),
+        "left",
+    )
+    return joined.select(
+        grouped.l_returnflag,
+        grouped.l_linestatus,
+        grouped.ship_month,
+        "cnt",
+        F.when(F.col("m_rf").isNotNull(), "Y").otherwise("N").alias("has_manifest"),
+    )
+
+
+@query(
+    "q_dedup_registry",
+    oracle="""
+    WITH registry AS (SELECT md5(text) AS md5sum FROM documents WHERE doc_id % 3 = 0)
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE md5(d.text) NOT IN (SELECT md5sum FROM registry)
+    """,
+    doc="J8: registry anti-join — only files not already archived are "
+    "ingested; duplicates quarantine (is_file_in_archive gate, "
+    "bin/save_DBB_stagein_to_DBB.py:155).",
+    tags=("join", "dedup"),
+)
+def q_dedup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    md5c = F.md5(F.col("text").cast("binary"))
+    registry = docs.where(F.col("doc_id") % 3 == 0).select(md5c.alias("md5sum"))
+    incoming = docs.withColumn("md5sum", md5c)
+    return incoming.join(registry, "md5sum", "left_anti").select("doc_id", "source")
+
+
+@query(
+    "q_asof_lastvalue",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_value
+    FROM events
+    """,
+    doc="J9 (closure): as-of / last-known-value join — each event carries "
+    "the most recent prior 'signup' value for its user. Not in the "
+    "reference; standard timeline pattern via last(ignorenulls) window.",
+    tags=("join", "window", "closure"),
+)
+def q_asof_lastvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marker = F.when(F.col("event_type") == "signup", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(marker, ignorenulls=True).over(w).alias("last_signup_value"),
+    )
+
+
+@query(
+    "q_big_join",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+    doc="J10: big×big sort-merge join — lineitem ⋈ orders without a "
+    "broadcastable side (not present in the reference, required at 100 TB; "
+    "merge hint pins SMJ, bucketing removes the shuffle at scale).",
+    tags=("join", "scale"),
+)
+def q_big_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= "1997-01-01"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
+    # Exact money math: each factor has ≤2 true decimals, so the
+    # double→decimal casts are unambiguous and the decimal product/sum is
+    # exact in both engines (a raw double product would diverge in the
+    # midpoint-rounding of the final cast).
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum(revenue).cast("double").alias("revenue"),
+    )
