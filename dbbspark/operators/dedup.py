@@ -1,0 +1,158 @@
+"""Deduplication operators (SURVEY.md §2.11 C1/C2; generalizes the
+reference's registry duplicate gate J8/ST8).
+
+Scale design notes (100 TB):
+- exact dedup: one shuffle on the content hash; the hash (sha256) is
+  computed scan-side so only (hash, key) columns shuffle, never content.
+- shingle/MinHash/SimHash: everything is expression-level (split/
+  transform/aggregate → whole-stage codegen). Hashing uses md5-derived
+  integers so results are engine-portable AND stable across runs/cluster
+  sizes (no JVM hashCode, no Python hash seeding).
+- LSH banding turns the O(n²) pair space into an equi-join on
+  (band_id, band_signature) — candidate pairs only; at 100 TB the band
+  join is a shuffle on band buckets, salted if a bucket is hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# 31-bit Mersenne prime for the Carter-Wegman permutations: with 28-bit
+# base hashes (7 md5 hex digits) and a,b < 2^31, a*h+b < 2^60 — no int64
+# overflow in either engine (Spark ANSI mode errors on long overflow).
+MERSENNE_31 = (1 << 31) - 1
+
+
+def sha_dedup_keep_first(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-key row per sha256(text) — a
+    deterministic winner, unlike dropDuplicates (SURVEY.md §7)."""
+    h = F.sha2(F.col(text_col).cast("binary"), 256)
+    w = Window.partitionBy(h).orderBy(F.col(key_col))
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def tokens_col(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_col(text_col: str, n: int = 3) -> Column:
+    """Distinct n-token shingles as an array column (JVM higher-order
+    functions; no UDF)."""
+    toks = tokens_col(text_col)
+    n_sh = F.size(toks) - (n - 1)
+    # Guard: sequence(1, 0) in Spark generates a DESCENDING [1, 0], which
+    # would index past the array on docs shorter than the shingle width —
+    # short docs get an empty shingle set instead.
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def md5_int_col(c: Column, hex_digits: int = 15) -> Column:
+    """Engine-portable string→int hash: first `hex_digits` hex chars of
+    md5 as a bigint (15 hex digits < 2^60, fits signed 64-bit in both
+    Spark and DuckDB)."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, hex_digits), 16, 10).cast("bigint")
+
+
+def MD5_INT_SQL(expr: str, hex_digits: int = 15) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, {hex_digits})) AS BIGINT)"
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, num_perm: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(id, perm, minhash) — MinHash over md5-hashed shingles with the
+    standard (a*h + b) mod p permutation family, a/b derived from the perm
+    index (deterministic, engine-portable)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
+    )
+    hashed = sh.select("doc", md5_int_col(F.col("shingle"), hex_digits=7).alias("h"))
+    perms = hashed.sparkSession.range(num_perm).select(F.col("id").alias("perm"))
+    # a must be non-zero; simple deterministic coefficients.
+    a = (F.col("perm") * 2 + 1) * 40503 % MERSENNE_31
+    b = (F.col("perm") + 1) * 86028121 % MERSENNE_31
+    crossed = hashed.crossJoin(F.broadcast(perms.select("perm", a.alias("a"), b.alias("b"))))
+    mh = (F.col("a") * F.col("h") + F.col("b")) % MERSENNE_31
+    return crossed.groupBy("doc", "perm").agg(F.min(mh).alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature and equi-join on (band, band_signature) →
+    distinct candidate pairs (doc_a < doc_b). This is the step that makes
+    near-dedup linear-ish: only same-bucket docs are compared."""
+    banded = signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    band_sig = banded.groupBy("doc", "band").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash")))).alias("sig")
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via explode + self-equi-join on
+    shingle. Pair space is bounded by shared-shingle blocking (random text
+    shares almost no 3-gram shingles; near-dups share many)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash) — classic SimHash: per token an md5-derived integer;
+    bit b of the fingerprint is the sign of Σ_tokens (±1 per bit). All
+    integer arithmetic → bit-identical across engines."""
+    tok = docs.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(tokens_col(text_col))).alias("t")
+    )
+    hashed = tok.select("doc", md5_int_col(F.col("t")).alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    # shiftright/shiftleft need F.expr for a column shift amount.
+    contrib = hashed.select("doc", "h", bit).withColumn(
+        "c", F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+    )
+    per_bit = contrib.groupBy("doc", "b").agg(F.sum("c").alias("s"))
+    weight = F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return per_bit.groupBy("doc").agg(F.sum(weight).cast("bigint").alias("simhash"))

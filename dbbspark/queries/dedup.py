@@ -1,1 +1,158 @@
-"""(populated in later build steps)"""
+"""Dedup layer (SURVEY.md §2.11 C1/C2 + J8/ST8 generalization).
+
+Oracle notes: all hashing is md5-derived integers so DuckDB can reproduce
+it exactly (see operators/dedup.py). The shared shingle/minhash SQL lives
+in CTE constants kept in lockstep with the Spark builders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import query
+from ..operators import dedup as D
+from ..operators.similarity import cosine_pairs_above
+from ..tables import load_table
+
+# Shingle CTE: distinct 3-token shingles per doc (mirror of shingles_col).
+_SHINGLES_SQL = """
+    shingles AS (
+      SELECT doc_id AS doc, unnest(list_distinct(
+               list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+                 i -> string_split(text,' ')[i] || ' ' ||
+                      string_split(text,' ')[i+1] || ' ' ||
+                      string_split(text,' ')[i+2]))) AS shingle
+      FROM documents)
+"""
+
+
+@query(
+    "q_exact_dedup",
+    oracle="""
+    SELECT doc_id, sha256(text) AS sha
+    FROM (SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY sha256(text)
+                                    ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1
+    """,
+    doc="C1: exact dedup at scale — sha256 content hash, keep lowest "
+    "doc_id per hash (deterministic winner; generalizes the registry "
+    "duplicate gate, bin/save_DBB_stagein_to_DBB.py:155).",
+    tags=("dedup", "closure"),
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = D.sha_dedup_keep_first(docs, "text", "doc_id")
+    return kept.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("sha")
+    )
+
+
+@query(
+    "q_near_dedup_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shingles GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+    doc="C2: exact 3-gram Jaccard near-dedup — shared-shingle blocking "
+    "bounds the pair space; random text shares almost no shingles, "
+    "near-dups share many.",
+    tags=("dedup", "closure"),
+)
+def q_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+_MINHASH_SQL = f"""
+    WITH {_SHINGLES_SQL},
+    hashed AS (SELECT doc, {D.MD5_INT_SQL('shingle', 7)} AS h FROM shingles),
+    perms AS (
+      SELECT p AS perm,
+             ((p * 2 + 1) * 40503) % 2147483647 AS a,
+             ((p + 1) * 86028121) % 2147483647 AS b
+      FROM (SELECT unnest(range(0, {{num_perm}})) AS p)),
+    sigs AS (
+      SELECT doc, perm, min((a * h + b) % 2147483647) AS minhash
+      FROM hashed CROSS JOIN perms
+      GROUP BY doc, perm)
+"""
+
+
+@query(
+    "q_minhash_lsh",
+    oracle=_MINHASH_SQL.format(num_perm=16)
+    + """
+    , band_sigs AS (
+      SELECT doc, CAST(floor(perm / 4) AS INT) AS band,
+             array_to_string(list_sort(list(minhash)), ',') AS sig
+      FROM sigs GROUP BY doc, band)
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM band_sigs a JOIN band_sigs b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+    """,
+    doc="C2: MinHash+LSH near-dedup — md5-hashed shingles → 16-permutation "
+    "signature → 4 bands × 4 rows → candidate pairs sharing a band. The "
+    "banding equi-join is the scale path: only same-bucket docs compare.",
+    tags=("dedup", "closure", "lsh"),
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=16, shingle_n=3)
+    return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+
+
+@query(
+    "q_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents),
+    hashed AS (SELECT doc, {D.MD5_INT_SQL('t')} AS h FROM tok),
+    contrib AS (
+      SELECT doc, b,
+             CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS c
+      FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+    per_bit AS (SELECT doc, b, SUM(c) AS s FROM contrib GROUP BY doc, b)
+    SELECT doc, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM per_bit GROUP BY doc
+    """,
+    doc="C2: SimHash document fingerprint — 32-bit sign-of-sums over "
+    "md5-hashed tokens; near-dups differ in few bits (hamming distance "
+    "tested in tests/test_dedup.py).",
+    tags=("dedup", "closure"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text", bits=32)
+
+
+@query(
+    "q_embed_near_dup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+    doc="C2: embedding-cosine near-dup pairs. Threshold 0.45 sits inside "
+    "the fixture's cosine distribution (max pairwise ≈ 0.51) so the result "
+    "is non-trivial; DOUBLE[] cast keeps both engines accumulating in "
+    "double. Brute-force verification form; the scale path applies the "
+    "same residual after LSH/IVF blocking (operators/similarity.py).",
+    tags=("dedup", "closure", "similarity"),
+)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_above(emb, 0.45)

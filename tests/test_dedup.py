@@ -1,0 +1,49 @@
+"""Dedup-operator semantics beyond the oracle compare: SimHash locality,
+MinHash-LSH vs exact Jaccard, and exact-dedup determinism on a corpus with
+planted duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbbspark.operators import dedup as D
+
+
+def _docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "spark shuffles partitions across executors during wide transformations"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (5, "completely different text about parquet column pruning and codegen"),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    kept = D.sha_dedup_keep_first(_docs(spark), "text", "doc_id").select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [1, 2, 3, 5]  # 4 deduped against 1
+
+
+def test_simhash_locality(spark):
+    sh = {r["doc"]: r["simhash"] for r in D.simhash(_docs(spark), "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[1], sh[4]) == 0  # identical text, identical fingerprint
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])  # near-dup closer than unrelated
+
+
+def test_lsh_finds_planted_near_dup(spark):
+    sigs = D.minhash_signatures(_docs(spark), "doc_id", "text", num_perm=16)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 4) in pairs  # exact dup always collides
+    assert not any(3 in p and 5 in p for p in pairs)  # unrelated docs don't
+
+
+def test_jaccard_pairs_threshold(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs and (1, 2) in pairs
+    assert (3, 5) not in pairs
