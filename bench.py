@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs every declared query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed to completion with a noop sink (full pipeline runs,
+nothing collects to the driver), which is what a cluster job would do —
+toPandas would measure Arrow serialization, not the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbbspark.catalog import load_all  # noqa: E402
+from dbbspark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    catalog = load_all()
+    spark = get_spark("dbbspark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen once on a trivial action so the first measured
+    # query doesn't absorb session startup.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(catalog):
+        spec = catalog[name]
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""Sources: stage-in scan, notify/config parsing, logs, multimodal binary.
+
+Maps SURVEY.md §2.1 S1-S8 onto Spark's file sources. Everything returns a
+DataFrame built from `binaryFile` / `text` reads plus JVM-side column
+expressions — no driver-side file iteration, so the same code lists one
+directory on local[32] or a million-file bucket on a cluster (file listing
+is parallelized by the InMemoryFileIndex).
+"""
+
+from .notify import (
+    parse_config_text,
+    read_notify_dir,
+    read_stagein_pairs,
+    unnotified_data_files,
+)
+from .logs import read_log, last_matching_line
+from .multimodal import read_binary_docs, extract_kv_metadata
+
+__all__ = [
+    "parse_config_text",
+    "read_notify_dir",
+    "read_stagein_pairs",
+    "unnotified_data_files",
+    "read_log",
+    "last_matching_line",
+    "read_binary_docs",
+    "extract_kv_metadata",
+]

@@ -1,0 +1,351 @@
+"""The stage-in → archive ingest pipeline, batch and streaming.
+
+Reference flow (`bin/save_DBB_stagein_to_DBB.py:120-217,221-293,308-321`):
+scan notify dir → pair notify/data files → per file: parse notify,
+filetype dispatch, duplicate gate, validity gate, metadata+checksum
+extraction, md5 compare, path templating, copy+verify+retry, DB register,
+commit, ack; failures → rollback + quarantine move + DBB_BAD_FILE insert.
+
+Spark-native shape (SURVEY.md §3.1): the per-file loop disappears. One
+declarative pipeline classifies the whole batch, then a single persisted
+DataFrame feeds three sinks:
+
+  pairs → filetype (P1) → md5 (F11/P3) → metadata extract (U3) →
+  registry anti-join (J8/ST8) → reject-reason CASE (F16) →
+      ├─ valid      → archive parquet, partitionBy(filetype, nite)  (S9)
+      │               + registry append                             (S10)
+      └─ rejected   → quarantine parquet, partitionBy(year, month)  (S11)
+
+Exactly-once semantics (ST4): the reference's per-file commit/rollback is
+replaced by (a) Spark's committed file output (no torn files), (b) the
+registry anti-join making re-runs no-ops for already-ingested names, and
+(c) the streaming checkpoint ensuring each notify file is processed by at
+most one micro-batch. The notify-delete ack (`:198,293`) is subsumed by
+(b)+(c) — re-presenting an ingested file classifies it as a duplicate.
+
+Scale notes (100 TB, 1000 executors):
+- data-file bytes never shuffle: pairing broadcasts the (tiny) notify
+  side; classification is narrow (map-side) from scan to write;
+- the registry gate joins on filename only — at billions of registry rows
+  bucket the registry table by `filename` (`bucketBy(4096, "filename")`)
+  so the anti-join is co-located instead of a full shuffle;
+- archive writes are hash-partitioned by (filetype, nite) — the
+  reference's `${band}/${nite}` directory templating (F6) expressed as
+  data-driven layout, giving partition pruning to every downstream read;
+- quarantine is a side output of the same scan (no second read).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..plans.keywords import KeywordSchema
+from ..sources.multimodal import extract_kv_metadata
+from ..sources.notify import NOTIFY_SUFFIX, parse_notify_binary, read_stagein_pairs
+
+# Fixed schema of the binaryFile source (needed explicitly for readStream).
+BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+# DBB_BAD_FILE-equivalent quarantine schema (bin/save_DBB_stagein_to_DBB.py
+# :274-291); rows are projected onto exactly these columns (P8 column
+# intersection).
+BAD_FILE_COLUMNS = (
+    "orig_filename",
+    "rejected_msg",
+    "rejected_date",
+    "filesize",
+    "filetype",
+    "task_id",
+    "uniq_fullname",
+    "delivery_date",
+)
+
+REASON_MISSING_DATA = "missing data file"
+REASON_UNKNOWN_FILETYPE = "unknown filetype"
+REASON_CHECKSUM = "checksum mismatch"
+REASON_MISSING_HEADER = "missing header value"
+REASON_DUPLICATE = "duplicate file"
+
+
+@dataclass(frozen=True)
+class IngestConfig:
+    notify_dir: str
+    delivery_dir: str
+    archive_root: str
+    registry_path: str
+    quarantine_path: str
+    # filetype dispatch rules (P1): evaluated in order; first match wins.
+    # (name, startswith-prefix or None, endswith-suffix or None)
+    filetypes: tuple[tuple[str, str | None, str | None], ...] = (
+        ("raw", None, ".fits"),
+        ("snmanifest", "manifest_SN", ".json"),
+    )
+    # per-filetype declared metadata schema (Y/N/R; §1.1.2)
+    keyword_schemas: dict[str, KeywordSchema] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class IngestResult:
+    archived: int
+    quarantined: int
+    by_reason: dict[str, int]
+
+
+def _filetype_col(cfg: IngestConfig) -> F.Column:
+    """Extension-dispatch CASE chain (P1,
+    bin/save_DBB_stagein_to_DBB.py:36-45)."""
+    expr = F.lit(None).cast("string")
+    for name, prefix, suffix in reversed(cfg.filetypes):
+        cond = F.lit(True)
+        if prefix:
+            cond = cond & F.col("data_name").startswith(prefix)
+        if suffix:
+            cond = cond & F.col("data_name").endswith(suffix)
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def _registry_names(spark: SparkSession, cfg: IngestConfig) -> DataFrame:
+    """Filenames already in the archive (duplicate gate J8). Narrow
+    projection — only `filename` is read from the registry parquet."""
+    if os.path.exists(cfg.registry_path):
+        return spark.read.parquet(cfg.registry_path).select(
+            F.col("filename").alias("data_name")
+        ).distinct()
+    return spark.createDataFrame([], "data_name string")
+
+
+def classify_pairs(
+    spark: SparkSession, cfg: IngestConfig, pairs: DataFrame
+) -> DataFrame:
+    """Add filetype, md5, extracted metadata, duplicate flag, and the
+    reject-reason CASE column to stage-in pairs. Pure transformation — no
+    writes, no actions."""
+    df = (
+        pairs.withColumn("filetype", _filetype_col(cfg))
+        .withColumn("md5sum", F.md5(F.col("content")))
+        .withColumn(
+            "nite",
+            F.date_format(
+                F.col("delivery_ts") - F.expr("INTERVAL 15 HOURS"), "yyyyMMdd"
+            ),
+        )
+    )
+
+    # Metadata extraction per filetype with a declared schema (U3). One
+    # union branch per schema'd filetype keeps each mapInPandas schema
+    # static; filetypes without a declared schema pass through.
+    schemad = [ft for ft in cfg.keyword_schemas if cfg.keyword_schemas[ft].flags]
+    if schemad:
+        branches = []
+        passthrough = df.where(
+            ~F.col("filetype").isin(schemad) | F.col("filetype").isNull()
+        )
+        for ft in schemad:
+            spec = cfg.keyword_schemas[ft]
+            branch = extract_kv_metadata(
+                df.where(F.col("filetype") == ft), spec.as_required_map()
+            )
+            branches.append(
+                branch.withColumn("meta_json", F.to_json("meta")).drop("meta")
+            )
+        passthrough = passthrough.withColumn(
+            "meta_json", F.lit(None).cast("string")
+        ).withColumn(
+            "meta_missing_required", F.lit(None).cast("array<string>")
+        )
+        df = branches[0]
+        for b in branches[1:]:
+            df = df.unionByName(b)
+        df = df.unionByName(passthrough.select(*df.columns))
+    else:
+        df = df.withColumn("meta_json", F.lit(None).cast("string")).withColumn(
+            "meta_missing_required", F.lit(None).cast("array<string>")
+        )
+
+    # Duplicate gate (J8/ST8): left join against registered names. The
+    # indicator column avoids a second pass that a semi+anti pair would
+    # need.
+    reg = _registry_names(spark, cfg).withColumn("_registered", F.lit(True))
+    df = df.join(reg, "data_name", "left")
+
+    reason = (
+        F.when(F.col("content").isNull(), REASON_MISSING_DATA)
+        .when(F.col("_registered").isNotNull(), REASON_DUPLICATE)
+        .when(F.col("filetype").isNull(), REASON_UNKNOWN_FILETYPE)
+        .when(
+            F.col("declared_md5").isNotNull()
+            & (F.col("md5sum") != F.col("declared_md5")),
+            REASON_CHECKSUM,
+        )
+        .when(
+            F.size(F.coalesce(F.col("meta_missing_required"), F.array())) > 0,
+            REASON_MISSING_HEADER,
+        )
+    )
+    return df.withColumn("reject_reason", reason).drop("_registered")
+
+
+def _write_sinks(
+    classified: DataFrame, cfg: IngestConfig, task_id: str | None
+) -> IngestResult:
+    """Fan the classified batch into archive + registry + quarantine."""
+    classified = classified.withColumn(
+        "task_id", F.lit(task_id).cast("string")
+    ).persist()
+    try:
+        valid = classified.where(F.col("reject_reason").isNull())
+        rejected = classified.where(F.col("reject_reason").isNotNull())
+
+        # S9: archive placement — partitioned layout replaces the
+        # reference's per-file templated copy (+retry+verify: Spark's file
+        # committer makes verify-after-copy unnecessary, SURVEY.md §4).
+        (
+            valid.select(
+                F.col("data_name").alias("filename"),
+                "content",
+                "md5sum",
+                "filesize",
+                "delivery_ts",
+                "meta_json",
+                "task_id",
+                "filetype",
+                "nite",
+            ).write.partitionBy("filetype", "nite")
+            .mode("append")
+            .parquet(cfg.archive_root)
+        )
+
+        # S10: registry append (no bytes — narrow rows).
+        (
+            valid.select(
+                F.col("data_name").alias("filename"),
+                "md5sum",
+                "filesize",
+                "filetype",
+                "nite",
+                F.col("delivery_ts").alias("delivery_date"),
+                "task_id",
+            ).write.mode("append").parquet(cfg.registry_path)
+        )
+
+        # S11: quarantine dead-letter, partitioned by rejection year/month
+        # with a collision-proof uniq name (ref `:255-259`), projected onto
+        # the DBB_BAD_FILE-style columns (P8).
+        bad = (
+            rejected.withColumn("rejected_date", F.current_timestamp())
+            .withColumn(
+                "uniq_fullname",
+                F.concat_ws(
+                    ".",
+                    F.col("data_name"),
+                    F.date_format("rejected_date", "yyyyMMddHHmmssSSS"),
+                ),
+            )
+            .select(
+                F.col("data_name").alias("orig_filename"),
+                F.col("reject_reason").alias("rejected_msg"),
+                "rejected_date",
+                "filesize",
+                "filetype",
+                "task_id",
+                "uniq_fullname",
+                F.col("delivery_ts").alias("delivery_date"),
+                F.year("rejected_date").alias("reject_year"),
+                F.month("rejected_date").alias("reject_month"),
+            )
+        )
+        bad = bad.select(
+            *[c for c in BAD_FILE_COLUMNS if c in bad.columns],
+            "reject_year",
+            "reject_month",
+        )
+        bad.write.partitionBy("reject_year", "reject_month").mode(
+            "append"
+        ).parquet(cfg.quarantine_path)
+
+        by_reason = {
+            r["reject_reason"]: r["cnt"]
+            for r in classified.groupBy("reject_reason")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        archived = by_reason.pop(None, 0)
+        return IngestResult(
+            archived=archived,
+            quarantined=sum(by_reason.values()),
+            by_reason=by_reason,
+        )
+    finally:
+        classified.unpersist()
+
+
+def ingest_batch(
+    spark: SparkSession,
+    cfg: IngestConfig,
+    task_id: str | None = None,
+    notify_df: DataFrame | None = None,
+) -> IngestResult:
+    """One ingest pass over the stage-in area (the cron-invoked batch,
+    ST1). Idempotent: a second run with the same stage-in contents
+    quarantines everything as duplicates and appends nothing to archive or
+    registry (tested in tests/test_ingest.py)."""
+    pairs = read_stagein_pairs(
+        spark, cfg.notify_dir, cfg.delivery_dir, notify_df=notify_df
+    )
+    classified = classify_pairs(spark, cfg, pairs)
+    return _write_sinks(classified, cfg, task_id)
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    cfg: IngestConfig,
+    checkpoint_dir: str,
+    task_id: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming front-end (ST1-ST4): notify files drive the stream; each
+    micro-batch runs the same classify+fan-out core via foreachBatch.
+
+    - trigger(availableNow=True) = the cron-compatible drain-and-exit mode;
+      a `processing_time` trigger gives the long-running daemon mode.
+    - the checkpoint dir is the reference's singleton lock (§2.9 ST1): one
+      active query per checkpoint, restarts resume without reprocessing.
+    - completeness (ST2): only the notify stream triggers work; the data
+      file is picked up by the per-batch pairing join, so a data file with
+      no notify is never touched.
+    """
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", f"*{NOTIFY_SUFFIX}")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(cfg.notify_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        notify = parse_notify_binary(batch_df)
+        ingest_batch(spark, cfg, task_id=task_id, notify_df=notify)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

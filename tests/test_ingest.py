@@ -1,0 +1,228 @@
+"""Ingest-pipeline invariants (SURVEY.md §5 item 3, FIXTURES.md §4).
+
+Mirrors the reference's operational checks: checksum-mismatch rows land in
+quarantine and nowhere else; duplicate ingestion is idempotent (second run
+adds 0 registry rows); missing required headers quarantine instead of
+aborting; the streaming checkpoint prevents reprocessing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from dbbspark.plans.keywords import parse_keyword_csv
+from dbbspark.sources.logs import last_matching_line, read_log
+from dbbspark.sources.multimodal import decode_media, read_binary_docs
+from dbbspark.sources.notify import parse_config_text, read_stagein_pairs
+from dbbspark.streaming.ingest import (
+    IngestConfig,
+    IngestResult,
+    REASON_CHECKSUM,
+    REASON_DUPLICATE,
+    REASON_MISSING_DATA,
+    REASON_MISSING_HEADER,
+    REASON_UNKNOWN_FILETYPE,
+    ingest_batch,
+    start_ingest_stream,
+)
+from dbbspark.streaming.provenance import create_task, read_tasks
+
+KEYWORDS = parse_keyword_csv("EXPNUM,R,N\nOBSTYPE,Y,N\nIGNORED,N,Y\n")
+
+
+def _write(path: str, data: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _stage(tmp, name: str, data: bytes, md5: str | None = "auto", notify_extra: str = ""):
+    """Create a data file + its .dbb notify file."""
+    _write(os.path.join(tmp, "delivery", name), data)
+    lines = notify_extra
+    if md5 == "auto":
+        md5 = hashlib.md5(data).hexdigest()
+    if md5 is not None:
+        lines += f"md5sum = {md5}\n"
+    _write(os.path.join(tmp, "notify", name + ".dbb"), lines.encode())
+
+
+@pytest.fixture()
+def area(tmp_path):
+    tmp = str(tmp_path)
+    for d in ("notify", "delivery", "archive", "registry", "quarantine", "ckpt", "task"):
+        os.makedirs(os.path.join(tmp, d), exist_ok=True)
+    # good FITS-ish file with required header present
+    _stage(tmp, "DECam_00000001.fits", b"EXPNUM = 1\nOBSTYPE = object\npayload")
+    # good manifest
+    _stage(tmp, "manifest_SN_X1.json", b'{"field": "X1"}')
+    # checksum mismatch
+    _stage(tmp, "DECam_00000002.fits", b"EXPNUM = 2\nbits", md5="0" * 32)
+    # unknown filetype
+    _stage(tmp, "mystery.dat", b"whatever")
+    # missing required header (EXPNUM is R-flagged)
+    _stage(tmp, "DECam_00000003.fits", b"OBSTYPE = zero\nbits")
+    # notify with no data file
+    _write(os.path.join(tmp, "notify", "ghost.fits.dbb"), b"md5sum = abc\n")
+    return tmp
+
+
+def _cfg(tmp) -> IngestConfig:
+    return IngestConfig(
+        notify_dir=os.path.join(tmp, "notify"),
+        delivery_dir=os.path.join(tmp, "delivery"),
+        archive_root=os.path.join(tmp, "archive", "data"),
+        registry_path=os.path.join(tmp, "registry", "files"),
+        quarantine_path=os.path.join(tmp, "quarantine", "bad"),
+        keyword_schemas={"raw": KEYWORDS},
+    )
+
+
+def _reasons(spark, cfg) -> dict[str, list[str]]:
+    rows = spark.read.parquet(cfg.quarantine_path).collect()
+    out: dict[str, list[str]] = {}
+    for r in rows:
+        out.setdefault(r["rejected_msg"], []).append(r["orig_filename"])
+    return out
+
+
+def test_batch_ingest_routing(spark, area):
+    cfg = _cfg(area)
+    res: IngestResult = ingest_batch(spark, cfg, task_id="t-1")
+
+    assert res.archived == 2
+    assert res.quarantined == 4
+    reasons = _reasons(spark, cfg)
+    assert reasons[REASON_CHECKSUM] == ["DECam_00000002.fits"]
+    assert reasons[REASON_UNKNOWN_FILETYPE] == ["mystery.dat"]
+    assert reasons[REASON_MISSING_HEADER] == ["DECam_00000003.fits"]
+    assert reasons[REASON_MISSING_DATA] == ["ghost.fits"]
+
+    # archive holds exactly the valid files, partitioned by filetype
+    arch = spark.read.parquet(cfg.archive_root)
+    names = {r["filename"] for r in arch.select("filename").collect()}
+    assert names == {"DECam_00000001.fits", "manifest_SN_X1.json"}
+    assert {r["filetype"] for r in arch.collect()} == {"raw", "snmanifest"}
+    # metadata extracted into the typed side-struct (as json here)
+    meta = {
+        r["filename"]: r["meta_json"]
+        for r in arch.select("filename", "meta_json").collect()
+    }
+    assert '"expnum":"1"' in meta["DECam_00000001.fits"].replace(" ", "")
+
+    # registry rows carry provenance task_id
+    reg = spark.read.parquet(cfg.registry_path)
+    assert reg.count() == 2
+    assert {r["task_id"] for r in reg.collect()} == {"t-1"}
+
+
+def test_reingest_is_idempotent(spark, area):
+    cfg = _cfg(area)
+    first = ingest_batch(spark, cfg)
+    assert first.archived == 2
+    # same stage-in contents re-presented (notify ack replaced by registry
+    # gate): nothing new archived, previously-good files now duplicates
+    second = ingest_batch(spark, cfg)
+    assert second.archived == 0
+    assert second.by_reason[REASON_DUPLICATE] == 2
+    assert spark.read.parquet(cfg.registry_path).count() == 2
+    arch = spark.read.parquet(cfg.archive_root)
+    assert arch.count() == 2
+
+
+def test_streaming_checkpoint_no_reprocess(spark, area):
+    cfg = _cfg(area)
+    ckpt = os.path.join(area, "ckpt", "ingest")
+    q = start_ingest_stream(spark, cfg, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(cfg.registry_path).count() == 2
+
+    # drain again with the same checkpoint: notify files already consumed,
+    # no new micro-batch work, still 2 registry rows (not duplicates — the
+    # stream never re-reads them)
+    q2 = start_ingest_stream(spark, cfg, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(cfg.registry_path).count() == 2
+    quarantined = spark.read.parquet(cfg.quarantine_path)
+    assert quarantined.where(quarantined.rejected_msg == REASON_DUPLICATE).count() == 0
+
+    # a newly staged file IS picked up by the next drain
+    _stage(area, "DECam_00000009.fits", b"EXPNUM = 9\nnew bits")
+    q3 = start_ingest_stream(spark, cfg, ckpt, available_now=True)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(cfg.registry_path).count() == 3
+
+
+def test_provenance_task_threading(spark, area, tmp_path):
+    cfg = _cfg(area)
+    task_path = os.path.join(area, "task", "tasks")
+    tid = create_task(spark, task_path, label="DBB_stagein_to_DBB")
+    ingest_batch(spark, cfg, task_id=tid)
+    tasks = read_tasks(spark, task_path)
+    assert tasks.where(tasks.task_id == tid).count() == 1
+    # every archive + quarantine row traces to the root task
+    assert {
+        r["task_id"] for r in spark.read.parquet(cfg.archive_root).collect()
+    } == {tid}
+    assert {
+        r["task_id"] for r in spark.read.parquet(cfg.quarantine_path).collect()
+    } == {tid}
+
+
+def test_pairing_missing_data_has_null_content(spark, area):
+    pairs = read_stagein_pairs(
+        spark, os.path.join(area, "notify"), os.path.join(area, "delivery")
+    )
+    rows = {r["data_name"]: r for r in pairs.collect()}
+    assert rows["ghost.fits"]["content"] is None
+    assert rows["DECam_00000001.fits"]["content"] is not None
+    assert rows["DECam_00000002.fits"]["declared_md5"] == "0" * 32
+
+
+def test_unnotified_data_files_diagnostic(spark, area):
+    from dbbspark.sources.notify import unnotified_data_files
+
+    # a data file with an EMPTY notify (invisible to binaryFile) and one
+    # with no notify at all both surface in the diagnostic
+    _write(os.path.join(area, "delivery", "early.fits"), b"no notify yet")
+    _write(os.path.join(area, "delivery", "emptynotify.fits"), b"bits")
+    _write(os.path.join(area, "notify", "emptynotify.fits.dbb"), b"")
+    rows = unnotified_data_files(
+        spark, os.path.join(area, "notify"), os.path.join(area, "delivery")
+    ).collect()
+    assert {r["data_name"] for r in rows} == {"early.fits", "emptynotify.fits"}
+
+
+def test_config_source(spark, tmp_path):
+    p = str(tmp_path / "x.cfg")
+    _write(p, b"# comment\nNotify_Dir = /a/b\n\narchive = root\n")
+    assert parse_config_text(spark, p) == {"notify_dir": "/a/b", "archive": "root"}
+
+
+def test_log_source_last_matching(spark, tmp_path):
+    p = str(tmp_path / "dts.log")
+    _write(
+        p,
+        b"0101 01:00:00 start\n"
+        b"0102 02:00:00 XSUM ok a\n"
+        b"0103 03:00:00 XSUM ok b\n"
+        b"0104 04:00:00 ERR boom\n",
+    )
+    log = read_log(spark, p)
+    last = last_matching_line(log, "XSUM").collect()
+    assert len(last) == 1 and last[0]["line"].endswith("XSUM ok b")
+    assert last[0]["ts_utc"] is not None
+
+
+def test_multimodal_decode_stub(spark, tmp_path, area):
+    docs = read_binary_docs(spark, os.path.join(area, "delivery"))
+    out = decode_media(docs).select("path", "decoded").collect()
+    assert all(r["decoded"]["width"] >= 64 for r in out)
+    assert all(len(r["decoded"]["feature"]) == 8 for r in out)
+    # deterministic: same bytes → same features across runs
+    again = decode_media(docs).select("path", "decoded").collect()
+    assert {r["path"]: r["decoded"] for r in out} == {
+        r["path"]: r["decoded"] for r in again
+    }
