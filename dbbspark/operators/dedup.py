@@ -36,10 +36,14 @@ def tokens_col(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
-def shingles_col(text_col: str, n: int = 3) -> Column:
-    """Distinct n-token shingles as an array column (JVM higher-order
-    functions; no UDF)."""
-    toks = tokens_col(text_col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles from a token ARRAY column (JVM
+    higher-order functions; no UDF).
+
+    ``toks`` must be a materialized column reference, NOT an inline
+    `split(...)` expression: interpreted lambda evaluation has no common-
+    subexpression elimination, so an inline expression would re-split the
+    text for every element_at — measured ~10× slower."""
     n_sh = F.size(toks) - (n - 1)
     # Guard: sequence(1, 0) in Spark generates a DESCENDING [1, 0], which
     # would index past the array on docs shorter than the shingle width —
@@ -51,6 +55,25 @@ def shingles_col(text_col: str, n: int = 3) -> Column:
         " ", *[F.element_at(toks, i + k) for k in range(n)]
     )
     return F.array_distinct(F.transform(idx, shingle))
+
+
+def shingle_docs(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, shingles array<string>) with the token split projected once
+    per row before shingling (see shingles_from_tokens note).
+
+    Docs shorter than the shingle width are dropped HERE via the cheap
+    `size(tokens) >= n` predicate. Filtering later on `size(shingles)`
+    would make Catalyst's constraint propagation re-evaluate the whole
+    shingle transform inside the pushed-down Filter — the shingle array is
+    then built twice per row (observed in .explain: the Filter condition
+    carries the full transform/concat_ws tree)."""
+    return (
+        docs.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+        .where(F.size("__toks") >= n)
+        .select("doc", shingles_from_tokens(F.col("__toks"), n).alias("shingles"))
+    )
 
 
 def md5_int_col(c: Column, hex_digits: int = 15) -> Column:
@@ -69,18 +92,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, perm, minhash) — MinHash over md5-hashed shingles with the
     standard (a*h + b) mod p permutation family, a/b derived from the perm
-    index (deterministic, engine-portable)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc"), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
+    index (deterministic, engine-portable).
+
+    Entirely map-side: the per-permutation min folds over the doc's
+    shingle-hash ARRAY (array_min ∘ transform), so no explode×perm
+    blow-up and NO shuffle — at 100 TB the signature pass is a single
+    scan. Docs with no shingles (shorter than the shingle width) emit no
+    rows, matching the exploded formulation."""
+    sh = shingle_docs(docs, id_col, text_col, shingle_n).select(
+        "doc",
+        F.transform(
+            F.col("shingles"), lambda s: md5_int_col(s, hex_digits=7)
+        ).alias("hs"),
     )
-    hashed = sh.select("doc", md5_int_col(F.col("shingle"), hex_digits=7).alias("h"))
-    perms = hashed.sparkSession.range(num_perm).select(F.col("id").alias("perm"))
-    # a must be non-zero; simple deterministic coefficients.
-    a = (F.col("perm") * 2 + 1) * 40503 % MERSENNE_31
-    b = (F.col("perm") + 1) * 86028121 % MERSENNE_31
-    crossed = hashed.crossJoin(F.broadcast(perms.select("perm", a.alias("a"), b.alias("b"))))
-    mh = (F.col("a") * F.col("h") + F.col("b")) % MERSENNE_31
-    return crossed.groupBy("doc", "perm").agg(F.min(mh).alias("minhash"))
+    entries = []
+    for p in range(num_perm):
+        # a must be non-zero; same coefficients as the SQL oracle.
+        a = ((p * 2 + 1) * 40503) % MERSENNE_31
+        b = ((p + 1) * 86028121) % MERSENNE_31
+        mh = F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31),
+            )
+        )
+        entries.append(
+            F.struct(
+                F.lit(p).cast("long").alias("perm"), mh.alias("minhash")
+            )
+        )
+    return sh.select("doc", F.explode(F.array(*entries)).alias("e")).select(
+        "doc", F.col("e.perm").alias("perm"), F.col("e.minhash").alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(
@@ -113,29 +156,55 @@ def jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via explode + self-equi-join on
-    shingle. Pair space is bounded by shared-shingle blocking (random text
-    shares almost no 3-gram shingles; near-dups share many)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc"), F.explode(shingles_col(text_col, shingle_n)).alias("shingle")
+    """Exact n-gram Jaccard near-dup pairs via shared-shingle blocking.
+
+    Instead of a self-equi-join of the exploded (doc, shingle) relation —
+    which evaluates the shingle transform once per join branch and
+    shuffles both — the posting list of each shingle is collected once
+    (`groupBy(shingle).collect_list(doc)`) and pairs are generated from
+    each (sorted) list with nested array transforms. One shingle
+    computation, one shuffle of (doc, shingle), pair blow-up bounded by
+    the hottest posting list (cap `max_df`: a shingle appearing in more
+    docs than that is background vocabulary, standard df-pruning — cap
+    None keeps exact semantics).
+
+    Doc shingle-set sizes ride INSIDE the posting-list structs, so the
+    whole operator is one scan + two shuffles (postings, pair-agg) with no
+    size-lookup joins at the end."""
+    sh = shingle_docs(docs, id_col, text_col, shingle_n)
+    exploded = sh.select(
+        "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
     )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # sort_array on structs orders by the leading field (doc), so combos
+    # below always emit a.doc < b.doc.
+    postings = exploded.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "n_sh"))).alias("ds")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    kept = postings.where(F.size("ds") >= 2)
+    if max_df is not None:
+        kept = kept.where(F.size("ds") <= max_df)
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+        kept.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.a.doc").alias("doc_a"), F.col("p.b.doc").alias("doc_b"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("p.a.n_sh").alias("na"),
+            F.first("p.b.n_sh").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(jac >= threshold)
-        .select("doc_a", "doc_b")
-    )
+    return inter.where(jac >= threshold).select("doc_a", "doc_b")
 
 
 def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

@@ -114,12 +114,94 @@ def cosine_pairs_above(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding near-dup
-    detection. Brute force here (verification baseline); the scale path is
-    the same residual check applied after LSH/IVF blocking."""
+    detection. Exact brute force via expression-level cosine; kept as the
+    tiny-input verification baseline. Prefer `cosine_pairs_above_blocked`
+    anywhere real: higher-order-function folds are interpreted (not
+    whole-stage-codegen'd), so this shape pays ~dim interpreted ops per
+    candidate pair of the nested-loop join."""
     a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("a_vec"))
     b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("b_vec"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .where(cosine(F.col("a_vec"), F.col("b_vec")) >= threshold)
         .select("vec_a", "vec_b")
+    )
+
+
+def cosine_pairs_above_blocked(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via block-matrix products — the
+    scale path for embedding near-dup.
+
+    Vectors are hashed into `num_blocks` blocks; each of the
+    B·(B+1)/2 block pairs becomes one `applyInPandas` group whose task
+    computes the full cross-similarity matrix with a float64 NumPy matmul
+    (BLAS) and emits only pairs above threshold. Same result set as the
+    brute-force form, orders of magnitude faster: the pair space is never
+    materialized as rows, only as a in-task matrix.
+
+    Scale accounting (N vectors, dim d, B blocks): each vector is shipped
+    to ~B block-pair groups → shuffle volume O(N·B·d); per-task memory is
+    O((N/B)²) similarity cells. Pick B ≈ N/50k so a task's matrix stays
+    ~GB-scale; at 100 TB add an LSH/IVF pre-filter to drop empty block
+    pairs entirely (operators: `ivf_assign`, `lsh_candidate_pairs`).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "vec_a long, vec_b long"
+    spark = vectors.sparkSession
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "bi int, bj int",
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
+    )
+    left = v.join(F.broadcast(pairs), v.blk == pairs.bi).select(
+        "bi", "bj", "vid", "vec", F.lit(0).alias("side")
+    )
+    right = v.join(F.broadcast(pairs), v.blk == pairs.bj).select(
+        "bi", "bj", "vid", "vec", F.lit(1).alias("side")
+    )
+
+    def emit(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = key
+        a = pdf[pdf["side"] == 0]
+        b = a if bi == bj else pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        A = np.stack(a["vec"].to_numpy()).astype(np.float64)
+        Bm = A if bi == bj else np.stack(b["vec"].to_numpy()).astype(np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = An if bi == bj else Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+        sims = An @ Bn.T
+        ia, ib = np.nonzero(sims >= threshold)
+        ids_a = a["vid"].to_numpy()[ia]
+        ids_b = b["vid"].to_numpy()[ib]
+        if bi == bj:
+            # within-block: each unordered pair appears twice (and as the
+            # self-pair diagonal) — keep the a < b orientation once.
+            keep = ids_a < ids_b
+            return pd.DataFrame({"vec_a": ids_a[keep], "vec_b": ids_b[keep]})
+        # cross-block: each unordered pair appears exactly once, in
+        # arbitrary id orientation — normalize to (min, max).
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ids_a, ids_b),
+                "vec_b": np.maximum(ids_a, ids_b),
+            }
+        )
+
+    return (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(emit, out_schema)
     )

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import query
 from ..operators import dedup as D
-from ..operators.similarity import cosine_pairs_above
+from ..operators.similarity import cosine_pairs_above_blocked
 from ..tables import load_table
 
 # Shingle CTE: distinct 3-token shingles per doc (mirror of shingles_col).
@@ -149,10 +149,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="C2: embedding-cosine near-dup pairs. Threshold 0.45 sits inside "
     "the fixture's cosine distribution (max pairwise ≈ 0.51) so the result "
     "is non-trivial; DOUBLE[] cast keeps both engines accumulating in "
-    "double. Brute-force verification form; the scale path applies the "
-    "same residual after LSH/IVF blocking (operators/similarity.py).",
+    "double. Exact blocked-matmul form (operators/similarity.py:"
+    "cosine_pairs_above_blocked): per-block-pair BLAS products instead of "
+    "a row-materialized nested-loop join — same result set, the 100 TB "
+    "shape.",
     tags=("dedup", "closure", "similarity"),
 )
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_above(emb, 0.45)
+    return cosine_pairs_above_blocked(emb, 0.45)

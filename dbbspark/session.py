@@ -37,12 +37,37 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas_udf / toPandas boundaries.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # InferFiltersFromGenerate duplicates the generator's input expression
+    # into a pre-Generate Filter (size(e)>0 AND isnotnull(e)). For cheap
+    # array columns that's a win; for computed arrays (shingling, hashed
+    # token transforms) it re-evaluates the whole interpreted transform per
+    # row — measured 6× slowdown on the near-dedup operators. Our explode
+    # inputs are always computed arrays, so exclude the rule.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply deterministic/scale confs to an externally-created session."""
-    for k, v in RUNTIME_CONFS.items():
+    confs = dict(RUNTIME_CONFS)
+    try:
+        # Small fixture files arrive as ONE split (< maxPartitionBytes), so
+        # every expression-heavy stage would run on a single core. Ask the
+        # scan planner for at least one split per core; on real multi-file
+        # 100 TB inputs this is a no-op (files already exceed core count),
+        # and parquet row-group boundaries still bound the actual split.
+        confs["spark.sql.files.minPartitionNum"] = str(
+            spark.sparkContext.defaultParallelism
+        )
+        # minPartitionNum is clamped below by openCostInBytes (default 4 MB
+        # — larger than an entire small fixture file). 128 KB keeps
+        # small-file packing sane while letting MB-scale files split.
+        confs["spark.sql.files.openCostInBytes"] = str(128 * 1024)
+    except Exception:
+        pass
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:
