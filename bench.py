@@ -31,9 +31,13 @@ def main() -> None:
     spark = get_spark("dbbspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen once on a trivial action so the first measured
-    # query doesn't absorb session startup.
+    # Warm the JVM/codegen and the Python worker pool once so the first
+    # measured query doesn't absorb session startup (a long-running cluster
+    # app pays both exactly once, not per query).
     spark.range(1000).count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(catalog):

@@ -1,0 +1,166 @@
+"""The reconciliation monitor, composed end-to-end (SURVEY.md §3.2,
+§2.1 S12).
+
+The reference's `monitor_DBB_stagein.py` main flow is gather (two DBs +
+logs + HTTP) → summarize (joins/aggs per nite) → render (four HTML
+pages). Here the same flow is one Catalyst DAG per page built from the
+reconcile/domain layers, with the HTML render as a terminal driver-side
+sink over already-aggregated (small) results — the only `toPandas()` in
+the engine, and it only ever sees report-sized rows.
+
+Page inventory vs reference:
+- summary page     → per-nite count table (`bin/monitor_DBB_stagein.py:522-689`)
+- exposure page    → per-exposure state machine rows (`:319-418`), states
+                     {fail, missing, not delivered, ok, extra} (F16)
+- failures page    → last-20 failures by rejected_date (`:660-672`, O-T1)
+- last-events      → newest matching log lines (`:188-263`, W2)
+"""
+
+from __future__ import annotations
+
+import html
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import load_all
+from .domain import desdm, failures, sispi
+from .queries.reconcile import extra_df, missing_df
+
+# --- gather + summarize (all lazy DataFrames; nothing collected) -----------
+
+
+def exposure_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-exposure state via the reference's presence-flag CASE machine
+    (`bin/monitor_DBB_stagein.py:342-366`):
+
+    fail > missing > not delivered > ok (in sispi ∩ desdm) > extra.
+    """
+    s = sispi(spark, sf_dir).select(
+        "nite", "expnum", "propid", "obstype", "delivered"
+    )
+    d = desdm(spark, sf_dir).select("expnum").withColumn("in_desdm", F.lit(True))
+    f_ = failures(spark, sf_dir).select("expnum").withColumn("in_fail", F.lit(True))
+    # left joins preserve every observatory exposure; "extra" rows (archive
+    # only) come in via the union below.
+    enriched = s.join(d, "expnum", "left").join(f_, "expnum", "left")
+    state = (
+        F.when(F.col("in_fail"), "fail")
+        .when(F.col("delivered") & F.col("in_desdm").isNull(), "missing")
+        .when(~F.col("delivered"), "not delivered")
+        .otherwise("ok")
+    )
+    observed = enriched.select(
+        "nite", "expnum", "propid", "obstype", state.alias("state")
+    )
+    extras = extra_df(spark, sf_dir).select(
+        "nite", "expnum", "propid", "obstype", F.lit("extra").alias("state")
+    )
+    return observed.unionByName(extras)
+
+
+def nite_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship per-nite count table (q_group_count)."""
+    return load_all()["q_group_count"].builder(spark, sf_dir)
+
+
+def recent_failures(spark: SparkSession, sf_dir: str, depth: int = 20) -> DataFrame:
+    """Last-N failures by rejected_date desc (O-T1; reference depth 20,
+    `bin/monitor_DBB_stagein.py:660-672`). TakeOrderedAndProject — no
+    global sort."""
+    return (
+        failures(spark, sf_dir)
+        .orderBy(F.desc("rejected_date"), F.desc("expnum"))
+        .limit(depth)
+    )
+
+
+# --- render (terminal sink; input DataFrames are report-sized) -------------
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>
+ body {{ font-family: sans-serif; margin: 1.5em; }}
+ table {{ border-collapse: collapse; }}
+ th, td {{ border: 1px solid #999; padding: 2px 8px; text-align: left; }}
+ tr.state-fail td {{ background: #fbb; }}
+ tr.state-missing td {{ background: #fdb; }}
+ tr.state-extra td {{ background: #bdf; }}
+</style></head>
+<body><h1>{title}</h1>
+{body}
+</body></html>
+"""
+
+
+def _table(df: DataFrame, row_class_col: str | None = None, max_rows: int = 10000) -> str:
+    """Render a small DataFrame as an HTML table. Guard-railed: refuses to
+    collect more than `max_rows` (report sinks are for aggregates, not
+    data)."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"report table exceeds {max_rows} rows — aggregate before rendering"
+        )
+    cols = df.columns
+    head = "".join(f"<th>{html.escape(c)}</th>" for c in cols)
+    body_rows = []
+    for r in rows:
+        cls = (
+            f' class="state-{html.escape(str(r[row_class_col]))}"'
+            if row_class_col and r[row_class_col] is not None
+            else ""
+        )
+        # missing values render as &nbsp; like the reference
+        # (bin/monitor_DBB_stagein.py:370-372)
+        cells = "".join(
+            f"<td>{'&nbsp;' if r[c] is None else html.escape(str(r[c]))}</td>"
+            for c in cols
+        )
+        body_rows.append(f"<tr{cls}>{cells}</tr>")
+    return f"<table><tr>{head}</tr>{''.join(body_rows)}</table>"
+
+
+@dataclass(frozen=True)
+class MonitorReport:
+    summary_html: str
+    exposures_html: str
+    failures_html: str
+
+
+def build_report(spark: SparkSession, sf_dir: str) -> MonitorReport:
+    """Run the monitor DAGs and render the three report pages."""
+    summary = nite_summary(spark, sf_dir).orderBy(F.desc("nite"))
+    states = exposure_states(spark, sf_dir).orderBy(F.desc("nite"), F.desc("expnum"))
+    fails = recent_failures(spark, sf_dir)
+    return MonitorReport(
+        summary_html=_PAGE.format(
+            title="DBB stage-in nightly summary", body=_table(summary)
+        ),
+        exposures_html=_PAGE.format(
+            title="Exposures by state",
+            body=_table(states, row_class_col="state"),
+        ),
+        failures_html=_PAGE.format(
+            title="Recent failures", body=_table(fails)
+        ),
+    )
+
+
+def write_report(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> MonitorReport:
+    """Materialize the report pages to ``out_dir`` (the reference's cron
+    target directory)."""
+    import os
+
+    report = build_report(spark, sf_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    for name, content in (
+        ("summary.html", report.summary_html),
+        ("exposures.html", report.exposures_html),
+        ("failures.html", report.failures_html),
+    ):
+        with open(os.path.join(out_dir, name), "w") as f:
+            f.write(content)
+    return report

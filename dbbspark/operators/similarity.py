@@ -1,9 +1,13 @@
 """Similarity-search operators (SURVEY.md §2.11 C3).
 
-- brute_force_topk: exact cosine top-k per query. The query side is tiny
-  (broadcast); cosine is expression-level (zip_with/aggregate fold —
-  JVM-side); rank via window. At 100 TB this is the verification baseline
-  and the per-cell scorer for IVF.
+Scoring is vectorized: the small reference side (queries, centroids) is
+collected and closed over by Arrow-batched pandas workers that compute
+cosine blocks with float64 BLAS matmuls (`matmul_scores`). Spark's
+higher-order-function cosine fold is interpreted (~μs/pair) and only
+remains in `cosine_pairs_above` as the tiny-input verification baseline.
+
+- brute_force_topk: exact cosine top-k per query; rank via window
+  (deterministic neighbor-id tiebreak). The 100 TB verification baseline.
 - ivf_topk: the scale path — vectors are assigned to their nearest
   "centroid" cell once (an embarrassingly-parallel argmax), queries probe
   only their own cell, so scored pairs drop from |Q|×|N| to
@@ -21,6 +25,55 @@ from pyspark.sql.window import Window
 from ..functions import cosine
 
 
+def matmul_scores(
+    vectors: DataFrame,
+    refs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "ref_id",
+) -> DataFrame:
+    """(vid, <out_id>, sim): cosine of every vector against every
+    reference vector, via one float64 BLAS matmul per Arrow batch.
+
+    The reference side (queries / centroids) is collected to the driver
+    and closed over by the mapInPandas worker — it must be the SMALL side
+    (an IVF centroid set, a probe batch). The big side streams through in
+    Arrow batches and never shuffles. Spark's interpreted higher-order
+    cosine fold costs ~μs per pair; this is the same math at BLAS
+    throughput.
+
+    Scale: |refs| bounded by executor memory (R×d floats, plus an R-wide
+    sim row per vector). For reference sets too big to broadcast, fall
+    back to the blocked group form (`cosine_pairs_above_blocked`)."""
+    import numpy as np
+    import pandas as pd
+
+    ref_rows = refs.select(id_col, vec_col).toPandas()
+    R = np.stack(ref_rows[vec_col].to_numpy()).astype(np.float64)
+    Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+    ref_ids = ref_rows[id_col].to_numpy()
+    n_refs = len(ref_ids)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ Rn.T
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf[id_col].to_numpy(), n_refs),
+                    out_id: np.tile(ref_ids, len(pdf)),
+                    "sim": sims.ravel(),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        score, f"vid long, {out_id} long, sim double"
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -30,23 +83,15 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query (query ids ≠ neighbor id). Returns
     (query_id, neighbor_id, rank) — integer output so the compare is
-    fp-robust; cosine only orders."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    n = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
-    scored = n.crossJoin(F.broadcast(q)).where(
-        F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("q_vec"), F.col("n_vec")).alias("sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    fp-robust; cosine only orders. Scoring is the matmul path; ranking is
+    a Spark window (deterministic tiebreak on neighbor id)."""
+    scored = matmul_scores(vectors, queries, id_col, vec_col, out_id="query_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.where(F.col("vid") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        .select("query_id", F.col("vid").alias("neighbor_id"), "rank")
     )
 
 
@@ -57,13 +102,9 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (deterministic
-    tiebreak on centroid id). One broadcast crossJoin + window argmax —
-    linear in |vectors|."""
-    c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec"))
-    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v_vec"))
-    scored = v.crossJoin(F.broadcast(c)).select(
-        "vid", "centroid_id", cosine(F.col("v_vec"), F.col("c_vec")).alias("sim")
-    )
+    tiebreak on centroid id). Matmul scoring + window argmax — linear in
+    |vectors|, no shuffle of the vectors themselves."""
+    scored = matmul_scores(vectors, centroids, id_col, vec_col, out_id="centroid_id")
     w = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("centroid_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -80,30 +121,31 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's cell.
-    Returns (query_id, neighbor_id, rank)."""
+    """Approximate top-k: a neighbor is eligible only if it lives in the
+    query's IVF cell. Returns (query_id, neighbor_id, rank).
+
+    Query-side sims come from the same matmul pass as the brute-force
+    path; the cell restriction is two broadcast joins on the (narrow)
+    assignment table. With a huge query set, replace the matmul pass with
+    per-cell `applyInPandas` groups so each task scores one cell."""
     assign = ivf_assign(vectors, centroids, id_col, vec_col)
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
-    ).join(assign.withColumnRenamed("vid", "neighbor_id"), "neighbor_id")
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q_cells = assign.select(
+        F.col("vid").alias("query_id"), F.col("centroid_id").alias("q_cell")
     ).join(
-        assign.withColumnRenamed("vid", "query_id").withColumnRenamed(
-            "centroid_id", "q_cell"
-        ),
-        "query_id",
+        queries.select(F.col(id_col).alias("query_id")), "query_id", "left_semi"
     )
-    scored = v.join(
-        F.broadcast(q), F.col("centroid_id") == F.col("q_cell")
-    ).where(F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("sim")
+    scored = (
+        matmul_scores(vectors, queries, id_col, vec_col, out_id="query_id")
+        .where(F.col("vid") != F.col("query_id"))
+        .join(F.broadcast(assign), "vid")
+        .join(F.broadcast(q_cells), "query_id")
+        .where(F.col("centroid_id") == F.col("q_cell"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        .select("query_id", F.col("vid").alias("neighbor_id"), "rank")
     )
 
 

@@ -1,0 +1,67 @@
+"""Monitor composition invariants (SURVEY.md §3.2, §5 item 3).
+
+The per-exposure state machine must tile the universe: every sispi
+exposure gets exactly one state, extras appear exactly once, and the
+state counts reconcile with the flagship per-nite summary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dbbspark.domain import sispi
+from dbbspark.monitor import (
+    build_report,
+    exposure_states,
+    nite_summary,
+    recent_failures,
+    write_report,
+)
+from dbbspark.queries.reconcile import extra_df, missing_df
+
+
+def test_states_partition_universe(spark, sf_dir):
+    states = exposure_states(spark, sf_dir)
+    # one row per sispi exposure + one per extra
+    n_sispi = sispi(spark, sf_dir).count()
+    n_extra = extra_df(spark, sf_dir).count()
+    assert states.count() == n_sispi + n_extra
+    assert states.groupBy("expnum", "state").count().where("count > 1").count() == 0
+
+    by_state = {
+        r["state"]: r["cnt"]
+        for r in states.groupBy("state").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_state.get("extra", 0) == n_extra
+    assert by_state.get("missing", 0) == missing_df(spark, sf_dir).count()
+
+
+def test_state_counts_match_summary(spark, sf_dir):
+    states = exposure_states(spark, sf_dir)
+    summary = nite_summary(spark, sf_dir)
+    m_states = {
+        r["nite"]: r["cnt"]
+        for r in states.where("state = 'missing'").groupBy("nite").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    m_summary = {
+        r["nite"]: r["cnt_missing"]
+        for r in summary.collect()
+        if r["cnt_missing"] > 0
+    }
+    assert m_states == m_summary
+
+
+def test_report_renders(spark, sf_dir, tmp_path):
+    report = write_report(spark, sf_dir, str(tmp_path / "report"))
+    assert os.path.exists(tmp_path / "report" / "summary.html")
+    assert "<table>" in report.summary_html
+    assert "state-missing" in report.exposures_html
+    fails = recent_failures(spark, sf_dir, depth=5)
+    assert fails.count() <= 5
+    # TakeOrderedAndProject, not a global sort
+    plan = fails._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
