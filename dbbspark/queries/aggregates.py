@@ -92,3 +92,47 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5).alias("approx_median_value"),
         F.count("*").alias("cnt"),
     )
+
+
+@query(
+    "q_grouped_agg_udf",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           median(l_quantity) AS median_qty,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="U5 (closure): custom aggregate as a GROUPED_AGG pandas_udf — the "
+    "Spark-native form of a UDAF (the reference has none; its plugin "
+    "system is row-level only, SURVEY.md §2.10). Arrow ships each group's "
+    "column once; the exact median is computed vectorized in pandas. At "
+    "scale prefer percentile_approx (sketch, partial-aggregable) — a "
+    "GROUPED_AGG UDF cannot partial-aggregate, so every group's values "
+    "shuffle to one task.",
+    tags=("agg", "udf", "closure"),
+)
+def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # annotations assigned as real objects: `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf can't infer.
+    def _median(v):
+        return float(v.median())
+
+    _median.__annotations__ = {"v": pd.Series, "return": float}
+    exact_median = pandas_udf(_median, "double")
+
+    def _count(v):
+        return len(v)
+
+    _count.__annotations__ = {"v": pd.Series, "return": int}
+    grp_count = pandas_udf(_count, "long")
+
+    # GROUPED_AGG UDFs can't mix with built-in aggregates in one agg —
+    # the companion count is a pandas aggregate too.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_median("l_quantity").alias("median_qty"),
+        grp_count("l_quantity").alias("cnt"),
+    )

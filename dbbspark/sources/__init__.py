@@ -13,6 +13,7 @@ from .notify import (
     read_stagein_pairs,
     unnotified_data_files,
 )
+from .httpindex import fetch_index, nightsum_nites, parse_index
 from .logs import read_log, last_matching_line
 from .multimodal import read_binary_docs, extract_kv_metadata
 
@@ -21,6 +22,9 @@ __all__ = [
     "read_notify_dir",
     "read_stagein_pairs",
     "unnotified_data_files",
+    "fetch_index",
+    "nightsum_nites",
+    "parse_index",
     "read_log",
     "last_matching_line",
     "read_binary_docs",

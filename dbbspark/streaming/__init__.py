@@ -13,8 +13,20 @@ from .ingest import (
     start_ingest_stream,
 )
 from .provenance import create_task, read_tasks
+from .stateful import (
+    dedup_within_watermark,
+    run_to_memory,
+    sequence_gap_monitor,
+    stream_events,
+    windowed_counts,
+)
 
 __all__ = [
+    "dedup_within_watermark",
+    "run_to_memory",
+    "sequence_gap_monitor",
+    "stream_events",
+    "windowed_counts",
     "IngestConfig",
     "IngestResult",
     "classify_pairs",

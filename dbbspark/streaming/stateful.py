@@ -1,0 +1,198 @@
+"""Streaming analytics: watermarked windows, stateful dedup, custom state
+(SURVEY.md §2.9 ST5-ST8, §2.10 U5).
+
+The reference handles late data by recomputing the last 14 nites every
+cron run (`bin/monitor_DBB_stagein.py:25,1147-1150`) and dedups against
+the full registry (`bin/save_DBB_stagein_to_DBB.py:155-157`). The
+Structured Streaming forms here replace recompute-the-window with
+incremental maintenance:
+
+- watermark + tumbling/nite window agg (ST5/ST6): state is bounded by the
+  watermark horizon, late rows within it amend the right bucket;
+- `dropDuplicatesWithinWatermark` (ST8): bounded-state dedup for the
+  stream front-end (full-history dedup stays in the registry anti-join);
+- `applyInPandasWithState` (U5): arbitrary per-key state — here a
+  sequence-gap detector, the natural extension of the reference's
+  seqnum bookkeeping (`bin/monitor_DBB_stagein.py:922-942`).
+
+All entry points accept EITHER a streaming or a batch DataFrame (the
+window expressions are identical); tests pin streaming(availableNow)
+output == the batch equivalent, which is the exactly-once claim.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `events` fixture as a file stream (one availableNow batch in
+    tests; a live directory feed in production). Parquet TIMESTAMP(NANOS)
+    surfaces as long under nanosAsLong, so ts is restored explicitly."""
+    from ..session import apply_runtime_confs
+    from ..tables import _nanos_columns
+
+    apply_runtime_confs(spark)
+    schema = EVENTS_SCHEMA
+    nanos = "ts" in _nanos_columns(sf_dir, "events")
+    if nanos:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in schema
+            ]
+        )
+    df = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (ST5/ST6). On a
+    stream, state for windows older than the watermark is dropped; the
+    same expression works on a batch frame (watermark is a no-op there)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy(
+        F.window("ts", window_duration).alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("value").alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming dedup with bounded state (ST8): duplicates arriving
+    within the watermark horizon are dropped; the registry anti-join
+    (ingest J8) remains the full-history gate."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+GAP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("batch_max", T.LongType()),
+        T.StructField("expected_next", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+    ]
+)
+
+_GAP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_expected", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+    ]
+)
+
+
+def sequence_gap_monitor(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (U5): per user, track the next expected
+    event_id across micro-batches and count gaps — the streaming form of
+    the reference's seqnum skip-marking. State is two longs per key."""
+
+    def update(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],  # noqa: F821
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        (user_id,) = key
+        next_expected, n_gaps = state.get if state.exists else (None, 0)
+        batch_max = None
+        for pdf in batches:
+            ids = sorted(int(x) for x in pdf["event_id"])
+            for i in ids:
+                if next_expected is not None and i > next_expected:
+                    n_gaps += 1
+                if next_expected is None or i >= next_expected:
+                    next_expected = i + 1
+            if ids:
+                batch_max = max(batch_max or 0, ids[-1])
+        state.update((next_expected, n_gaps))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "batch_max": [batch_max],
+                "expected_next": [next_expected],
+                "n_gaps": [n_gaps],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            GAP_OUTPUT_SCHEMA,
+            _GAP_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain a streaming DataFrame into an in-memory table with
+    availableNow (the cron-compatible trigger) and return it as a batch
+    DataFrame. Test/report harness — production sinks are parquet tables
+    via foreachBatch (see ingest.py).
+
+    Output-mode notes: watermarked aggs under a single availableNow batch
+    never finalize their newest windows, so `append` would suppress them —
+    use `complete` (aggs) or `update` (stateful ops) to observe results.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(name)

@@ -216,6 +216,20 @@ def test_log_source_last_matching(spark, tmp_path):
     assert last[0]["ts_utc"] is not None
 
 
+def test_http_index_parse(spark):
+    from dbbspark.sources.httpindex import nightsum_nites, parse_index
+
+    html_text = (
+        '<html><body>\n<a href="nightsum-2026-08-01/index.html">n1</a>\n'
+        '<a href="nightsum-2026-08-02/index.html">n2</a>'
+        '<a href="other.html">x</a>\n'
+        '<a href="nightsum-2026-08-01/index.html">dup</a>\n</body></html>'
+    )
+    assert parse_index(spark, html_text).count() == 4
+    nites = {r["nite"] for r in nightsum_nites(spark, html_text).collect()}
+    assert nites == {"20260801", "20260802"}
+
+
 def test_multimodal_decode_stub(spark, tmp_path, area):
     docs = read_binary_docs(spark, os.path.join(area, "delivery"))
     out = decode_media(docs).select("path", "decoded").collect()

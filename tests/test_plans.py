@@ -1,0 +1,102 @@
+"""Physical-plan regression tests (SURVEY.md §4; the 100 TB contract).
+
+Correctness tests say the answers are right; these say the PLANS stay
+right — broadcasts where a side is small, pushdown reaching the scan,
+top-k without a global sort, no Python in JVM-only pipelines. A regression
+here is invisible at sf0.01 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbbspark.catalog import load_all
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = load_all()[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_equi_join_broadcasts_small_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_equi_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_range_inlist")
+    # range + IN-list predicates must reach the parquet reader
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual" in pushed or "In(" in pushed, pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_substring")
+    # a 2-column projection must not scan the whole lineitem schema
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read.count(",") <= 2, read
+
+
+def test_jvm_only_queries_have_no_python(spark, sf_dir):
+    # scalar/join/agg layers must stay JVM pipelines (AQE hides codegen
+    # markers pre-execution, so assert the absence of Python eval nodes)
+    for name in ("q_group_count", "q_window_dedup", "q_regexp_extract",
+                 "q_anti_missing", "q_rollup"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+        assert "mapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_anti_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_anti_missing")
+    assert "BroadcastHashJoin LeftAnti" in plan.replace("(", " ").replace(")", " ") or \
+        "BroadcastHashJoin" in plan
+
+
+def test_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    # the bucketized rewrite must produce an equi hash join, not BNLJ
+    plan = plan_of(spark, sf_dir, "q_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_big_join_is_sort_merge(spark, sf_dir):
+    # big×big deliberately exceeds broadcast: must be a shuffle join
+    plan = plan_of(spark, sf_dir, "q_big_join")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_exact_dedup")
+    # one exchange for the hash-partition window; no second shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_minhash_signatures_no_shuffle(spark, sf_dir):
+    from dbbspark.operators.dedup import minhash_signatures
+    from dbbspark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        minhash_signatures(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, "signature pass must be map-side only"
+
+
+@pytest.mark.parametrize("name", ["q_group_count", "q_near_dedup_jaccard"])
+def test_no_infer_filters_from_generate_regression(spark, sf_dir, name):
+    # the excluded rule must not re-appear: no size(...transform...) filter
+    plan = plan_of(spark, sf_dir, name)
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Filter") or line.strip().startswith("Filter"):
+            assert not (
+                "size(array_distinct(transform" in line
+            ), "InferFiltersFromGenerate re-materialized the shingle transform"
