@@ -250,3 +250,38 @@ def q_big_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum(revenue).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "q_skew_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT l_returnflag, CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag, l.l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MAX(d.avg_price) AS DOUBLE) AS avg_price
+    FROM lineitem l JOIN dim d USING (l_returnflag)
+    GROUP BY l.l_returnflag, l.l_linestatus
+    """,
+    doc="Skew-handling closure (SURVEY.md §7 scale pass): lineitem joined "
+    "to a 3-row dimension on l_returnflag — a maximally hot key — through "
+    "the salted-join operator (operators/skew.py). The salt scatters each "
+    "hot key over 8 sub-partitions and is dropped before aggregation, so "
+    "the result hash-matches the plain join.",
+    tags=("join", "skew", "closure"),
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_equi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("avg_price")
+    )
+    joined = salted_equi_join(
+        li.select("l_returnflag", "l_linestatus"), dim, on=["l_returnflag"]
+    )
+    return joined.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.max("avg_price").alias("avg_price"),
+    )
