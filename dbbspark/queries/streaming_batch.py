@@ -101,3 +101,42 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
         F.count("*").alias("cnt"),
     ).drop("island")
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    WITH cand AS (
+      SELECT e.event_type, e.value,
+             CAST(to_timestamp(
+               CAST(floor(epoch(e.ts) / 1800) AS BIGINT) * 1800 - k.k * 1800
+             ) AS TIMESTAMP) AS window_start
+      FROM events e
+      CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS cnt
+    FROM cand
+    GROUP BY 1, 2, 3
+    """,
+    doc="ST7 (closure): sliding window — 1 hour wide, 30 min slide; every "
+    "event lands in exactly width/slide = 2 windows. Spark's window() "
+    "emits the overlapping assignments natively; the oracle enumerates "
+    "slide offsets. Streaming form is the same expression under a "
+    "watermark (dbbspark/streaming/stateful.py).",
+    tags=("streaming", "window", "closure"),
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )

@@ -181,6 +181,24 @@ def test_pairing_missing_data_has_null_content(spark, area):
     assert rows["DECam_00000002.fits"]["declared_md5"] == "0" * 32
 
 
+def test_archive_reads_partition_prune(spark, area):
+    """The partitioned archive layout (S9) must give downstream readers
+    partition pruning — the reference's manual one-nite-at-a-time querying
+    (bin/monitor_DBB_stagein.py:794-797) for free."""
+    cfg = _cfg(area)
+    ingest_batch(spark, cfg)
+    arch = spark.read.parquet(cfg.archive_root)
+    pruned = arch.where(arch.filetype == "raw")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "filetype" in pf, pf
+    assert pruned.count() == 1
+    # content survives the archive round-trip byte-for-byte (md5 parity)
+    row = pruned.select("filename", "content", "md5sum").first()
+    assert hashlib.md5(bytes(row["content"])).hexdigest() == row["md5sum"]
+
+
 def test_unnotified_data_files_diagnostic(spark, area):
     from dbbspark.sources.notify import unnotified_data_files
 
