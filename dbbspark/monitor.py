@@ -59,6 +59,35 @@ def exposure_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     return observed.unionByName(extras)
 
 
+def sne_page_df(spark: SparkSession, sf_dir: str, obstype: str = "purchase") -> DataFrame:
+    """The SNe page composition (`bin/monitor_DBB_stagein.py:1160-1161`):
+    mark_sne_skip (W1 keep-last-per-sequence window dedup) then
+    combine_sne_info (J2 left enrichment join with a Y/N presence flag).
+    ``obstype`` selects the exposure subset the way the reference's
+    'DES supernova' regex does."""
+    from pyspark.sql.window import Window
+
+    s = sispi(spark, sf_dir).where(F.col("obstype") == obstype)
+    w = Window.partitionBy("propid", "nite").orderBy(F.desc("expnum"))
+    marked = s.withColumn("skip", F.row_number().over(w) > 1)
+    d = desdm(spark, sf_dir).select(
+        "expnum", F.col("exptime").alias("desdm_exptime")
+    )
+    return (
+        marked.join(d, "expnum", "left")
+        .select(
+            "nite",
+            "expnum",
+            "propid",
+            "skip",
+            F.when(F.col("desdm_exptime").isNotNull(), "Y")
+            .otherwise("N")
+            .alias("in_archive"),
+            F.coalesce(F.col("desdm_exptime"), F.lit(0.0)).alias("exptime"),
+        )
+    )
+
+
 def nite_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship per-nite count table (q_group_count)."""
     return load_all()["q_group_count"].builder(spark, sf_dir)
@@ -126,13 +155,16 @@ class MonitorReport:
     summary_html: str
     exposures_html: str
     failures_html: str
+    sne_html: str
 
 
 def build_report(spark: SparkSession, sf_dir: str) -> MonitorReport:
-    """Run the monitor DAGs and render the three report pages."""
+    """Run the monitor DAGs and render the four report pages (the
+    reference's page inventory, `bin/monitor_DBB_stagein.py:1155-1162`)."""
     summary = nite_summary(spark, sf_dir).orderBy(F.desc("nite"))
     states = exposure_states(spark, sf_dir).orderBy(F.desc("nite"), F.desc("expnum"))
     fails = recent_failures(spark, sf_dir)
+    sne = sne_page_df(spark, sf_dir).orderBy(F.desc("nite"), F.desc("expnum"))
     return MonitorReport(
         summary_html=_PAGE.format(
             title="DBB stage-in nightly summary", body=_table(summary)
@@ -144,6 +176,7 @@ def build_report(spark: SparkSession, sf_dir: str) -> MonitorReport:
         failures_html=_PAGE.format(
             title="Recent failures", body=_table(fails)
         ),
+        sne_html=_PAGE.format(title="SNe exposures", body=_table(sne)),
     )
 
 
@@ -160,6 +193,7 @@ def write_report(
         ("summary.html", report.summary_html),
         ("exposures.html", report.exposures_html),
         ("failures.html", report.failures_html),
+        ("sne.html", report.sne_html),
     ):
         with open(os.path.join(out_dir, name), "w") as f:
             f.write(content)

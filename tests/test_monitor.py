@@ -55,9 +55,21 @@ def test_state_counts_match_summary(spark, sf_dir):
     assert m_states == m_summary
 
 
+def test_sne_page_dedup_and_enrichment(spark, sf_dir):
+    from dbbspark.monitor import sne_page_df
+
+    sne = sne_page_df(spark, sf_dir)
+    # keep-last semantics: exactly one non-skip row per (propid, nite)
+    keepers = sne.where("NOT skip").groupBy("propid", "nite").count()
+    assert keepers.where("count != 1").count() == 0
+    # presence flag consistent with the enrichment join
+    assert sne.where("in_archive = 'N' AND exptime != 0.0").count() == 0
+
+
 def test_report_renders(spark, sf_dir, tmp_path):
     report = write_report(spark, sf_dir, str(tmp_path / "report"))
     assert os.path.exists(tmp_path / "report" / "summary.html")
+    assert os.path.exists(tmp_path / "report" / "sne.html")
     assert "<table>" in report.summary_html
     assert "state-missing" in report.exposures_html
     fails = recent_failures(spark, sf_dir, depth=5)
