@@ -16,12 +16,15 @@ def spark():
 
     from dbbspark.session import apply_runtime_confs
 
+    import tempfile
+
     s = (
         SparkSession.builder.master("local[4]")
         .appName("dbbspark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="dbbspark-wh-"))
         .getOrCreate()
     )
     apply_runtime_confs(s)

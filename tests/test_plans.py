@@ -91,6 +91,38 @@ def test_minhash_signatures_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan, "signature pass must be map-side only"
 
 
+def test_bucketed_registry_join_shuffles_only_incoming(spark, sf_dir):
+    """J8 at scale: with the registry bucketed on filename, the duplicate
+    gate must not shuffle (or sort) the registry side."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.bucketing import anti_join_bucketed, write_bucketed
+    from dbbspark.tables import load_table
+
+    reg = load_table(spark, sf_dir, "documents").select(
+        F.format_string("doc_%06d.txt", F.col("doc_id")).alias("filename")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(reg, "registry_bucketed", "filename", buckets=8)
+        incoming = spark.range(100).select(
+            F.format_string("doc_%06d.txt", F.col("id") * 7).alias("filename")
+        )
+        out = anti_join_bucketed(spark, incoming, "registry_bucketed", "filename")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly one exchange: the incoming side; bucketed scan co-locates
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+        reg_names = {r["filename"] for r in reg.collect()}
+        expected = sum(1 for i in range(100) if f"doc_{i * 7:06d}.txt" not in reg_names)
+        assert out.count() == expected
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS registry_bucketed")
+
+
 @pytest.mark.parametrize("name", ["q_group_count", "q_near_dedup_jaccard"])
 def test_no_infer_filters_from_generate_regression(spark, sf_dir, name):
     # the excluded rule must not re-appear: no size(...transform...) filter
