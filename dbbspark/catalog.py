@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         text,
         streaming_batch,
+        multimodal,
     )
 
     return CATALOG
