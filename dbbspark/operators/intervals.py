@@ -11,8 +11,10 @@ coarse time buckets it overlaps, each probe row maps to exactly one bucket,
 and the join becomes an EQUI join on bucket (shuffle/broadcast hash join,
 AQE-skew-splittable) followed by the residual range predicate. Cost is
 O(|probe| + |intervals| × avg_buckets_per_interval) — linear, partitioned,
-scalable. Bucket granularity should be on the order of the median interval
-length so the explode factor stays ~2.
+scalable. Bucket granularity trades interval-side explode factor
+(≈ len/bucket + 1) against residual-candidate width (≈ density ×
+(len + bucket)): measured on the orders fixture, bucket ≈ len/4 beats
+bucket = len by ~1.7× with a 5× (still negligible) interval explode.
 """
 
 from __future__ import annotations

@@ -117,7 +117,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("end_time"),
     )
     probe = orders.select("o_orderkey", "o_orderdate")
-    joined = interval_join(probe, iv, "o_orderdate", "start_time", "end_time", bucket_days=30)
+    joined = interval_join(probe, iv, "o_orderdate", "start_time", "end_time", bucket_days=7)
     return joined.groupBy("propid").agg(F.count("*").alias("cnt_in_window"))
 
 
