@@ -301,11 +301,19 @@ def ingest_batch(
     ST1). Idempotent: a second run with the same stage-in contents
     quarantines everything as duplicates and appends nothing to archive or
     registry (tested in tests/test_ingest.py)."""
+    # Persist the paired batch: the valid/missing union and the
+    # per-filetype metadata branches each re-derive from it, and without a
+    # cache every branch re-reads the stage-in files (measured 3× file
+    # I/O). MEMORY_AND_DISK (default) spills oversized batches; batch size
+    # itself is bounded by the streaming trigger (maxFilesPerTrigger).
     pairs = read_stagein_pairs(
         spark, cfg.notify_dir, cfg.delivery_dir, notify_df=notify_df
-    )
-    classified = classify_pairs(spark, cfg, pairs)
-    return _write_sinks(classified, cfg, task_id)
+    ).persist()
+    try:
+        classified = classify_pairs(spark, cfg, pairs)
+        return _write_sinks(classified, cfg, task_id)
+    finally:
+        pairs.unpersist()
 
 
 def start_ingest_stream(
