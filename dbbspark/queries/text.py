@@ -171,3 +171,73 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: (acc * 31 + v) % 1000000007,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 100 <
+          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END
+    """,
+    doc="Training-pipeline closure: deterministic stratified sampling — "
+    "per-stratum rates applied via an md5 hash gate on the key, so the "
+    "sample is reproducible across runs, engines, AND cluster sizes "
+    "(unlike sampleBy's partition-dependent RNG) and is itself a pushdown-"
+    "able filter: no shuffle, no state.",
+    tags=("text", "sampling", "closure"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_int_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "de", 20)
+        .otherwise(10)
+    )
+    gate = md5_int_col(F.col("doc_id").cast("string")) % 100
+    return docs.where(gate < rate).select("doc_id", "lang")
+
+
+@query(
+    "q_embed_normalize",
+    oracle="""
+    SELECT vec_id,
+           CAST(round(
+             list_sum(list_transform(l2, x -> x * x)), 6
+           ) AS DOUBLE) AS norm_sq
+    FROM (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_sum(
+                 list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)))) AS l2
+      FROM embeddings)
+    """,
+    doc="Training-pipeline closure: L2 embedding normalization as a pure "
+    "array expression (no UDF, no shuffle); verified by the invariant "
+    "that normalized vectors have unit squared norm (rounded to 1e-6 so "
+    "both engines' fp accumulation orders agree).",
+    tags=("similarity", "closure"),
+)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("e"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    l2 = F.transform(F.col("e"), lambda x: x / F.col("__norm"))
+    normed = emb.withColumn("__norm", norm).select("vec_id", l2.alias("l2"))
+    norm_sq = F.aggregate(
+        F.transform(F.col("l2"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return normed.select("vec_id", F.round(norm_sq, 6).alias("norm_sq"))
