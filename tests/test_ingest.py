@@ -155,6 +155,43 @@ def test_streaming_checkpoint_no_reprocess(spark, area):
     assert spark.read.parquet(cfg.registry_path).count() == 3
 
 
+def test_streaming_failure_replay_is_exactly_once(spark, area, monkeypatch):
+    """ST4: a micro-batch that fails mid-processing is replayed after
+    restart (checkpoint not advanced), and the replay does not duplicate
+    archive/registry rows — the exactly-once contract under failure."""
+    import pyspark.errors
+
+    import dbbspark.streaming.ingest as ingest_mod
+
+    cfg = _cfg(area)
+    ckpt = os.path.join(area, "ckpt", "replay")
+    orig = ingest_mod.ingest_batch
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected batch failure")
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ingest_mod, "ingest_batch", flaky)
+    q = ingest_mod.start_ingest_stream(spark, cfg, ckpt, available_now=True)
+    with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
+        q.awaitTermination()
+    assert calls["n"] == 1
+    assert not os.path.exists(cfg.registry_path) or not [
+        f for f in os.listdir(cfg.registry_path) if f.endswith(".parquet")
+    ]
+
+    # restart with the same checkpoint: the failed batch replays
+    q2 = ingest_mod.start_ingest_stream(spark, cfg, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert calls["n"] == 2
+    reg = spark.read.parquet(cfg.registry_path)
+    assert reg.count() == 2
+    assert reg.select("filename").distinct().count() == 2
+
+
 def test_provenance_task_threading(spark, area, tmp_path):
     cfg = _cfg(area)
     task_path = os.path.join(area, "task", "tasks")
