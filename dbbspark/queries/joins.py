@@ -285,3 +285,37 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.max("avg_price").alias("avg_price"),
     )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_totalprice) AS price
+      FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, e.ts, o.price AS asof_price
+    FROM events e
+    ASOF LEFT JOIN r o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    doc="J9 (closure): two-table as-of join — each event matched to the "
+    "most recent order (by date, per customer) at or before its "
+    "timestamp, via the union-timeline operator (operators/asof.py: one "
+    "key shuffle + one window pass, no range join). Right side pre-"
+    "aggregated to one row per (key, ts) so both engines break ties "
+    "identically; oracle is DuckDB's native ASOF JOIN.",
+    tags=("join", "asof", "closure"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    ).agg(F.max("o_totalprice").alias("price"))
+    return asof_join(
+        ev, r, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        value_col="price", out_col="asof_price",
+    )
