@@ -22,6 +22,12 @@ registry anti-join making re-runs no-ops for already-ingested names, and
 (c) the streaming checkpoint ensuring each notify file is processed by at
 most one micro-batch. The notify-delete ack (`:198,293`) is subsumed by
 (b)+(c) — re-presenting an ingested file classifies it as a duplicate.
+Caveat: the multi-sink batch is not atomic — a crash after the archive
+write but before the (deliberately last) registry append can, on replay,
+append the same archive rows twice. The registry itself stays
+exactly-once; archive readers wanting hard exactly-once should read via
+the registry (anti-join) or use a transactional table format for the
+archive sink in production.
 
 Scale notes (100 TB, 1000 executors):
 - data-file bytes never shuffle: pairing broadcasts the (tiny) notify
@@ -227,19 +233,6 @@ def _write_sinks(
             .parquet(cfg.archive_root)
         )
 
-        # S10: registry append (no bytes — narrow rows).
-        (
-            valid.select(
-                F.col("data_name").alias("filename"),
-                "md5sum",
-                "filesize",
-                "filetype",
-                "nite",
-                F.col("delivery_ts").alias("delivery_date"),
-                "task_id",
-            ).write.mode("append").parquet(cfg.registry_path)
-        )
-
         # S11: quarantine dead-letter, partitioned by rejection year/month
         # with a collision-proof uniq name (ref `:255-259`), projected onto
         # the DBB_BAD_FILE-style columns (P8).
@@ -282,6 +275,25 @@ def _write_sinks(
             .collect()
         }
         archived = by_reason.pop(None, 0)
+
+        # S10: registry append (no bytes — narrow rows). MUST be the LAST
+        # action of the batch: the classification plan READS the registry
+        # (duplicate gate), and under foreachBatch the persisted cache is
+        # not reliably hit across actions — an action executed after this
+        # append would re-evaluate the gate against a registry that
+        # already contains the batch's own files and misclassify them as
+        # duplicates.
+        (
+            valid.select(
+                F.col("data_name").alias("filename"),
+                "md5sum",
+                "filesize",
+                "filetype",
+                "nite",
+                F.col("delivery_ts").alias("delivery_date"),
+                "task_id",
+            ).write.mode("append").parquet(cfg.registry_path)
+        )
         return IngestResult(
             archived=archived,
             quarantined=sum(by_reason.values()),

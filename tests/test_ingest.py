@@ -155,6 +155,24 @@ def test_streaming_checkpoint_no_reprocess(spark, area):
     assert spark.read.parquet(cfg.registry_path).count() == 3
 
 
+def test_streaming_multi_batch_rate_limit(spark, area):
+    """maxFilesPerTrigger splits the drain into several micro-batches;
+    later batches must see earlier batches' registry rows (a duplicate
+    staged twice under different notify timing would quarantine)."""
+    cfg = _cfg(area)
+    ckpt = os.path.join(area, "ckpt", "multi")
+    q = start_ingest_stream(
+        spark, cfg, ckpt, available_now=True, max_files_per_trigger=2
+    )
+    q.awaitTermination(180)
+    # same outcome as the single-batch drain: 2 archived, 4 quarantined
+    assert spark.read.parquet(cfg.registry_path).count() == 2
+    reasons = _reasons(spark, cfg)
+    assert sum(len(v) for v in reasons.values()) == 4
+    # progress shows more than one micro-batch actually ran
+    assert len(q.recentProgress) > 1
+
+
 def test_streaming_failure_replay_is_exactly_once(spark, area, monkeypatch):
     """ST4: a micro-batch that fails mid-processing is replayed after
     restart (checkpoint not advanced), and the replay does not duplicate
