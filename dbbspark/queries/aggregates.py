@@ -136,3 +136,40 @@ def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_median("l_quantity").alias("median_qty"),
         grp_count("l_quantity").alias("cnt"),
     )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT nite,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+    FROM (SELECT strftime(ts - INTERVAL 15 HOURS, '%Y%m%d') AS nite, event_type
+          FROM events)
+    GROUP BY nite
+    """,
+    doc="Pivot (closure): the monitor's per-nite × state count matrix "
+    "(the HTML summary table shape, bin/monitor_DBB_stagein.py:522-689) "
+    "as groupBy().pivot() with an EXPLICIT value list — without it Spark "
+    "runs an extra distinct pass over the pivot column, a full shuffle "
+    "at scale.",
+    tags=("agg", "pivot", "closure"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..domain import nite_col
+
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.select(nite_col(F.col("ts")).alias("nite"), "event_type")
+        .groupBy("nite")
+        .pivot("event_type", kinds)
+        .count()
+    )
+    zero = F.lit(0).cast("bigint")
+    return out.select(
+        "nite", *[F.coalesce(F.col(k), zero).alias(k) for k in kinds]
+    )
