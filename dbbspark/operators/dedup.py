@@ -105,23 +105,22 @@ def minhash_signatures(
             F.col("shingles"), lambda s: md5_int_col(s, hex_digits=7)
         ).alias("hs"),
     )
+    # One generated SQL expression instead of num_perm nested Column
+    # builders: the whole signature array parses JVM-side in a single
+    # expr() call (the Column-by-Column form costs ~1s of py4j round
+    # trips at plan-build time for 16 permutations).
     entries = []
     for p in range(num_perm):
         # a must be non-zero; same coefficients as the SQL oracle.
         a = ((p * 2 + 1) * 40503) % MERSENNE_31
         b = ((p + 1) * 86028121) % MERSENNE_31
-        mh = F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31),
-            )
-        )
         entries.append(
-            F.struct(
-                F.lit(p).cast("long").alias("perm"), mh.alias("minhash")
-            )
+            f"struct(CAST({p} AS BIGINT) AS perm, "
+            f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MERSENNE_31}L)) "
+            f"AS minhash)"
         )
-    return sh.select("doc", F.explode(F.array(*entries)).alias("e")).select(
+    sig = F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("e")
+    return sh.select("doc", sig).select(
         "doc", F.col("e.perm").alias("perm"), F.col("e.minhash").alias("minhash")
     )
 
