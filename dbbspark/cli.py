@@ -1,0 +1,136 @@
+"""Command-line entry points mirroring the reference's three executables.
+
+| reference executable | here |
+|---|---|
+| `bin/save_DBB_stagein_to_DBB.py --config <cfg>`   | `python -m dbbspark.cli ingest --config <cfg>` |
+| `bin/monitor_DBB_stagein.py …`                    | `python -m dbbspark.cli monitor --sf-dir … --out …` |
+| `bin/create_task_save_DBB_stagein_to_DBB.py --label <l>` | `python -m dbbspark.cli create-task --task-table … --label <l>` |
+
+The config file is the reference's ``key = value`` format
+(`bin/save_DBB_stagein_to_DBB.py:22-32`); recognized keys:
+
+    notify_dir      = /stage/notify         (required)
+    delivery_dir    = /stage/delivery       (required)
+    archive_root    = /archive/data         (required)
+    registry_path   = /archive/registry     (required)
+    bad_file_dir    = /archive/quarantine   (required; reference name)
+    checkpoint_dir  = /archive/_checkpoint  (stream mode)
+    dts_task_id     = <task id>             (reference name; provenance)
+    keywords_csv    = /etc/keywords.txt     (Y/N/R schema for 'raw')
+
+Cron-compatibility: `ingest --stream` uses trigger(availableNow) — each
+cron invocation drains pending files and exits; the checkpoint dir is the
+singleton lock (SURVEY.md §2.9 ST1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _session(app: str) -> SparkSession:
+    from .session import get_spark
+
+    return get_spark(app)
+
+
+def _ingest_config(spark: SparkSession, cfg_path: str):
+    from .plans.keywords import parse_keyword_csv
+    from .sources.notify import parse_config_text
+    from .streaming.ingest import IngestConfig
+
+    cfg = parse_config_text(spark, cfg_path)
+    missing = [
+        k
+        for k in ("notify_dir", "delivery_dir", "archive_root", "registry_path", "bad_file_dir")
+        if k not in cfg
+    ]
+    if missing:
+        raise SystemExit(f"config missing required keys: {', '.join(missing)}")
+    keyword_schemas = {}
+    if "keywords_csv" in cfg:
+        with open(cfg["keywords_csv"]) as f:
+            keyword_schemas["raw"] = parse_keyword_csv(f.read())
+    return (
+        IngestConfig(
+            notify_dir=cfg["notify_dir"],
+            delivery_dir=cfg["delivery_dir"],
+            archive_root=cfg["archive_root"],
+            registry_path=cfg["registry_path"],
+            quarantine_path=cfg["bad_file_dir"],
+            keyword_schemas=keyword_schemas,
+        ),
+        cfg,
+    )
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    from .streaming.ingest import ingest_batch, start_ingest_stream
+
+    spark = _session("dbbspark-ingest")
+    cfg, raw = _ingest_config(spark, args.config)
+    task_id = raw.get("dts_task_id")
+    if args.stream:
+        ckpt = raw.get("checkpoint_dir")
+        if not ckpt:
+            raise SystemExit("stream mode requires checkpoint_dir in config")
+        q = start_ingest_stream(spark, cfg, ckpt, task_id=task_id, available_now=True)
+        q.awaitTermination()
+        print("stream drained; checkpoint:", ckpt)
+        return 0
+    res = ingest_batch(spark, cfg, task_id=task_id)
+    print(
+        f"archived={res.archived} quarantined={res.quarantined} "
+        f"by_reason={res.by_reason}"
+    )
+    return 0
+
+
+def cmd_monitor(args: argparse.Namespace) -> int:
+    from .monitor import write_report
+
+    spark = _session("dbbspark-monitor")
+    write_report(spark, args.sf_dir, args.out)
+    print("report written to", args.out)
+    return 0
+
+
+def cmd_create_task(args: argparse.Namespace) -> int:
+    from .streaming.provenance import create_task
+
+    spark = _session("dbbspark-task")
+    task_id = create_task(spark, args.task_table, label=args.label)
+    # the reference prints the id to paste into the config as dts_task_id
+    # (bin/create_task_save_DBB_stagein_to_DBB.py:43)
+    print(task_id)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dbbspark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="drain the stage-in area into the archive")
+    ing.add_argument("--config", required=True)
+    ing.add_argument("--stream", action="store_true", help="availableNow streaming drain")
+    ing.set_defaults(fn=cmd_ingest)
+
+    mon = sub.add_parser("monitor", help="build the reconciliation report pages")
+    mon.add_argument("--sf-dir", required=True)
+    mon.add_argument("--out", required=True)
+    mon.set_defaults(fn=cmd_monitor)
+
+    ct = sub.add_parser("create-task", help="create a provenance root task")
+    ct.add_argument("--task-table", required=True)
+    ct.add_argument("--label", default="DBB_stagein_to_DBB")
+    ct.set_defaults(fn=cmd_create_task)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

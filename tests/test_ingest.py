@@ -289,6 +289,47 @@ def test_log_source_last_matching(spark, tmp_path):
     assert last[0]["ts_utc"] is not None
 
 
+def test_cli_roundtrip(spark, area, capsys):
+    """The three reference executables as CLI subcommands: create-task →
+    ingest (task id threaded from config) → monitor."""
+    from dbbspark import cli
+
+    task_table = os.path.join(area, "task", "t")
+    assert cli.main(["create-task", "--task-table", task_table]) == 0
+    task_id = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(task_id) == 32
+
+    kw = os.path.join(area, "keywords.txt")
+    _write(kw, b"EXPNUM,R,N\nOBSTYPE,Y,N\n")
+    cfg_path = os.path.join(area, "ingest.cfg")
+    _write(
+        cfg_path,
+        "\n".join(
+            [
+                "# stage-in config",
+                f"notify_dir = {area}/notify",
+                f"delivery_dir = {area}/delivery",
+                f"archive_root = {area}/archive/data",
+                f"registry_path = {area}/registry/files",
+                f"bad_file_dir = {area}/quarantine/bad",
+                f"dts_task_id = {task_id}",
+                f"keywords_csv = {kw}",
+            ]
+        ).encode(),
+    )
+    assert cli.main(["ingest", "--config", cfg_path]) == 0
+    out = capsys.readouterr().out
+    assert "archived=2" in out and "quarantined=4" in out
+    reg = spark.read.parquet(os.path.join(area, "registry", "files"))
+    assert {r["task_id"] for r in reg.collect()} == {task_id}
+
+    from conftest import SF_DIR
+
+    report_dir = os.path.join(area, "report")
+    assert cli.main(["monitor", "--sf-dir", SF_DIR, "--out", report_dir]) == 0
+    assert os.path.exists(os.path.join(report_dir, "summary.html"))
+
+
 def test_http_index_parse(spark):
     from dbbspark.sources.httpindex import nightsum_nites, parse_index
 
