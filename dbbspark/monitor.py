@@ -158,36 +158,68 @@ class MonitorReport:
     sne_html: str
 
 
-def build_report(spark: SparkSession, sf_dir: str) -> MonitorReport:
+def build_report(
+    spark: SparkSession,
+    sf_dir: str,
+    num_nites: int = 14,
+    variant: str = "short",
+) -> MonitorReport:
     """Run the monitor DAGs and render the four report pages (the
-    reference's page inventory, `bin/monitor_DBB_stagein.py:1155-1162`)."""
+    reference's page inventory, `bin/monitor_DBB_stagein.py:1155-1162`).
+
+    Row-level pages (exposures, SNe) cover only the most recent
+    ``num_nites`` nites — the reference's report window (default 14,
+    `bin/monitor_DBB_stagein.py:25`). ``variant`` mirrors the
+    reference's short/full exposure-page variants (`:319-418`): "short"
+    lists only problem exposures (fail/missing/extra — bounded by the
+    problem rate at any scale), "full" lists every exposure in the
+    window."""
     summary = nite_summary(spark, sf_dir).orderBy(F.desc("nite"))
-    states = exposure_states(spark, sf_dir).orderBy(F.desc("nite"), F.desc("expnum"))
+    recent = F.broadcast(
+        summary.select("nite").orderBy(F.desc("nite")).limit(num_nites)
+    )
+    states = (
+        exposure_states(spark, sf_dir)
+        .join(recent, "nite", "left_semi")
+        .orderBy(F.desc("nite"), F.desc("expnum"))
+    )
+    if variant == "short":
+        states = states.where(F.col("state").isin("fail", "missing", "extra"))
     fails = recent_failures(spark, sf_dir)
-    sne = sne_page_df(spark, sf_dir).orderBy(F.desc("nite"), F.desc("expnum"))
+    sne = (
+        sne_page_df(spark, sf_dir)
+        .join(recent, "nite", "left_semi")
+        .orderBy(F.desc("nite"), F.desc("expnum"))
+    )
     return MonitorReport(
         summary_html=_PAGE.format(
             title="DBB stage-in nightly summary", body=_table(summary)
         ),
         exposures_html=_PAGE.format(
-            title="Exposures by state",
-            body=_table(states, row_class_col="state"),
+            title=f"Exposures by state ({variant})",
+            body=_table(states, row_class_col="state", max_rows=100_000),
         ),
         failures_html=_PAGE.format(
             title="Recent failures", body=_table(fails)
         ),
-        sne_html=_PAGE.format(title="SNe exposures", body=_table(sne)),
+        sne_html=_PAGE.format(
+            title="SNe exposures", body=_table(sne, max_rows=100_000)
+        ),
     )
 
 
 def write_report(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    num_nites: int = 14,
+    variant: str = "short",
 ) -> MonitorReport:
     """Materialize the report pages to ``out_dir`` (the reference's cron
     target directory)."""
     import os
 
-    report = build_report(spark, sf_dir)
+    report = build_report(spark, sf_dir, num_nites=num_nites, variant=variant)
     os.makedirs(out_dir, exist_ok=True)
     for name, content in (
         ("summary.html", report.summary_html),
