@@ -1,0 +1,147 @@
+"""Randomized equivalence: every custom operator vs an independent model
+(SURVEY.md §5 — the operators whose SQL oracles exercise only one shape
+get a second, structurally different check on seeded random data).
+
+- asof_join            vs pandas.merge_asof (backward, inclusive)
+- interval_join        vs the naive theta join
+- salted_equi_join     vs the plain join
+- blocked cosine pairs vs the expression brute force
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+from pyspark.sql import Row, functions as F
+
+
+def _rand_rows(seed: int, n_keys: int = 6, n_left: int = 300, n_right: int = 80):
+    rng = random.Random(seed)
+    base = datetime(2026, 1, 1)
+    left = [
+        Row(
+            key=rng.randrange(n_keys),
+            ts=base + timedelta(minutes=rng.randrange(10_000)),
+            lid=i,
+        )
+        for i in range(n_left)
+    ]
+    # distinct (key, ts) on the right so ties don't need a rule
+    seen = set()
+    right = []
+    for i in range(n_right * 2):
+        k = rng.randrange(n_keys)
+        t = base + timedelta(minutes=rng.randrange(10_000))
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        right.append(Row(key=k, rts=t, val=float(rng.randrange(1000))))
+        if len(right) == n_right:
+            break
+    return left, right
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    from dbbspark.operators.asof import asof_join
+
+    left, right = _rand_rows(seed=101)
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = {
+        r["lid"]: r["asof_val"]
+        for r in asof_join(
+            ldf, rdf, on="key", left_ts="ts", right_ts="rts",
+            value_col="val", out_col="asof_val",
+        ).collect()
+    }
+    lp = pd.DataFrame([r.asDict() for r in left]).sort_values("ts")
+    rp = pd.DataFrame([r.asDict() for r in right]).sort_values("rts")
+    want_df = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="key", direction="backward"
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.val) else float(r.val))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+def test_interval_join_matches_naive_theta(spark):
+    from dbbspark.operators.intervals import interval_join
+
+    rng = random.Random(7)
+    base = datetime(2026, 1, 1)
+    probe = spark.createDataFrame(
+        [Row(pid=i, ts=base + timedelta(hours=rng.randrange(2000))) for i in range(400)]
+    )
+    ivs = spark.createDataFrame(
+        [
+            Row(
+                iv=i,
+                start=base + timedelta(hours=(s := rng.randrange(2000))),
+                end=base + timedelta(hours=s + rng.randrange(1, 200)),
+            )
+            for i in range(50)
+        ]
+    )
+    for bucket_days in (1, 3, 30):
+        got = {
+            (r["pid"], r["iv"])
+            for r in interval_join(
+                probe, ivs, "ts", "start", "end", bucket_days=bucket_days
+            ).collect()
+        }
+        want = {
+            (r["pid"], r["iv"])
+            for r in probe.join(
+                ivs, (F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end"))
+            ).collect()
+        }
+        assert got == want, f"bucket_days={bucket_days}"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from dbbspark.operators.skew import salted_equi_join
+
+    rng = random.Random(23)
+    big = spark.createDataFrame(
+        [Row(k=rng.choice(["hot", "hot", "hot", "a", "b"]), v=i) for i in range(500)]
+    )
+    dim = spark.createDataFrame(
+        [Row(k="hot", d=1.0), Row(k="a", d=2.0), Row(k="c", d=3.0)]
+    )
+    got = sorted(
+        (r["k"], r["v"], r["d"])
+        for r in salted_equi_join(big, dim, on=["k"], salt=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["d"]) for r in big.join(dim, "k").collect()
+    )
+    assert got == want
+
+
+def test_blocked_cosine_matches_bruteforce(spark):
+    from dbbspark.operators.similarity import (
+        cosine_pairs_above,
+        cosine_pairs_above_blocked,
+    )
+
+    rng = random.Random(5)
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(120)
+        ]
+    )
+    brute = {
+        (r["vec_a"], r["vec_b"]) for r in cosine_pairs_above(vecs, 0.5).collect()
+    }
+    for blocks in (1, 3, 8):
+        blocked = {
+            (r["vec_a"], r["vec_b"])
+            for r in cosine_pairs_above_blocked(vecs, 0.5, num_blocks=blocks).collect()
+        }
+        assert blocked == brute, f"num_blocks={blocks}"
