@@ -224,3 +224,60 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 32) -> Data
         F.lit(0).cast("bigint")
     )
     return per_bit.groupBy("doc").agg(F.sum(weight).cast("bigint").alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node in `edges`, where component = the
+    smallest node id reachable — the canonical-representative rule that
+    matches keep-lowest-key exact dedup.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds (near-dup graphs are shallow — clusters are cliques
+    or near-cliques, so typically 2-3 rounds). Each round is one shuffle
+    (join + groupBy); `localCheckpoint` truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1. At billions of edges switch to
+    the large-star/small-star formulation (same primitive, fewer rounds).
+
+    The driver-side loop holds only a convergence counter — never data.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -158,3 +158,45 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_above_blocked(emb, 0.45)
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shingles GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+    SELECT src AS doc, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+    doc="Training-pipeline closure: near-dup CLUSTERING — Jaccard pairs → "
+    "connected components → canonical representative (min doc id per "
+    "component, consistent with keep-first exact dedup). Spark side is "
+    "iterative min-label propagation (operators/dedup.py: one shuffle per "
+    "round, O(diameter) rounds, lineage cut by localCheckpoint); the "
+    "oracle computes the same components with a recursive CTE.",
+    tags=("dedup", "closure", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    cc = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("node").alias("doc"), "component")

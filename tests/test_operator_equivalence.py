@@ -123,6 +123,40 @@ def test_salted_join_matches_plain_join(spark):
     assert got == want
 
 
+def test_connected_components_matches_union_find(spark):
+    from dbbspark.operators.dedup import connected_components
+
+    rng = random.Random(31)
+    edges = [
+        Row(src=rng.randrange(60), dst=rng.randrange(60)) for _ in range(50)
+    ]
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(spark.createDataFrame(edges)).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in edges:
+        ra, rb = find(e.src), find(e.dst)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # canonicalize: component label = min node in component
+    comp_min: dict[int, int] = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[r] for n, r in want.items()}
+    assert got == want
+
+
 def test_blocked_cosine_matches_bruteforce(spark):
     from dbbspark.operators.similarity import (
         cosine_pairs_above,
