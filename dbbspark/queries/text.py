@@ -241,3 +241,61 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return normed.select("vec_id", F.round(norm_sq, 6).alias("norm_sq"))
+
+
+@query(
+    "q_training_pipeline",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS atl
+      FROM documents),
+    passed AS (
+      SELECT * FROM quality
+      WHERE n_tokens BETWEEN 20 AND 1000 AND atl BETWEEN 3 AND 12),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                     ORDER BY doc_id) AS rn
+        FROM passed) WHERE rn = 1),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 100 < 80)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS token_budget
+    FROM sampled GROUP BY lang
+    """,
+    doc="Capstone composition: the canonical training-data pipeline — "
+    "quality gate (Gopher-rules shape) → exact dedup keep-first → "
+    "deterministic 80% hash sample → per-language token budget — as ONE "
+    "Catalyst DAG: scan-side filters, a single dedup shuffle, a pushed "
+    "sample filter, and a final partial-agg groupBy. The shape every "
+    "100 TB corpus build runs; each stage is individually verified by "
+    "its own declared query, and the composition is oracle-verified here.",
+    tags=("text", "pipeline", "closure"),
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_int_col, sha_dedup_keep_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    quality = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (F.col("n_chars").cast("double") / F.size(toks)).alias("atl"),
+    ).where(
+        F.col("n_tokens").between(20, 1000) & F.col("atl").between(3, 12)
+    )
+    deduped = sha_dedup_keep_first(quality, "text", "doc_id")
+    sampled = deduped.where(
+        md5_int_col(F.col("doc_id").cast("string")) % 100 < 80
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("token_budget"),
+    )
