@@ -15,11 +15,27 @@ Layout:
                the synthetic fixture tables (FIXTURES.md §3)
   catalog    — registry of declared queries + their DuckDB oracle SQL
   queries/   — one module per operator layer of SURVEY.md §2
-  operators/ — reusable composite operators (reconcile, dedup, similarity,
-               intervals, windows)
-  sources/   — file-based sources (notify-dir scan, kv files, logs)
-  plans/     — end-to-end pipelines (ingest, reconcile/report, provenance)
-  streaming/ — Structured Streaming ingest front-end
+  operators/ — reusable operators (dedup/clustering, similarity, asof,
+               intervals, skew salting, bucketing)
+  sources/   — notify-dir scan + pairing, kv/config, logs, HTTP index,
+               multimodal binary + metadata extraction
+  plans/     — plan-time helpers (Y/N/R keyword schemas)
+  streaming/ — ingest front-end (batch + streaming, quarantine,
+               provenance) and stateful analytics (watermarked windows,
+               bounded-state dedup, applyInPandasWithState)
+  monitor    — the reconciliation report composed end-to-end
+  cli        — the reference's three executables as subcommands
 """
 
 __version__ = "0.1.0"
+
+from .session import apply_runtime_confs, get_spark  # noqa: E402
+from .tables import load_table, register_views  # noqa: E402
+
+__all__ = [
+    "apply_runtime_confs",
+    "get_spark",
+    "load_table",
+    "register_views",
+    "__version__",
+]
