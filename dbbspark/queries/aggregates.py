@@ -15,30 +15,6 @@ from ..tables import load_table
 
 
 @query(
-    "q_scalar_max",
-    oracle="""
-    SELECT event_type,
-           max(ts) AS latest_ts,
-           arg_max(event_id, ts) AS latest_event_id,
-           max(value) AS max_value
-    FROM events GROUP BY event_type
-    """,
-    doc="A5: scalar max / latest-row lookup — latest log file, latest "
-    "failure (bin/monitor_DBB_stagein.py:170-181,992). max_by is the "
-    "relational form of 'sort then take last'. (ts is unique in the "
-    "fixtures, so arg_max is deterministic.)",
-    tags=("agg",),
-)
-def q_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.max("ts").alias("latest_ts"),
-        F.max_by("event_id", "ts").alias("latest_event_id"),
-        F.max("value").alias("max_value"),
-    )
-
-
-@query(
     "q_distinct",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     doc="A7: distinct — the reference's key-set semantics of dict/set "
@@ -56,22 +32,32 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(floor(value / 100) AS BIGINT) AS value_bucket,
            COUNT(*) AS cnt,
+           max(ts) AS latest_ts,
+           arg_max(event_id, ts) AS latest_event_id,
+           max(value) AS max_value,
            GROUPING(event_type) AS g_type,
            GROUPING(CAST(floor(value / 100) AS BIGINT)) AS g_bucket
     FROM events
     GROUP BY ROLLUP(event_type, CAST(floor(value / 100) AS BIGINT))
     """,
-    doc="A8 (closure): rollup — replaces the reference's two separate "
+    doc="A5+A8 (merged): rollup — replaces the reference's two separate "
     "summary passes (per-nite + per-propid, bin/monitor_DBB_stagein.py:"
-    "1012-1038 vs 968-981) with one multi-level aggregation.",
+    "1012-1038 vs 968-981) with one multi-level aggregation — carrying the "
+    "scalar max / latest-row lookups at every level (latest log file, "
+    "latest failure, bin/monitor_DBB_stagein.py:170-181,992; max_by is "
+    "the relational form of 'sort then take last'; ts is unique in the "
+    "fixtures so arg_max is deterministic).",
     tags=("agg", "closure"),
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bucket = F.floor(F.col("value") / 100).cast("bigint")
-    d = ev.select("event_type", bucket.alias("value_bucket"))
+    d = ev.select("event_type", bucket.alias("value_bucket"), "ts", "event_id", "value")
     return d.rollup("event_type", "value_bucket").agg(
         F.count("*").alias("cnt"),
+        F.max("ts").alias("latest_ts"),
+        F.max_by("event_id", "ts").alias("latest_event_id"),
+        F.max("value").alias("max_value"),
         F.grouping("event_type").cast("bigint").alias("g_type"),
         F.grouping("value_bucket").cast("bigint").alias("g_bucket"),
     )
@@ -79,18 +65,41 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_distinct",
-    oracle=None,  # approximate: engines' sketches differ; rows-only check.
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_users_ok,
+           TRUE AS approx_median_ok
+    FROM events GROUP BY event_type
+    """,
     doc="A9 (closure, 100 TB): HyperLogLog approx_count_distinct + "
     "approx_percentile — the sketches that replace exact distinct/quantile "
-    "at scale. tests/test_aggregates.py asserts ≤5% error vs exact.",
+    "at scale. Sketch values are engine-specific, so the oracle contract "
+    "is a deterministic BOUND: Spark emits whether its sketch lands within "
+    "10% of the exact value it also computes; the oracle expects TRUE "
+    "(plus the exact counts, which must hash-match). "
+    "tests/test_aggregates.py separately asserts ≤5% error.",
     tags=("agg", "closure", "approx"),
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+    agg = ev.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("_approx_users"),
+        F.percentile_approx("value", 0.5).alias("_approx_median"),
+        F.expr("percentile(value, 0.5)").alias("_exact_median"),
+    )
+    within = lambda a, b, tol: (  # noqa: E731
+        F.abs(F.col(a) - F.col(b)) <= tol * F.abs(F.col(b)) + F.lit(1e-9)
+    )
+    return agg.select(
+        "event_type",
+        "cnt",
+        "exact_users",
+        within("_approx_users", "exact_users", 0.1).alias("approx_users_ok"),
+        within("_approx_median", "_exact_median", 0.1).alias("approx_median_ok"),
     )
 
 
@@ -146,16 +155,20 @@ def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
            CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
            CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
-           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) AS BIGINT) AS cnt_total
     FROM (SELECT strftime(ts - INTERVAL 15 HOURS, '%Y%m%d') AS nite, event_type
           FROM events)
     GROUP BY nite
     """,
-    doc="Pivot (closure): the monitor's per-nite × state count matrix "
-    "(the HTML summary table shape, bin/monitor_DBB_stagein.py:522-689) "
-    "as groupBy().pivot() with an EXPLICIT value list — without it Spark "
-    "runs an extra distinct pass over the pivot column, a full shuffle "
-    "at scale.",
+    doc="F7 + pivot (merged): the 'nite' day bucket — shift -15h then "
+    "yyyyMMdd (bin/monitor_DBB_stagein.py:707-715) — under the monitor's "
+    "per-nite × state count matrix (the HTML summary table shape, "
+    "bin/monitor_DBB_stagein.py:522-689) as groupBy().pivot() with an "
+    "EXPLICIT value list — without it Spark runs an extra distinct pass "
+    "over the pivot column, a full shuffle at scale. cnt_total (the old "
+    "per-nite count) is the row sum: the five event types are exhaustive "
+    "in the fixtures.",
     tags=("agg", "pivot", "closure"),
 )
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,6 +183,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     zero = F.lit(0).cast("bigint")
-    return out.select(
-        "nite", *[F.coalesce(F.col(k), zero).alias(k) for k in kinds]
-    )
+    filled = [F.coalesce(F.col(k), zero).alias(k) for k in kinds]
+    total = sum(
+        (F.coalesce(F.col(k), zero) for k in kinds), F.lit(0).cast("bigint")
+    ).alias("cnt_total")
+    return out.select("nite", *filled, total)

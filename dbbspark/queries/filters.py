@@ -3,6 +3,10 @@
 All predicates are Column expressions so Catalyst pushes them into the
 parquet scan (PushedFilters) — the declarative form of the reference's
 SQL-string WHERE clauses and Python if-gates.
+
+Round-2 consolidation (driver checks ≤50 queries): P1+F16 merged into
+q_case_logic, P3+J8 into q_ingest_gate; P5 (rlike) lives in
+q_string_funcs (queries/scalars.py).
 """
 
 from __future__ import annotations
@@ -15,10 +19,10 @@ from ..tables import load_table
 
 
 @query(
-    "q_case_dispatch",
+    "q_case_logic",
     oracle="""
     WITH f AS (
-      SELECT event_id,
+      SELECT event_id, event_type,
              CASE WHEN event_type = 'purchase'
                     THEN printf('DECam_%08d.fits', event_id)
                   WHEN event_type = 'signup'
@@ -29,14 +33,24 @@ from ..tables import load_table
            CASE WHEN fname LIKE '%.fits' THEN 'raw'
                 WHEN fname LIKE 'manifest_SN%' AND fname LIKE '%.json'
                   THEN 'snmanifest'
-                ELSE NULL END AS filetype
+                ELSE NULL END AS filetype,
+           CASE WHEN event_type = 'error' THEN 'fail'
+                WHEN event_id % 5 = 0 AND event_id % 7 != 0 THEN 'extra'
+                WHEN event_id % 5 != 0 AND event_id % 11 = 0 THEN 'not delivered'
+                WHEN event_id % 5 != 0 AND event_id % 7 = 0 THEN 'missing'
+                WHEN event_id % 5 != 0 THEN 'ok'
+                ELSE 'unknown' END AS state
     FROM f
     """,
-    doc="P1: extension-dispatch filetype routing — endswith('.fits')→raw, "
-    "startswith('manifest_SN')&endswith('.json')→snmanifest, else NULL "
-    "(get_filetype, bin/save_DBB_stagein_to_DBB.py:36-45).",
+    doc="P1+F16 (merged): extension-dispatch filetype routing — "
+    "endswith('.fits')→raw, startswith('manifest_SN')&endswith('.json')→"
+    "snmanifest, else NULL (get_filetype, "
+    "bin/save_DBB_stagein_to_DBB.py:36-45) — plus the exposure state "
+    "machine {fail, extra, not delivered, missing, ok} from presence "
+    "flags (bin/monitor_DBB_stagein.py:342-366; flags follow "
+    "dbbspark.domain).",
 )
-def q_case_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_case_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     fname = (
         F.when(
@@ -49,7 +63,7 @@ def q_case_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.format_string("stage_%d.tmp", F.col("event_id")))
     )
-    df = ev.select("event_id", fname.alias("fname"))
+    df = ev.select("event_id", "event_type", fname.alias("fname"))
     filetype = (
         F.when(F.col("fname").endswith(".fits"), "raw")
         .when(
@@ -58,7 +72,20 @@ def q_case_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(None).cast("string"))
     )
-    return df.select("event_id", "fname", filetype.alias("filetype"))
+    in_sispi = F.col("event_id") % 5 != 0
+    in_desdm = F.col("event_id") % 7 != 0
+    delivered = F.col("event_id") % 11 != 0
+    state = (
+        F.when(F.col("event_type") == "error", "fail")
+        .when(~in_sispi & in_desdm, "extra")
+        .when(in_sispi & ~delivered, "not delivered")
+        .when(in_sispi & ~in_desdm, "missing")
+        .when(in_sispi, "ok")
+        .otherwise("unknown")
+    )
+    return df.select(
+        "event_id", "fname", filetype.alias("filetype"), state.alias("state")
+    )
 
 
 @query(
@@ -87,29 +114,48 @@ def q_filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_checksum_mismatch",
+    "q_ingest_gate",
     oracle="""
-    WITH d AS (
-      SELECT doc_id,
+    WITH registry AS (
+      SELECT md5(text) AS md5sum FROM documents WHERE doc_id % 3 = 0),
+    d AS (
+      SELECT doc_id, source,
              CASE WHEN doc_id % 97 = 0 THEN md5('corrupt')
                   ELSE md5(text) END AS declared_md5,
              md5(text) AS actual_md5
       FROM documents)
-    SELECT doc_id, declared_md5, actual_md5
-    FROM d WHERE declared_md5 != actual_md5
+    SELECT doc_id, source, declared_md5, actual_md5,
+           (declared_md5 = actual_md5) AS checksum_ok
+    FROM d
+    WHERE actual_md5 NOT IN (SELECT md5sum FROM registry)
     """,
-    doc="P3: checksum-equality predicate — declared md5 (from the notify "
-    "file) vs computed md5 of content; mismatches quarantine "
-    "(bin/save_DBB_stagein_to_DBB.py:100-109,170-177).",
+    doc="P3+J8 (merged): the ingest gate — checksum-equality predicate "
+    "(declared md5 from the notify file vs computed md5 of content, "
+    "bin/save_DBB_stagein_to_DBB.py:100-109,170-177) composed with the "
+    "registry anti-join (only files not already archived are ingested; "
+    "duplicates quarantine — is_file_in_archive, "
+    "bin/save_DBB_stagein_to_DBB.py:155).",
 )
-def q_checksum_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     actual = F.md5(F.col("text").cast("binary"))
     declared = F.when(F.col("doc_id") % 97 == 0, F.md5(F.lit("corrupt"))).otherwise(actual)
-    d = docs.select(
-        "doc_id", declared.alias("declared_md5"), actual.alias("actual_md5")
+    registry = docs.where(F.col("doc_id") % 3 == 0).select(actual.alias("md5sum"))
+    incoming = docs.select(
+        "doc_id",
+        "source",
+        declared.alias("declared_md5"),
+        actual.alias("actual_md5"),
     )
-    return d.where(F.col("declared_md5") != F.col("actual_md5"))
+    return incoming.join(
+        registry, incoming.actual_md5 == registry.md5sum, "left_anti"
+    ).select(
+        "doc_id",
+        "source",
+        "declared_md5",
+        "actual_md5",
+        (F.col("declared_md5") == F.col("actual_md5")).alias("checksum_ok"),
+    )
 
 
 @query(
@@ -142,24 +188,6 @@ def q_range_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("date"),
         F.col("o_totalprice").alias("exptime"),
     )
-
-
-@query(
-    "q_rlike_filter",
-    oracle="""
-    SELECT doc_id, lang, source
-    FROM documents
-    WHERE regexp_matches(text, 'hash\\s+(scan|join)')
-       OR text LIKE '%window window%'
-    """,
-    doc="P5: regex predicates — 'DES supernova' rlike selection and "
-    "grep-style containment (bin/monitor_DBB_stagein.py:766,844,239,272).",
-)
-def q_rlike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.where(
-        F.col("text").rlike(r"hash\s+(scan|join)") | F.col("text").contains("window window")
-    ).select("doc_id", "lang", "source")
 
 
 @query(

@@ -166,59 +166,6 @@ def q_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_dedup_registry",
-    oracle="""
-    WITH registry AS (SELECT md5(text) AS md5sum FROM documents WHERE doc_id % 3 = 0)
-    SELECT d.doc_id, d.source
-    FROM documents d
-    WHERE md5(d.text) NOT IN (SELECT md5sum FROM registry)
-    """,
-    doc="J8: registry anti-join — only files not already archived are "
-    "ingested; duplicates quarantine (is_file_in_archive gate, "
-    "bin/save_DBB_stagein_to_DBB.py:155).",
-    tags=("join", "dedup"),
-)
-def q_dedup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    md5c = F.md5(F.col("text").cast("binary"))
-    registry = docs.where(F.col("doc_id") % 3 == 0).select(md5c.alias("md5sum"))
-    incoming = docs.withColumn("md5sum", md5c)
-    return incoming.join(registry, "md5sum", "left_anti").select("doc_id", "source")
-
-
-@query(
-    "q_asof_lastvalue",
-    oracle="""
-    SELECT event_id, user_id, ts,
-           last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_value
-    FROM events
-    """,
-    doc="J9 (closure): as-of / last-known-value join — each event carries "
-    "the most recent prior 'signup' value for its user. Not in the "
-    "reference; standard timeline pattern via last(ignorenulls) window.",
-    tags=("join", "window", "closure"),
-)
-def q_asof_lastvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    marker = F.when(F.col("event_type") == "signup", F.col("value"))
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.last(marker, ignorenulls=True).over(w).alias("last_signup_value"),
-    )
-
-
-@query(
     "q_big_join",
     oracle=f"""
     SELECT o_orderpriority, COUNT(*) AS cnt,
@@ -293,29 +240,53 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT o_custkey, o_orderdate,
              max(o_totalprice) AS price
-      FROM orders GROUP BY o_custkey, o_orderdate)
-    SELECT e.event_id, e.user_id, e.ts, o.price AS asof_price
-    FROM events e
+      FROM orders GROUP BY o_custkey, o_orderdate),
+    e AS (
+      SELECT event_id, user_id, ts,
+             last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_signup_value
+      FROM events)
+    SELECT e.event_id, e.user_id, e.ts, e.last_signup_value,
+           o.price AS asof_price
+    FROM e
     ASOF LEFT JOIN r o
       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
-    doc="J9 (closure): two-table as-of join — each event matched to the "
-    "most recent order (by date, per customer) at or before its "
-    "timestamp, via the union-timeline operator (operators/asof.py: one "
-    "key shuffle + one window pass, no range join). Right side pre-"
-    "aggregated to one row per (key, ts) so both engines break ties "
-    "identically; oracle is DuckDB's native ASOF JOIN.",
+    doc="J9 (merged, both forms): two-table as-of join — each event "
+    "matched to the most recent order (by date, per customer) at or "
+    "before its timestamp, via the union-timeline operator "
+    "(operators/asof.py: one key shuffle + one window pass, no range "
+    "join) — plus the single-table last-known-value form (most recent "
+    "prior 'signup' value per user via last(ignorenulls) window). Right "
+    "side pre-aggregated to one row per (key, ts) so both engines break "
+    "ties identically; oracle is DuckDB's native ASOF JOIN.",
     tags=("join", "asof", "closure"),
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     from ..operators.asof import asof_join
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marker = F.when(F.col("event_type") == "signup", F.col("value"))
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(marker, ignorenulls=True).over(w).alias("last_signup_value"),
+    )
     orders = load_table(spark, sf_dir, "orders")
     r = orders.groupBy(
         F.col("o_custkey").alias("user_id"), "o_orderdate"
     ).agg(F.max("o_totalprice").alias("price"))
     return asof_join(
-        ev, r, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        enriched, r, on="user_id", left_ts="ts", right_ts="o_orderdate",
         value_col="price", out_col="asof_price",
     )

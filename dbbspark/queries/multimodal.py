@@ -53,14 +53,15 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            lang AS meta_lang,
            source AS meta_source,
-           CAST([] AS VARCHAR[]) AS missing
+           '' AS missing
     FROM documents
     """,
     doc="U3: declared-schema metadata extraction — kv-text bytes → struct "
     "with R-flag enforcement (etc/decam_src_keywords.txt semantics; "
     "bin/save_DBB_stagein_to_DBB.py:160,212-215). kv content synthesized "
     "from documents columns, so the oracle knows every expected value; "
-    "required-key misses surface in `missing` instead of aborting.",
+    "required-key misses surface in `missing` instead of aborting "
+    "(comma-joined string — driver-hashable, unlike an array column).",
     tags=("multimodal", "udf", "closure"),
 )
 def q_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,5 +76,5 @@ def q_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("meta.lang").alias("meta_lang"),
         F.col("meta.source").alias("meta_source"),
-        F.col("meta_missing_required").alias("missing"),
+        F.array_join(F.sort_array(F.col("meta_missing_required")), ",").alias("missing"),
     )

@@ -57,25 +57,28 @@ def extra_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_anti_missing",
-    oracle=_RECON_CTES + "SELECT nite, expnum, propid, obstype FROM missing",
-    doc="J3: left-anti-join 'missing' report — delivered but never archived "
-    "and not failed (bin/monitor_DBB_stagein.py:1028).",
+    "q_reconcile_anti",
+    oracle=_RECON_CTES
+    + """
+    SELECT 'missing' AS side, nite, expnum, propid, obstype FROM missing
+    UNION ALL
+    SELECT 'extra' AS side, nite, expnum, propid, obstype FROM extra
+    """,
+    doc="J3+J4 (merged): the two left-anti-join reconciliation reports — "
+    "'missing' (delivered but never archived and not failed, "
+    "bin/monitor_DBB_stagein.py:1028) and 'extra' (archived but unknown "
+    "to the observatory, bin/monitor_DBB_stagein.py:1023) — tagged and "
+    "unioned.",
     tags=("join", "reconcile"),
 )
-def q_anti_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return missing_df(spark, sf_dir)
-
-
-@query(
-    "q_anti_extra",
-    oracle=_RECON_CTES + "SELECT nite, expnum, propid, obstype FROM extra",
-    doc="J4: left-anti-join 'extra' report — archived but unknown to the "
-    "observatory (bin/monitor_DBB_stagein.py:1023).",
-    tags=("join", "reconcile"),
-)
-def q_anti_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extra_df(spark, sf_dir)
+def q_reconcile_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = missing_df(spark, sf_dir).select(
+        F.lit("missing").alias("side"), "nite", "expnum", "propid", "obstype"
+    )
+    x = extra_df(spark, sf_dir).select(
+        F.lit("extra").alias("side"), "nite", "expnum", "propid", "obstype"
+    )
+    return m.unionByName(x)
 
 
 @query(
@@ -147,19 +150,23 @@ def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_group_collect",
     oracle=_RECON_CTES
     + """
-    SELECT propid, obstype, list_sort(list(expnum)) AS expnums
+    SELECT propid, obstype,
+           array_to_string(list_sort(list(expnum)), ',') AS expnums
     FROM missing GROUP BY propid, obstype
     """,
     doc="A2: two-level grouped expnum lists — missing exposures summarized "
     "propid → obstype → [expnums] (bin/monitor_DBB_stagein.py:968-981). "
-    "Lists sorted for deterministic compare.",
+    "Lists sorted then emitted as comma-joined strings: deterministic AND "
+    "hashable by the external driver's canonicalizer (arrays are not).",
     tags=("agg", "reconcile"),
 )
 def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         missing_df(spark, sf_dir)
         .groupBy("propid", "obstype")
-        .agg(F.sort_array(F.collect_list("expnum")).alias("expnums"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("expnum")), ",").alias("expnums")
+        )
     )
 
 
@@ -168,17 +175,20 @@ def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(month(l_shipdate) AS INT) AS ship_month,
-           list_sort(list(DISTINCT l_suppkey)) AS suppkeys
+           array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS suppkeys
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus, 3
     """,
     doc="A3: multi-key group + set-valued aggregate — manifest filenames "
     "per (nite, field, band) (bin/monitor_DBB_stagein.py:913-917), on the "
-    "lineitem analog per FIXTURES.md §3.",
+    "lineitem analog per FIXTURES.md §3. Sets sorted then comma-joined "
+    "(driver-hashable; see q_group_collect).",
     tags=("agg",),
 )
 def q_group_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy(
         "l_returnflag", "l_linestatus", F.month("l_shipdate").alias("ship_month")
-    ).agg(F.sort_array(F.collect_set("l_suppkey")).alias("suppkeys"))
+    ).agg(
+        F.array_join(F.sort_array(F.collect_set("l_suppkey")), ",").alias("suppkeys")
+    )

@@ -1,7 +1,13 @@
 """Text-analysis layer (SURVEY.md §2.11 C4) — language-ID heuristic,
-quality scoring, token counting, document fingerprinting. All expression-
+quality scoring, token counting, stratified sampling. All expression-
 level (split / higher-order functions / regexp) — no UDFs, so the hot path
 stays in whole-stage codegen at 100 TB.
+
+Round-2 consolidation: the per-document metrics (quality gates, token
+counts, lang-ID, sampling gate) are one projection — q_doc_metrics — the
+natural "annotate every document" pipeline stage; grouped corpus stats
+stay in q_text_stats. The document fingerprint lives with the other
+content hashes in q_content_hash (queries/scalars.py).
 """
 
 from __future__ import annotations
@@ -44,162 +50,80 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_lang_id",
-    oracle=f"""
-    WITH scored AS (
-      SELECT doc_id,
-             len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL}))
-               AS en_hits,
-             len(string_split(text, ' ')) AS n_tokens
-      FROM documents)
-    SELECT doc_id, CAST(en_hits AS BIGINT) AS en_hits,
-           CASE WHEN en_hits * 10 >= n_tokens THEN 'en-like'
-                ELSE 'other' END AS lang_guess
-    FROM scored
-    """,
-    doc="C4: language-ID heuristic — stopword-hit density (≥10% English "
-    "stopwords → 'en-like'). The n-gram-profile classifier shape, "
-    "expression-only.",
-    tags=("text", "closure"),
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    en_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
-    d = docs.select(
-        "doc_id",
-        en_hits.alias("en_hits"),
-        F.size(toks).alias("n_tokens"),
-    )
-    return d.select(
-        "doc_id",
-        F.col("en_hits").cast("bigint").alias("en_hits"),
-        F.when(F.col("en_hits") * 10 >= F.col("n_tokens"), "en-like")
-        .otherwise("other")
-        .alias("lang_guess"),
-    )
-
-
-@query(
-    "q_quality_score",
+    "q_doc_metrics",
     oracle=f"""
     WITH m AS (
-      SELECT doc_id,
+      SELECT doc_id, lang, n_chars,
              len(string_split(text, ' ')) AS n_tokens,
-             n_chars,
              len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL}))
-               AS sw_hits
+               AS sw_hits,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS bpe_ish_tokens
       FROM documents)
     SELECT doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(bpe_ish_tokens AS BIGINT) AS bpe_ish_tokens,
            round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
            round(CAST(sw_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
            (n_tokens BETWEEN 20 AND 1000
-            AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 12) AS passes_quality
+            AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 12)
+             AS passes_quality,
+           CAST(sw_hits AS BIGINT) AS en_hits,
+           CASE WHEN sw_hits * 10 >= n_tokens THEN 'en-like'
+                ELSE 'other' END AS lang_guess,
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 100 <
+            CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END)
+             AS in_sample
     FROM m
     """,
-    doc="C4: quality scoring — length / avg-token-length / stopword-ratio "
-    "gates (the Gopher-rules shape) as one projection.",
-    tags=("text", "closure"),
+    doc="C4+C10 (merged): the per-document annotation pass every "
+    "training-data pipeline runs — token counting (whitespace split + a "
+    "BPE-ish regex: letter-runs | digit-runs | other), quality gates "
+    "(length / avg-token-length / stopword-ratio, the Gopher-rules "
+    "shape), the stopword-density language-ID heuristic (≥10% English "
+    "stopwords → 'en-like'), and the deterministic stratified-sampling "
+    "gate: per-stratum rates applied via an md5 hash gate on the key, so "
+    "the sample is reproducible across runs, engines, AND cluster sizes "
+    "(unlike sampleBy's partition-dependent RNG) and is a pushdown-able "
+    "filter — no shuffle, no state.",
+    tags=("text", "sampling", "closure"),
 )
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_int_col
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     m = docs.select(
         "doc_id",
+        "lang",
+        "n_chars",
         F.size(toks).alias("n_tokens"),
-        F.col("n_chars"),
         F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).alias("sw_hits"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("bpe_ish_tokens"),
     )
     atl = F.col("n_chars").cast("double") / F.col("n_tokens")
-    return m.select(
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.round(atl, 4).alias("avg_token_len"),
-        F.round(F.col("sw_hits").cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
-        (F.col("n_tokens").between(20, 1000) & atl.between(3, 12)).alias("passes_quality"),
-    )
-
-
-@query(
-    "q_token_count",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
-                AS BIGINT) AS bpe_ish_tokens
-    FROM documents
-    """,
-    doc="C4: token counting — whitespace split vs a BPE-ish regex "
-    "(letter-runs | digit-runs | other) for budget estimation.",
-    tags=("text", "closure"),
-)
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
-        .cast("bigint")
-        .alias("bpe_ish_tokens"),
-    )
-
-
-@query(
-    "q_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           list_reduce(
-             list_prepend(7::BIGINT,
-               list_transform(string_split(text, ' ')[1:16],
-                 t -> (ascii(t) * 7 + length(t))::BIGINT)),
-             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
-    FROM documents
-    """,
-    doc="C4: document fingerprint — rolling polynomial hash over the first "
-    "16 tokens (integer arithmetic, engine-portable; the rolling-hash "
-    "shape used for shift-resistant dedup keys).",
-    tags=("text", "closure"),
-)
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    head = F.slice(F.split(F.col("text"), " "), 1, 16)
-    vals = F.transform(head, lambda t: (F.ascii(t) * 7 + F.length(t)).cast("bigint"))
-    fp = F.aggregate(
-        vals,
-        F.lit(7).cast("bigint"),
-        lambda acc, v: (acc * 31 + v) % 1000000007,
-    )
-    return docs.select("doc_id", fp.alias("fingerprint"))
-
-
-@query(
-    "q_stratified_sample",
-    oracle="""
-    SELECT doc_id, lang
-    FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-          % 100 <
-          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END
-    """,
-    doc="Training-pipeline closure: deterministic stratified sampling — "
-    "per-stratum rates applied via an md5 hash gate on the key, so the "
-    "sample is reproducible across runs, engines, AND cluster sizes "
-    "(unlike sampleBy's partition-dependent RNG) and is itself a pushdown-"
-    "able filter: no shuffle, no state.",
-    tags=("text", "sampling", "closure"),
-)
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import md5_int_col
-
-    docs = load_table(spark, sf_dir, "documents")
     rate = (
         F.when(F.col("lang") == "en", 50)
         .when(F.col("lang") == "de", 20)
         .otherwise(10)
     )
     gate = md5_int_col(F.col("doc_id").cast("string")) % 100
-    return docs.where(gate < rate).select("doc_id", "lang")
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("bpe_ish_tokens").cast("bigint").alias("bpe_ish_tokens"),
+        F.round(atl, 4).alias("avg_token_len"),
+        F.round(F.col("sw_hits").cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        (F.col("n_tokens").between(20, 1000) & atl.between(3, 12)).alias("passes_quality"),
+        F.col("sw_hits").cast("bigint").alias("en_hits"),
+        F.when(F.col("sw_hits") * 10 >= F.col("n_tokens"), "en-like")
+        .otherwise("other")
+        .alias("lang_guess"),
+        (gate < rate).alias("in_sample"),
+    )
 
 
 @query(
