@@ -100,17 +100,46 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (deterministic
-    tiebreak on centroid id). Matmul scoring + window argmax — linear in
-    |vectors|, no shuffle of the vectors themselves."""
-    scored = matmul_scores(vectors, centroids, id_col, vec_col, out_id="centroid_id")
-    w = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vid", "centroid_id")
-    )
+    tiebreak: lowest centroid id among exact ties).
+
+    The argmax happens INSIDE the Arrow worker — one BLAS matmul per
+    batch, one output row per vector. Nothing |N|×|C|-shaped is ever
+    materialized as rows and the vectors never shuffle. With
+    `keep_vec=True` the embedding rides along so a downstream per-cell
+    stage needs no re-join against the (full-width) vector table."""
+    import numpy as np
+    import pandas as pd
+
+    ref = centroids.select(id_col, vec_col).toPandas()
+    C = np.stack(ref[vec_col].to_numpy()).astype(np.float64)
+    cids = ref[id_col].to_numpy()
+    # candidates sorted by id ⇒ np.argmax's first-max rule = lowest id.
+    order = np.argsort(cids, kind="stable")
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True))[order]
+    cids = cids[order]
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            best = (Vn @ Cn.T).argmax(axis=1)
+            out = {
+                "vid": pdf[id_col].to_numpy(),
+                "centroid_id": cids[best],
+            }
+            if keep_vec:
+                out["vec"] = pdf[vec_col].to_numpy()
+            yield pd.DataFrame(out)
+
+    schema = "vid long, centroid_id long"
+    if keep_vec:
+        schema += ", vec array<double>"
+    return vectors.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def ivf_topk(
@@ -124,28 +153,67 @@ def ivf_topk(
     """Approximate top-k: a neighbor is eligible only if it lives in the
     query's IVF cell. Returns (query_id, neighbor_id, rank).
 
-    Query-side sims come from the same matmul pass as the brute-force
-    path; the cell restriction is two broadcast joins on the (narrow)
-    assignment table. With a huge query set, replace the matmul pass with
-    per-cell `applyInPandas` groups so each task scores one cell."""
-    assign = ivf_assign(vectors, centroids, id_col, vec_col)
-    q_cells = assign.select(
-        F.col("vid").alias("query_id"), F.col("centroid_id").alias("q_cell")
-    ).join(
-        queries.select(F.col(id_col).alias("query_id")), "query_id", "left_semi"
+    The scale path, per cell: vectors and queries are each assigned to
+    their nearest centroid (map-side argmax, no shuffle), then ONE
+    shuffle groups each cell's queries and candidates into a single
+    `applyInPandas` task that computes the |Q_cell|×|N_cell| similarity
+    block with a float64 BLAS matmul and emits only the top-k rows —
+    compute AND output drop from |Q|×|N| to Σ_cells |Q_c|×|N_c|
+    (≈ |Q|×|N|/cells for balanced cells; tests/test_similarity.py pins
+    this). Neither side is ever collected to the driver (only the
+    centroid set is, by design small — k-means output on a real
+    cluster). Skewed cells: a hot cell's task is O(|Q_c|×|N_c|) — cap
+    cell size upstream by splitting hot centroids (finer k-means), the
+    same remedy IVF indexes use off-Spark. Ranking (sim desc, neighbor
+    id asc) happens in-task, so no window pass follows."""
+    import numpy as np
+    import pandas as pd
+
+    v_tag = ivf_assign(vectors, centroids, id_col, vec_col, keep_vec=True).select(
+        F.col("centroid_id").alias("cell"), "vid", "vec", F.lit(0).alias("side")
     )
-    scored = (
-        matmul_scores(vectors, queries, id_col, vec_col, out_id="query_id")
-        .where(F.col("vid") != F.col("query_id"))
-        .join(F.broadcast(assign), "vid")
-        .join(F.broadcast(q_cells), "query_id")
-        .where(F.col("centroid_id") == F.col("q_cell"))
+    q_tag = ivf_assign(queries, centroids, id_col, vec_col, keep_vec=True).select(
+        F.col("centroid_id").alias("cell"), "vid", "vec", F.lit(1).alias("side")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
+
+    def emit(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "rank": pd.Series(dtype="int32")}
+        )
+        qs = pdf[pdf["side"] == 1]
+        ns = pdf[pdf["side"] == 0]
+        if qs.empty or ns.empty:
+            return empty
+        Q = np.stack(qs["vec"].to_numpy()).astype(np.float64)
+        N = np.stack(ns["vec"].to_numpy()).astype(np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Nn = N / np.linalg.norm(N, axis=1, keepdims=True)
+        nvids = ns["vid"].to_numpy()
+        # candidates sorted by id ⇒ stable argsort = (sim desc, vid asc).
+        order = np.argsort(nvids, kind="stable")
+        nvids = nvids[order]
+        sims = (Qn @ Nn.T)[:, order]
+        qvids = qs["vid"].to_numpy()
+        sims[nvids[None, :] == qvids[:, None]] = -np.inf  # self-pairs out
+        topn = min(k, sims.shape[1])
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :topn]
+        picked = np.take_along_axis(sims, idx, axis=1)
+        keep = np.isfinite(picked)  # drop self-only slots in tiny cells
+        ranks = np.broadcast_to(np.arange(1, topn + 1, dtype="int32"), idx.shape)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qvids, topn)[keep.ravel()],
+                "neighbor_id": nvids[idx].ravel()[keep.ravel()],
+                "rank": ranks.ravel()[keep.ravel()],
+            }
+        )
+
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("vid").alias("neighbor_id"), "rank")
+        v_tag.unionByName(q_tag)
+        .groupBy("cell")
+        .applyInPandas(emit, "query_id long, neighbor_id long, rank int")
     )
 
 

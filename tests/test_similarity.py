@@ -19,6 +19,37 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall collapsed: {recall:.2f}"
 
 
+def test_ivf_scores_per_cell_not_all_pairs(spark, sf_dir):
+    """The IVF path's compute is Σ_cells |Q_c|×|N_c|, NOT |Q|×|N|: the
+    per-cell applyInPandas tasks can only score pairs co-resident in a
+    cell. Derive the pair count from the same assignment the operator
+    uses and pin it well under brute force."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.similarity import ivf_assign
+    from dbbspark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") % 50 == 0)
+    assign = ivf_assign(emb, centroids)
+    per_cell = (
+        assign.groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(((F.col("vid") % 100) == 0).cast("long")).alias("q"),
+        )
+        .select(F.sum(F.col("q") * F.col("n")).alias("pairs"))
+        .collect()[0]
+    )
+    n_vec = emb.count()
+    n_q = emb.where(F.col("vec_id") % 100 == 0).count()
+    n_cells = centroids.count()
+    brute = n_q * n_vec
+    assert per_cell["pairs"] < brute / (n_cells / 4), (
+        f"IVF scored {per_cell['pairs']} pairs vs brute {brute} over {n_cells} cells"
+    )
+
+
 def test_brute_force_topk_is_k_per_query(spark, sf_dir):
     cat = load_all()
     rows = cat["q_topk_cosine"].builder(spark, sf_dir).collect()
