@@ -155,7 +155,7 @@ def jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shared-shingle blocking.
 
@@ -165,9 +165,18 @@ def jaccard_pairs(
     (`groupBy(shingle).collect_list(doc)`) and pairs are generated from
     each (sorted) list with nested array transforms. One shingle
     computation, one shuffle of (doc, shingle), pair blow-up bounded by
-    the hottest posting list (cap `max_df`: a shingle appearing in more
-    docs than that is background vocabulary, standard df-pruning — cap
-    None keeps exact semantics).
+    the hottest posting list.
+
+    `max_df` caps that bound and is ON BY DEFAULT: a shingle appearing in
+    more docs than the cap is background vocabulary (standard df-pruning)
+    and would otherwise generate df² pairs in one task — at 100 TB a
+    single boilerplate shingle shared by 10⁶ docs means 10¹² pairs.
+    Dropped shingles reduce pair INTERSECTION counts only (set sizes stay
+    exact), so capped Jaccard is a lower bound — near-dups still surface
+    through their many rare shared shingles. `max_df=None` restores exact
+    semantics for small/verification inputs; the oracle SQL of the
+    declared queries mirrors the cap so both engines compute the same
+    capped relation (tests/test_dedup.py pins the hot-shingle bound).
 
     Doc shingle-set sizes ride INSIDE the posting-list structs, so the
     whole operator is one scan + two shuffles (postings, pair-agg) with no

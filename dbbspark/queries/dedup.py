@@ -49,30 +49,50 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_near_dedup_jaccard",
-    oracle=f"""
-    WITH {_SHINGLES_SQL},
+_JACCARD_MAX_DF = 1000
+
+# Capped-posting Jaccard shared by q_near_dedup_jaccard / q_dedup_clusters:
+# set sizes come from ALL shingles, intersections only from shingles whose
+# document frequency is within the cap — the exact relation jaccard_pairs
+# computes with its production-default max_df.
+_JACCARD_PAIRS_SQL = f"""
     sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shingles GROUP BY doc),
+    kept AS (
+      SELECT shingle FROM shingles
+      GROUP BY shingle HAVING COUNT(*) <= {_JACCARD_MAX_DF}),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
       FROM shingles a JOIN shingles b
         ON a.shingle = b.shingle AND a.doc < b.doc
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b
-    FROM inter
-    JOIN sizes sa ON sa.doc = doc_a
-    JOIN sizes sb ON sb.doc = doc_b
-    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+      JOIN kept k ON k.shingle = a.shingle
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5)
+"""
+
+
+@query(
+    "q_near_dedup_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_JACCARD_PAIRS_SQL}
+    SELECT doc_a, doc_b FROM pairs
     """,
     doc="C2: exact 3-gram Jaccard near-dedup — shared-shingle blocking "
     "bounds the pair space; random text shares almost no shingles, "
-    "near-dups share many.",
+    "near-dups share many. Runs the production posting-list cap "
+    "(max_df, df-pruning) with the cap mirrored in the oracle.",
     tags=("dedup", "closure"),
 )
 def q_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    return D.jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=_JACCARD_MAX_DF
+    )
 
 
 _MINHASH_SQL = f"""
@@ -164,18 +184,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_SQL},
-    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shingles GROUP BY doc),
-    inter AS (
-      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-      FROM shingles a JOIN shingles b
-        ON a.shingle = b.shingle AND a.doc < b.doc
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT doc_a, doc_b
-      FROM inter
-      JOIN sizes sa ON sa.doc = doc_a
-      JOIN sizes sb ON sb.doc = doc_b
-      WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+    {_JACCARD_PAIRS_SQL},
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION ALL
@@ -197,6 +206,8 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    pairs = D.jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=_JACCARD_MAX_DF
+    )
     cc = D.connected_components(pairs, src="doc_a", dst="doc_b")
     return cc.select(F.col("node").alias("doc"), "component")

@@ -47,3 +47,36 @@ def test_jaccard_pairs_threshold(spark):
     }
     assert (1, 4) in pairs and (1, 2) in pairs
     assert (3, 5) not in pairs
+
+
+def test_jaccard_max_df_bounds_hot_shingle(spark):
+    """A background shingle shared by EVERY doc must not generate the df²
+    pair blow-up: with the production max_df cap the hot posting list is
+    dropped before pair generation (threshold=0 exposes every generated
+    candidate pair, so the output count IS the generated-pair count)."""
+    n = 60
+    hot = "common boilerplate header"  # one shared 3-token shingle
+    docs = spark.createDataFrame(
+        [(i, f"{hot} unique{i}a unique{i}b unique{i}c") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    uncapped = D.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.0, max_df=None
+    ).count()
+    capped = D.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.0, max_df=50
+    ).count()
+    assert uncapped == n * (n - 1) / 2  # every pair shares the hot shingle
+    assert capped == 0  # hot list pruned ⇒ no candidate pairs generated
+
+
+def test_jaccard_max_df_keeps_real_near_dups(spark):
+    """df-pruning the hot shingle must not lose near-dups that share many
+    RARE shingles: the planted near-dup pair survives the cap."""
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(
+            _docs(spark), "doc_id", "text", threshold=0.5, max_df=3
+        ).collect()
+    }
+    assert (1, 4) in pairs and (1, 2) in pairs
