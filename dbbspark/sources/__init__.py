@@ -15,7 +15,12 @@ from .notify import (
 )
 from .httpindex import fetch_index, nightsum_nites, parse_index
 from .logs import read_log, last_matching_line
-from .multimodal import read_binary_docs, extract_kv_metadata
+from .multimodal import (
+    extract_kv_metadata,
+    fits_header_decode,
+    kv_text_decode,
+    read_binary_docs,
+)
 
 __all__ = [
     "parse_config_text",
@@ -29,4 +34,6 @@ __all__ = [
     "last_matching_line",
     "read_binary_docs",
     "extract_kv_metadata",
+    "fits_header_decode",
+    "kv_text_decode",
 ]

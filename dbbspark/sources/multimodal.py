@@ -53,23 +53,81 @@ def read_binary_docs(
 
 
 # ---------------------------------------------------------------------------
-# kv-text metadata extraction (the "FITS header" stand-in; JVM-free parse
-# happens in pandas over Arrow batches)
+# Header decoders + metadata extraction (JVM-free parse in pandas over
+# Arrow batches). The decoder is PLUGGABLE: any Callable[[bytes],
+# Mapping[str, str]] drops into `extract_kv_metadata`, mirroring the
+# reference's per-filetype plugin dispatch
+# (bin/save_DBB_stagein_to_DBB.py:160, schema etc/decam_src_keywords.txt).
+
+def kv_text_decode(raw: bytes) -> dict[str, str]:
+    """Default header decoder: `KEY = value` text lines (the fixture
+    format). Last occurrence wins, keys uppercased."""
+    kv: dict[str, str] = {}
+    for line in raw.decode("utf-8", "replace").splitlines():
+        if "=" in line:
+            k, v = line.split("=", 1)
+            kv[k.strip().upper()] = v.strip()
+    return kv
+
+
+def fits_header_decode(raw: bytes) -> dict[str, str]:
+    """Primary-HDU FITS header decoder — real format, no libraries.
+
+    FITS headers are ASCII: 80-byte cards, `KEYWORD = value / comment`,
+    terminated by an END card (FITS Standard 4.0 §4.4; the reference
+    parses the same headers via its per-filetype plugin,
+    bin/save_DBB_stagein_to_DBB.py:160). String values are
+    single-quoted with `''` escaping; non-string values end at the
+    comment slash. Returns {KEYWORD: value-string}; typed casting is the
+    caller's schema concern (plans/keywords.py Y/N/R flags)."""
+    out: dict[str, str] = {}
+    for off in range(0, len(raw) - len(raw) % 80, 80):
+        card = raw[off : off + 80].decode("ascii", "replace")
+        key = card[:8].strip()
+        if key == "END":
+            break
+        if card[8:10] != "= ":
+            continue  # COMMENT / HISTORY / CONTINUE / blank cards
+        body = card[10:].lstrip()
+        if body.startswith("'"):
+            buf, i, s = [], 1, body
+            while i < len(s):
+                if s[i] == "'":
+                    if i + 1 < len(s) and s[i + 1] == "'":
+                        buf.append("'")
+                        i += 2
+                        continue
+                    break
+                buf.append(s[i])
+                i += 1
+            out[key.upper()] = "".join(buf).rstrip()
+        else:
+            out[key.upper()] = body.split("/")[0].strip()
+    return out
+
 
 def extract_kv_metadata(
     df: DataFrame,
     keywords: dict[str, bool],
     content_col: str = "content",
+    decoder: Callable[[bytes], dict[str, str]] = kv_text_decode,
 ) -> DataFrame:
-    """Extract a declared keyword schema out of kv-text file bytes.
+    """Extract a declared keyword schema out of file bytes.
 
     ``keywords`` maps KEYWORD -> required? (the R flag of
-    `etc/decam_src_keywords.txt`; SURVEY.md §1.1.2). Output adds a
-    ``meta`` struct column with one nullable string field per keyword plus
-    ``meta_missing_required`` listing absent R-flagged keys (ingest routes
-    those rows to quarantine instead of aborting, unlike the reference's
-    SystemExit at `bin/save_DBB_stagein_to_DBB.py:212-215`).
-    """
+    `etc/decam_src_keywords.txt`; SURVEY.md §1.1.2). ``decoder`` turns one
+    file's bytes into {KEYWORD: value} — `kv_text_decode` (default),
+    `fits_header_decode` for real FITS HDUs, or any custom callable (it is
+    closed over by the Arrow workers, so it must be picklable). A decoder
+    raising on malformed bytes yields an empty header for that row — the
+    row then reports every required key missing and ingest routes it to
+    quarantine instead of aborting, unlike the reference's SystemExit at
+    `bin/save_DBB_stagein_to_DBB.py:212-215`.
+
+    Output adds a ``meta`` struct column with one nullable string field
+    per keyword plus ``meta_missing_required`` listing absent R-flagged
+    keys (joined as a sorted comma string downstream where driver
+    hashing needs it)."""
     meta_schema = T.StructType(
         [T.StructField(k.lower(), T.StringType(), True) for k in keywords]
     )
@@ -89,12 +147,12 @@ def extract_kv_metadata(
         for pdf in batches:
             metas, missings = [], []
             for raw in pdf[content_col]:
-                kv: dict[str, str | None] = {}
+                kv: dict[str, str] = {}
                 if raw is not None:
-                    for line in bytes(raw).decode("utf-8", "replace").splitlines():
-                        if "=" in line:
-                            k, v = line.split("=", 1)
-                            kv[k.strip().upper()] = v.strip()
+                    try:
+                        kv = dict(decoder(bytes(raw)))
+                    except Exception:  # malformed file → quarantine, not abort
+                        kv = {}
                 metas.append({k.lower(): kv.get(k) for k in keys})
                 missings.append([k for k in required if kv.get(k) is None])
             pdf = pdf.copy()

@@ -160,8 +160,9 @@ def classify_pairs(
         )
         for ft in schemad:
             spec = cfg.keyword_schemas[ft]
+            dec = {"decoder": spec.decoder} if spec.decoder else {}
             branch = extract_kv_metadata(
-                df.where(F.col("filetype") == ft), spec.as_required_map()
+                df.where(F.col("filetype") == ft), spec.as_required_map(), **dec
             )
             branches.append(
                 branch.withColumn("meta_json", F.to_json("meta")).drop("meta")

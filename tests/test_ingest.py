@@ -354,3 +354,93 @@ def test_multimodal_decode_stub(spark, tmp_path, area):
     assert {r["path"]: r["decoded"] for r in out} == {
         r["path"]: r["decoded"] for r in again
     }
+
+
+def _fits_header(cards: list[tuple[str, str]]) -> bytes:
+    """Real FITS primary-HDU header bytes: 80-char cards, END, padded to a
+    2880-byte block."""
+    out = b""
+    for k, v in cards:
+        out += f"{k:<8}= {v}".ljust(80).encode("ascii")
+    out += b"END".ljust(80)
+    return out.ljust(2880, b" ")
+
+
+def test_fits_header_decoder_parses_real_cards():
+    from dbbspark.sources.multimodal import fits_header_decode
+
+    raw = _fits_header(
+        [
+            ("SIMPLE", "T"),
+            ("EXPNUM", "227557 / exposure number"),
+            ("OBSTYPE", "'object  '           / observation type"),
+            ("OBSERVER", "'O''Neill'"),
+        ]
+    ) + b"\x00binary data follows"
+    kv = fits_header_decode(raw)
+    assert kv["EXPNUM"] == "227557"
+    assert kv["OBSTYPE"] == "object"  # quotes stripped, padding trimmed
+    assert kv["OBSERVER"] == "O'Neill"  # '' escape
+    assert "END" not in kv
+
+
+def test_custom_decoder_threads_through_extract(spark, tmp_path):
+    """A pluggable decoder (here the FITS header parser) drives
+    extract_kv_metadata; files whose decoded header misses an R-flagged
+    key report it in meta_missing_required."""
+    from dbbspark.sources.multimodal import extract_kv_metadata, fits_header_decode
+
+    good = _fits_header([("EXPNUM", "7"), ("OBSTYPE", "'zero'")])
+    bad = _fits_header([("OBSTYPE", "'dark'")])  # EXPNUM (R) absent
+    _write(str(tmp_path / "good.fits"), good)
+    _write(str(tmp_path / "bad.fits"), bad)
+    docs = read_binary_docs(spark, str(tmp_path))
+    out = extract_kv_metadata(
+        docs, {"EXPNUM": True, "OBSTYPE": False}, decoder=fits_header_decode
+    )
+    rows = {
+        os.path.basename(r["path"]): r
+        for r in out.select("path", "meta", "meta_missing_required").collect()
+    }
+    assert rows["good.fits"]["meta"]["expnum"] == "7"
+    assert rows["good.fits"]["meta_missing_required"] == []
+    assert rows["bad.fits"]["meta"]["obstype"] == "dark"
+    assert rows["bad.fits"]["meta_missing_required"] == ["EXPNUM"]
+
+
+def test_raising_decoder_quarantines_not_aborts(spark, area):
+    """A decoder that throws on malformed bytes must quarantine that file
+    (missing required headers), never fail the batch — the pipeline's
+    replacement for the reference's SystemExit."""
+
+    def strict_decoder(raw: bytes) -> dict:
+        if b"EXPNUM" not in raw:
+            raise ValueError("malformed header")
+        return {
+            k.strip().upper(): v.strip()
+            for k, v in (
+                line.split("=", 1)
+                for line in raw.decode("utf-8", "replace").splitlines()
+                if "=" in line
+            )
+        }
+
+    cfg = _cfg(area)
+    cfg = IngestConfig(
+        notify_dir=cfg.notify_dir,
+        delivery_dir=cfg.delivery_dir,
+        archive_root=cfg.archive_root,
+        registry_path=cfg.registry_path,
+        quarantine_path=cfg.quarantine_path,
+        keyword_schemas={
+            "raw": parse_keyword_csv("EXPNUM,R,N\nOBSTYPE,Y,N\n").with_decoder(
+                strict_decoder
+            )
+        },
+    )
+    res = ingest_batch(spark, cfg, task_id="t-dec")
+    # DECam_00000003.fits has no EXPNUM → decoder raises → quarantined as
+    # missing-header; the good raw file still archives.
+    assert res.archived == 2
+    reasons = _reasons(spark, cfg)
+    assert reasons[REASON_MISSING_HEADER] == ["DECam_00000003.fits"]
