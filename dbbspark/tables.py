@@ -51,9 +51,62 @@ def _nanos_columns(sf_dir: str, name: str) -> tuple[str, ...]:
     )
 
 
+def load_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    driver: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Generic JDBC table source (SURVEY.md §2.1 S5 — the reference reads
+    five relational tables via SQL strings,
+    bin/monitor_DBB_stagein.py:738,790,834,868,900).
+
+    ``table`` is a table name or a parenthesized subquery with an alias
+    (`"(SELECT ...) t"`), covering the reference's query-shaped reads.
+    Filters and column projections on the returned DataFrame push down
+    into the remote SQL (visible as PushedFilters on the JDBC scan node),
+    so the database does the WHERE, not Spark.
+
+    Scale: a JDBC read is ONE task unless partitioned — pass
+    ``partition_column`` (a numeric/date column) with bounds and
+    ``num_partitions`` to issue one bounded range query per partition.
+    Bounds only split the key space; rows outside still arrive (Spark adds
+    the open-ended edge predicates), so correctness never depends on them.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        if None in (lower_bound, upper_bound, num_partitions):
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound and num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table, restoring timestamp types as needed."""
+    """Read one fixture table, restoring timestamp types as needed.
+
+    ``sf_dir`` may also be a JDBC URL (`jdbc:...`): the table is then read
+    through the generic JDBC source instead of parquet — the drop-in for
+    deployments whose registry/provenance tables live in a relational DB,
+    as the reference's do."""
     apply_runtime_confs(spark)
+    if sf_dir.startswith("jdbc:"):
+        return load_jdbc_table(spark, sf_dir, name)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _nanos_columns(sf_dir, name):
         # nanos → micros truncation (matches DuckDB's ns→us cast); integer
