@@ -28,24 +28,40 @@ _KV_LINE = r"(?m)^\s*(\S+)\s*=\s*(.*?)\s*$"
 
 def _kv_map_col(text_col: F.Column) -> F.Column:
     """Parse ``key = value`` text into map<string,string> with lowercased
-    keys. Blank / comment lines are dropped before splitting so they never
-    produce empty map entries."""
-    cleaned = F.array_join(
-        F.filter(
-            F.split(text_col, "\n"),
-            lambda ln: (F.trim(ln) != "") & ~F.trim(ln).startswith("#"),
+    keys, LAST occurrence winning — the semantics of the reference's
+    per-file dict parse (bin/save_DBB_stagein_to_DBB.py:49-56).
+
+    Deliberately avoids `str_to_map` / `map_from_arrays`: under Spark's
+    default ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` a notify file that
+    repeats a key (or has two keys differing only by case, collapsed by
+    lower()) would throw DUPLICATED_MAP_KEY and fail the WHOLE micro-batch
+    — one malformed file must classify/quarantine, never crash the batch.
+    Entries are deduped (keep-last) before `map_from_entries`, so the map
+    build can't see a duplicate under any dedup policy. The keep-last scan
+    is O(lines²) interpreted-lambda work per file — notify files are a
+    handful of lines, and this runs once per file, not per query."""
+    lines = F.filter(
+        F.split(text_col, "\n"),
+        lambda ln: (F.trim(ln) != "")
+        & ~F.trim(ln).startswith("#")
+        & ln.contains("="),
+    )
+    entries = F.transform(
+        lines,
+        lambda ln: F.struct(
+            # key = before first '=', value = after it (split("=", 1)).
+            F.lower(F.trim(F.substring_index(ln, "=", 1))).alias("key"),
+            F.trim(F.regexp_replace(ln, r"^[^=]*=", "")).alias("value"),
         ),
-        "\n",
     )
-    # str_to_map(text, pair_delim, kv_delim); trim + lowercase keys after.
-    raw = F.str_to_map(cleaned, F.lit("\n"), F.lit("="))
-    # NB: pass single-arg lambdas — a bare `F.trim` has an optional second
-    # parameter, so `transform` would feed it the array index as a
-    # trim-character set.
-    return F.map_from_arrays(
-        F.transform(F.map_keys(raw), lambda k: F.lower(F.trim(k))),
-        F.transform(F.map_values(raw), lambda v: F.trim(v)),
+    last_wins = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda later: later["key"] == e["key"],
+        ),
     )
+    return F.map_from_entries(last_wins)
 
 
 def parse_config_text(spark: SparkSession, path: str) -> dict[str, str]:

@@ -46,6 +46,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -124,12 +125,20 @@ def _filetype_col(cfg: IngestConfig) -> F.Column:
 
 def _registry_names(spark: SparkSession, cfg: IngestConfig) -> DataFrame:
     """Filenames already in the archive (duplicate gate J8). Narrow
-    projection — only `filename` is read from the registry parquet."""
-    if os.path.exists(cfg.registry_path):
+    projection — only `filename` is read from the registry parquet.
+
+    First-run detection goes through Spark's own filesystem layer (catch
+    PATH_NOT_FOUND / empty-path AnalysisException), NOT os.path.exists:
+    a driver-local stat always misses hdfs:// or s3a:// registry paths,
+    which would silently disable the duplicate gate on exactly the
+    deployments that need it."""
+    try:
         return spark.read.parquet(cfg.registry_path).select(
             F.col("filename").alias("data_name")
         ).distinct()
-    return spark.createDataFrame([], "data_name string")
+    except AnalysisException:
+        # registry not created yet (first ingest) — nothing registered.
+        return spark.createDataFrame([], "data_name string")
 
 
 def classify_pairs(

@@ -13,6 +13,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from dbbspark.plans.keywords import parse_keyword_csv
 from dbbspark.sources.logs import last_matching_line, read_log
 from dbbspark.sources.multimodal import decode_media, read_binary_docs
@@ -444,3 +446,28 @@ def test_raising_decoder_quarantines_not_aborts(spark, area):
     assert res.archived == 2
     reasons = _reasons(spark, cfg)
     assert reasons[REASON_MISSING_HEADER] == ["DECam_00000003.fits"]
+
+
+def test_duplicate_notify_keys_last_wins_not_crash(spark, area):
+    """A notify file repeating a key (or differing only in case) must parse
+    last-value-wins like the reference's dict parse — under Spark's default
+    mapKeyDedupPolicy=EXCEPTION a naive str_to_map would throw
+    DUPLICATED_MAP_KEY and take down the whole micro-batch."""
+    from dbbspark.sources.notify import read_notify_dir
+
+    data = b"EXPNUM = 9\npayload"
+    good_md5 = hashlib.md5(data).hexdigest()
+    _stage(
+        area,
+        "DECam_00000009.fits",
+        data,
+        md5=None,
+        notify_extra=f"md5sum = {'f' * 32}\nMD5SUM = {good_md5}\nextra = 1\n",
+    )
+    notify = read_notify_dir(spark, os.path.join(area, "notify"))
+    row = notify.where(F.col("data_name") == "DECam_00000009.fits").collect()[0]
+    assert row["declared_md5"] == good_md5  # last occurrence wins
+    assert row["notify"]["extra"] == "1"
+    # and the full batch still ingests: the file checksums clean
+    res = ingest_batch(spark, _cfg(area))
+    assert res.archived == 3  # the two originals + this one
