@@ -138,6 +138,17 @@ def test_rank_frame_broadcasts_rank_histogram(spark, sf_dir):
             assert "l_returnflag" in line and "windowspecdefinition" in line.lower() or True
 
 
+def test_ivf_single_shuffle_per_cell_groups(spark, sf_dir):
+    """C3 at scale: the IVF path is two map-side assignment passes united
+    into ONE shuffle on the cell key feeding per-cell applyInPandas
+    scoring — no second exchange, no trailing window, no join of a
+    |Q|x|N| scored relation."""
+    plan = plan_of(spark, sf_dir, "q_ann_ivf")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, "ranking must happen inside the cell task"
+
+
 def test_driver_window_cap(spark, sf_dir):
     """The external driver checks at most the first 50 queries sorted by
     name — every declared query must fall inside that window."""
