@@ -95,31 +95,67 @@ def brute_force_topk(
     )
 
 
+def train_centroids(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train IVF centroids with distributed k-means (pyspark.ml) and
+    return them in the (id, vec) shape `ivf_assign`/`ivf_topk` consume
+    (centroid ids 0..k-1).
+
+    This is the real-cluster path the deterministic every-Nth-vector
+    cells stand in for in the oracle queries (k-means isn't
+    SQL-reproducible, so the DECLARED query keeps data-seeded cells; the
+    operator takes either). Training cost is k-means on N×d doubles —
+    pyspark.ml runs it as distributed Lloyd iterations; the returned
+    centroid set is k×d, small by construction, which is what makes the
+    driver-side collect inside assignment legal."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    return vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
+    probes: int = 1,
 ) -> DataFrame:
-    """Assign every vector to its max-cosine centroid (deterministic
-    tiebreak: lowest centroid id among exact ties).
+    """Assign every vector to its `probes` max-cosine centroids
+    (deterministic tiebreak: lowest centroid id among exact ties);
+    probes=1 is classic single-cell assignment.
 
-    The argmax happens INSIDE the Arrow worker — one BLAS matmul per
-    batch, one output row per vector. Nothing |N|×|C|-shaped is ever
-    materialized as rows and the vectors never shuffle. With
-    `keep_vec=True` the embedding rides along so a downstream per-cell
-    stage needs no re-join against the (full-width) vector table."""
+    The top-`probes` selection happens INSIDE the Arrow worker — one BLAS
+    matmul per batch, `probes` output rows per vector. Nothing
+    |N|×|C|-shaped is ever materialized as rows and the vectors never
+    shuffle. With `keep_vec=True` the embedding rides along so a
+    downstream per-cell stage needs no re-join against the (full-width)
+    vector table."""
     import numpy as np
     import pandas as pd
 
     ref = centroids.select(id_col, vec_col).toPandas()
     C = np.stack(ref[vec_col].to_numpy()).astype(np.float64)
     cids = ref[id_col].to_numpy()
-    # candidates sorted by id ⇒ np.argmax's first-max rule = lowest id.
+    # candidates sorted by id ⇒ stable top-p selection = lowest id on ties.
     order = np.argsort(cids, kind="stable")
     Cn = (C / np.linalg.norm(C, axis=1, keepdims=True))[order]
     cids = cids[order]
+    p = min(probes, len(cids))
 
     def assign(batches):
         for pdf in batches:
@@ -127,13 +163,14 @@ def ivf_assign(
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            best = (Vn @ Cn.T).argmax(axis=1)
+            sims = Vn @ Cn.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :p]
             out = {
-                "vid": pdf[id_col].to_numpy(),
-                "centroid_id": cids[best],
+                "vid": np.repeat(pdf[id_col].to_numpy(), p),
+                "centroid_id": cids[top].ravel(),
             }
             if keep_vec:
-                out["vec"] = pdf[vec_col].to_numpy()
+                out["vec"] = np.repeat(pdf[vec_col].to_numpy(), p)
             yield pd.DataFrame(out)
 
     schema = "vid long, centroid_id long"
@@ -149,39 +186,58 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: a neighbor is eligible only if it lives in the
-    query's IVF cell. Returns (query_id, neighbor_id, rank).
+    """Approximate top-k: a neighbor is eligible only if it lives in one
+    of the query's `probes` nearest IVF cells. Returns
+    (query_id, neighbor_id, rank).
 
     The scale path, per cell: vectors and queries are each assigned to
-    their nearest centroid (map-side argmax, no shuffle), then ONE
-    shuffle groups each cell's queries and candidates into a single
+    centroids (map-side top-p selection, no shuffle), then ONE shuffle
+    groups each cell's queries and candidates into a single
     `applyInPandas` task that computes the |Q_cell|×|N_cell| similarity
     block with a float64 BLAS matmul and emits only the top-k rows —
     compute AND output drop from |Q|×|N| to Σ_cells |Q_c|×|N_c|
-    (≈ |Q|×|N|/cells for balanced cells; tests/test_similarity.py pins
-    this). Neither side is ever collected to the driver (only the
-    centroid set is, by design small — k-means output on a real
-    cluster). Skewed cells: a hot cell's task is O(|Q_c|×|N_c|) — cap
-    cell size upstream by splitting hot centroids (finer k-means), the
-    same remedy IVF indexes use off-Spark. Ranking (sim desc, neighbor
-    id asc) happens in-task, so no window pass follows."""
+    (≈ probes·|Q|×|N|/cells for balanced cells; tests/test_similarity.py
+    pins this). Neither side is ever collected to the driver (only the
+    centroid set is, by design small — `train_centroids` k-means output
+    on a real cluster). Skewed cells: a hot cell's task is
+    O(|Q_c|×|N_c|) — cap cell size upstream by splitting hot centroids
+    (finer k-means), the same remedy IVF indexes use off-Spark.
+
+    probes=1: ranking (sim desc, neighbor id asc) happens entirely
+    in-task — no window pass follows. probes>1 trades cost for recall:
+    per-cell top-k candidates carry their sim into a final merge window
+    over ≤ probes·k rows per query (a shuffle of the small result set,
+    never of the vectors); probes = |cells| recovers exact brute force."""
     import numpy as np
     import pandas as pd
 
     v_tag = ivf_assign(vectors, centroids, id_col, vec_col, keep_vec=True).select(
         F.col("centroid_id").alias("cell"), "vid", "vec", F.lit(0).alias("side")
     )
-    q_tag = ivf_assign(queries, centroids, id_col, vec_col, keep_vec=True).select(
+    q_tag = ivf_assign(
+        queries, centroids, id_col, vec_col, keep_vec=True, probes=probes
+    ).select(
         F.col("centroid_id").alias("cell"), "vid", "vec", F.lit(1).alias("side")
+    )
+    emit_sim = probes > 1
+    out_schema = (
+        "query_id long, neighbor_id long, sim double"
+        if emit_sim
+        else "query_id long, neighbor_id long, rank int"
     )
 
     def emit(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        empty = pd.DataFrame(
-            {"query_id": pd.Series(dtype="int64"),
-             "neighbor_id": pd.Series(dtype="int64"),
-             "rank": pd.Series(dtype="int32")}
-        )
+        cols = {
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+        }
+        if emit_sim:
+            cols["sim"] = pd.Series(dtype="float64")
+        else:
+            cols["rank"] = pd.Series(dtype="int32")
+        empty = pd.DataFrame(cols)
         qs = pdf[pdf["side"] == 1]
         ns = pdf[pdf["side"] == 0]
         if qs.empty or ns.empty:
@@ -200,20 +256,29 @@ def ivf_topk(
         topn = min(k, sims.shape[1])
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :topn]
         picked = np.take_along_axis(sims, idx, axis=1)
-        keep = np.isfinite(picked)  # drop self-only slots in tiny cells
-        ranks = np.broadcast_to(np.arange(1, topn + 1, dtype="int32"), idx.shape)
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(qvids, topn)[keep.ravel()],
-                "neighbor_id": nvids[idx].ravel()[keep.ravel()],
-                "rank": ranks.ravel()[keep.ravel()],
-            }
-        )
+        keep = np.isfinite(picked).ravel()  # drop self-only slots
+        out = {
+            "query_id": np.repeat(qvids, topn)[keep],
+            "neighbor_id": nvids[idx].ravel()[keep],
+        }
+        if emit_sim:
+            out["sim"] = picked.ravel()[keep]
+        else:
+            out["rank"] = np.broadcast_to(
+                np.arange(1, topn + 1, dtype="int32"), idx.shape
+            ).ravel()[keep]
+        return pd.DataFrame(out)
 
+    scored = (
+        v_tag.unionByName(q_tag).groupBy("cell").applyInPandas(emit, out_schema)
+    )
+    if not emit_sim:
+        return scored
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        v_tag.unionByName(q_tag)
-        .groupBy("cell")
-        .applyInPandas(emit, "query_id long, neighbor_id long, rank int")
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
     )
 
 

@@ -57,3 +57,41 @@ def test_brute_force_topk_is_k_per_query(spark, sf_dir):
     for r in rows:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert all(v == 10 for v in per_q.values()), per_q
+
+
+def _recall(approx_rows, exact_rows, k=5):
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows if r["rank"] <= k}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    return len(exact & approx) / len(exact)
+
+
+def test_trained_centroids_and_multiprobe(spark, sf_dir):
+    """The production ANN config: k-means-trained centroids + multi-probe.
+    Recall must be monotone in probes, and probing every cell recovers
+    exact brute force (each candidate lives in exactly one cell, so the
+    probed union is the full corpus)."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+    from dbbspark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    n_cells = 8
+    cents = train_centroids(emb, k=n_cells, seed=7, max_iter=5)
+    assert cents.count() == n_cells
+
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    r = {
+        p: _recall(
+            ivf_topk(emb, queries, cents, k=5, probes=p).collect(), exact
+        )
+        for p in (1, 2, n_cells)
+    }
+    assert r[1] > 0, "single-probe IVF found nothing"
+    assert r[2] >= r[1], f"recall not monotone in probes: {r}"
+    assert r[n_cells] == 1.0, f"probing all cells must be exact: {r}"
