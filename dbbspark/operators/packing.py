@@ -1,0 +1,103 @@
+"""Sequence packing — laying documents end-to-end in a fixed order and
+cutting the token stream into fixed-length training sequences (the
+"concat-and-chunk" packing LLM data pipelines run after dedup/filtering;
+closure operator beyond the reference's surface, SURVEY.md §2.11).
+
+The whole operator is one exact global prefix sum over the token counts.
+The naive Spark form — `sum().over(Window.orderBy(id))` — is an
+unpartitioned window: every row flows through ONE task, a non-starter at
+100 TB. Here the prefix sum is the classic two-pass distributed scan:
+
+1. range-partition by the packing order, per-partition running sums
+   computed inside Arrow batches (`mapInPandas`, carrying the running
+   total across batches — no per-row Python);
+2. the per-partition TOTALS (num_buckets rows, not data rows) are
+   prefix-summed driver-side and broadcast-joined back as offsets.
+
+Bucketing is invisible in the result: prefix sums are associative, so the
+output is a pure function of (id, tokens, budget) — which is what lets a
+single-window DuckDB oracle check the distributed implementation exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 512,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Assign each document its span of fixed-`budget` training sequences.
+
+    Documents are concatenated in ascending `id_col` order; sequence `s`
+    covers tokens [s*budget, (s+1)*budget). Output per doc:
+    ``seq_first``/``seq_last`` (the sequence ids the doc straddles) and
+    ``seq_offset`` (position of the doc's first token within seq_first).
+    Docs with zero tokens get seq_last < seq_first by convention — filter
+    them upstream (quality gates already drop empty docs).
+
+    `num_buckets` only sets scan parallelism; any value yields identical
+    output. Rows shuffle once (the range partition); the second pass
+    moves only `num_buckets` scalar totals.
+    """
+    import pandas as pd
+
+    d = (
+        docs.select(id_col, token_col)
+        .repartitionByRange(num_buckets, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_bucket", F.spark_partition_id())
+    )
+
+    def part_cumsum(batches):
+        run = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c = pdf[token_col].cumsum() + run
+            run = int(c.iloc[-1])
+            out = pdf.copy()
+            out["_cum_in_bucket"] = c
+            yield out
+
+    schema = f"{id_col} long, {token_col} bigint, _bucket int, _cum_in_bucket bigint"
+    # Lazy local checkpoint: materialized by the totals action below, then
+    # REUSED by the final join — without it the scan + cumsum pass runs
+    # twice (shuffle outputs aren't shared across separate actions). The
+    # checkpointed relation is 4 numeric columns, never the text.
+    with_partial = d.mapInPandas(part_cumsum, schema).localCheckpoint(eager=False)
+
+    # Bucket totals → exclusive prefix offsets. num_buckets rows: driver
+    # arithmetic on a broadcastable dim, never on data rows.
+    totals = (
+        with_partial.groupBy("_bucket")
+        .agg(F.max("_cum_in_bucket").alias("_total"))
+        .collect()
+    )
+    offset, offsets = 0, []
+    for row in sorted(totals, key=lambda r: r["_bucket"]):
+        offsets.append((row["_bucket"], offset))
+        offset += row["_total"]
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(offsets, "_bucket int, _offset bigint")
+
+    # integer `div`, not `/`: double division rounds above 2^53 tokens.
+    return (
+        with_partial.join(F.broadcast(off_df), "_bucket")
+        .select(
+            id_col,
+            token_col,
+            (F.col("_cum_in_bucket") + F.col("_offset")).alias("_cum"),
+        )
+        .select(
+            id_col,
+            token_col,
+            F.expr(f"(_cum - {token_col}) div {budget}").alias("seq_first"),
+            F.expr(f"(_cum - 1) div {budget}").alias("seq_last"),
+            F.expr(f"(_cum - {token_col}) % {budget}").alias("seq_offset"),
+        )
+    )

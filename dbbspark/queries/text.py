@@ -223,3 +223,40 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("token_budget"),
     )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             -- SUM() OVER yields HUGEINT in DuckDB; pin to BIGINT
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS c
+      FROM toks)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((c - n_tokens) // 512 AS BIGINT) AS seq_first,
+           CAST((c - 1) // 512 AS BIGINT) AS seq_last,
+           CAST((c - n_tokens) % 512 AS BIGINT) AS seq_offset
+    FROM cum
+    """,
+    doc="Training-pipeline closure: GPT-style sequence packing — documents "
+    "laid end-to-end in doc_id order, cut into 512-token sequences; each "
+    "doc gets its straddled sequence span + offset. Spark side is a "
+    "two-pass DISTRIBUTED prefix sum (operators/packing.py: range "
+    "partition → per-bucket Arrow cumsum → broadcast bucket offsets), "
+    "never an unpartitioned window; the oracle's single-window form "
+    "checks it exactly because prefix sums are bucketing-invariant.",
+    tags=("text", "pipeline", "closure"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(toks, "doc_id", "n_tokens", budget=512, num_buckets=8)
