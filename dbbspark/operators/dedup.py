@@ -288,7 +288,10 @@ def connected_components(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the convergence aggregate right below is the
+            # round's first action and materializes it — one job per round
+            # instead of two (eager checkpoint + aggregate).
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
