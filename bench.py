@@ -39,19 +39,26 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: this box shows sporadic multi-second external
-    # interference (noisy neighbor); the min of two runs measures the
-    # engine, not the neighbor. Plans are rebuilt per run, so plan+exec
-    # are both inside the timing.
+    # Best-of-N per query: this box shows sporadic multi-second external
+    # interference (noisy neighbor); the min of the runs measures the
+    # engine, not the neighbor. Two runs normally; when they disagree by
+    # >30% the noise hit one of them, so a third run arbitrates — keeps
+    # the suite fast while stopping one noisy run from reading as a
+    # regression. Plans are rebuilt per run, so plan+exec are both inside
+    # the timing.
     timings: dict[str, float] = {}
     for name in sorted(catalog):
         spec = catalog[name]
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        if max(runs) > 1.3 * min(runs):
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
