@@ -179,3 +179,67 @@ def test_blocked_cosine_matches_bruteforce(spark):
             for r in cosine_pairs_above_blocked(vecs, 0.5, num_blocks=blocks).collect()
         }
         assert blocked == brute, f"num_blocks={blocks}"
+
+
+def test_fits_decoder_roundtrip_random_headers():
+    """Property: encode random keyword/value pairs as FITS 80-byte cards
+    (string quoting with '' escapes, / comments) → fits_header_decode
+    recovers every pair exactly."""
+    import string
+
+    from dbbspark.sources.multimodal import fits_header_decode
+
+    rng = random.Random(20260813)
+    alphabet = string.ascii_letters + string.digits + " .'-_+/(),"
+    for _ in range(50):
+        kv = {}
+        cards = b""
+        for i in range(rng.randrange(1, 20)):
+            key = "".join(
+                rng.choice(string.ascii_uppercase) for _ in range(rng.randrange(1, 9))
+            )
+            if key in kv or key == "END":
+                continue
+            if rng.random() < 0.5:
+                # string value (may contain quotes and slashes)
+                val = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+                val = val.rstrip()  # FITS strips trailing blanks in strings
+                enc = "'" + val.replace("'", "''") + "'"
+                card = f"{key:<8}= {enc}"
+                if rng.random() < 0.5:
+                    card += " / a comment"
+            else:
+                val = str(rng.randrange(-10**9, 10**9))
+                card = f"{key:<8}= {val:>20}"
+                if rng.random() < 0.5:
+                    card += " / n"
+            if len(card) > 80:
+                continue
+            kv[key] = val
+            cards += card.ljust(80).encode("ascii")
+        cards += b"END".ljust(80)
+        pad = (2880 - len(cards) % 2880) % 2880
+        raw = cards + b" " * pad + b"\x01\x02binary payload"
+        assert fits_header_decode(raw) == kv
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Property: the distributed prefix-sum packing equals the obvious
+    sequential Python packing on random token counts."""
+    rng = random.Random(99)
+    rows = [(i, rng.randrange(1, 300)) for i in range(500)]
+    budget = 256
+
+    cum, expected = 0, {}
+    for doc_id, n in rows:  # already in id order
+        start, cum = cum, cum + n
+        expected[doc_id] = (start // budget, (cum - 1) // budget, start % budget)
+
+    from dbbspark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens bigint")
+    got = {
+        r["doc_id"]: (r["seq_first"], r["seq_last"], r["seq_offset"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", budget, 16).collect()
+    }
+    assert got == expected
