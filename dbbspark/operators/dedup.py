@@ -237,6 +237,82 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 32) -> Data
     return per_bit.groupBy("doc").agg(F.sum(weight).cast("bigint").alias("simhash"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds —
+    the O(log² n)-round formulation for graphs whose DIAMETER is too big
+    for per-round label propagation (billions of edges, long chains;
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Same contract as `connected_components`: component = min
+    reachable node id; randomized cross-checked against it in
+    tests/test_operator_equivalence.py.
+
+    Each round is one groupBy per star operation over the CURRENT edge
+    set (which only shrinks toward star graphs), with the same
+    localCheckpoint lineage cut and sum-based convergence the label loop
+    uses. Near-dup graphs are shallow, so the default `connected_components`
+    usually converges in fewer wall-clock rounds; prefer this variant when
+    components can be long paths (e.g. chained near-dup transitive
+    closures over timestamped revisions)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src) != F.col(dst))
+        .localCheckpoint(eager=True)
+    )
+    e = sym
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # connect every strictly-larger neighbor of u to m = min(N(u) ∪ u)
+        nbrs = e.union(e.select(F.col("v"), F.col("u"))).groupBy("u").agg(
+            F.collect_set("v").alias("ns")
+        )
+        m = F.least(F.col("u"), F.array_min("ns"))
+        return (
+            nbrs.select("u", m.alias("m"), F.explode("ns").alias("v"))
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges to (bigger, smaller); connect all smaller
+        # neighbors (and u itself) to the minimum one
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        nbrs = oriented.groupBy("u").agg(F.collect_set("v").alias("ns"))
+        m = F.array_min("ns")
+        return nbrs.select(
+            F.explode(F.array_append("ns", F.col("u"))).alias("u"), m.alias("v")
+        ).where(F.col("u") != F.col("v"))
+
+    prev = None
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).distinct().localCheckpoint(eager=False)
+        # converged when the edge multiset is stable: edges only ever point
+        # "down", so (count, sum(u), sum(v)) is a cheap fixpoint signature.
+        sig = tuple(
+            e.agg(F.count("*"), F.sum("u"), F.sum("v")).first()
+        )
+        if sig == prev:
+            break
+        prev = sig
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # component roots and self-loop-only nodes appear in no final edge —
+    # they are their own component (node set from the UNFILTERED input so
+    # self-loops still register the node).
+    roots = (
+        edges.select(F.explode(F.array(src, dst)).alias("node"))
+        .distinct()
+        .join(members.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return members.unionByName(roots)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

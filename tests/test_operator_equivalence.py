@@ -243,3 +243,34 @@ def test_pack_sequences_matches_python_reference(spark):
         for r in pack_sequences(df, "doc_id", "n_tokens", budget, 16).collect()
     }
     assert got == expected
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star CC must compute the same components as the
+    min-label loop on random graphs (self-loops and singleton groups
+    included)."""
+    from dbbspark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(47)
+    edges = [Row(src=rng.randrange(60), dst=rng.randrange(60)) for _ in range(50)]
+    df = spark.createDataFrame(edges)
+    a = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    b = {r["node"]: r["component"] for r in connected_components_star(df).collect()}
+    assert a == b
+
+
+def test_star_cc_handles_long_chains(spark):
+    """The reason the variant exists: a 300-node path has diameter 299 —
+    per-round label propagation needs ~300 rounds, large-star/small-star
+    collapses it in O(log^2) rounds within the default max_iter."""
+    from dbbspark.operators.dedup import connected_components_star
+
+    chain = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(299)]
+    )
+    got = {r["node"]: r["component"] for r in connected_components_star(chain).collect()}
+    assert len(got) == 300
+    assert set(got.values()) == {0}, "all chain nodes must join component 0"
