@@ -185,11 +185,24 @@ def jaccard_pairs(
     Measured ~25% faster than riding sizes inside the posting structs on
     a dup-heavy 50k-doc corpus (250k pairs from ~11M mentions)."""
     sh = shingle_docs(docs, id_col, text_col, shingle_n)
-    sizes = sh.select("doc", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc", F.explode("shingles").alias("shingle"))
     # sort_array keeps combos below emitting doc_a < doc_b.
     postings = exploded.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc")).alias("ds")
+    )
+    # Set sizes re-derived FROM the postings (rows per doc in the mention
+    # stream = its distinct-shingle count, postings being built from
+    # distinct shingles): the postings exchange is reused, so the shingle
+    # transform runs once. Deriving sizes from a second
+    # `size(shingles)` projection instead re-evaluates the whole
+    # interpreted transform — and worse, the final join's null constraints
+    # propagate `isnotnull(size(transform(...)))` into the SCAN filter
+    # (the InferFilters trap tests/test_plans.py pins). Sizes use ALL
+    # shingles (pre-max_df), keeping set cardinalities exact under the cap.
+    sizes = (
+        postings.select(F.explode("ds").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_sh"))
     )
     combos = F.flatten(
         F.transform(
