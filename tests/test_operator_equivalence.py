@@ -262,6 +262,45 @@ def test_star_cc_matches_label_propagation(spark):
     assert a == b
 
 
+def test_jaccard_prefix_matches_plain(spark):
+    """Prefix filtering (PPJoin-style) must compute the IDENTICAL pair
+    relation as the count-all-co-occurrences formulation — same threshold,
+    same df cap — on randomized corpora with planted near-dups, template
+    reuse (hot shingles), short docs, and docs with no rare shingles."""
+    from dbbspark.operators.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    for seed in (11, 12, 13):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(60)]
+        template = "the quick brown fox jumps over"  # shared boilerplate
+        docs = []
+        for i in range(80):
+            words = [rng.choice(vocab) for _ in range(rng.randrange(1, 25))]
+            if rng.random() < 0.4:
+                words = template.split() + words
+            docs.append((i, " ".join(words)))
+            if rng.random() < 0.3:  # planted near-dup: mutate one word
+                mut = list(words)
+                if mut:
+                    mut[rng.randrange(len(mut))] = rng.choice(vocab)
+                docs.append((1000 + i, " ".join(mut)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for threshold, max_df in ((0.5, None), (0.5, 10), (0.3, 5), (0.8, None)):
+            plain = {
+                (r["doc_a"], r["doc_b"])
+                for r in jaccard_pairs(
+                    df, "doc_id", "text", threshold=threshold, max_df=max_df
+                ).collect()
+            }
+            pref = {
+                (r["doc_a"], r["doc_b"])
+                for r in jaccard_pairs_prefix(
+                    df, "doc_id", "text", threshold=threshold, max_df=max_df
+                ).collect()
+            }
+            assert pref == plain, f"seed={seed} t={threshold} max_df={max_df}"
+
+
 def test_star_cc_handles_long_chains(spark):
     """The reason the variant exists: a 300-node path has diameter 299 —
     per-round label propagation needs ~300 rounds, large-star/small-star
