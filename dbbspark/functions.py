@@ -73,6 +73,34 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def ngram_array(toks: Column | str, n: int) -> Column:
+    """Non-distinct word n-gram array from a token array column —
+    repetition metrics need multiplicity, so no array_distinct (contrast
+    operators/dedup.shingles_from_tokens). Docs shorter than n get an
+    empty array (sequence(1, 0) would generate a DESCENDING [1, 0])."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    cnt = F.size(toks) - (n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
+    )
+
+
+def dup_ratio(arr: Column | str) -> Column:
+    """Fraction of array elements that are repeat occurrences —
+    1 - |distinct|/|all|, the Gopher-style duplicate n-gram fraction
+    (Rae et al. 2021 §A1.1 use duplicate line/paragraph fractions; with
+    single-line docs the token/n-gram form carries the same signal).
+    0.0 for empty arrays; rounded to 4dp for engine-portable compares."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    n = F.size(arr)
+    return F.when(
+        n > 0, F.round(1.0 - F.size(F.array_distinct(arr)).cast("double") / n, 4)
+    ).otherwise(F.lit(0.0))
+
+
 # --- money-sum discipline for oracle parity --------------------------------
 #
 # Accumulated double sums differ in final bits between engines; route

@@ -54,17 +54,33 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH m AS (
       SELECT doc_id, lang, n_chars,
+             string_split(text, ' ') AS toks,
              len(string_split(text, ' ')) AS n_tokens,
              len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL}))
                AS sw_hits,
              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
                AS bpe_ish_tokens
-      FROM documents)
+      FROM documents),
+    g AS (
+      SELECT *,
+             list_transform(range(1, greatest(n_tokens - 1, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1]) AS g2,
+             list_transform(range(1, greatest(n_tokens - 2, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+      FROM m)
     SELECT doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(bpe_ish_tokens AS BIGINT) AS bpe_ish_tokens,
            round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
            round(CAST(sw_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+           round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens, 4)
+             AS dup_token_ratio,
+           CASE WHEN len(g2) > 0
+                THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+                ELSE 0.0 END AS dup_2gram_ratio,
+           CASE WHEN len(g3) > 0
+                THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+                ELSE 0.0 END AS dup_3gram_ratio,
            (n_tokens BETWEEN 20 AND 1000
             AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 12)
              AS passes_quality,
@@ -75,13 +91,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 100 <
             CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END)
              AS in_sample
-    FROM m
+    FROM g
     """,
     doc="C4+C10 (merged): the per-document annotation pass every "
     "training-data pipeline runs — token counting (whitespace split + a "
     "BPE-ish regex: letter-runs | digit-runs | other), quality gates "
     "(length / avg-token-length / stopword-ratio, the Gopher-rules "
-    "shape), the stopword-density language-ID heuristic (≥10% English "
+    "shape), repetition signals (duplicate token / 2-gram / 3-gram "
+    "occurrence fractions — the Gopher repetition filters; distinct-count "
+    "based so the pass stays a pure projection, no shuffle), "
+    "the stopword-density language-ID heuristic (≥10% English "
     "stopwords → 'en-like'), and the deterministic stratified-sampling "
     "gate: per-stratum rates applied via an md5 hash gate on the key, so "
     "the sample is reproducible across runs, engines, AND cluster sizes "
@@ -92,17 +111,26 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_int_col
 
+    from ..functions import dup_ratio, ngram_array
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # materialize the token array once: interpreted lambdas have no CSE —
+    # an inline split would re-split per element_at (see operators/dedup).
     m = docs.select(
         "doc_id",
         "lang",
         "n_chars",
+        toks.alias("__toks"),
         F.size(toks).alias("n_tokens"),
         F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).alias("sw_hits"),
         F.size(
             F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
         ).alias("bpe_ish_tokens"),
+    ).select(
+        "*",
+        ngram_array(F.col("__toks"), 2).alias("__g2"),
+        ngram_array(F.col("__toks"), 3).alias("__g3"),
     )
     atl = F.col("n_chars").cast("double") / F.col("n_tokens")
     rate = (
@@ -117,6 +145,9 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bpe_ish_tokens").cast("bigint").alias("bpe_ish_tokens"),
         F.round(atl, 4).alias("avg_token_len"),
         F.round(F.col("sw_hits").cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        dup_ratio(F.col("__toks")).alias("dup_token_ratio"),
+        dup_ratio(F.col("__g2")).alias("dup_2gram_ratio"),
+        dup_ratio(F.col("__g3")).alias("dup_3gram_ratio"),
         (F.col("n_tokens").between(20, 1000) & atl.between(3, 12)).alias("passes_quality"),
         F.col("sw_hits").cast("bigint").alias("en_hits"),
         F.when(F.col("sw_hits") * 10 >= F.col("n_tokens"), "en-like")
