@@ -282,6 +282,63 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then within each cluster drop
+    every vector whose cosine similarity to an already-kept vector is
+    ≥ 1 - eps. Returns (vec_id, cell, keep) for EVERY input vector —
+    callers filter `keep` to materialize the deduplicated corpus.
+
+    Determinism: within a cluster, vectors are scanned in ascending id
+    and a vector is dropped iff it is within eps of a KEPT lower-id
+    vector (greedy keep-first — the same lowest-key-wins rule as
+    sha_dedup_keep_first; the paper's keep-farthest-from-centroid rule
+    is a one-line change in the scan order). Note greedy ≠ connected-
+    components: in a chain a~b, b~c (a≁c), greedy keeps {a, c}, CC-based
+    dedup would keep {a} — greedy never drops a vector that has no kept
+    near-duplicate, which is the semantics training-data curation wants.
+
+    Scale shape = the IVF shape: assignment is an embarrassingly-parallel
+    map (one BLAS matmul per Arrow batch, nothing collected but the
+    centroid set), then ONE shuffle groups each cell into an
+    `applyInPandas` task that computes the in-cell similarity matrix and
+    runs the greedy scan. Per-task cost is O(|cell|²) similarity cells —
+    the paper's own trick (clustering makes within-cluster all-pairs
+    tractable); cap cell sizes by raising k in `train_centroids`.
+    Cross-cluster near-dups are missed by construction — that is the
+    accepted recall tradeoff of SemDeDup."""
+    import numpy as np
+    import pandas as pd
+
+    tagged = ivf_assign(vectors, centroids, id_col, vec_col, keep_vec=True)
+
+    def scan(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
+        vids = pdf["vid"].to_numpy()[order]
+        V = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Vn @ Vn.T
+        thresh = 1.0 - eps
+        keep = np.ones(len(vids), dtype=bool)
+        for i in range(1, len(vids)):
+            # dropped iff ~dup of a KEPT earlier vector (greedy)
+            if np.any(sims[i, :i][keep[:i]] >= thresh):
+                keep[i] = False
+        return pd.DataFrame(
+            {"vec_id": vids, "cell": key[0], "keep": keep}
+        )
+
+    return tagged.groupBy("centroid_id").applyInPandas(
+        scan, "vec_id long, cell long, keep boolean"
+    )
+
+
 def cosine_pairs_above(
     vectors: DataFrame,
     threshold: float,

@@ -95,3 +95,86 @@ def test_trained_centroids_and_multiprobe(spark, sf_dir):
     assert r[1] > 0, "single-probe IVF found nothing"
     assert r[2] >= r[1], f"recall not monotone in probes: {r}"
     assert r[n_cells] == 1.0, f"probing all cells must be exact: {r}"
+
+
+def test_semantic_dedup_drops_planted_dup(spark):
+    """A near-identical embedding pair collapses to the lower id; a
+    distant vector survives."""
+    from dbbspark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9999, 0.0001, 0.0]),  # ~dup of 1
+            (3, [0.0, 1.0, 0.0]),  # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame([(0, [1.0, 1.0, 0.0])], "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["keep"] for r in semantic_dedup(vecs, cents, eps=0.05).collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_semantic_dedup_greedy_chain_keeps_endpoints(spark):
+    """Greedy keep-first, NOT connected components: in a chain a~b, b~c
+    with a NOT ~ c, b is dropped against a, and c survives because its
+    only near-dup (b) was itself dropped."""
+    import math
+
+    from dbbspark.operators.similarity import semantic_dedup
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    # cos(15°)=0.966 ≥ 0.95, cos(30°)=0.866 < 0.95
+    vecs = spark.createDataFrame(
+        [(1, unit(0)), (2, unit(15)), (3, unit(30))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame([(0, unit(15))], "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["keep"] for r in semantic_dedup(vecs, cents, eps=0.05).collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    """Randomized: per-cell greedy scan equals a sequential reference,
+    including the cell partitioning from ivf_assign."""
+    import random
+
+    import numpy as np
+
+    from dbbspark.operators.similarity import ivf_assign, semantic_dedup
+
+    rng = random.Random(17)
+    base = [
+        np.array([rng.uniform(-1, 1) for _ in range(6)]) for _ in range(12)
+    ]
+    rows = []
+    for i in range(100):
+        v = base[rng.randrange(len(base))] + np.array(
+            [rng.uniform(-0.05, 0.05) for _ in range(6)]
+        )
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, rows[i * 25][1]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    eps = 0.02
+    got = {r["vec_id"]: r["keep"] for r in semantic_dedup(vecs, cents, eps=eps).collect()}
+
+    # reference: same assignment, sequential greedy per cell
+    assign = {r["vid"]: r["centroid_id"] for r in ivf_assign(vecs, cents).collect()}
+    vec_by_id = {i: np.array(v) for i, v in rows}
+    want = {}
+    for cell in sorted(set(assign.values())):
+        kept = []
+        for vid in sorted(i for i, c in assign.items() if c == cell):
+            vn = vec_by_id[vid] / np.linalg.norm(vec_by_id[vid])
+            dup = any(
+                float(vn @ (vec_by_id[k] / np.linalg.norm(vec_by_id[k]))) >= 1 - eps
+                for k in kept
+            )
+            want[vid] = not dup
+            if not dup:
+                kept.append(vid)
+    assert got == want
