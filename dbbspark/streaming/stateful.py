@@ -170,6 +170,99 @@ def sequence_gap_monitor(events: DataFrame) -> DataFrame:
     )
 
 
+PACK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("seq_first", T.LongType()),
+        T.StructField("seq_last", T.LongType()),
+        T.StructField("seq_offset", T.LongType()),
+    ]
+)
+
+_PACK_STATE_SCHEMA = T.StructType([T.StructField("cum", T.LongType())])
+
+
+def streaming_pack(
+    docs: DataFrame,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 512,
+) -> DataFrame:
+    """Streaming sequence packing (U5 + the batch `pack_sequences`
+    closure operator): documents arriving on a stream are laid end-to-end
+    into fixed-`budget` training sequences, per shard, with the running
+    token total carried across micro-batches as keyed state (one long).
+
+    The batch operator's global order can't exist on a stream, so the
+    packing order is (arrival batch, id within batch) per shard — the
+    order any shard-parallel streaming tokenizer actually emits. Sequence
+    ids are SHARD-LOCAL (shard s's sequences are s/0, s/1, ...); a global
+    id is `shard * max_seqs + seq` downstream if needed. State never
+    holds documents — just the cumulative token count, so a shard's state
+    is 8 bytes regardless of stream length.
+
+    Batch DataFrames take the same code path with zero initial state
+    (`applyInPandas`), which pins streaming == batch on a one-batch drain
+    (tests/test_streaming_stateful.py)."""
+    import pandas as pd
+
+    def _pack_frame(pdf: "pd.DataFrame", shard: int, cum: int):
+        pdf = pdf.sort_values(id_col)
+        c = pdf[token_col].astype("int64").cumsum() + cum
+        start = c - pdf[token_col]
+        out = pd.DataFrame(
+            {
+                "shard": shard,
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_tokens": pdf[token_col].astype("int64"),
+                "seq_first": start // budget,
+                "seq_last": (c - 1) // budget,
+                "seq_offset": start % budget,
+            }
+        )
+        return out, (int(c.iloc[-1]) if len(c) else cum)
+
+    sel = docs.select(
+        F.col(shard_col).cast("long").alias(shard_col),
+        F.col(id_col),
+        F.col(token_col),
+    )
+
+    if not docs.isStreaming:
+
+        def batch_pack(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            out, _ = _pack_frame(pdf, key[0], 0)
+            return out
+
+        return sel.groupBy(shard_col).applyInPandas(batch_pack, PACK_OUTPUT_SCHEMA)
+
+    def update(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        (cum,) = state.get if state.exists else (0,)
+        # the iterator yields Arrow CHUNKS of one group within one
+        # micro-batch — concatenate before sorting so the batch-wide id
+        # order holds across chunk boundaries
+        chunks = [p for p in batches if not p.empty]
+        if chunks:
+            out, cum = _pack_frame(pd.concat(chunks), key[0], cum)
+            yield out
+        state.update((cum,))
+
+    return sel.groupBy(shard_col).applyInPandasWithState(
+        update,
+        PACK_OUTPUT_SCHEMA,
+        _PACK_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
