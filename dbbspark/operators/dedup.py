@@ -125,16 +125,24 @@ def minhash_signatures(
     )
 
 
+def _band_signatures(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc, band, sig): the banded signature string each LSH bucket keys
+    on — one row per (doc, band)."""
+    banded = signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    return banded.groupBy("doc", "band").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash")))).alias("sig")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
     """Band the signature and equi-join on (band, band_signature) →
     distinct candidate pairs (doc_a < doc_b). This is the step that makes
     near-dedup linear-ish: only same-bucket docs are compared."""
-    banded = signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-    band_sig = banded.groupBy("doc", "band").agg(
-        F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash")))).alias("sig")
-    )
+    band_sig = _band_signatures(signatures, bands, rows_per_band)
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     return (
@@ -162,6 +170,62 @@ def _posting_combos(ds: str = "ds") -> Column:
             ),
         )
     )
+
+
+def lsh_incremental_pairs(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs for an INCREMENTAL batch against an
+    existing corpus — the rolling-crawl shape: a new batch must be
+    deduped against everything already ingested without ever re-pairing
+    the corpus against itself.
+
+    Both inputs are (doc, perm, minhash) signature tables
+    (`minhash_signatures`); the corpus side is the persisted signature
+    table a production pipeline maintains (append each accepted batch —
+    signatures are ~num_perm longs per doc, the compact dedup index).
+    Output: (doc_a, doc_b, against) where against ∈ {'corpus', 'new'} —
+    new×corpus collisions plus new×new collisions, NEVER corpus×corpus.
+
+    Scale: the band join touches only buckets a NEW doc lands in — cost
+    scales with |new| + collided corpus postings, not |corpus|². At
+    billions of corpus docs, bucket the persisted signature table by
+    (band, sig) (`operators.bucketing`) so the join co-locates without
+    shuffling the corpus side at all."""
+    new_b = _band_signatures(new_sigs, bands, rows_per_band)
+    corp_b = _band_signatures(corpus_sigs, bands, rows_per_band)
+    vs_corpus = (
+        new_b.alias("a")
+        .join(
+            corp_b.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.lit("corpus").alias("against"),
+        )
+        .distinct()
+    )
+    vs_new = (
+        new_b.alias("a")
+        .join(
+            new_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.lit("new").alias("against"),
+        )
+        .distinct()
+    )
+    return vs_corpus.unionByName(vs_new)
 
 
 def jaccard_pairs(

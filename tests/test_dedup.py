@@ -80,3 +80,63 @@ def test_jaccard_max_df_keeps_real_near_dups(spark):
         ).collect()
     }
     assert (1, 4) in pairs and (1, 2) in pairs
+
+
+def test_lsh_incremental_vs_corpus_and_within_batch(spark):
+    """A new batch collides against the persisted corpus signatures and
+    within itself — never corpus x corpus."""
+    corpus = _docs(spark)  # contains exact dups 1 & 4
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (11, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (12, "unrelated prose about adaptive query execution and skew joins"),
+        ],
+        ["doc_id", "text"],
+    )
+    c_sigs = D.minhash_signatures(corpus, "doc_id", "text", num_perm=16)
+    n_sigs = D.minhash_signatures(new, "doc_id", "text", num_perm=16)
+    got = {
+        (r["doc_a"], r["doc_b"], r["against"])
+        for r in D.lsh_incremental_pairs(n_sigs, c_sigs).collect()
+    }
+    assert (10, 1, "corpus") in got and (10, 4, "corpus") in got
+    assert (10, 11, "new") in got
+    assert not any(a in (1, 4) and b in (1, 4) for a, b, _ in got), "corpus x corpus leaked"
+    assert not any(12 in (a, b) for a, b, _ in got)
+
+
+def test_lsh_incremental_union_equals_full_batch(spark):
+    """The rolling invariant: pairs(old) ∪ incremental(new vs old) must
+    equal pairs(old ∪ new) — ingesting in two steps loses nothing."""
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(12)]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.4:  # planted near-dup, maybe in the other half
+            mut = list(words)
+            mut[rng.randrange(12)] = rng.choice(vocab)
+            rows.append((200 + i, " ".join(mut)))
+    all_docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    old = all_docs.where(F.col("doc_id") % 2 == 0)
+    new = all_docs.where(F.col("doc_id") % 2 == 1)
+
+    sig = lambda df: D.minhash_signatures(df, "doc_id", "text", num_perm=16)  # noqa: E731
+
+    full = {
+        tuple(sorted((r["doc_a"], r["doc_b"])))
+        for r in D.lsh_candidate_pairs(sig(all_docs)).collect()
+    }
+    old_pairs = {
+        tuple(sorted((r["doc_a"], r["doc_b"])))
+        for r in D.lsh_candidate_pairs(sig(old)).collect()
+    }
+    inc = {
+        tuple(sorted((r["doc_a"], r["doc_b"])))
+        for r in D.lsh_incremental_pairs(sig(new), sig(old)).collect()
+    }
+    assert old_pairs | inc == full
