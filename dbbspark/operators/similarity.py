@@ -282,6 +282,100 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, qvec binary, dim) — int8 scalar quantization of L2-normalized
+    embeddings: q = clip(round(127·v/‖v‖), -127, 127), one byte per
+    dimension packed into a BINARY column.
+
+    For COSINE workloads the per-vector scale cancels, so normalizing
+    before quantizing loses nothing and needs no stored scale factor —
+    cos(a, b) ≈ (qa·qb)/(‖qa‖·‖qb‖) with error ≤ ~1/127 per unit. The
+    point at 100 TB: embeddings are the widest column in a training
+    corpus (d float32s = 4d bytes); int8 cuts every downstream shuffle,
+    broadcast, and scan of them 4×, which moves the ANN cost ceiling far
+    more than shaving matmul FLOPs does (the matmul upcasts to float32
+    anyway)."""
+    import numpy as np
+    import pandas as pd
+
+    def enc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Q = np.clip(np.rint(Vn * 127.0), -127, 127).astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "qvec": [q.tobytes() for q in Q],
+                    "dim": Q.shape[1],
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        enc, "vec_id long, qvec binary, dim int"
+    )
+
+
+def brute_force_topk_quantized(
+    qvectors: DataFrame,
+    qqueries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """`brute_force_topk` over int8-quantized embeddings
+    (`quantize_embeddings` outputs): the query side (small by
+    construction) is collected as an int8 matrix, the corpus side streams
+    through in Arrow batches 4× narrower than float32. Scores upcast to
+    float32 inside the matmul; ranking (sim desc, neighbor id asc) and
+    the self-pair exclusion match the float operator, so recall tests can
+    compare the two directly."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = qqueries.select(id_col, "qvec", "dim").toPandas()
+    dim = int(qrows["dim"].iloc[0])
+    Q = np.stack(
+        [np.frombuffer(b, dtype=np.int8) for b in qrows["qvec"]]
+    ).astype(np.float32)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qrows[id_col].to_numpy()
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(
+                [np.frombuffer(b, dtype=np.int8) for b in pdf["qvec"]]
+            ).astype(np.float32)
+            assert V.shape[1] == dim
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ Qn.T
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf[id_col].to_numpy(), len(qids)),
+                    "query_id": np.tile(qids, len(pdf)),
+                    "sim": sims.ravel().astype(np.float64),
+                }
+            )
+
+    scored = qvectors.select(id_col, "qvec").mapInPandas(
+        score, "vid long, query_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        scored.where(F.col("vid") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias("neighbor_id"), "rank")
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -178,3 +178,90 @@ def test_semantic_dedup_matches_python_reference(spark):
             if not dup:
                 kept.append(vid)
     assert got == want
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization of normalized embeddings must preserve top-k:
+    recall@5 vs the exact float path stays near 1 on the fixture, and the
+    packed binary is exactly dim bytes (the 4x storage claim)."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_quantized,
+        quantize_embeddings,
+    )
+    from dbbspark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    qemb = quantize_embeddings(emb)
+    qq = quantize_embeddings(queries)
+    row = qemb.select(F.length("qvec").alias("nbytes"), "dim").first()
+    assert row["nbytes"] == row["dim"]
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk_quantized(qemb, qq, k=5).collect()
+    }
+    # the fixture's embeddings are random, so ranks 3-5 are near-ties
+    # separated by less than the int8 step (~0.008 cosine) — reorderings
+    # there are inherent, not a defect; the planted-neighbor test below
+    # checks the case where the ordering is meaningful
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"quantized recall collapsed: {recall:.2f}"
+
+
+def test_quantized_topk_finds_planted_neighbor(spark):
+    """Where neighbors are REAL (not random near-ties), int8 must rank
+    the planted nearest neighbor first for every query."""
+    import random
+
+    from dbbspark.operators.similarity import (
+        brute_force_topk_quantized,
+        quantize_embeddings,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(50):
+        v = [rng.uniform(-1, 1) for _ in range(24)]
+        rows.append((i, v))
+        rows.append((1000 + i, [x + rng.uniform(-0.01, 0.01) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = quantize_embeddings(vecs)
+    qq = quantize_embeddings(vecs.where("vec_id < 50"))
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk_quantized(qv, qq, k=1).collect()
+    }
+    assert top1 == {i: 1000 + i for i in range(50)}
+
+
+def test_quantized_cosine_error_bound(spark):
+    """Pairwise cosine from int8 codes stays within ~2/127 of exact."""
+    import random
+
+    import numpy as np
+
+    from dbbspark.operators.similarity import quantize_embeddings
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = {
+        r["vec_id"]: np.frombuffer(r["qvec"], dtype=np.int8).astype(np.float64)
+        for r in quantize_embeddings(vecs).collect()
+    }
+    for i, vi in rows[:10]:
+        for j, vj in rows[:10]:
+            a, b = np.array(vi), np.array(vj)
+            exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            qa, qb = codes[i], codes[j]
+            approx = float(qa @ qb / (np.linalg.norm(qa) * np.linalg.norm(qb)))
+            assert abs(exact - approx) < 0.02, (i, j, exact, approx)
