@@ -139,20 +139,26 @@ def _band_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature and equi-join on (band, band_signature) →
-    distinct candidate pairs (doc_a < doc_b). This is the step that makes
-    near-dedup linear-ish: only same-bucket docs are compared."""
+    """Distinct candidate pairs (doc_a < doc_b) of docs sharing an LSH
+    bucket — the step that makes near-dedup linear-ish: only same-bucket
+    docs are compared.
+
+    Pairs come from bucket POSTING LISTS (groupBy (band, sig) →
+    sorted doc list → in-array upper-triangle), not a band_sig self-join:
+    the self-join evaluates the banding aggregate once per branch and
+    shuffles both, measured ~2× slower at sf0.1. A bucket of n docs still
+    emits C(n,2) pairs — that is LSH's contract (same-bucket docs ARE
+    candidates); exact-dup storms that would make a bucket huge belong to
+    the sha dedup stage that runs before near-dedup."""
     band_sig = _band_signatures(signatures, bands, rows_per_band)
-    a = band_sig.alias("a")
-    b = band_sig.alias("b")
+    buckets = (
+        band_sig.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        buckets.select(F.explode(_posting_combos()).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
 
@@ -210,20 +216,8 @@ def lsh_incremental_pairs(
         )
         .distinct()
     )
-    vs_new = (
-        new_b.alias("a")
-        .join(
-            new_b.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.lit("new").alias("against"),
-        )
-        .distinct()
+    vs_new = lsh_candidate_pairs(new_sigs, bands, rows_per_band).withColumn(
+        "against", F.lit("new")
     )
     return vs_corpus.unionByName(vs_new)
 
