@@ -38,6 +38,25 @@ def mixture_rates(
     return {k: (corpus * p / sizes[k] if p > 0 else 0.0) for k, p in norm.items()}
 
 
+def temperature_proportions(
+    sizes: dict[str, int], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-scaled mixture proportions: p_i ∝ n_i^alpha — the
+    multilingual-corpus sampling rule (mT5 / XLM-R style; alpha=0.3 is
+    mT5's published setting). alpha=1 reproduces natural proportions,
+    alpha→0 approaches uniform; alpha<1 upweights low-resource sources
+    without ever inverting the size ordering. Feed the result to
+    `mixture_rates`/`mix_sources` — which then scale the corpus so no
+    source is oversampled."""
+    if not sizes:
+        raise ValueError("sizes is empty")
+    if any(n <= 0 for n in sizes.values()):
+        raise ValueError("source sizes must be positive")
+    w = {k: float(n) ** alpha for k, n in sizes.items()}
+    tot = sum(w.values())
+    return {k: v / tot for k, v in w.items()}
+
+
 def mix_sources(
     sources: dict[str, DataFrame],
     proportions: dict[str, float],

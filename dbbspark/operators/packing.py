@@ -21,6 +21,8 @@ single-window DuckDB oracle check the distributed implementation exactly.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -101,3 +103,30 @@ def pack_sequences(
             F.expr(f"(_cum - {token_col}) % {budget}").alias("seq_offset"),
         )
     )
+
+
+def token_balanced_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    n_shards: int = 32,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """(id, tokens, shard): cut the id-ordered token stream into
+    `n_shards` contiguous shards of ~equal TOKEN mass (± one document) —
+    the writer-side step that makes training shards finish together.
+    Row-count sharding (repartition) balances rows, not work: a shard of
+    long documents tokenizes/trains slower than a shard of short ones.
+
+    Rides the same two-pass distributed prefix sum as `pack_sequences`
+    with budget = ceil(total/n_shards): a doc belongs to the shard its
+    FIRST token lands in, so shards are contiguous id ranges — order
+    within shards is preserved for curriculum-style consumption. One
+    metadata-cheap total-sum job plus the prefix-sum pass; output is a
+    pure function of (ids, tokens, n_shards)."""
+    total = docs.agg(F.sum(F.col(token_col).cast("bigint"))).first()[0] or 0
+    if total == 0:
+        return docs.select(id_col, token_col).withColumn("shard", F.lit(0).cast("bigint"))
+    budget = math.ceil(total / n_shards)
+    packed = pack_sequences(docs, id_col, token_col, budget, num_buckets)
+    return packed.select(id_col, token_col, F.col("seq_first").alias("shard"))

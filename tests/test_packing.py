@@ -47,3 +47,47 @@ def test_packing_no_unpartitioned_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_token_balanced_shards_balance_and_contiguity(spark):
+    import random
+
+    from dbbspark.operators.packing import token_balanced_shards
+
+    rng = random.Random(13)
+    rows = [(i, rng.randrange(1, 400)) for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens bigint")
+    n_shards = 8
+    got = token_balanced_shards(df, n_shards=n_shards, num_buckets=16).collect()
+    total = sum(n for _, n in rows)
+    budget = -(-total // n_shards)
+
+    shard_of = {r["doc_id"]: r["shard"] for r in got}
+    # contiguous id ranges, all shards in [0, n_shards)
+    assert all(0 <= s < n_shards for s in shard_of.values())
+    ordered = [shard_of[i] for i, _ in sorted(rows)]
+    assert ordered == sorted(ordered), "shards must be contiguous id ranges"
+    # token mass per shard within budget + one max doc
+    mass = {}
+    for i, n in rows:
+        mass[shard_of[i]] = mass.get(shard_of[i], 0) + n
+    max_doc = max(n for _, n in rows)
+    assert all(m <= budget + max_doc for m in mass.values())
+    assert sum(mass.values()) == total
+
+
+def test_temperature_proportions_flattens():
+    from dbbspark.operators.mixing import mixture_rates, temperature_proportions
+
+    sizes = {"en": 1_000_000, "fr": 100_000, "sw": 1_000}
+    nat = temperature_proportions(sizes, alpha=1.0)
+    cool = temperature_proportions(sizes, alpha=0.3)
+    # alpha=1 reproduces natural proportions
+    assert abs(nat["en"] - 1_000_000 / 1_101_000) < 1e-12
+    # alpha<1 upweights the small source but keeps the ordering
+    assert cool["sw"] > nat["sw"] and cool["en"] < nat["en"]
+    assert cool["en"] > cool["fr"] > cool["sw"]
+    assert abs(sum(cool.values()) - 1.0) < 1e-12
+    # feeds straight into mixture_rates without oversampling any source
+    rates = mixture_rates(sizes, cool)
+    assert max(rates.values()) <= 1.0 + 1e-9
