@@ -235,10 +235,22 @@ def jaccard_pairs(
     Instead of a self-equi-join of the exploded (doc, shingle) relation —
     which evaluates the shingle transform once per join branch and
     shuffles both — the posting list of each shingle is collected once
-    (`groupBy(shingle).collect_list(doc)`) and pairs are generated from
-    each (sorted) list with nested array transforms. One shingle
-    computation, one shuffle of (doc, shingle), pair blow-up bounded by
-    the hottest posting list.
+    (`groupBy(shingle).collect_list`), df-capped, then RE-exploded into a
+    kept-mention stream that is `localCheckpoint`ed (lazy) and self-joined
+    on the shingle hash to emit the upper-triangle pairs. The re-explode
+    looks like the self-join just rejected, but differs in two
+    load-bearing ways: (a) the checkpoint pins the scan → shingle →
+    posting pipeline to exactly ONE execution — Catalyst's ReuseExchange
+    does not fire across these branches (the aliased projections
+    canonicalize differently), so without it the full pipeline runs once
+    per consumer; (b) pair generation runs in whole-stage codegen,
+    whereas the previous formulation built pairs in-array with nested
+    `transform` lambdas — interpreted per element, measured ~45% slower
+    at sf0.1 once the pair-mention stream reaches ~10⁷ entries. One
+    shingle computation, one shuffle of (doc, shingle), pair blow-up
+    still bounded by the hottest kept posting list. (LSH keeps the
+    in-array combos instead: its buckets are tiny, so the interpreted
+    per-pair cost is negligible against an extra join+distinct.)
 
     `max_df` caps that bound and is ON BY DEFAULT: a shingle appearing in
     more docs than the cap is background vocabulary (standard df-pruning)
@@ -251,12 +263,14 @@ def jaccard_pairs(
     declared queries mirrors the cap so both engines compute the same
     capped relation (tests/test_dedup.py pins the hot-shingle bound).
 
-    Posting lists carry BARE doc ids: the exploded candidate-pair stream —
-    the operator's largest intermediate, Σ_postings C(df,2) rows — is two
-    longs per row, and shingle-set sizes are joined onto the AGGREGATED
-    pair set afterwards (candidate pairs ≪ candidate-pair mentions).
-    Measured ~25% faster than riding sizes inside the posting structs on
-    a dup-heavy 50k-doc corpus (250k pairs from ~11M mentions).
+    Set sizes (Jaccard denominators) ride the posting structs as
+    `size(shingles)` — known map-side BEFORE the cap because shingles are
+    distinct per doc, so cardinalities stay exact under df-pruning. They
+    flow (doc, n_sh) through the posting lists, the checkpoint, and the
+    pair groupBy, which removes the two sizes joins (and their two extra
+    pipeline evaluations) an aggregate-then-join formulation costs; the
+    pair stream widens from two longs to four, a fair trade measured
+    ~20% faster end-to-end at sf0.1 (2.0 s → 1.6 s).
 
     Shingles are xxhash64'd to int64 BEFORE the explode: the mention
     stream — the operator's widest shuffle — carries (doc, hash) longs
@@ -268,43 +282,43 @@ def jaccard_pairs(
     simhash keep md5-derived hashes instead because THEIR hashes are the
     output values and must reproduce across engines."""
     sh = shingle_docs(docs, id_col, text_col, shingle_n)
-    exploded = sh.select(
-        "doc", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle")
+    mentions = sh.select(
+        "doc",
+        F.size("shingles").alias("n_sh"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle"),
     )
-    # sort_array keeps combos below emitting doc_a < doc_b.
-    postings = exploded.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc")).alias("ds")
+    # Unsorted collect_list: the self-join below orders pairs with a
+    # doc_a < doc_b predicate, so a per-posting sort is pure overhead
+    # (measured ~10% of the pipeline at sf0.1).
+    postings = mentions.groupBy("shingle").agg(
+        F.collect_list(F.struct("doc", "n_sh")).alias("ds")
     )
-    # Set sizes re-derived FROM the postings (rows per doc in the mention
-    # stream = its distinct-shingle count, postings being built from
-    # distinct shingles): the postings exchange is reused, so the shingle
-    # transform runs once. Deriving sizes from a second
-    # `size(shingles)` projection instead re-evaluates the whole
-    # interpreted transform — and worse, the final join's null constraints
-    # propagate `isnotnull(size(transform(...)))` into the SCAN filter
-    # (the InferFilters trap tests/test_plans.py pins). Sizes use ALL
-    # shingles (pre-max_df), keeping set cardinalities exact under the cap.
-    sizes = (
-        postings.select(F.explode("ds").alias("doc"))
-        .groupBy("doc")
-        .agg(F.count("*").alias("n_sh"))
-    )
-    combos = _posting_combos()
     kept = postings.where(F.size("ds") >= 2)
     if max_df is not None:
         kept = kept.where(F.size("ds") <= max_df)
+    # LAZY checkpoint: the first action materializes the kept-mention
+    # stream executor-local; both join branches then read it instead of
+    # re-running scan+shingle+shuffle (same lineage-pinning pattern as
+    # connected_components' edge materialization).
+    m = (
+        kept.select("shingle", F.explode("ds").alias("s"))
+        .select(
+            "shingle", F.col("s.doc").alias("doc"), F.col("s.n_sh").alias("n_sh")
+        )
+        .localCheckpoint(eager=False)
+    )
     inter = (
-        kept.select(F.explode(combos).alias("p"))
-        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        m.select("shingle", F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+        .join(
+            m.select("shingle", F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")),
+            ["shingle"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
-    out = inter.join(
-        sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a"
-    ).join(
-        sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b"
-    )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return out.where(jac >= threshold).select("doc_a", "doc_b")
+    return inter.where(jac >= threshold).select("doc_a", "doc_b")
 
 
 def jaccard_pairs_prefix(
