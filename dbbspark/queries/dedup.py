@@ -124,13 +124,15 @@ _MINHASH_SQL = f"""
     """,
     doc="C2: MinHash+LSH near-dedup — md5-hashed shingles → 16-permutation "
     "signature → 4 bands × 4 rows → candidate pairs sharing a band. The "
-    "banding equi-join is the scale path: only same-bucket docs compare.",
+    "banding equi-join is the scale path: only same-bucket docs compare. "
+    "Uses the direct map-side-banding path (one shuffle end to end); the "
+    "row-form signature path serves the incremental/persisted-index "
+    "operator and is value-equivalent (tests/test_dedup.py).",
     tags=("dedup", "closure", "lsh"),
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=16, shingle_n=3)
-    return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    return D.lsh_candidate_pairs_direct(docs, "doc_id", "text", bands=4, rows_per_band=4)
 
 
 @query(

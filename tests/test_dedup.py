@@ -40,6 +40,23 @@ def test_lsh_finds_planted_near_dup(spark):
     assert not any(3 in p and 5 in p for p in pairs)  # unrelated docs don't
 
 
+def test_lsh_direct_path_matches_row_form(spark):
+    """Map-side banding (no groupBy(doc, band) shuffle) must produce the
+    exact band signatures — and therefore pairs — of the row-form path."""
+    docs = _docs(spark)
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_perm=16)
+    row_form = D._band_signatures(sigs, bands=4, rows_per_band=4)
+    map_side = D.minhash_band_signatures(docs, "doc_id", "text", 4, 4)
+    assert sorted(map(tuple, row_form.collect())) == sorted(
+        map(tuple, map_side.collect())
+    )
+    row_pairs = {tuple(r) for r in D.lsh_candidate_pairs(sigs).collect()}
+    direct_pairs = {
+        tuple(r) for r in D.lsh_candidate_pairs_direct(docs, "doc_id", "text").collect()
+    }
+    assert row_pairs == direct_pairs
+
+
 def test_jaccard_pairs_threshold(spark):
     pairs = {
         (r["doc_a"], r["doc_b"])
