@@ -20,6 +20,7 @@ bucket = len by ~1.7× with a 5× (still negligible) interval explode.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def interval_join(
@@ -54,3 +55,97 @@ def interval_join(
         how,
     )
     return joined.drop("__bucket")
+
+
+def interval_count_points(
+    intervals: DataFrame,
+    points: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-interval COUNT of points inside [start, end] — the sweep/
+    prefix-sum rewrite of `interval_join(...).groupBy(...).count()`.
+
+    The generic interval join must materialize every (point, interval)
+    containment pair: with densely overlapping windows that is
+    |points| × avg_active_intervals rows (28.9M at sf0.1 on the orders
+    fixture — ~200 intervals cover any given day). When the aggregate is
+    a pure count, the pair space is avoidable entirely:
+
+        count(start <= ts <= end) = F(end) - F(start - 1)
+
+    where F is the running total of points ordered by timestamp. Points
+    collapse to per-timestamp counts first (|distinct ts| rows, e.g.
+    ~2.4k dates), F is one cumulative-sum window over that tiny relation,
+    and every interval boundary resolves its F in one union-sweep
+    (boundaries interleaved with the cumulative relation, last-non-null
+    window). Cost is O(|points| + |intervals| log) with no pair blow-up —
+    at 100 TB this is the difference between a 10¹²-row intermediate and
+    one sort of boundaries + distinct timestamps.
+
+    The cumulative and sweep windows order their GLOBAL relations in a
+    single partition — safe because both are already aggregated (distinct
+    timestamps + distinct boundaries, not raw points; for a 100 TB corpus
+    of nanosecond timestamps, bucket to the query's granularity first).
+    Intervals with no covered points emit count 0, matching an outer
+    interval join; callers wanting inner semantics filter `cnt > 0`.
+
+    Equivalence with interval_join + groupBy-count is pinned on
+    randomized inputs in tests/test_operator_equivalence.py."""
+    per_ts = points.groupBy(F.col(ts_col).alias("__ts")).agg(
+        F.count("*").alias("__c")
+    )
+    w = Window.orderBy("__ts").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_ts.select("__ts", F.col("__c").alias("__at"), F.sum("__c").over(w).alias("__F"))
+
+    # F(x) for an arbitrary boundary x = running total at the greatest
+    # timestamp <= x: the union-sweep as-of lookup — boundaries interleave
+    # with the cumulative relation ordered by (ts, side) with points
+    # first, and each boundary reads the last non-null F at or before it.
+    # count(ts == start) rides the same sweep (``__at`` only matches when
+    # the boundary equals an existing timestamp) so the strictly-below
+    # total F(start-) = F(start) - at(start) needs no extra join.
+    bounds = (
+        intervals.select(F.col(start_col).alias("__q"))
+        .union(intervals.select(F.col(end_col)))
+        .distinct()
+    )
+    sweep = cum.select(
+        F.col("__ts").alias("__q"), F.lit(0).alias("__side"), "__at", "__F"
+    ).unionByName(
+        bounds.select(
+            "__q",
+            F.lit(1).alias("__side"),
+            F.lit(None).cast("long").alias("__at"),
+            F.lit(None).cast("long").alias("__F"),
+        )
+    )
+    sw = Window.orderBy("__q", "__side").rowsBetween(Window.unboundedPreceding, 0)
+    looked = (
+        sweep.withColumn("__F", F.last("__F", ignorenulls=True).over(sw))
+        .withColumn(
+            "__at_here",
+            F.coalesce(F.max("__at").over(Window.partitionBy("__q")), F.lit(0)),
+        )
+        .where(F.col("__side") == 1)
+        .select("__q", F.coalesce("__F", F.lit(0)).alias("__F"), "__at_here")
+        # both boundary joins below consume this relation; pin the sweep
+        # to one execution (it is small: distinct boundaries only).
+        .localCheckpoint(eager=False)
+    )
+    f_end = looked.select(F.col("__q").alias(end_col), F.col("__F").alias("__f_end"))
+    f_start = looked.select(
+        F.col("__q").alias(start_col),
+        F.col("__F").alias("__f_start"),
+        F.col("__at_here").alias("__at_start"),
+    )
+    out = intervals.join(f_end, on=end_col, how="left").join(
+        f_start, on=start_col, how="left"
+    )
+    cnt = (
+        F.coalesce("__f_end", F.lit(0))
+        - F.coalesce("__f_start", F.lit(0))
+        + F.coalesce("__at_start", F.lit(0))
+    )
+    return out.select(*intervals.columns, cnt.cast("bigint").alias("cnt_in_window"))

@@ -107,7 +107,11 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="J6: interval (theta/range) join — propid validity windows vs "
     "per-nite timestamps (bin/monitor_DBB_stagein.py:868-877). Spark side "
     "uses the bucketized equi rewrite (operators/intervals.py); naive form "
-    "is a BroadcastNestedLoopJoin that dies at scale.",
+    "is a BroadcastNestedLoopJoin that dies at scale. When the aggregate "
+    "is a pure count, interval_count_points computes the same answer via "
+    "a prefix-sum sweep with NO pair materialization (28.9M pairs at "
+    "sf0.1 → none; ~2× faster here, asymptotically dominant at 100 TB) — "
+    "this query keeps the generic join so the driver exercises J6 itself.",
     tags=("join", "interval"),
 )
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,6 +103,49 @@ def test_interval_join_matches_naive_theta(spark):
         assert got == want, f"bucket_days={bucket_days}"
 
 
+def test_interval_count_sweep_matches_join_then_count(spark):
+    """interval_count_points (prefix-sum sweep, no pair materialization)
+    must agree with interval_join + groupBy count — including intervals
+    covering no points (count 0), boundary-coincident timestamps, and
+    duplicated timestamps."""
+    from dbbspark.operators.intervals import interval_count_points, interval_join
+
+    rng = random.Random(11)
+    base = datetime(2026, 1, 1)
+    # coarse hours so many points share a timestamp and many boundaries
+    # coincide exactly with point timestamps
+    probe = spark.createDataFrame(
+        [Row(pid=i, ts=base + timedelta(hours=rng.randrange(80))) for i in range(500)]
+    )
+    ivs = spark.createDataFrame(
+        [
+            Row(
+                iv=i,
+                start=base + timedelta(hours=(s := rng.randrange(-10, 90))),
+                end=base + timedelta(hours=s + rng.randrange(0, 25)),
+            )
+            for i in range(60)
+        ]
+    )
+    got = {
+        (r["iv"], r["cnt_in_window"])
+        for r in interval_count_points(ivs, probe, "ts", "start", "end").collect()
+    }
+    joined = interval_join(probe, ivs, "ts", "start", "end", bucket_days=1)
+    counted = {
+        (r["iv"], r["cnt"])
+        for r in joined.groupBy("iv").agg(F.count("*").alias("cnt")).collect()
+    }
+    # sweep emits 0-count intervals; the inner join omits them
+    want = counted | {
+        (r["iv"], 0)
+        for r in ivs.join(
+            joined.select("iv").distinct(), "iv", "left_anti"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_salted_join_matches_plain_join(spark):
     from dbbspark.operators.skew import salted_equi_join
 
