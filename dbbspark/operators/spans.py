@@ -1,0 +1,161 @@
+"""Duplicate n-gram SPAN detection and removal — substring-level exact
+dedup (training-pipeline closure, SURVEY.md §2.11).
+
+Document-level dedup (sha/MinHash/Jaccard — operators/dedup.py) leaves a
+well-known residue: long passages duplicated ACROSS otherwise-distinct
+documents (boilerplate, licenses, quoted articles) and repeated WITHIN a
+document. The published remedy is suffix-array substring dedup
+("Deduplicating Training Data Makes Language Models Better", Lee et al.
+2021); a suffix array is inherently sequential, so the Spark-native
+formulation here uses the standard hashed-n-gram approximation:
+
+1. posexplode every doc's token n-grams with their start position →
+   (doc, pos, xxhash64(ngram)); the mention stream carries only longs.
+2. One groupBy(hash) keeps hashes occurring >= min_count times in the
+   corpus (within- and cross-document occurrences both count, as in the
+   suffix-array formulation).
+3. Surviving (doc, pos) starts merge into maximal spans per document via
+   gaps-and-islands: ordered by pos within each doc, a new island opens
+   when pos - prev_pos > n (disjoint n-grams); island bounds are
+   [min(pos), max(pos) + n).
+
+Two shuffles total (hash groupBy, per-doc window); both partition on
+high-cardinality keys, so the plan scales with the corpus, not with a
+driver-side structure. Hashing instead of materializing 20-gram strings
+makes the widest stream 3 longs/row; a 64-bit collision can only promote
+one n-gram to "duplicated" spuriously (~(distinct n-grams)²/2⁶⁵ — the
+same accepted approximation as operators/dedup.py's Jaccard hashing).
+
+`remove_duplicate_spans` applies the spans: tokens whose position falls
+in any flagged span are dropped (keep_first=True exempts each span
+content's first occurrence corpus-wide, the Lee-et-al. policy of keeping
+one copy; keep_first=False drops all flagged occurrences)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .dedup import tokens_col
+
+
+def _ngram_mentions(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc, pos, h): every token n-gram start position with the
+    xxhash64 of the n-gram. pos is 0-based token index."""
+    toks = docs.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+    toks = toks.where(F.size("__toks") >= n)
+    n_grams = F.size("__toks") - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i, n))),
+    )
+    return toks.select(
+        "doc", F.posexplode(grams).alias("pos", "h")
+    )  # posexplode is 0-based
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """(doc, span_start, span_end, n_dup_grams) — maximal token spans
+    [span_start, span_end) built from n-grams that occur >= min_count
+    times corpus-wide. n_dup_grams counts the duplicated n-gram starts
+    merged into the span (span_end - span_start - n + 1 when the span is
+    gapless)."""
+    mentions = _ngram_mentions(docs, id_col, text_col, n)
+    counts = mentions.groupBy("h").agg(F.count("*").alias("df"))
+    dup = (
+        mentions.join(counts.where(F.col("df") >= min_count), "h")
+        .select("doc", "pos")
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    islands = dup.withColumn(
+        "__new",
+        F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0),
+    ).withColumn("__island", F.sum("__new").over(w))
+    return islands.groupBy("doc", "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n).alias("span_end"),
+        F.count("*").alias("n_dup_grams"),
+    ).drop("__island")
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 20,
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Documents with flagged duplicate spans CUT OUT of the text.
+
+    Output: (id_col, text_col) with the same schema as the input
+    projection — drop-in for the next pipeline stage. keep_first exempts
+    the occurrence with the smallest (doc, span_start) per leading-n-gram
+    group — the keep-one-copy policy, implemented as a row_number over a
+    window keyed by the span's leading duplicated n-gram hash. Spans with
+    equal content always share that key; spans that merely share their
+    first n tokens do too, so keep-first is exact for identical passages
+    and conservative (keeps one) for passages that diverge after the
+    first n tokens.
+
+    The cut is positional (token filter against the span array via a
+    higher-order `exists`), so documents with no flagged spans pass
+    through byte-identical. Span arrays per doc are small (merged,
+    maximal), keeping the per-token HOF check cheap."""
+    mentions = _ngram_mentions(docs, id_col, text_col, n)
+    counts = mentions.groupBy("h").agg(F.count("*").alias("df"))
+    dup = mentions.join(counts.where(F.col("df") >= min_count), "h").select(
+        "doc", "pos", "h"
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    islands = (
+        dup.withColumn(
+            "__new",
+            F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+    )
+    spans = islands.groupBy("doc", "__island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + n).alias("e"),
+        # the span's identity for keep-first: the hash of its leading
+        # duplicated n-gram (deterministic; equal-content spans share it)
+        F.min_by("h", "pos").alias("lead_h"),
+    )
+    if keep_first:
+        kw = Window.partitionBy("lead_h").orderBy("doc", "s")
+        spans = spans.withColumn("__rk", F.row_number().over(kw)).where(
+            F.col("__rk") > 1
+        )
+    per_doc = spans.groupBy("doc").agg(
+        F.collect_list(F.struct("s", "e")).alias("__spans")
+    )
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks")
+    )
+    joined = toks.join(per_doc, "doc", "left")
+
+    def in_span(idx: Column) -> Column:
+        return F.exists(
+            "__spans", lambda sp: (idx >= sp["s"]) & (idx < sp["e"])
+        )
+
+    kept = F.filter(
+        F.transform("__toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~in_span(s["i"]),
+    )
+    cleaned = F.when(
+        F.col("__spans").isNull(), F.concat_ws(" ", "__toks")
+    ).otherwise(F.concat_ws(" ", F.transform(kept, lambda s: s["t"])))
+    return joined.select(
+        F.col("doc").alias(id_col), cleaned.alias(text_col)
+    )
