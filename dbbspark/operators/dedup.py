@@ -373,7 +373,15 @@ def jaccard_pairs(
     inter = (
         m.select("shingle", F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
         .join(
-            m.select("shingle", F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")),
+            # SHUFFLE_MERGE pinned: left to AQE, a dup-heavy corpus's
+            # mention stream can look broadcastable and Spark will ship
+            # the ENTIRE stream to every task as a hash relation —
+            # measured 37-62 s vs 26 s at the 10× dup-heavy scale test,
+            # while at sf0.1 the hint costs nothing (1.6 s either way).
+            # Sorting longs is cheap and predictable at any scale.
+            m.select(
+                "shingle", F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")
+            ).hint("shuffle_merge"),
             ["shingle"],
         )
         .where(F.col("doc_a") < F.col("doc_b"))
