@@ -11,9 +11,13 @@ formulation here uses the standard hashed-n-gram approximation:
 
 1. posexplode every doc's token n-grams with their start position →
    (doc, pos, xxhash64(ngram)); the mention stream carries only longs.
-2. One groupBy(hash) keeps hashes occurring >= min_count times in the
-   corpus (within- and cross-document occurrences both count, as in the
-   suffix-array formulation).
+2. A count-over-hash window keeps hashes occurring >= min_count times
+   in the corpus (within- and cross-document occurrences both count, as
+   in the suffix-array formulation). The window form — not
+   groupBy(hash).count + join back — because the df relation has one row
+   per DISTINCT n-gram (corpus-scale): the join's build side can never
+   be broadcast at 100 TB, and even at the 10× scale test AQE already
+   broadcast it (3.9 s vs 2.2 s for the single-shuffle window).
 3. Surviving (doc, pos) starts merge into maximal spans per document via
    gaps-and-islands: ordered by pos within each doc, a new island opens
    when pos - prev_pos > n (disjoint n-grams); island bounds are
@@ -69,9 +73,10 @@ def duplicate_ngram_spans(
     merged into the span (span_end - span_start - n + 1 when the span is
     gapless)."""
     mentions = _ngram_mentions(docs, id_col, text_col, n)
-    counts = mentions.groupBy("h").agg(F.count("*").alias("df"))
+    cw = Window.partitionBy("h")
     dup = (
-        mentions.join(counts.where(F.col("df") >= min_count), "h")
+        mentions.withColumn("df", F.count("*").over(cw))
+        .where(F.col("df") >= min_count)
         .select("doc", "pos")
     )
     w = Window.partitionBy("doc").orderBy("pos")
@@ -111,9 +116,11 @@ def remove_duplicate_spans(
     through byte-identical. Span arrays per doc are small (merged,
     maximal), keeping the per-token HOF check cheap."""
     mentions = _ngram_mentions(docs, id_col, text_col, n)
-    counts = mentions.groupBy("h").agg(F.count("*").alias("df"))
-    dup = mentions.join(counts.where(F.col("df") >= min_count), "h").select(
-        "doc", "pos", "h"
+    cw = Window.partitionBy("h")
+    dup = (
+        mentions.withColumn("df", F.count("*").over(cw))
+        .where(F.col("df") >= min_count)
+        .select("doc", "pos", "h")
     )
     w = Window.partitionBy("doc").orderBy("pos")
     islands = (
