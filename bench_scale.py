@@ -1,0 +1,85 @@
+"""Dup-heavy scale check: the README's "10× sf0.1" numbers, repeatable.
+
+Builds a corpus of `--copies` near-duplicate replicas of the sf0.1
+`documents` table (each copy appends one distinguishing token — the
+worst case for pair generation: every doc has copies-1 mutual near-dups)
+and times the operators whose cost is pair-driven. This is the harness
+that caught two AQE mis-plans the fixture scale never shows:
+
+- the Jaccard pair self-join broadcast of the full mention stream
+  (fixed: pinned shuffle_merge, operators/dedup.py);
+- the span detector's df join-back broadcast of the distinct-n-gram
+  relation (fixed: count window, operators/spans.py).
+
+Run: python bench_scale.py [--copies 10] [--sf-dir /root/testdata/sf0.1]
+Prints one JSON line per operator: {"op": ..., "sec": ..., "rows": ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from dbbspark.session import get_spark
+from dbbspark.tables import load_table
+from dbbspark.operators import dedup as D
+from dbbspark.operators.packing import pack_sequences
+from dbbspark.operators.spans import duplicate_ngram_spans
+
+
+def replicated_corpus(spark, sf_dir: str, copies: int):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = [docs]
+    for i in range(1, copies):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" copytoken{i}")).alias("text"),
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    # materialize once so every op times its own work, not the replication
+    return big.repartition(32).localCheckpoint(eager=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--reps", type=int, default=2, help="best-of-N timing")
+    args = ap.parse_args()
+
+    spark = get_spark("dbbspark-scale")
+    big = replicated_corpus(spark, args.sf_dir, args.copies)
+    n_docs = big.count()
+    print(json.dumps({"op": "corpus", "rows": n_docs, "copies": args.copies}))
+
+    ops = {
+        "lsh_direct": lambda: D.lsh_candidate_pairs_direct(big, "doc_id", "text"),
+        "jaccard_pairs": lambda: D.jaccard_pairs(big, "doc_id", "text", max_df=1000),
+        "dup_ngram_spans": lambda: duplicate_ngram_spans(big, "doc_id", "text", n=10),
+        "pack_sequences": lambda: pack_sequences(
+            big.select(
+                "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+            ),
+            "doc_id",
+            "n_tokens",
+            budget=2048,
+        ),
+    }
+    for name, build in ops.items():
+        best, rows = float("inf"), None
+        for _ in range(args.reps):
+            t = time.time()
+            rows = build().count()
+            best = min(best, time.time() - t)
+        print(json.dumps({"op": name, "sec": round(best, 2), "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
