@@ -1,0 +1,121 @@
+"""Streaming near-dedup gate — rolling-corpus ingestion with an LSH
+signature index (training-pipeline closure; composes §2.11 C2/C17 with
+the §2.9 streaming surface).
+
+A crawl never arrives at once: each micro-batch of documents must be
+deduplicated against everything previously ACCEPTED without ever
+re-pairing the corpus against itself. The gate keeps a persisted MinHash
+signature index (`num_perm` longs per accepted doc — the compact dedup
+state; the documents themselves are not re-read) and, per micro-batch:
+
+1. signs the batch (`minhash_signatures` — map-side);
+2. pairs it against the index + itself (`lsh_incremental_pairs`:
+   new×corpus and new×new bucket collisions, never corpus×corpus);
+3. rejects batch docs that collide with the corpus, and — within the
+   batch — any doc with a smaller-id colliding neighbor (greedy
+   keep-lowest; for a collision chain a<b<c this keeps only `a`,
+   matching what batch LSH dedup + keep-first clustering converges to
+   on cliques, and staying one-pass on chains);
+4. appends accepted docs to the output, THEN their signatures to the
+   index — registry-last ordering, same crash-consistency stance as
+   ingest.py's archive-then-registry: a crash between the writes can
+   re-admit a duplicate on retry, never lose an accepted doc.
+
+State lives in parquet, not in streaming state: the index must outlive
+the query (it IS the corpus memory), survives restarts via the
+checkpoint + availableNow pattern, and at billions of docs is bucketed
+by (band, sig) (`operators.bucketing`) so step 2 co-locates without
+shuffling the corpus side.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import lsh_incremental_pairs, minhash_signatures
+
+
+def _index_signatures(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The persisted (doc, perm, minhash) index; empty on first run.
+    Spark-FS probe (AnalysisException), not os.path.exists — see
+    ingest._registry_names."""
+    try:
+        return spark.read.parquet(index_dir).select("doc", "perm", "minhash")
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], "doc long, perm bigint, minhash bigint"
+        )
+
+
+def gate_batch(
+    batch: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """(accepted_docs, accepted_signatures) for one batch against an
+    index. Pure DataFrame logic — shared by the streaming foreachBatch
+    and direct batch callers (which is what pins streaming == batch in
+    tests)."""
+    sigs = minhash_signatures(batch, id_col, text_col, num_perm, shingle_n)
+    pairs = lsh_incremental_pairs(sigs, index_sigs, bands, rows_per_band)
+    # vs corpus: doc_a is always the new-batch doc. Within batch:
+    # doc_a < doc_b, reject the larger id (greedy keep-lowest).
+    rejected = (
+        pairs.where(F.col("against") == "corpus")
+        .select("doc_a")
+        .unionByName(pairs.where(F.col("against") == "new").select(F.col("doc_b").alias("doc_a")))
+        .distinct()
+        .withColumnRenamed("doc_a", id_col)
+    )
+    accepted = batch.join(rejected, id_col, "left_anti")
+    accepted_sigs = sigs.join(
+        accepted.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+    )
+    return accepted, accepted_sigs
+
+
+def streaming_near_dedup(
+    docs: DataFrame,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+):
+    """Run the gate over a streaming DataFrame of documents; returns the
+    started StreamingQuery (caller awaits termination — availableNow in
+    tests, continuous in production)."""
+
+    def _one_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        accepted, accepted_sigs = gate_batch(
+            batch,
+            _index_signatures(spark, index_dir),
+            id_col,
+            text_col,
+            num_perm,
+            bands,
+            rows_per_band,
+            shingle_n,
+        )
+        # docs first, index last (never lose an accepted doc; a crash
+        # in between re-admits at most one batch's duplicates on retry)
+        accepted.write.mode("append").parquet(accepted_dir)
+        accepted_sigs.write.mode("append").parquet(index_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
