@@ -52,7 +52,14 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=2, help="best-of-N timing")
+    ap.add_argument(
+        "--ops",
+        default=None,
+        help="comma-separated subset to run (isolates ops from block-manager "
+        "pressure of earlier checkpoints; default: all)",
+    )
     args = ap.parse_args()
+    wanted = set(args.ops.split(",")) if args.ops else None
 
     spark = get_spark("dbbspark-scale")
     big = replicated_corpus(spark, args.sf_dir, args.copies)
@@ -73,6 +80,53 @@ def main() -> None:
         ),
     }
     for name, build in ops.items():
+        if wanted and name not in wanted:
+            continue
+        best, rows = float("inf"), None
+        for _ in range(args.reps):
+            t = time.time()
+            rows = build().count()
+            best = min(best, time.time() - t)
+        print(json.dumps({"op": name, "sec": round(best, 2), "rows": rows}))
+
+    if wanted and not wanted & {"ivf_topk", "semantic_dedup", "cosine_pairs_blocked"}:
+        return
+
+    # embeddings side: replicate vec_ids with identical vectors — the
+    # exact-duplicate worst case for pair emission and greedy dedup
+    from dbbspark.operators.similarity import (
+        cosine_pairs_above_blocked,
+        ivf_topk,
+        semantic_dedup,
+        train_centroids,
+    )
+
+    emb = load_table(spark, args.sf_dir, "embeddings").select("vec_id", "embedding")
+    parts = [emb]
+    for i in range(1, args.copies):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * 1_000_000).alias("vec_id"), "embedding"
+            )
+        )
+    bigv = parts[0]
+    for p in parts[1:]:
+        bigv = bigv.unionByName(p)
+    bigv = bigv.repartition(32).localCheckpoint(eager=True)
+    print(json.dumps({"op": "vectors", "rows": bigv.count()}))
+    cents = train_centroids(bigv, k=32).localCheckpoint(eager=True)
+    cents.count()
+    queries = bigv.limit(200).localCheckpoint(eager=True)
+    queries.count()
+
+    vops = {
+        "ivf_topk": lambda: ivf_topk(bigv, queries, cents, k=5, probes=2),
+        "semantic_dedup": lambda: semantic_dedup(bigv, cents, eps=0.05),
+        "cosine_pairs_blocked": lambda: cosine_pairs_above_blocked(bigv, 0.45),
+    }
+    for name, build in vops.items():
+        if wanted and name not in wanted:
+            continue
         best, rows = float("inf"), None
         for _ in range(args.reps):
             t = time.time()
