@@ -78,6 +78,18 @@ def main() -> None:
             "n_tokens",
             budget=2048,
         ),
+        # CC over the LSH candidate graph (~266k edges, 10-cliques):
+        # times the label-propagation loop itself on a big edge set
+        "connected_components": lambda: D.connected_components(
+            D.lsh_candidate_pairs_direct(big, "doc_id", "text"),
+            src="doc_a",
+            dst="doc_b",
+        ),
+        "connected_components_star": lambda: D.connected_components_star(
+            D.lsh_candidate_pairs_direct(big, "doc_id", "text"),
+            src="doc_a",
+            dst="doc_b",
+        ),
     }
     for name, build in ops.items():
         if wanted and name not in wanted:

@@ -531,3 +531,42 @@ def cosine_pairs_above_blocked(
         .groupBy("bi", "bj")
         .applyInPandas(emit, out_schema)
     )
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-preserving downsampling: cap each semantic cluster at
+    `per_cell` members — the cluster-balanced curation step (big topical
+    clusters are truncated, rare topics survive whole) that follows
+    SemDeDup-style clustering in LLM-data pipelines.
+
+    Composition of two existing primitives: `ivf_assign` (map-side
+    max-cosine cell assignment, nothing but the centroid set leaves the
+    executors) and the deterministic hash rank the stratified sampler
+    (C10) uses — within a cell, members are ranked by
+    xxhash64(id) and the lowest `per_cell` win. The hash rank, not
+    first-N-by-id: ids usually encode crawl/source order, so an id
+    cutoff would bias every truncated cluster toward old data, while the
+    hash is a uniform, reproducible coin that is stable across runs,
+    engines, and cluster sizes.
+
+    One shuffle (the per-cell window). Output: (id, cell, kept) for
+    every vector — callers filter `kept`, keeping the decision joinable
+    back to the corpus, same contract as `semantic_dedup`."""
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.xxhash64(F.col("vid")), F.col("vid")
+    )
+    return (
+        assigned.withColumn("__rk", F.row_number().over(w))
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("centroid_id").alias("cell"),
+            (F.col("__rk") <= per_cell).alias("kept"),
+        )
+    )

@@ -265,3 +265,34 @@ def test_quantized_cosine_error_bound(spark):
             qa, qb = codes[i], codes[j]
             approx = float(qa @ qb / (np.linalg.norm(qa) * np.linalg.norm(qb)))
             assert abs(exact - approx) < 0.02, (i, j, exact, approx)
+
+
+def test_cluster_balanced_sample_caps_big_cells_only(spark):
+    """A 30-member cluster is capped at 5; a 3-member cluster survives
+    whole; the kept set is hash-selected (not the first N ids) and
+    deterministic across invocations."""
+    from dbbspark.operators.similarity import cluster_balanced_sample
+
+    # cell axes: x-aligned (big, ids 0..29) and y-aligned (small, 100..102)
+    rows = [(i, [1.0, float(i % 7) * 0.001, 0.0]) for i in range(30)]
+    rows += [(100 + i, [0.0, 1.0, float(i) * 0.001]) for i in range(3)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = cluster_balanced_sample(vecs, cents, per_cell=5).collect()
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    big_kept = {v for v in kept if v < 100}
+    assert len(big_kept) == 5
+    assert {100, 101, 102} <= kept  # under-cap cell fully kept
+    assert len(out) == 33  # decision emitted for every vector
+    # hash gate, not first-N: the winners are NOT simply ids 0..4
+    assert big_kept != {0, 1, 2, 3, 4}
+    # deterministic
+    kept2 = {
+        r["vec_id"]
+        for r in cluster_balanced_sample(vecs, cents, per_cell=5).collect()
+        if r["kept"]
+    }
+    assert kept == kept2
