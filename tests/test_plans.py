@@ -164,3 +164,75 @@ def test_no_infer_filters_from_generate_regression(spark, sf_dir, name):
             assert not (
                 "size(array_distinct(transform" in line
             ), "InferFiltersFromGenerate re-materialized the shingle transform"
+
+
+def test_jaccard_pair_join_pinned_sort_merge(spark, sf_dir):
+    """The pair self-join must stay SortMergeJoin: AQE left to choose
+    broadcasts the full mention stream at dup-heavy scale (37-62 s vs
+    26 s at the 10× scale check). Zero broadcast joins also guards
+    against reintroducing the aggregate-then-join sizes shape."""
+    from dbbspark.operators.dedup import jaccard_pairs
+    from dbbspark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        jaccard_pairs(docs, "doc_id", "text", max_df=1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_span_df_filter_is_window_not_join(spark, sf_dir):
+    """Span detection must stay join-free: the document-frequency filter
+    is a count window over the mention stream — a df join-back would
+    broadcast a distinct-n-gram-sized relation at scale."""
+    from dbbspark.operators.spans import duplicate_ngram_spans
+    from dbbspark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        duplicate_ngram_spans(docs, "doc_id", "text", n=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_simhash_no_shuffle(spark, sf_dir):
+    """SimHash is one projection: per-bit sums fold over the token-hash
+    array map-side. Any Exchange or Generate means the tokens × bits
+    explode crept back."""
+    from dbbspark.operators.dedup import simhash
+    from dbbspark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        simhash(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_lsh_direct_two_exchanges(spark, sf_dir):
+    """Map-side banding: docs→pairs LSH shuffles exactly twice (bucket
+    groupBy + pair distinct). A third exchange means the row-form
+    (doc, perm, minhash) → groupBy(doc, band) detour came back."""
+    from dbbspark.operators.dedup import lsh_candidate_pairs_direct
+    from dbbspark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        lsh_candidate_pairs_direct(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
