@@ -103,3 +103,34 @@ def benchmark_overlap(
             "n_shingles",
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    val_fraction: float,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates across
+    the boundary: the split coin is flipped per GROUP (domain, source,
+    or — strongest — the near-dup component id from
+    `connected_components`), never per document, so every member of a
+    group lands on the same side.
+
+    A per-document split looks fine at fixture scale but is the classic
+    eval-contamination bug at corpus scale: web crawls hold the same
+    article on many URLs, and a doc-keyed coin puts one copy in train
+    and one in val. Grouping by dedup component (or its cheap proxy,
+    registrable domain) closes that path.
+
+    The gate is the same deterministic md5 hash the stratified sampler
+    uses — reproducible across runs, engines, and cluster sizes, no RNG
+    state, pushdown-able. `salt` versions the split: changing it re-deals
+    every group, so an experiment's split is pinned by recording one
+    string. Output: input + `is_val` boolean (filter to materialize
+    either side; keeping the flag joinable is what audit queries want)."""
+    bucket = F.pmod(
+        md5_int_col(F.concat_ws("", F.lit(salt), F.col(group_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    return df.withColumn("is_val", bucket < int(val_fraction * 1_000_000))

@@ -70,3 +70,28 @@ def test_benchmark_overlap_corpus_side_no_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     corpus_branch = plan.split("Broadcast", 1)[0]
     assert "Exchange hashpartitioning(doc" not in corpus_branch
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    from dbbspark.operators.scrub import leakage_safe_split
+
+    rows = [(i, f"dom{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    out = leakage_safe_split(df, "domain", 0.25).collect()
+    sides = {}
+    for r in out:
+        sides.setdefault(r["domain"], set()).add(r["is_val"])
+    # every domain entirely on one side
+    assert all(len(s) == 1 for s in sides.values())
+    # fraction lands near the target at the GROUP level
+    val_groups = sum(1 for s in sides.values() if s == {True})
+    assert 3 <= val_groups <= 17  # 40 groups, p=0.25 -> ~10
+    # deterministic + salt-sensitive
+    again = leakage_safe_split(df, "domain", 0.25).collect()
+    assert {(r["doc_id"], r["is_val"]) for r in again} == {
+        (r["doc_id"], r["is_val"]) for r in out
+    }
+    resalted = leakage_safe_split(df, "domain", 0.25, salt="split-v2").collect()
+    assert {(r["doc_id"], r["is_val"]) for r in resalted} != {
+        (r["doc_id"], r["is_val"]) for r in out
+    }
