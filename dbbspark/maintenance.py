@@ -1,0 +1,108 @@
+"""Data-lake maintenance: small-file audit + compaction for partitioned
+parquet datasets (closure op — the operational counterpart of the S9
+archive sink, which partitions by filetype/nite and therefore accretes
+one small file per micro-batch per partition at streaming cadence).
+
+Why it matters at 100 TB: scan parallelism and scheduler pressure are
+driven by FILE COUNT, not bytes — a nite partition with 10k 100 KB
+files costs ~10k task launches (the small-file split-floor conf in
+session.py mitigates but cannot remove the listing + footer overhead).
+Standard remedy: periodically rewrite each partition's files into
+~target-sized ones.
+
+Mechanics are deliberately boring Spark:
+- `small_file_report`: one pass over the live file listing (Hadoop
+  FileSystem API via the JVM gateway — works on hdfs://, s3a://, file://
+  alike, never os.walk) → per-partition file count / bytes / small-file
+  count. This is the audit that decides WHAT to compact.
+- `compact_partitioned`: read → `repartition(partition cols)` so each
+  partition's rows co-locate into one task (maxRecordsPerFile re-splits
+  oversized ones) → write to a staging dir → two FS renames swap it
+  live (old dataset kept at `<path>.pre-compact` until the caller
+  verifies + deletes). Rename is atomic on HDFS and a fast server-side
+  move on most object stores; the swap window is two metadata ops, not
+  a data copy. Readers racing the swap see the old or the new dataset,
+  never a mix — the same guarantee the reference's stage-then-move
+  archive placement relies on (bin/save_DBB_stagein_to_DBB.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+@dataclass(frozen=True)
+class PartitionFiles:
+    partition: str  # relative dir like "filetype=raw/nite=20261001"
+    n_files: int
+    n_small: int
+    total_bytes: int
+
+
+def small_file_report(
+    spark: SparkSession, path: str, small_bytes: int = 32 * 1024 * 1024
+) -> list[PartitionFiles]:
+    """Per-partition-directory file statistics for a parquet dataset.
+    Driver-side listing — file METADATA only (names/sizes), never data;
+    object-store listings page at ~1k entries per call, same as any
+    committer. Sorted by small-file count descending: the compaction
+    worklist."""
+    fs, root, jvm = _fs_and_path(spark, path)
+    stats: dict[str, list[int]] = {}
+    it = fs.listFiles(root, True)  # recursive
+    root_str = fs.makeQualified(root).toString()
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, hidden committer files
+        rel = p[len(root_str) :].lstrip("/")
+        part = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        agg = stats.setdefault(part, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += 1 if st.getLen() < small_bytes else 0
+        agg[2] += st.getLen()
+    out = [
+        PartitionFiles(part, n, s, b) for part, (n, s, b) in stats.items()
+    ]
+    return sorted(out, key=lambda r: (-r.n_small, r.partition))
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+) -> str:
+    """Rewrite a partitioned parquet dataset with co-located, few-file
+    partitions and swap it live. Returns the backup path holding the
+    pre-compaction dataset (caller deletes after verification)."""
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".compact-staging"
+    backup = path.rstrip("/") + ".pre-compact"
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("errorifexists")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(staging)
+    )
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.rename(hpath, Path(backup)):
+        raise IOError(f"compaction swap failed: could not move {path} aside")
+    if not fs.rename(Path(staging), hpath):
+        # put the original back before failing — never leave the path empty
+        fs.rename(Path(backup), hpath)
+        raise IOError(f"compaction swap failed: could not move {staging} in")
+    return backup

@@ -1,0 +1,53 @@
+"""Small-file audit + compaction (maintenance.py): row multiset and
+partition layout preserved, file count collapsed, original kept as a
+backup until the caller deletes it."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from dbbspark.maintenance import compact_partitioned, small_file_report
+
+
+def _fragmented_dataset(spark, path):
+    rows = [(i, f"ft{i % 2}", 20260000 + i % 3) for i in range(600)]
+    df = spark.createDataFrame(rows, ["v", "filetype", "nite"])
+    # 8 writers per partition -> ~8 small files in each of the 6 partitions
+    df.repartition(8).write.partitionBy("filetype", "nite").parquet(path)
+    return df
+
+
+def test_report_counts_per_partition(spark, tmp_path):
+    path = str(tmp_path / "arch")
+    _fragmented_dataset(spark, path)
+    rep = small_file_report(spark, path)
+    assert len(rep) == 6  # 2 filetypes x 3 nites
+    assert all(r.n_files >= 2 for r in rep)
+    assert all(r.n_small == r.n_files for r in rep)  # all tiny here
+    assert all("filetype=" in r.partition and "nite=" in r.partition for r in rep)
+
+
+def test_compact_preserves_rows_and_collapses_files(spark, tmp_path):
+    path = str(tmp_path / "arch")
+    df = _fragmented_dataset(spark, path)
+    before = sorted(
+        map(tuple, spark.read.parquet(path).select("v", "filetype", "nite").collect())
+    )
+    n_before = len(glob.glob(path + "/*/*/*.parquet"))
+
+    backup = compact_partitioned(spark, path, ["filetype", "nite"])
+
+    after = sorted(
+        map(tuple, spark.read.parquet(path).select("v", "filetype", "nite").collect())
+    )
+    assert after == before
+    n_after = len(glob.glob(path + "/*/*/*.parquet"))
+    assert n_after == 6  # one file per partition
+    assert n_after < n_before
+    # partition layout preserved (pruning still works)
+    pruned = spark.read.parquet(path).where(F.col("filetype") == "ft0").count()
+    assert pruned == df.where("filetype = 'ft0'").count()
+    # original retained for verification
+    assert len(glob.glob(backup + "/*/*/*.parquet")) == n_before
