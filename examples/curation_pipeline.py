@@ -1,0 +1,105 @@
+"""End-to-end training-data curation on the fixture corpus — the
+operator chain a 100 TB pipeline runs, composed from dbbspark parts
+(each stage is lazy; Catalyst sees the whole chain):
+
+    exact dedup → duplicate-span removal → near-dedup (Jaccard + CC,
+    keep component representative) → quality gate → leakage-safe split
+    → sequence packing
+
+Run: python examples/curation_pipeline.py [sf_dir]
+Prints one JSON line per stage: {"stage": ..., "docs": ...}.
+
+This is the narrative version of the declared capstone
+(`q_training_pipeline`, queries/text.py) — that one is oracle-checked
+end-to-end; this one shows the full menu, including the stages whose
+operators are pytest-verified rather than SQL-expressible."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from dbbspark.operators.dedup import (
+    connected_components,
+    jaccard_pairs,
+    sha_dedup_keep_first,
+)
+from dbbspark.operators.packing import pack_sequences
+from dbbspark.operators.scrub import leakage_safe_split
+from dbbspark.operators.spans import remove_duplicate_spans
+from dbbspark.session import get_spark
+from dbbspark.tables import load_table
+
+
+def run(spark, sf_dir: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        out[name] = df.count()
+        print(json.dumps({"stage": name, "docs": out[name]}))
+        return df
+
+    docs = stage("input", load_table(spark, sf_dir, "documents"))
+
+    # 1. exact dedup — byte-identical copies collapse to the lowest id
+    docs = stage("exact_dedup", sha_dedup_keep_first(docs, "text", "doc_id"))
+
+    # 2. near-dedup — Jaccard pairs → connected components → keep each
+    # component's minimum id (consistent with every keep-first rule).
+    # Ordering matters: whole-document near-dedup runs BEFORE span
+    # removal — cutting shared passages first would erase exactly the
+    # shingle overlap near-dedup keys on (measured on the fixtures:
+    # reversed order finds zero near-dup pairs).
+    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_df=1000)
+    dropped = (
+        connected_components(pairs, "doc_a", "doc_b")
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    docs = stage("near_dedup", docs.join(dropped, "doc_id", "left_anti"))
+
+    # 3. substring-level dedup — remaining duplicated passages
+    # (boilerplate shared across otherwise-distinct docs) cut,
+    # keep-one-copy
+    docs = stage(
+        "span_removal",
+        remove_duplicate_spans(
+            docs.select("doc_id", "text"), "doc_id", "text", n=10
+        ).join(docs.drop("text"), "doc_id"),
+    )
+
+    # 4. quality gate — cheap expression-level signals (the full signal
+    # set is q_doc_metrics)
+    toks = F.split(F.col("text"), " ")
+    docs = stage(
+        "quality",
+        docs.withColumn("n_tokens", F.size(toks)).where(
+            (F.col("n_tokens") >= 5)
+            & ((F.col("n_chars") / F.col("n_tokens")).between(2, 15))
+        ),
+    )
+
+    # 5. leakage-safe split — the val coin flips per SOURCE, so near-dup
+    # survivors from one source can never straddle the eval boundary
+    split = leakage_safe_split(docs, "source", val_fraction=0.1)
+    train = stage("train_side", split.where(~F.col("is_val")))
+    stage("val_side", split.where(F.col("is_val")))
+
+    # 6. pack the train side into fixed-budget training sequences
+    packed = pack_sequences(
+        train.select("doc_id", "n_tokens"), "doc_id", "n_tokens", budget=512
+    )
+    stage("packed_docs", packed)
+    n_seqs = packed.agg(F.max("seq_last")).first()[0]
+    print(json.dumps({"stage": "sequences", "count": int(n_seqs) + 1}))
+    return out
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    run(get_spark("curation-example"), sf)
