@@ -1,0 +1,21 @@
+"""The composed curation-pipeline example must keep running end to end
+and only ever shrink the corpus stage over stage."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def test_curation_pipeline_runs_and_shrinks(spark, sf_dir):
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+    )
+    from curation_pipeline import run
+
+    out = run(spark, sf_dir)
+    order = ["input", "exact_dedup", "near_dedup", "span_removal", "quality"]
+    counts = [out[k] for k in order]
+    assert counts == sorted(counts, reverse=True)
+    assert out["train_side"] + out["val_side"] == out["quality"]
+    assert out["packed_docs"] == out["train_side"]
