@@ -629,8 +629,11 @@ def connected_components(
     )
     # Convergence check: labels only ever decrease, so sum(label) is
     # strictly monotone until the fixpoint — one cheap aggregate per round
-    # instead of an old-vs-new join.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # instead of an old-vs-new join. No seed aggregate: the first round's
+    # sum initializes the comparison (saves one job per call; only a
+    # fully-converged input — every node a singleton — pays one extra
+    # round, and singletons don't reach this loop's input shape).
+    prev_sum = None
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.b == labels.node)
