@@ -21,6 +21,7 @@ from .multimodal import (
     kv_text_decode,
     read_binary_docs,
 )
+from .textcorpus import read_csv_docs, read_jsonl_docs
 
 __all__ = [
     "parse_config_text",
@@ -28,6 +29,8 @@ __all__ = [
     "read_stagein_pairs",
     "unnotified_data_files",
     "fetch_index",
+    "read_jsonl_docs",
+    "read_csv_docs",
     "nightsum_nites",
     "parse_index",
     "read_log",
