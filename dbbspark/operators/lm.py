@@ -1,0 +1,195 @@
+"""Distributed n-gram language model + perplexity filtering (LLM-pipeline
+closure op, SURVEY.md §2.11; the CCNet-style "perplexity bucket" quality
+signal — Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", LREC 2020 — re-expressed as pure DataFrame
+aggregations instead of a KenLM binary).
+
+Shape at 100 TB:
+- TRAINING is two aggregations: explode each doc's (gram, context) pairs
+  once, groupBy(gram) for the n-gram counts, then re-group that already-
+  distinct table by context for the context counts — the second shuffle
+  moves |distinct grams| rows, not the corpus. Grams are xxhash64'd to
+  int64 before the explode so the widest shuffle carries longs, never
+  strings (same device as operators/dedup.jaccard_pairs).
+- SCORING is the exploded gram stream joined against the two count
+  tables. The model is orders of magnitude smaller than the corpus
+  (|distinct n-grams| vs total tokens); pass broadcast_model=True when it
+  fits in executor memory (the common case for word-level models with a
+  min_count floor) and the corpus side never shuffles at all. Otherwise
+  both joins are plain equi-joins on a long key — AQE handles skew.
+- Everything is deterministic: add-k smoothed counts, no RNG, no
+  partition-order dependence — scores reproduce bit-identically across
+  cluster sizes, so a perplexity threshold chosen once stays meaningful.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+class NgramLM(NamedTuple):
+    """A trained add-k-smoothable n-gram model.
+
+    ngram_counts:   (gram_h, c)      — count per distinct n-gram
+    context_counts: (ctx_h, c_ctx)   — count per distinct (n-1)-gram context
+    vocab_size:     |distinct unigrams| (the smoothing denominator's V)
+    n:              gram order (2 = bigram)
+    """
+
+    ngram_counts: DataFrame
+    context_counts: DataFrame
+    vocab_size: int
+    n: int
+
+
+def _gram_pairs_col(toks: Column, n: int) -> Column:
+    """array<struct<gram_h,ctx_h>> of hashed (n-gram, context) pairs from a
+    token ARRAY column. ``toks`` must be a materialized column reference —
+    interpreted lambdas have no CSE (operators/dedup.shingles_from_tokens).
+
+    For n=1 the context is the empty string: every unigram shares one
+    context whose count is the corpus token total — add-k then reduces to
+    the standard smoothed unigram MLE."""
+    n_g = F.size(toks) - (n - 1)
+    idx = F.when(n_g >= 1, F.sequence(F.lit(1), n_g)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def pair(i: Column) -> Column:
+        gram = F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
+        ctx = (
+            F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n - 1)])
+            if n > 1
+            else F.lit("")
+        )
+        return F.struct(
+            F.xxhash64(gram).alias("gram_h"), F.xxhash64(ctx).alias("ctx_h")
+        )
+
+    return F.transform(idx, pair)
+
+
+def _exploded_grams(
+    docs: DataFrame, id_col: str, text_col: str, n: int, outer: bool = False
+) -> DataFrame:
+    """(doc, gram_h, ctx_h) — one row per n-gram occurrence. ``outer``
+    keeps docs shorter than the gram width as a single null-gram row (the
+    scoring path wants them reported, the training path wants them gone)."""
+    explode = F.explode_outer if outer else F.explode
+    return (
+        docs.select(
+            F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__toks")
+        )
+        .select("doc", explode(_gram_pairs_col(F.col("__toks"), n)).alias("g"))
+        .select("doc", F.col("g.gram_h").alias("gram_h"), F.col("g.ctx_h").alias("ctx_h"))
+    )
+
+
+def train_ngram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 1,
+) -> NgramLM:
+    """Count-based n-gram LM over whitespace tokens.
+
+    ``min_count`` floors the n-gram table (contexts and V stay exact):
+    dropping hapax grams shrinks the model ~Zipf-style by 40-60% while
+    add-k smoothing absorbs the removed mass — the standard trick that
+    makes a web-scale model broadcastable. Floored grams score exactly
+    like unseen grams, so the floor is a size/precision dial, not a
+    correctness hazard."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = _exploded_grams(docs.select(F.lit(0).alias("__id"), text_col), "__id", text_col, n)
+    ngram_counts = grams.groupBy("gram_h").agg(
+        F.first("ctx_h").alias("ctx_h"), F.count("*").alias("c")
+    )
+    # context counts from the per-gram table: Σ over grams sharing the
+    # context — |distinct grams| input rows, not the corpus.
+    context_counts = ngram_counts.groupBy("ctx_h").agg(F.sum("c").alias("c_ctx"))
+    if min_count > 1:
+        ngram_counts = ngram_counts.where(F.col("c") >= min_count)
+    toks = F.split(F.col(text_col), " ")
+    vocab = (
+        docs.select(F.explode(toks).alias("t")).agg(F.countDistinct("t")).first()[0]
+    )
+    return NgramLM(
+        ngram_counts=ngram_counts.select("gram_h", "c"),
+        context_counts=context_counts,
+        vocab_size=int(vocab or 0),
+        n=n,
+    )
+
+
+def perplexity(
+    docs: DataFrame,
+    lm: NgramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """(doc, n_grams, avg_nll, perplexity) under ``lm`` with add-k
+    smoothing: p(w|ctx) = (c(ctx·w) + k) / (c(ctx) + k·V).
+
+    Unseen gram in a seen context → k / (c_ctx + kV); wholly unseen
+    context → 1/V — both finite, so scores never NaN on out-of-domain
+    text. Docs shorter than the gram width get n_grams=0 and null
+    perplexity (report-don't-drop, the quarantine stance)."""
+    if lm.vocab_size <= 0:
+        raise ValueError("model has an empty vocabulary")
+    pairs = _exploded_grams(docs, id_col, text_col, lm.n, outer=True)
+    ng = F.broadcast(lm.ngram_counts) if broadcast_model else lm.ngram_counts
+    cc = F.broadcast(lm.context_counts) if broadcast_model else lm.context_counts
+    joined = pairs.join(ng, "gram_h", "left").join(cc, "ctx_h", "left")
+    v = F.lit(float(lm.vocab_size))
+    logp = F.when(
+        F.col("gram_h").isNotNull(),
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(k))
+            / (F.coalesce(F.col("c_ctx"), F.lit(0)).cast("double") + F.lit(k) * v)
+        ),
+    )
+    out = joined.groupBy("doc").agg(
+        F.count("gram_h").alias("n_grams"),
+        (-F.avg(logp)).alias("avg_nll"),
+    )
+    return out.select(
+        F.col("doc"),
+        "n_grams",
+        F.col("avg_nll"),
+        F.exp("avg_nll").alias("perplexity"),
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    ppl_col: str = "perplexity",
+    head_frac: float = 1 / 3,
+    tail_frac: float = 1 / 3,
+    thresholds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Label each row head/middle/tail by perplexity (CCNet's buckets:
+    head = most-fluent third, the slice usually kept for training).
+
+    Pass explicit ``thresholds`` to pin a production cut (reproducible
+    forever, pushdown-able filter); otherwise they're estimated once via
+    approxQuantile — fine for exploration, but partition-layout-sensitive
+    at the margin, so production pipelines should record and replay the
+    two numbers."""
+    if thresholds is None:
+        lo, hi = scored.where(F.col(ppl_col).isNotNull()).approxQuantile(
+            ppl_col, [head_frac, 1.0 - tail_frac], 0.001
+        )
+    else:
+        lo, hi = thresholds
+    bucket = (
+        F.when(F.col(ppl_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col(ppl_col) <= lo, "head")
+        .when(F.col(ppl_col) > hi, "tail")
+        .otherwise("middle")
+    )
+    return scored.withColumn("ppl_bucket", bucket)

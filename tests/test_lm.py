@@ -1,0 +1,180 @@
+"""N-gram LM training + perplexity filtering (operators/lm.py, SURVEY §2.11).
+
+The oracle is an independent driver-side reimplementation with
+collections.Counter over the same corpus — the Spark path must reproduce
+its add-k smoothed average NLL exactly (same floats, not approximately:
+both sides sum doubles over identical tiny inputs)."""
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbbspark.operators.lm import (
+    NgramLM,
+    perplexity,
+    perplexity_buckets,
+    train_ngram_lm,
+)
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "the cat ate the fish",
+    "a dog ate a bone",
+]
+SCORE = [
+    (1, "the cat sat on the mat"),   # in-domain: low ppl
+    (2, "the dog ate the fish"),     # seen grams, new combination
+    (3, "zebra quantum flux gate"),  # wholly out-of-domain: high ppl
+    (4, "single"),                   # shorter than bigram width
+]
+
+
+def _py_expected(train, score, n, k, min_count=1):
+    """Independent Counter-based reference for add-k n-gram NLL."""
+    grams: Counter = Counter()
+    ctxs: Counter = Counter()
+    vocab = set()
+    for text in train:
+        toks = text.split(" ")
+        vocab.update(toks)
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            c = " ".join(toks[i : i + n - 1])
+            grams[g] += 1
+            ctxs[c] += 1
+    v = len(vocab)
+    kept = {g: c for g, c in grams.items() if c >= min_count}
+    out = {}
+    for doc, text in score:
+        toks = text.split(" ")
+        pairs = [
+            (" ".join(toks[i : i + n]), " ".join(toks[i : i + n - 1]))
+            for i in range(len(toks) - n + 1)
+        ]
+        if not pairs:
+            out[doc] = (0, None, None)
+            continue
+        nll = 0.0
+        for g, c in pairs:
+            p = (kept.get(g, 0) + k) / (ctxs.get(c, 0) + k * v)
+            nll -= math.log(p)
+        avg = nll / len(pairs)
+        out[doc] = (len(pairs), avg, math.exp(avg))
+    return v, out
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    train = spark.createDataFrame([(t,) for t in TRAIN], "text string")
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+    return train, score
+
+
+def _collect_scores(df):
+    return {
+        r["doc"]: (r["n_grams"], r["avg_nll"], r["perplexity"])
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_perplexity_matches_counter_oracle(spark, corpora, n):
+    train, score = corpora
+    lm = train_ngram_lm(train, n=n)
+    v, expected = _py_expected(TRAIN, SCORE, n=n, k=1.0)
+    assert lm.vocab_size == v
+    got = _collect_scores(perplexity(score, lm))
+    assert set(got) == set(expected)
+    for doc, (en, enll, eppl) in expected.items():
+        gn, gnll, gppl = got[doc]
+        assert gn == en
+        if enll is None:
+            assert gnll is None and gppl is None
+        else:
+            assert gnll == pytest.approx(enll, rel=1e-12)
+            assert gppl == pytest.approx(eppl, rel=1e-12)
+
+
+def test_out_of_domain_scores_worse_than_in_domain(spark, corpora):
+    train, score = corpora
+    lm = train_ngram_lm(train, n=2)
+    got = _collect_scores(perplexity(score, lm))
+    assert got[1][2] < got[2][2] < got[3][2]
+
+
+def test_min_count_floor_equals_unseen(spark, corpora):
+    """A floored gram must score exactly like a never-seen gram, and the
+    context table / V stay exact (the floor is size-only)."""
+    train, score = corpora
+    lm = train_ngram_lm(train, n=2, min_count=2)
+    _, expected = _py_expected(TRAIN, SCORE, n=2, k=1.0, min_count=2)
+    got = _collect_scores(perplexity(score, lm))
+    for doc, (en, enll, _) in expected.items():
+        if enll is not None:
+            assert got[doc][1] == pytest.approx(enll, rel=1e-12)
+    kept = lm.ngram_counts.count()
+    full = train_ngram_lm(train, n=2).ngram_counts.count()
+    assert kept < full  # the floor actually dropped hapax grams
+
+
+def test_broadcast_model_same_result(spark, corpora):
+    train, score = corpora
+    lm = train_ngram_lm(train, n=2)
+    plain = _collect_scores(perplexity(score, lm))
+    bcast = _collect_scores(perplexity(score, lm, broadcast_model=True))
+    assert plain == bcast
+
+
+def test_scores_partition_invariant(spark, corpora):
+    """Same floats regardless of layout — a production threshold survives
+    a cluster resize."""
+    train, score = corpora
+    lm = train_ngram_lm(train, n=2)
+    a = _collect_scores(perplexity(score, lm))
+    b = _collect_scores(perplexity(score.repartition(7), lm))
+    assert a == b
+
+
+def test_buckets_pinned_thresholds(spark, corpora):
+    train, score = corpora
+    lm = train_ngram_lm(train, n=2)
+    scored = perplexity(score, lm)
+    vals = sorted(
+        v[2] for v in _collect_scores(scored).values() if v[2] is not None
+    )
+    lo, hi = vals[0], vals[-2]
+    rows = perplexity_buckets(scored, thresholds=(lo, hi)).collect()
+    by_doc = {r["doc"]: r["ppl_bucket"] for r in rows}
+    assert by_doc[1] == "head"          # the most fluent doc
+    assert by_doc[3] == "tail"          # the out-of-domain doc
+    assert by_doc[4] is None            # too short to score ≠ bad
+
+
+def test_buckets_estimated_thresholds_cover_all_labels(spark, corpora):
+    train, score = corpora
+    lm = train_ngram_lm(train, n=2)
+    rows = perplexity_buckets(perplexity(score, lm)).collect()
+    labels = {r["ppl_bucket"] for r in rows}
+    assert "head" in labels and "tail" in labels and None in labels
+
+
+def test_rejects_bad_inputs(spark, corpora):
+    train, score = corpora
+    with pytest.raises(ValueError):
+        train_ngram_lm(train, n=0)
+    empty = NgramLM(
+        ngram_counts=train.limit(0).select(
+            F.lit(0).cast("long").alias("gram_h"), F.lit(0).cast("long").alias("c")
+        ),
+        context_counts=train.limit(0).select(
+            F.lit(0).cast("long").alias("ctx_h"), F.lit(0).cast("long").alias("c_ctx")
+        ),
+        vocab_size=0,
+        n=2,
+    )
+    with pytest.raises(ValueError):
+        perplexity(score, empty)
