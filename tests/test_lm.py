@@ -81,6 +81,19 @@ def _collect_scores(df):
     }
 
 
+def _assert_scores_close(a, b, rel=1e-9):
+    assert set(a) == set(b)
+    for doc in a:
+        an, anll, appl = a[doc]
+        bn, bnll, bppl = b[doc]
+        assert an == bn
+        if anll is None:
+            assert bnll is None and bppl is None
+        else:
+            assert bnll == pytest.approx(anll, rel=rel)
+            assert bppl == pytest.approx(appl, rel=rel)
+
+
 @pytest.mark.parametrize("n", [1, 2, 3])
 def test_perplexity_matches_counter_oracle(spark, corpora, n):
     train, score = corpora
@@ -122,11 +135,13 @@ def test_min_count_floor_equals_unseen(spark, corpora):
 
 
 def test_broadcast_model_same_result(spark, corpora):
+    # Different physical join strategies may feed F.avg in a different
+    # order, so compare to tight tolerance rather than bit-exact.
     train, score = corpora
     lm = train_ngram_lm(train, n=2)
     plain = _collect_scores(perplexity(score, lm))
     bcast = _collect_scores(perplexity(score, lm, broadcast_model=True))
-    assert plain == bcast
+    _assert_scores_close(plain, bcast)
 
 
 def test_scores_partition_invariant(spark, corpora):
@@ -136,7 +151,7 @@ def test_scores_partition_invariant(spark, corpora):
     lm = train_ngram_lm(train, n=2)
     a = _collect_scores(perplexity(score, lm))
     b = _collect_scores(perplexity(score.repartition(7), lm))
-    assert a == b
+    _assert_scores_close(a, b)
 
 
 def test_buckets_pinned_thresholds(spark, corpora):
