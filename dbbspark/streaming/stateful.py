@@ -42,18 +42,28 @@ EVENTS_SCHEMA = T.StructType(
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `events` fixture as a file stream (one availableNow batch in
-    tests; a live directory feed in production). Parquet TIMESTAMP(NANOS)
-    surfaces as long under nanosAsLong, so ts is restored explicitly."""
+    tests; a live directory feed in production). `ts` is normalized to
+    TimestampType whichever way the fixture stored it — TIMESTAMP(NANOS)
+    surfaces as long under nanosAsLong; naive micros surface as
+    TIMESTAMP_NTZ (see tables._timestamp_columns)."""
     from ..session import apply_runtime_confs
-    from ..tables import _nanos_columns
+    from ..tables import _timestamp_columns
 
     apply_runtime_confs(spark)
     schema = EVENTS_SCHEMA
-    nanos = "ts" in _nanos_columns(sf_dir, "events")
+    nanos_cols, naive_cols = _timestamp_columns(sf_dir, "events")
+    nanos = "ts" in nanos_cols
     if nanos:
         schema = T.StructType(
             [
                 f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in schema
+            ]
+        )
+    elif "ts" in naive_cols:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
                 for f in schema
             ]
         )
@@ -65,6 +75,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if nanos:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif "ts" in naive_cols:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -4,11 +4,16 @@ The driver materializes TPC-H-ish parquet tables plus `events`, `documents`,
 `embeddings` (TESTDATA.md / FIXTURES.md). This module is the single place
 that knows how to read them:
 
-- `events.ts` is parquet TIMESTAMP(NANOS); with
-  `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a long which we
-  convert back to TimestampType by truncating to microseconds — the same
-  truncation DuckDB applies when casting TIMESTAMP_NS to its microsecond
-  TIMESTAMP, so Spark and the oracle see identical values.
+- `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+  generations and naive TIMESTAMP(MICROS) (isAdjustedToUTC=false) in others.
+  Both are normalized here to plain TimestampType so every downstream
+  expression (`unix_micros`, windows, as-of joins) sees one type:
+  nanos surface as longs under `spark.sql.legacy.parquet.nanosAsLong=true`
+  and are truncated to microseconds (the same truncation DuckDB applies
+  casting TIMESTAMP_NS to its microsecond TIMESTAMP); naive micros surface
+  as TIMESTAMP_NTZ and are cast to TIMESTAMP, which under the session's
+  pinned UTC zone is value-preserving and matches DuckDB reading the same
+  column as its (naive) TIMESTAMP.
 
 At 100 TB these reads become partitioned-table scans; nothing here collects
 to the driver, and the nanos conversion is a single projected expression
@@ -38,17 +43,31 @@ TABLE_NAMES = (
 
 
 @lru_cache(maxsize=64)
-def _nanos_columns(sf_dir: str, name: str) -> tuple[str, ...]:
-    """Columns stored as parquet timestamp[ns] for this file (pyarrow probe)."""
+def _timestamp_columns(
+    sf_dir: str, name: str
+) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """(nanos_cols, naive_cols) for this file (pyarrow schema probe).
+
+    nanos_cols are stored as parquet timestamp[ns]; naive_cols are
+    sub-nanosecond timestamps with no timezone (isAdjustedToUTC=false),
+    which Spark 4 reads as TIMESTAMP_NTZ."""
     import pyarrow.parquet as pq
     import pyarrow as pa
 
     schema = pq.read_schema(f"{sf_dir}/{name}.parquet")
-    return tuple(
+    nanos = tuple(
         f.name
         for f in schema
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
     )
+    naive = tuple(
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type)
+        and f.type.unit != "ns"
+        and f.type.tz is None
+    )
+    return nanos, naive
 
 
 def load_jdbc_table(
@@ -108,10 +127,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if sf_dir.startswith("jdbc:"):
         return load_jdbc_table(spark, sf_dir, name)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _nanos_columns(sf_dir, name):
+    nanos, naive = _timestamp_columns(sf_dir, name)
+    for col in nanos:
         # nanos → micros truncation (matches DuckDB's ns→us cast); integer
         # `div`, NOT `/` — double division rounds the low microsecond bit.
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    for col in naive:
+        # TIMESTAMP_NTZ → TIMESTAMP: value-preserving under the session's
+        # pinned UTC zone, and what DuckDB sees for the same naive column.
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
