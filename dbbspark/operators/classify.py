@@ -1,0 +1,120 @@
+"""Trainable quality classifier — the fasttext-shaped linear model every
+published pretraining-data pipeline uses for model-based quality
+filtering (training-pipeline closure, SURVEY.md §2.11; the heuristic
+quality signals live in queries/text.py, the LM-perplexity filter in
+operators/lm.py — this is the third, supervised leg).
+
+The published recipe (GPT-3/LLaMA-style "quality classifier"): label a
+small positive set (reference corpus) against random crawl negatives,
+train a linear classifier over hashed bag-of-words+bigram features, keep
+documents whose positive probability clears a threshold (optionally with
+probabilistic pareto-sampling near the boundary). A linear model over
+hashed n-grams is exactly fasttext's architecture, re-expressed here on
+Spark ML primitives so both training and scoring are distributed:
+
+- featurization: tokenize (JVM regex) → unigrams + bigrams → HashingTF
+  into a fixed 2^18-dim sparse vector. Hashing means NO vocabulary
+  state: the "model" is one dense coefficient vector, broadcastable to
+  any cluster size, and featurization is identical at train and score
+  time by construction.
+- training: `pyspark.ml` LogisticRegression (distributed L-BFGS). The
+  labeled set is typically small (10⁴-10⁶ docs) — training cost is
+  irrelevant next to scoring cost.
+- scoring: the fitted PipelineModel is a map-only transform (Tungsten
+  vector ops, no shuffle, no Python); at 100 TB it fuses into the scan
+  like any other projection.
+
+`quality_filter` applies the GPT-3 retention rule: keep when
+score > threshold OR when a per-document deterministic lottery
+(xxhash64-seeded, so re-runs keep the same documents) beats
+exp(-alpha * (threshold - score)) — soft boundary sampling that keeps
+some near-miss documents instead of a hard cliff."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_TOKEN_PATTERN = r"[^\p{L}\p{N}]+"  # split on non-alphanumeric runs
+
+
+def _featurize_stages(text_col: str, num_features: int):
+    from pyspark.ml.feature import HashingTF, NGram, RegexTokenizer, SQLTransformer
+
+    return [
+        RegexTokenizer(
+            inputCol=text_col,
+            outputCol="__toks",
+            pattern=_TOKEN_PATTERN,
+            toLowercase=True,
+        ),
+        NGram(n=2, inputCol="__toks", outputCol="__bigrams"),
+        SQLTransformer(
+            statement="SELECT *, concat(__toks, __bigrams) AS __grams FROM __THIS__"
+        ),
+        HashingTF(
+            inputCol="__grams", outputCol="__features", numFeatures=num_features
+        ),
+    ]
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 18,
+    reg_param: float = 1e-4,
+    max_iter: int = 50,
+):
+    """Fit the hashed-ngram logistic model. ``labeled`` carries
+    (text_col, label_col∈{0.0, 1.0}); label 1 = the quality-positive
+    class. Returns a PipelineModel whose transform is map-only."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        regParam=reg_param,
+        maxIter=max_iter,
+    )
+    pipe = Pipeline(stages=_featurize_stages(text_col, num_features) + [lr])
+    return pipe.fit(labeled)
+
+
+def score_quality(
+    docs: DataFrame, model, text_col: str = "text", score_col: str = "quality_score"
+) -> DataFrame:
+    """docs + score_col = P(label=1 | text) from the fitted model; all
+    intermediate feature columns dropped. Map-only — no shuffle."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(docs)
+    return scored.withColumn(
+        score_col, vector_to_array(F.col("probability")).getItem(1)
+    ).drop("__toks", "__bigrams", "__grams", "__features",
+           "rawPrediction", "probability", "prediction")
+
+
+def quality_filter(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+    threshold: float = 0.5,
+    alpha: float | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep rows clearing the threshold; with ``alpha``, additionally keep
+    near-misses with probability exp(-alpha * (threshold - score)) — the
+    GPT-3 pareto-style soft boundary. The lottery is xxhash64(id, seed)
+    mapped to [0,1): deterministic per document, so a re-run (or a
+    backfill on another cluster) keeps exactly the same set."""
+    keep = F.col(score_col) > F.lit(threshold)
+    if alpha is not None:
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000_007))
+            / F.lit(1_000_000_007.0)
+        )
+        keep = keep | (
+            u < F.exp(-F.lit(alpha) * (F.lit(threshold) - F.col(score_col)))
+        )
+    return scored.where(keep)
