@@ -2,8 +2,9 @@
 operator chain a 100 TB pipeline runs, composed from dbbspark parts
 (each stage is lazy; Catalyst sees the whole chain):
 
-    exact dedup → duplicate-span removal → near-dedup (Jaccard + CC,
-    keep component representative) → quality gate → leakage-safe split
+    normalize → exact dedup → near-dedup (Jaccard + CC, keep component
+    representative) → duplicate-span removal → cross-doc line dedup →
+    quality gate (heuristic + trained classifier) → leakage-safe split
     → sequence packing
 
 Run: python examples/curation_pipeline.py [sf_dir]
@@ -24,11 +25,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F
 
+from dbbspark.operators.classify import (
+    quality_filter,
+    score_quality,
+    train_quality_classifier,
+)
 from dbbspark.operators.dedup import (
     connected_components,
     jaccard_pairs,
     sha_dedup_keep_first,
 )
+from dbbspark.operators.lines import dedup_lines
+from dbbspark.operators.normalize import normalize_docs
 from dbbspark.operators.packing import pack_sequences
 from dbbspark.operators.scrub import leakage_safe_split
 from dbbspark.operators.spans import remove_duplicate_spans
@@ -45,6 +53,10 @@ def run(spark, sf_dir: str) -> dict[str, int]:
         return df
 
     docs = stage("input", load_table(spark, sf_dir, "documents"))
+
+    # 0. normalization — map-only cleanup BEFORE any hashing, so the
+    # clean and mojibake'd copies of the same page dedup together
+    docs = normalize_docs(docs)
 
     # 1. exact dedup — byte-identical copies collapse to the lowest id
     docs = stage("exact_dedup", sha_dedup_keep_first(docs, "text", "doc_id"))
@@ -73,6 +85,15 @@ def run(spark, sf_dir: str) -> dict[str, int]:
         ).join(docs.drop("text"), "doc_id"),
     )
 
+    # 3b. cross-doc line dedup — CCNet-style boilerplate removal for
+    # lines repeated across the whole corpus (min_df high enough that
+    # legitimate short sentences survive at this corpus size)
+    docs = stage(
+        "line_dedup",
+        dedup_lines(docs.select("doc_id", "text"), "doc_id", "text", min_df=5)
+        .join(docs.drop("text"), "doc_id"),
+    )
+
     # 4. quality gate — cheap expression-level signals (the full signal
     # set is q_doc_metrics)
     toks = F.split(F.col("text"), " ")
@@ -82,6 +103,33 @@ def run(spark, sf_dir: str) -> dict[str, int]:
             (F.col("n_tokens") >= 5)
             & ((F.col("n_chars") / F.col("n_tokens")).between(2, 15))
         ),
+    )
+
+    # 4b. model-based quality gate — a linear classifier trained on a
+    # bootstrap label set (here: long in-corpus docs as positives vs
+    # token-shuffled copies as negatives — a stand-in for the usual
+    # reference-corpus-vs-crawl labeling), scored map-only, soft
+    # boundary retention
+    # bootstrap label set is deterministic (TakeOrdered + array_sort,
+    # no RNG) so re-runs train the identical model
+    pos = (
+        docs.where(F.col("n_tokens") >= 20)
+        .orderBy("doc_id")
+        .limit(200)
+        .select("text")
+    )
+    neg = pos.select(
+        F.concat_ws(" ", F.array_sort(F.split(F.col("text"), " "))).alias("text")
+    )
+    labeled = pos.withColumn("label", F.lit(1.0)).unionByName(
+        neg.withColumn("label", F.lit(0.0))
+    )
+    model = train_quality_classifier(labeled, num_features=1 << 14)
+    docs = stage(
+        "model_quality",
+        quality_filter(
+            score_quality(docs, model), threshold=0.2, alpha=25.0
+        ).drop("quality_score"),
     )
 
     # 5. leakage-safe split — the val coin flips per SOURCE, so near-dup

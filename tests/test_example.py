@@ -14,8 +14,16 @@ def test_curation_pipeline_runs_and_shrinks(spark, sf_dir):
     from curation_pipeline import run
 
     out = run(spark, sf_dir)
-    order = ["input", "exact_dedup", "near_dedup", "span_removal", "quality"]
+    order = [
+        "input",
+        "exact_dedup",
+        "near_dedup",
+        "span_removal",
+        "line_dedup",
+        "quality",
+        "model_quality",
+    ]
     counts = [out[k] for k in order]
     assert counts == sorted(counts, reverse=True)
-    assert out["train_side"] + out["val_side"] == out["quality"]
+    assert out["train_side"] + out["val_side"] == out["model_quality"]
     assert out["packed_docs"] == out["train_side"]
