@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from dbbspark.session import get_spark
 from dbbspark.tables import load_table
 from dbbspark.operators import dedup as D
+from dbbspark.operators.lines import dedup_lines
+from dbbspark.operators.normalize import normalize_docs
 from dbbspark.operators.packing import pack_sequences
 from dbbspark.operators.spans import duplicate_ngram_spans
 
@@ -70,6 +72,11 @@ def main() -> None:
         "lsh_direct": lambda: D.lsh_candidate_pairs_direct(big, "doc_id", "text"),
         "jaccard_pairs": lambda: D.jaccard_pairs(big, "doc_id", "text", max_df=1000),
         "dup_ngram_spans": lambda: duplicate_ngram_spans(big, "doc_id", "text", n=10),
+        # every replica shares its lines with copies-1 others, so ~all
+        # lines are corpus-duplicated: worst case for the count window
+        # AND the reassembly groupBy
+        "dedup_lines": lambda: dedup_lines(big, "doc_id", "text", min_df=2),
+        "normalize_docs": lambda: normalize_docs(big),
         "pack_sequences": lambda: pack_sequences(
             big.select(
                 "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
