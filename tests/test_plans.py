@@ -236,3 +236,23 @@ def test_lsh_direct_two_exchanges(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_line_dedup_df_filter_is_window_not_join(spark, sf_dir):
+    """Line dedup's corpus-df filter must be a count window over the
+    mention stream, like the span detector's — a df join-back would
+    build a distinct-line-sized relation no cluster can broadcast.
+    The only join allowed is the final id-spine restore."""
+    from dbbspark.operators.lines import dedup_lines
+    from dbbspark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        dedup_lines(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    assert plan.count("Join") <= 1  # id-spine restore only
+    assert "Python" not in plan
