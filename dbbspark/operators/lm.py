@@ -193,3 +193,80 @@ def perplexity_buckets(
         .otherwise("middle")
     )
     return scored.withColumn("ppl_bucket", bucket)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    lm_target: NgramLM,
+    lm_source: NgramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """(doc, n_grams, log_ratio) — DSIR importance weights ("Data
+    Selection for Language Models via Importance Resampling", Xie et al.
+    2023): log w(x) = log p_target(x) - log p_source(x), both estimated
+    by hashed n-gram models. Documents that look more like the target
+    distribution (e.g. curated reference text) than the raw source
+    distribution get log_ratio > 0.
+
+    Built as two `perplexity` passes over the SAME exploded gram stream
+    shape (Catalyst dedups the scan); avg_nll * n_grams = total NLL, so
+    log_ratio = n * (nll_source - nll_target). Models must share the
+    gram order so the per-doc gram counts line up; docs too short to
+    score get a null log_ratio (report-don't-drop)."""
+    if lm_target.n != lm_source.n:
+        raise ValueError("target and source models must share the gram order")
+    t = perplexity(
+        docs, lm_target, id_col, text_col, k, broadcast_model
+    ).select("doc", "n_grams", F.col("avg_nll").alias("__nll_t"))
+    s = perplexity(
+        docs, lm_source, id_col, text_col, k, broadcast_model
+    ).select("doc", F.col("avg_nll").alias("__nll_s"))
+    return (
+        t.join(s, "doc")
+        .select(
+            "doc",
+            "n_grams",
+            (F.col("n_grams") * (F.col("__nll_s") - F.col("__nll_t"))).alias(
+                "log_ratio"
+            ),
+        )
+    )
+
+
+def dsir_sample(
+    weighted: DataFrame,
+    fraction: float,
+    id_col: str = "doc",
+    ratio_col: str = "log_ratio",
+    temperature: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic importance sampling of ~``fraction`` of the rows,
+    biased toward high ``ratio_col``: per-row Gumbel-top-k without a
+    global sort. Each row draws u ~ U(0,1) from xxhash64(id, seed) —
+    deterministic, partition-invariant — and computes the Gumbel key
+    log_ratio/temperature - log(-log u); rows whose key clears the
+    (1-fraction) approxQuantile of the key distribution are kept. The
+    quantile is one aggregate (driver scalar), the filter is a map —
+    no global sort, no driver data.
+
+    Null ratios (too-short docs) are dropped: they carry no evidence
+    either way, and DSIR's use case is choosing a high-value subset."""
+    if not 0.0 < fraction < 1.0:
+        raise ValueError("fraction must be in (0, 1)")
+    u = (
+        (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000_007))
+            + F.lit(0.5)
+        )
+        / F.lit(1_000_000_007.0)
+    )
+    key = F.col(ratio_col) / F.lit(temperature) - F.log(-F.log(u))
+    keyed = weighted.where(F.col(ratio_col).isNotNull()).withColumn(
+        "__gumbel", key
+    )
+    (cut,) = keyed.approxQuantile("__gumbel", [1.0 - fraction], 0.001)
+    return keyed.where(F.col("__gumbel") >= cut).drop("__gumbel")

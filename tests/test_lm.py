@@ -193,3 +193,88 @@ def test_rejects_bad_inputs(spark, corpora):
     )
     with pytest.raises(ValueError):
         perplexity(score, empty)
+
+
+TARGET_TRAIN = [
+    "the committee published the annual report",
+    "the annual report described regional planning",
+    "regional planning requires careful review",
+]
+SOURCE_TRAIN = [
+    "click here buy now best price",
+    "free bonus click here subscribe now",
+    "best price free shipping buy now",
+]
+
+
+def test_dsir_weights_separate_domains(spark):
+    from dbbspark.operators.lm import dsir_weights
+
+    t_df = spark.createDataFrame([(t,) for t in TARGET_TRAIN], "text string")
+    s_df = spark.createDataFrame([(t,) for t in SOURCE_TRAIN], "text string")
+    lm_t = train_ngram_lm(t_df, n=2)
+    lm_s = train_ngram_lm(s_df, n=2)
+    docs = spark.createDataFrame(
+        [
+            (1, "the committee reviewed the annual report"),
+            (2, "click here free bonus best price now"),
+            (3, "x"),  # too short for bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc"]: r["log_ratio"]
+        for r in dsir_weights(docs, lm_t, lm_s).collect()
+    }
+    assert got[1] > 0 > got[2]  # target-like up, source-like down
+    assert got[3] is None  # unscorable, reported not dropped
+
+
+def test_dsir_weights_match_perplexity_identity(spark):
+    # log_ratio must equal n_grams * (nll_source - nll_target) exactly
+    from dbbspark.operators.lm import dsir_weights
+
+    t_df = spark.createDataFrame([(t,) for t in TARGET_TRAIN], "text string")
+    s_df = spark.createDataFrame([(t,) for t in SOURCE_TRAIN], "text string")
+    lm_t, lm_s = train_ngram_lm(t_df, n=2), train_ngram_lm(s_df, n=2)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TARGET_TRAIN + SOURCE_TRAIN)],
+        "doc_id long, text string",
+    )
+    w = {r["doc"]: r for r in dsir_weights(docs, lm_t, lm_s).collect()}
+    pt = _collect_scores(perplexity(docs, lm_t))
+    ps = _collect_scores(perplexity(docs, lm_s))
+    for doc, row in w.items():
+        expected = row["n_grams"] * (ps[doc][1] - pt[doc][1])
+        assert row["log_ratio"] == pytest.approx(expected, rel=1e-12)
+
+
+def test_dsir_rejects_mismatched_order(spark):
+    from dbbspark.operators.lm import dsir_weights
+
+    t_df = spark.createDataFrame([(t,) for t in TARGET_TRAIN], "text string")
+    with pytest.raises(ValueError):
+        dsir_weights(
+            t_df.withColumn("doc_id", F.lit(1)),
+            train_ngram_lm(t_df, n=2),
+            train_ngram_lm(t_df, n=3),
+        )
+
+
+def test_dsir_sample_deterministic_and_biased(spark):
+    from dbbspark.operators.lm import dsir_sample
+
+    rows = [(i, float(i) / 10.0) for i in range(200)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc long, log_ratio double")
+    a = {r["doc"] for r in dsir_sample(df, 0.25, seed=3).collect()}
+    b = {r["doc"] for r in dsir_sample(df, 0.25, seed=3).collect()}
+    assert a == b  # deterministic
+    assert 999 not in a  # null ratio dropped
+    assert 25 <= len(a) <= 75  # ~25% of 200, quantile tolerance
+    # biased: kept set's mean ratio beats the population mean
+    kept_mean = sum(i / 10.0 for i in a) / len(a)
+    assert kept_mean > sum(i / 10.0 for i in range(200)) / 200
+    # colder temperature concentrates harder on high ratios
+    cold = {r["doc"] for r in dsir_sample(df, 0.25, temperature=0.1, seed=3).collect()}
+    cold_mean = sum(i / 10.0 for i in cold) / len(cold)
+    assert cold_mean >= kept_mean
