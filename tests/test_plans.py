@@ -256,3 +256,25 @@ def test_line_dedup_df_filter_is_window_not_join(spark, sf_dir):
     assert "Window" in plan
     assert plan.count("Join") <= 1  # id-spine restore only
     assert "Python" not in plan
+
+
+def test_events_ts_pushdown_survives_ntz_normalization(spark, sf_dir):
+    """load_table casts naive-micros TIMESTAMP_NTZ columns to TIMESTAMP;
+    Catalyst must still unwrap that cast so ts range predicates reach the
+    parquet scan (they do under the pinned UTC session — this guards the
+    loader against a normalization that breaks pushdown)."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = (
+        ev.where(F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+        .select("event_id", "ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(ts" in pushed, pushed
