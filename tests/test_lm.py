@@ -169,12 +169,15 @@ def test_buckets_pinned_thresholds(spark, corpora):
     assert by_doc[4] is None            # too short to score ≠ bad
 
 
-def test_buckets_estimated_thresholds_cover_all_labels(spark, corpora):
-    train, score = corpora
-    lm = train_ngram_lm(train, n=2)
-    rows = perplexity_buckets(perplexity(score, lm)).collect()
-    labels = {r["ppl_bucket"] for r in rows}
+def test_buckets_estimated_thresholds_cover_all_labels(spark):
+    # A spread distribution (not the 3-value LM output, where the
+    # estimated 2/3-quantile can equal the max and leave no tail).
+    rows = [(i, float(i)) for i in range(1, 10)] + [(99, None)]
+    scored = spark.createDataFrame(rows, "doc long, perplexity double")
+    got = {r["doc"]: r["ppl_bucket"] for r in perplexity_buckets(scored).collect()}
+    labels = set(got.values())
     assert "head" in labels and "tail" in labels and None in labels
+    assert got[1] == "head" and got[9] == "tail" and got[99] is None
 
 
 def test_rejects_bad_inputs(spark, corpora):
