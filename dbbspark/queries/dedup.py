@@ -213,3 +213,45 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = D.connected_components(pairs, src="doc_a", dst="doc_b")
     return cc.select(F.col("node").alias("doc"), "component")
+
+
+@query(
+    "q_line_dedup",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),
+    mentions AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(arr) + 1),
+               i -> struct_pack(line_no := i - 1, line := arr[i]))) AS m
+      FROM arrs),
+    flat AS (
+      SELECT doc_id, m.line_no AS line_no, m.line AS line,
+             trim(regexp_replace(regexp_replace(lower(m.line),
+                    '\\d+', '', 'g'), '\\s+', ' ', 'g')) AS norm
+      FROM mentions),
+    tagged AS (
+      SELECT doc_id, line_no, line, norm,
+             COUNT(*) OVER (PARTITION BY norm) AS df
+      FROM flat),
+    kept AS (
+      SELECT doc_id, line_no, line FROM tagged
+      WHERE norm = '' OR df < 2),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(a.text, '') AS text
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+    doc="C26: CCNet-style cross-document LINE dedup — every line whose "
+    "normalized form (lowercase, digits stripped, whitespace collapsed) "
+    "repeats corpus-wide is boilerplate and removed; blank lines exempt; "
+    "documents reassemble in original line order and never silently drop "
+    "(operators/lines.py; Wenzek et al. 2020).",
+    tags=("dedup", "closure"),
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lines import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_lines(docs.select("doc_id", "text"), "doc_id", "text", min_df=2)

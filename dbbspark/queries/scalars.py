@@ -40,18 +40,27 @@ from ..tables import load_table
            list_contains(string_split(text, ' '), 'data') AS has_data,
            array_to_string(string_split(text, ' ')[1:5], '-') AS head5,
            (regexp_matches(text, 'hash\\s+(scan|join)')
-            OR text LIKE '%window window%') AS rx_match
+            OR text LIKE '%window window%') AS rx_match,
+           concat_ws('/', source, lang, CAST(doc_id AS VARCHAR)) AS rel_path,
+           printf('%s has %d chars', lang, n_chars) AS msg,
+           source || '/' || lang || '/doc_' || doc_id || '.parquet' AS archive_path
     FROM documents
     """,
-    doc="F1+F2+F3+F13+P5 (merged): regexp_extract — expnum from DECam "
-    "filename (bin/monitor_DBB_stagein.py:844) and notify-file key=value "
-    "parse (bin/save_DBB_stagein_to_DBB.py:49-56); regexp_replace — strip "
+    doc="F1+F2+F3+F4+F6/U4+F13+P5 (merged): regexp_extract — expnum from "
+    "DECam filename (bin/monitor_DBB_stagein.py:844) and notify-file "
+    "key=value parse (bin/save_DBB_stagein_to_DBB.py:49-56); "
+    "regexp_replace — strip "
     "'.dbb' notify suffix (bin/save_DBB_stagein_to_DBB.py:318) and "
     "'[ :-]' seqid cleanup (bin/monitor_DBB_stagein.py:770); substring "
     "truncation (bin/monitor_DBB_stagein.py:374-379,257-260); array "
     "membership/size/join over token lists "
     "(bin/monitor_DBB_stagein.py:916,81); rlike predicate as a boolean "
-    "column (bin/monitor_DBB_stagein.py:766,844,239,272).",
+    "column (bin/monitor_DBB_stagein.py:766,844,239,272); path building "
+    "'%s/%s' (bin/save_DBB_stagein_to_DBB.py:78-79), formatted messages "
+    "(bin/save_DBB_stagein_to_DBB.py:255-259), and the ${var} directory-"
+    "pattern template compiled to a concat expression at plan time "
+    "(replace_vars_single, bin/save_DBB_stagein_to_DBB.py:180-184; "
+    "OPS_DIRECTORY_PATTERN bin/save_DBB_stagein_to_DBB.py:342-343).",
 )
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -80,6 +89,15 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text").rlike(r"hash\s+(scan|join)")
             | F.col("text").contains("window window")
         ).alias("rx_match"),
+        F.concat_ws("/", "source", "lang", F.col("doc_id").cast("string")).alias(
+            "rel_path"
+        ),
+        F.format_string("%s has %d chars", F.col("lang"), F.col("n_chars")).alias(
+            "msg"
+        ),
+        compile_template("${source}/${lang}/doc_${doc_id}.parquet").alias(
+            "archive_path"
+        ),
     )
 
 
@@ -122,33 +140,6 @@ def q_row_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
         F.coalesce(et_null, F.lit("(failed)")).alias("et_filled"),
         et_null.isNull().alias("was_error"),
-    )
-
-
-@query(
-    "q_path_build",
-    oracle="""
-    SELECT doc_id,
-           concat_ws('/', source, lang, CAST(doc_id AS VARCHAR)) AS rel_path,
-           printf('%s has %d chars', lang, n_chars) AS msg,
-           source || '/' || lang || '/doc_' || doc_id || '.parquet' AS archive_path
-    FROM documents
-    """,
-    doc="F4+F6/U4 (merged): path building '%s/%s' "
-    "(bin/save_DBB_stagein_to_DBB.py:78-79), formatted messages "
-    "(bin/save_DBB_stagein_to_DBB.py:255-259), and the ${var} directory-"
-    "pattern template compiled to a concat expression at plan time "
-    "(replace_vars_single, bin/save_DBB_stagein_to_DBB.py:180-184; "
-    "OPS_DIRECTORY_PATTERN bin/save_DBB_stagein_to_DBB.py:342-343).",
-)
-def q_path_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tmpl = compile_template("${source}/${lang}/doc_${doc_id}.parquet")
-    return docs.select(
-        "doc_id",
-        F.concat_ws("/", "source", "lang", F.col("doc_id").cast("string")).alias("rel_path"),
-        F.format_string("%s has %d chars", F.col("lang"), F.col("n_chars")).alias("msg"),
-        tmpl.alias("archive_path"),
     )
 
 
