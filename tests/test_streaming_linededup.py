@@ -1,0 +1,120 @@
+"""Streaming line-dedup gate (streaming/linededup.py): boilerplate
+lines must be removed once their CUMULATIVE df (index + batch) reaches
+min_df — within one batch and across micro-batches via the persisted
+frequency index."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbbspark.streaming.linededup import (
+    gate_batch,
+    index_df,
+    streaming_line_dedup,
+)
+
+BOILER = "subscribe to our newsletter"
+BODY1 = "first article body text"
+BODY2 = "second article body text"
+BODY3 = "third article body text"
+BODY4 = "fourth article body text"
+
+
+def _stream(spark, src):
+    return spark.readStream.schema("doc_id long, text string").parquet(str(src))
+
+
+def _drop(spark, src, rows, name):
+    import glob
+    import os
+    import shutil
+
+    stage = f"{src}_{name}_stage"
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(stage)
+    os.makedirs(src, exist_ok=True)
+    shutil.move(
+        glob.glob(f"{stage}/part-*.parquet")[0],
+        os.path.join(str(src), f"{name}.parquet"),
+    )
+    shutil.rmtree(stage)
+
+
+def _run(spark, src, tmp, min_df=2):
+    q = streaming_line_dedup(
+        _stream(spark, src),
+        str(tmp / "idx"),
+        str(tmp / "out"),
+        str(tmp / "ck"),
+        min_df=min_df,
+    )
+    q.awaitTermination()
+
+
+def _texts(spark, tmp):
+    return {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp / "out")).collect()
+    }
+
+
+def test_gate_within_and_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 1: the boiler line appears twice → caught IN-batch for both
+    _drop(
+        spark,
+        src,
+        [(1, f"{BOILER}\n{BODY1}"), (2, f"{BOILER}\n{BODY2}"), (3, BODY3)],
+        "b1",
+    )
+    _run(spark, src, tmp_path)
+    got = _texts(spark, tmp_path)
+    assert got[1] == BODY1 and got[2] == BODY2  # cumulative rule: both cut
+    assert got[3] == BODY3
+
+    # batch 2: one more occurrence — index df already 2, so cut; body kept
+    _drop(spark, src, [(4, f"{BOILER}\n{BODY4}")], "b2")
+    _run(spark, src, tmp_path)
+    got = _texts(spark, tmp_path)
+    assert got[4] == BODY4
+    # index remembers all three mentions of the boiler line
+    idx = {r["h"]: r["df"] for r in index_df(spark, str(tmp_path / "idx")).collect()}
+    assert 3 in set(idx.values())
+
+
+def test_first_occurrence_passes_then_stream_tightens(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # a single occurrence is NOT boilerplate yet → passes through
+    _drop(spark, src, [(1, f"{BOILER}\n{BODY1}")], "b1")
+    _run(spark, src, tmp_path)
+    assert _texts(spark, tmp_path)[1] == f"{BOILER}\n{BODY1}"
+
+    # second occurrence crosses min_df → cut from the NEW doc only
+    # (doc 1 already emitted — the documented prefix-knowledge gap)
+    _drop(spark, src, [(2, f"{BOILER}\n{BODY2}")], "b2")
+    _run(spark, src, tmp_path)
+    got = _texts(spark, tmp_path)
+    assert got[2] == BODY2
+    assert got[1] == f"{BOILER}\n{BODY1}"
+
+
+def test_batch_caller_equals_streaming(spark, tmp_path):
+    # direct gate_batch over one batch == what the stream emitted
+    batch = spark.createDataFrame(
+        [(1, f"{BOILER}\n{BODY1}"), (2, f"{BOILER}\n{BODY2}"), (3, BODY3)],
+        "doc_id long, text string",
+    )
+    empty = index_df(spark, str(tmp_path / "nonexistent-idx"))
+    deduped, updated = gate_batch(batch, empty)
+    got = {r["doc_id"]: r["text"] for r in deduped.collect()}
+    assert got == {1: BODY1, 2: BODY2, 3: BODY3}
+    # updated index: every distinct normalized line with its batch count
+    counts = {r["df"] for r in updated.collect()}
+    assert 2 in counts  # the boiler line
+    assert updated.where(F.col("h").isNull()).count() == 0
+
+
+def test_min_df_validation(spark, tmp_path):
+    batch = spark.createDataFrame([(1, BODY1)], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        gate_batch(batch, index_df(spark, str(tmp_path / "x")), min_df=1)
