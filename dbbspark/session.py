@@ -49,8 +49,45 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute the dbbspark package to Python workers via addPyFile.
+
+    Arrow-batched operators (mapInPandas/applyInPandas closures) pickle
+    module-level functions BY REFERENCE, so the worker process must be
+    able to `import dbbspark` — true when the driver happens to run from
+    the repo root, false for any external driver process (the verify
+    harness, a spark-submit from elsewhere). Shipping the package as a
+    zip is the production deployment step (--py-files) done lazily; in
+    local mode it lands on the worker sys.path via SparkFiles. Guarded
+    per-SparkContext (a second addPyFile of the same name would throw).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_dbbspark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "dbbspark")
+    fd, path = tempfile.mkstemp(suffix=".zip", prefix="dbbspark_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(path, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(path)
+    sc._dbbspark_shipped = True
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply deterministic/scale confs to an externally-created session."""
+    try:
+        _ship_package(spark)
+    except Exception:
+        # Shipping is best-effort: in-repo drivers work without it.
+        pass
     confs = dict(RUNTIME_CONFS)
     try:
         # Small fixture files arrive as ONE split (< maxPartitionBytes), so
