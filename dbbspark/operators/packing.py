@@ -130,3 +130,31 @@ def token_balanced_shards(
     budget = math.ceil(total / n_shards)
     packed = pack_sequences(docs, id_col, token_col, budget, num_buckets)
     return packed.select(id_col, token_col, F.col("seq_first").alias("shard"))
+
+
+def global_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The corpus in a deterministic pseudo-random GLOBAL order — the
+    final shuffle every training pipeline runs so batches don't replay
+    crawl/source locality. Order key = xxhash64(id, seed): stable across
+    runs, cluster sizes, and input layouts (unlike rand(), whose draw
+    depends on partition assignment), so a resumed or re-run job
+    reproduces byte-identical shards.
+
+    repartitionByRange + sortWithinPartitions = one range-shuffle and a
+    per-partition sort — never a single-reducer global sort; downstream
+    writers consume partitions in order (partition i's keys all precede
+    partition i+1's), which is exactly the semantics sharded training
+    readers need. Change ``seed`` per epoch for fresh orders."""
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    out = docs.withColumn("__shuffle_key", key)
+    n = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        out.repartitionByRange(n, "__shuffle_key")
+        .sortWithinPartitions("__shuffle_key")
+        .drop("__shuffle_key")
+    )

@@ -91,3 +91,26 @@ def test_temperature_proportions_flattens():
     # feeds straight into mixture_rates without oversampling any source
     rates = mixture_rates(sizes, cool)
     assert max(rates.values()) <= 1.0 + 1e-9
+
+
+def test_global_shuffle_deterministic_and_layout_invariant(spark):
+    from dbbspark.operators.packing import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = [r["doc_id"] for r in global_shuffle(df, seed=1).collect()]
+    b = [r["doc_id"] for r in global_shuffle(df.repartition(13), seed=1).collect()]
+    assert a == b  # same global order regardless of input layout
+    assert sorted(a) == list(range(500))  # a permutation, nothing lost
+    assert a != list(range(500))  # actually shuffled
+    c = [r["doc_id"] for r in global_shuffle(df, seed=2).collect()]
+    assert c != a  # new epoch seed, new order
+
+
+def test_global_shuffle_no_single_reducer(spark):
+    from dbbspark.operators.packing import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = global_shuffle(df, num_partitions=7)
+    assert out.rdd.getNumPartitions() == 7  # range-partitioned, not 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
