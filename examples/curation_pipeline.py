@@ -4,8 +4,8 @@ operator chain a 100 TB pipeline runs, composed from dbbspark parts
 
     normalize → exact dedup → near-dedup (Jaccard + CC, keep component
     representative) → duplicate-span removal → cross-doc line dedup →
-    quality gate (heuristic + trained classifier) → leakage-safe split
-    → sequence packing
+    quality gate (heuristic + trained classifier) → DSIR importance
+    selection → leakage-safe split → sequence packing
 
 Run: python examples/curation_pipeline.py [sf_dir]
 Prints one JSON line per stage: {"stage": ..., "docs": ...}.
@@ -36,6 +36,7 @@ from dbbspark.operators.dedup import (
     sha_dedup_keep_first,
 )
 from dbbspark.operators.lines import dedup_lines
+from dbbspark.operators.lm import dsir_sample, dsir_weights, train_ngram_lm
 from dbbspark.operators.normalize import normalize_docs
 from dbbspark.operators.packing import pack_sequences
 from dbbspark.operators.scrub import leakage_safe_split
@@ -130,6 +131,20 @@ def run(spark, sf_dir: str) -> dict[str, int]:
         quality_filter(
             score_quality(docs, model), threshold=0.2, alpha=25.0
         ).drop("quality_score"),
+    )
+
+    # 4c. DSIR importance selection — keep the docs that look most like
+    # a target domain (here: one source's docs as the target sample vs
+    # the whole corpus as the source distribution). Weights are n-gram
+    # LM log-likelihood ratios; sampling is deterministic Gumbel-top-k.
+    first_source = docs.select("source").orderBy("source").first()["source"]
+    lm_target = train_ngram_lm(docs.where(F.col("source") == first_source), n=2)
+    lm_source = train_ngram_lm(docs, n=2)
+    weighted = dsir_weights(docs, lm_target, lm_source)
+    chosen = dsir_sample(weighted, fraction=0.8, temperature=2.0)
+    docs = stage(
+        "dsir_select",
+        docs.join(chosen.select(F.col("doc").alias("doc_id")), "doc_id", "left_semi"),
     )
 
     # 5. leakage-safe split — the val coin flips per SOURCE, so near-dup

@@ -22,8 +22,9 @@ def test_curation_pipeline_runs_and_shrinks(spark, sf_dir):
         "line_dedup",
         "quality",
         "model_quality",
+        "dsir_select",
     ]
     counts = [out[k] for k in order]
     assert counts == sorted(counts, reverse=True)
-    assert out["train_side"] + out["val_side"] == out["model_quality"]
+    assert out["train_side"] + out["val_side"] == out["dsir_select"]
     assert out["packed_docs"] == out["train_side"]
