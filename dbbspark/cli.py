@@ -109,6 +109,48 @@ def cmd_create_task(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Training-data curation chain over a documents table: normalize →
+    exact dedup → near-dedup (LSH + connected components) → line dedup →
+    heuristic quality gate → deterministic global shuffle → parquet out.
+    The fuller menu (classifier, DSIR, packing, splits) is composed in
+    examples/curation_pipeline.py; this subcommand is the operational
+    core a cron job runs."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs_direct,
+        sha_dedup_keep_first,
+    )
+    from .operators.lines import dedup_lines
+    from .operators.normalize import normalize_docs
+    from .operators.packing import global_shuffle
+    from .tables import load_table
+
+    spark = _session("dbbspark-curate")
+    docs = normalize_docs(load_table(spark, args.sf_dir, "documents"))
+    docs = sha_dedup_keep_first(docs, "text", "doc_id")
+    pairs = lsh_candidate_pairs_direct(docs, "doc_id", "text")
+    dropped = (
+        connected_components(pairs, "doc_a", "doc_b")
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    docs = docs.join(dropped, "doc_id", "left_anti")
+    docs = dedup_lines(
+        docs.select("doc_id", "text"), "doc_id", "text", min_df=args.line_min_df
+    ).join(docs.drop("text"), "doc_id")
+    toks = F.size(F.split(F.col("text"), " "))
+    docs = docs.where(toks >= args.min_tokens)
+    global_shuffle(docs, "doc_id", seed=args.seed).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"curated={n} -> {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbbspark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -127,6 +169,14 @@ def main(argv: list[str] | None = None) -> int:
     ct.add_argument("--task-table", required=True)
     ct.add_argument("--label", default="DBB_stagein_to_DBB")
     ct.set_defaults(fn=cmd_create_task)
+
+    cu = sub.add_parser("curate", help="dedup+clean a documents table into training shards")
+    cu.add_argument("--sf-dir", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--line-min-df", type=int, default=5)
+    cu.add_argument("--min-tokens", type=int, default=5)
+    cu.add_argument("--seed", type=int, default=0)
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

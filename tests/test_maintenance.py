@@ -51,3 +51,20 @@ def test_compact_preserves_rows_and_collapses_files(spark, tmp_path):
     assert pruned == df.where("filetype = 'ft0'").count()
     # original retained for verification
     assert len(glob.glob(backup + "/*/*/*.parquet")) == n_before
+
+
+def test_cli_curate_end_to_end(spark, sf_dir, tmp_path):
+    """The curate subcommand: output is deduped, shuffled, non-empty,
+    and deterministic for a fixed seed."""
+    from dbbspark.cli import main
+
+    out1 = str(tmp_path / "c1")
+    out2 = str(tmp_path / "c2")
+    assert main(["curate", "--sf-dir", sf_dir, "--out", out1, "--seed", "3"]) == 0
+    assert main(["curate", "--sf-dir", sf_dir, "--out", out2, "--seed", "3"]) == 0
+    a = spark.read.parquet(out1)
+    b = spark.read.parquet(out2)
+    ra = [r["doc_id"] for r in a.collect()]
+    assert len(ra) > 0
+    assert len(set(ra)) == len(ra)  # no duplicate ids survive
+    assert ra == [r["doc_id"] for r in b.collect()]  # seed-deterministic
