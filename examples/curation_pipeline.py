@@ -141,11 +141,16 @@ def run(spark, sf_dir: str) -> dict[str, int]:
     lm_target = train_ngram_lm(docs.where(F.col("source") == first_source), n=2)
     lm_source = train_ngram_lm(docs, n=2)
     weighted = dsir_weights(docs, lm_target, lm_source)
-    chosen = dsir_sample(weighted, fraction=0.8, temperature=2.0)
-    docs = stage(
-        "dsir_select",
-        docs.join(chosen.select(F.col("doc").alias("doc_id")), "doc_id", "left_semi"),
+    # Materialize the chosen ids: log_ratio comes from a float avg whose
+    # summation order can vary across re-executions, so a borderline doc
+    # could otherwise flip across the Gumbel cut between this stage's
+    # count and the downstream stages' recomputation of the lineage.
+    chosen = (
+        dsir_sample(weighted, fraction=0.8, temperature=2.0)
+        .select(F.col("doc").alias("doc_id"))
+        .localCheckpoint(eager=True)
     )
+    docs = stage("dsir_select", docs.join(chosen, "doc_id", "left_semi"))
 
     # 5. leakage-safe split — the val coin flips per SOURCE, so near-dup
     # survivors from one source can never straddle the eval boundary
