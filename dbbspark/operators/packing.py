@@ -158,3 +158,49 @@ def global_shuffle(
         .sortWithinPartitions("__shuffle_key")
         .drop("__shuffle_key")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """(id, chunk_id, text, n_tokens): each document split into
+    whitespace-token chunks of at most ``max_tokens``, consecutive
+    chunks sharing ``overlap`` tokens — the context-length splitting
+    step for documents longer than the training sequence (the sliding
+    window keeps passages that straddle a cut learnable from at least
+    one chunk).
+
+    Pure expression math, map-only (no shuffle, no Python): the chunk
+    count per doc is 1 + ceil((n - max_tokens) / stride) with
+    stride = max_tokens - overlap; chunk i is slice(toks, i*stride,
+    max_tokens). Docs at or under the budget come back as one chunk,
+    byte-identical. Empty docs yield one empty chunk (report-don't-drop).
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(max_tokens)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, max_tokens),
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "__chunk"),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", "__chunk").alias(text_col),
+        F.size("__chunk").alias("n_tokens"),
+    )

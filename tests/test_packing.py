@@ -114,3 +114,70 @@ def test_global_shuffle_no_single_reducer(spark):
     assert out.rdd.getNumPartitions() == 7  # range-partitioned, not 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+def _py_chunks(text, max_tokens, overlap):
+    toks = text.split(" ")
+    stride = max_tokens - overlap
+    if len(toks) <= max_tokens:
+        return [" ".join(toks)]
+    import math as m
+
+    n_chunks = 1 + m.ceil((len(toks) - max_tokens) / stride)
+    return [
+        " ".join(toks[i * stride : i * stride + max_tokens])
+        for i in range(n_chunks)
+    ]
+
+
+def test_chunking_matches_oracle_and_overlap_property(spark):
+    from dbbspark.operators.packing import chunk_documents
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(25))),   # multi-chunk
+        (2, " ".join(f"u{i}" for i in range(10))),   # exactly max
+        (3, "short doc"),                            # single chunk
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=10, overlap=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (r["text"], r["n_tokens"])
+    for doc_id, text in docs:
+        expected = _py_chunks(text, 10, 3)
+        chunks = [got[doc_id][i][0] for i in range(len(got[doc_id]))]
+        assert chunks == expected, doc_id
+        assert all(got[doc_id][i][1] == len(c.split(" ")) for i, c in enumerate(chunks))
+    # consecutive full chunks share exactly `overlap` tokens
+    c0, c1 = got[1][0][0].split(" "), got[1][1][0].split(" ")
+    assert c0[-3:] == c1[:3]
+    # every original token appears in the chunk union (nothing lost)
+    union = set()
+    for i in range(len(got[1])):
+        union.update(got[1][i][0].split(" "))
+    assert union == set(docs[0][1].split(" "))
+
+
+def test_chunking_map_only(spark):
+    from dbbspark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, max_tokens=2, overlap=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_chunking_validates_params(spark):
+    from dbbspark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(df, max_tokens=0)
+    with _pt.raises(ValueError):
+        chunk_documents(df, max_tokens=5, overlap=5)
