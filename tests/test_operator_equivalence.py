@@ -356,3 +356,93 @@ def test_star_cc_handles_long_chains(spark):
     got = {r["node"]: r["component"] for r in connected_components_star(chain).collect()}
     assert len(got) == 300
     assert set(got.values()) == {0}, "all chain nodes must join component 0"
+
+
+def test_line_dedup_random_corpora_match_counter_model(spark):
+    """dedup_lines vs an independent Counter model on seeded random
+    corpora with heavy line sharing (small line alphabet)."""
+    import re
+    from collections import Counter
+
+    from dbbspark.operators.lines import dedup_lines
+
+    def norm(line):
+        return re.sub(r"\s+", " ", re.sub(r"\d+", "", line.lower())).strip()
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        alphabet = [
+            f"line variant {i} {'x' * rng.randrange(3)}" for i in range(12)
+        ] + ["", "   "]
+        docs = [
+            (
+                d,
+                "\n".join(
+                    rng.choice(alphabet) for _ in range(rng.randrange(1, 8))
+                ),
+            )
+            for d in range(40)
+        ]
+        for min_df, keep_first in ((2, False), (3, False), (2, True)):
+            counts = Counter()
+            mentions = []
+            for doc, text in docs:
+                for ln, line in enumerate(text.split("\n")):
+                    n = norm(line)
+                    mentions.append((doc, ln, line, n))
+                    if n:
+                        counts[n] += 1
+            seen = set()
+            expected = {d: [] for d, _ in docs}
+            for doc, ln, line, n in sorted(mentions):
+                if not n or counts[n] < min_df:
+                    expected[doc].append((ln, line))
+                elif keep_first and n not in seen:
+                    seen.add(n)
+                    expected[doc].append((ln, line))
+            exp = {
+                d: "\n".join(l for _, l in sorted(ls))
+                for d, ls in expected.items()
+            }
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {
+                r["doc_id"]: r["text"]
+                for r in dedup_lines(
+                    df, "doc_id", "text", min_df=min_df, keep_first=keep_first
+                ).collect()
+            }
+            assert got == exp, (seed, min_df, keep_first)
+
+
+def test_chunking_random_shapes_match_model(spark):
+    """chunk_documents vs the sliding-window model across random doc
+    lengths and (max_tokens, overlap) shapes, including the boundary
+    where the last chunk is pure overlap."""
+    import math as m
+
+    from dbbspark.operators.packing import chunk_documents
+
+    rng = random.Random(5)
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(rng.randrange(1, 60))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for max_tokens, overlap in ((8, 0), (8, 3), (8, 7), (64, 16)):
+        out = chunk_documents(df, max_tokens=max_tokens, overlap=overlap)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["text"]
+        stride = max_tokens - overlap
+        for doc_id, text in docs:
+            toks = text.split(" ")
+            if len(toks) <= max_tokens:
+                expected = [" ".join(toks)]
+            else:
+                n_chunks = 1 + m.ceil((len(toks) - max_tokens) / stride)
+                expected = [
+                    " ".join(toks[k * stride : k * stride + max_tokens])
+                    for k in range(n_chunks)
+                ]
+            chunks = [got[doc_id][k] for k in range(len(got[doc_id]))]
+            assert chunks == expected, (doc_id, max_tokens, overlap)
