@@ -222,3 +222,93 @@ def decode_media(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# Frame sampling (video/audio → per-frame feature rows)
+
+_FRAME_EXTRACTORS: dict[str, tuple[Callable[[bytes], int], Callable[[bytes, list[int]], list[list[float]]]]] = {}
+
+
+def register_frame_extractor(
+    kind: str,
+    count_fn: Callable[[bytes], int],
+    extract_fn: Callable[[bytes, list[int]], list[list[float]]],
+) -> None:
+    """Register a real frame pipeline for ``kind``: ``count_fn`` reads
+    just the container header (frame count, no decode); ``extract_fn``
+    (raw_bytes, frame_indices) seeks straight to the requested frames and
+    decodes ONLY those — the whole point of sampling before decoding.
+    The deterministic fakes stand in where the container has no codecs."""
+    _FRAME_EXTRACTORS[kind] = (count_fn, extract_fn)
+
+
+def _fake_frame_count(raw: bytes) -> int:
+    return 1 + hashlib.sha256(raw).digest()[2] % 8
+
+
+def _fake_extract(raw: bytes, idxs: list[int]) -> list[list[float]]:
+    """Per-frame pseudo-features: digest(content || frame_idx) — stable,
+    value-testable, distinct per frame."""
+    out = []
+    for i in idxs:
+        h = hashlib.sha256(raw + i.to_bytes(4, "big")).digest()
+        out.append([b / 255.0 for b in h[:8]])
+    return out
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    k: int = 4,
+    kind: str = "video",
+    content_col: str = "content",
+    id_col: str = "path",
+) -> DataFrame:
+    """(id, frame_idx, n_frames, feature): ``k`` evenly-spaced frames
+    per media document — the frame-sampling plumbing for video/audio
+    training columns. Index policy: round(i·(n-1)/(k-1)) for i<k (first
+    and last frame always included; all n when n <= k), chosen BEFORE
+    decoding so a real extractor touches only the sampled frames.
+
+    mapInPandas over Arrow batches (one Python worker per task, bytes
+    stay on the executor); output is a narrow exploded relation — at
+    100 TB the wide binary column never shuffles, only the per-frame
+    features do. Null-content rows emit no frames (the ingest layer's
+    quarantine owns reporting them)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    count_frames, extract = _FRAME_EXTRACTORS.get(
+        kind, (_fake_frame_count, _fake_extract)
+    )
+    out_schema = T.StructType(
+        [df.schema[id_col]] + list(FRAME_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ident, raw in zip(pdf[id_col], pdf[content_col]):
+                if raw is None:
+                    continue
+                raw = bytes(raw)
+                n = count_frames(raw)
+                if n <= k:
+                    idxs = list(range(n))
+                else:
+                    idxs = sorted({round(i * (n - 1) / (k - 1)) for i in range(k)})
+                feats = extract(raw, idxs)
+                for i, f in zip(idxs, feats):
+                    rows.append((ident, i, n, f))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "n_frames", "feature"]
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -296,3 +296,42 @@ def test_cluster_balanced_sample_caps_big_cells_only(spark):
         if r["kept"]
     }
     assert kept == kept2
+
+
+def test_frame_sampling_policy_and_plumbing(spark):
+    """sample_frames: evenly-spaced indices with first/last always
+    included, all frames when n <= k, null content emits nothing, and a
+    custom (count, extract) pipeline threads through."""
+    from dbbspark.sources.multimodal import (
+        _fake_frame_count,
+        register_frame_extractor,
+        sample_frames,
+    )
+
+    rows = [("a", b"video-bytes-one"), ("b", b"x"), ("c", None)]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = sample_frames(df, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["path"], []).append(r)
+    assert "c" not in by_doc  # null content: no frames
+    for path, raw in [("a", b"video-bytes-one"), ("b", b"x")]:
+        n = _fake_frame_count(raw)
+        idxs = [r["frame_idx"] for r in sorted(by_doc[path], key=lambda r: r["frame_idx"])]
+        assert all(r["n_frames"] == n for r in by_doc[path])
+        if n <= 3:
+            assert idxs == list(range(n))
+        else:
+            assert idxs[0] == 0 and idxs[-1] == n - 1  # endpoints sampled
+            assert len(idxs) == len(set(idxs)) <= 3
+        feats = [tuple(r["feature"]) for r in by_doc[path]]
+        assert len(set(feats)) == len(feats)  # distinct per frame
+
+    # custom pipeline: fixed 10 frames, feature = [idx]
+    register_frame_extractor(
+        "tenframes", lambda raw: 10, lambda raw, idxs: [[float(i)] for i in idxs]
+    )
+    got = sample_frames(df.where("content is not null"), k=4, kind="tenframes").collect()
+    idxs = sorted({r["frame_idx"] for r in got})
+    assert idxs == [0, 3, 6, 9]  # round(i*9/3): 0,3,6,9
+    assert all(r["feature"] == [float(r["frame_idx"])] for r in got)
