@@ -15,18 +15,6 @@ from ..tables import load_table
 
 
 @query(
-    "q_distinct",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
-    doc="A7: distinct — the reference's key-set semantics of dict/set "
-    "unions (bin/monitor_DBB_stagein.py:338,1023,1028).",
-    tags=("agg",),
-)
-def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select("user_id", "event_type").distinct()
-
-
-@query(
     "q_rollup",
     oracle="""
     SELECT event_type,

@@ -191,27 +191,6 @@ def q_range_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_ci_equality",
-    oracle=f"""
-    WITH fails AS ({FAILURES_SQL})
-    SELECT nite,
-           COUNT(CASE WHEN lower(rejected_msg) = 'duplicate file' THEN 1 END) AS cnt_dup,
-           COUNT(CASE WHEN lower(rejected_msg) != 'duplicate file' THEN 1 END) AS cnt_fail
-    FROM fails GROUP BY nite
-    """,
-    doc="P6+A4: case-insensitive split of duplicates vs real failures per "
-    "nite (bin/monitor_DBB_stagein.py:848-853,679-684).",
-)
-def q_ci_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fails = failures(spark, sf_dir)
-    is_dup = F.lower(F.col("rejected_msg")) == "duplicate file"
-    return fails.groupBy("nite").agg(
-        F.count(F.when(is_dup, 1)).alias("cnt_dup"),
-        F.count(F.when(~is_dup, 1)).alias("cnt_fail"),
-    )
-
-
-@query(
     "q_column_intersect",
     oracle="""
     SELECT doc_id, lang, source

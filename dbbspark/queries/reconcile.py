@@ -93,6 +93,7 @@ def q_reconcile_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(sd.cnt, 0) AS cnt_delivered,
            coalesce(d.cnt, 0) AS cnt_desdm,
            coalesce(f.cnt, 0) AS cnt_fail,
+           coalesce(dup.cnt, 0) AS cnt_dup,
            coalesce(m.cnt, 0) AS cnt_missing,
            coalesce(x.cnt, 0) AS cnt_extra
     FROM nites n
@@ -100,12 +101,17 @@ def q_reconcile_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN (SELECT nite, COUNT(*) AS cnt FROM sispi WHERE delivered GROUP BY nite) sd USING (nite)
     LEFT JOIN (SELECT nite, COUNT(*) AS cnt FROM desdm GROUP BY nite) d USING (nite)
     LEFT JOIN (SELECT nite, COUNT(*) AS cnt FROM fails GROUP BY nite) f USING (nite)
+    LEFT JOIN (SELECT nite, COUNT(*) AS cnt FROM fails
+               WHERE lower(rejected_msg) = 'duplicate file'
+               GROUP BY nite) dup USING (nite)
     LEFT JOIN (SELECT nite, COUNT(*) AS cnt FROM missing GROUP BY nite) m USING (nite)
     LEFT JOIN (SELECT nite, COUNT(*) AS cnt FROM extra GROUP BY nite) x USING (nite)
     """,
-    doc="A1: the per-nite reconciliation summary — cnt_sispi/cnt_delivered/"
-    "cnt_desdm/cnt_fail/cnt_missing/cnt_extra per nite "
-    "(bin/monitor_DBB_stagein.py:1012-1038). The flagship query.",
+    doc="A1+A4+P6 (merged): the per-nite reconciliation summary — cnt_sispi/"
+    "cnt_delivered/cnt_desdm/cnt_fail/cnt_missing/cnt_extra per nite "
+    "(bin/monitor_DBB_stagein.py:1012-1038) — plus cnt_dup, the case-"
+    "insensitive duplicate-vs-failure split "
+    "(bin/monitor_DBB_stagein.py:848-853,679-684). The flagship query.",
     tags=("agg", "reconcile", "flagship"),
 )
 def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,6 +130,13 @@ def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivered = F.col("event_id") % 11 != 0
     in_desdm = F.col("event_id") % 7 != 0
     is_fail = F.col("event_type") == "error"
+    # P6: the duplicate split goes through the DERIVED message with a
+    # case-insensitive compare (the reference string is 'Duplicate file'),
+    # exercising lower()-equality rather than re-testing event_id % 3.
+    rejected_msg = F.when(
+        F.col("event_id") % 3 == 0, F.lit("Duplicate file")
+    ).otherwise(F.lit("md5sum mismatch"))
+    is_dup = is_fail & (F.lower(rejected_msg) == "duplicate file")
 
     def cnt(cond, alias: str):
         return F.coalesce(
@@ -136,11 +149,13 @@ def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         delivered.alias("dl"),
         in_desdm.alias("d"),
         is_fail.alias("f"),
+        is_dup.alias("fd"),
     ).groupBy("nite").agg(
         cnt(F.col("s"), "cnt_sispi"),
         cnt(F.col("s") & F.col("dl"), "cnt_delivered"),
         cnt(F.col("d"), "cnt_desdm"),
         cnt(F.col("f"), "cnt_fail"),
+        cnt(F.col("fd"), "cnt_dup"),
         cnt(F.col("s") & F.col("dl") & ~F.col("d") & ~F.col("f"), "cnt_missing"),
         cnt(F.col("d") & ~F.col("s"), "cnt_extra"),
     )

@@ -25,12 +25,12 @@ from ..domain import DESDM_SQL, FAILURES_SQL, SISPI_SQL, desdm, failures, sispi
     SELECT expnum, (SELECT COUNT(*) FROM u) AS n_union
     FROM u ORDER BY expnum DESC LIMIT 20
     """,
-    doc="SET1+O-T1 (merged): union of key sets — the monitor's combined "
+    doc="SET1+O-T1+A7 (merged): union of key sets — the monitor's combined "
     "exposure list (bin/monitor_DBB_stagein.py:338) — then top-k over it "
     "(last-20-by-key shape, bin/monitor_DBB_stagein.py:660-672; Spark "
     "executes the orderBy+limit as TakeOrderedAndProject, no full sort). "
-    "n_union pins the full distinct-union cardinality so the limit "
-    "doesn't mask union bugs.",
+    "The union dedups via .distinct() — A7's operator — and n_union pins "
+    "the full distinct cardinality so the limit doesn't mask union bugs.",
     tags=("set", "topk"),
 )
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:

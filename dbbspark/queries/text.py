@@ -291,3 +291,60 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
     )
     return pack_sequences(toks, "doc_id", "n_tokens", budget=512, num_buckets=8)
+
+
+@query(
+    "q_token_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents)
+    SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+    FROM toks GROUP BY token
+    """,
+    doc="C31: corpus-wide token frequency relation — occurrence count and "
+    "document frequency per distinct lowercased token, the vocabulary/"
+    "tokenizer-prep statistic (operators/vocab.py; one explode + one "
+    "groupBy, df via pre-explode doc identity).",
+    tags=("text", "closure"),
+)
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vocab import token_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = token_frequencies(docs, "text", lowercase=True)
+    return freqs.select("token", F.col("count").alias("cnt"), "df")
+
+
+@query(
+    "q_chunk_docs",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    meta AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INT)
+             END AS n_chunks
+      FROM base),
+    idx AS (
+      SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id
+      FROM meta)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+             AS text,
+           CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT)
+             AS n_tokens
+    FROM idx
+    """,
+    doc="C13 chunking: sliding-window document split to a 32-token budget "
+    "with 8-token overlap (stride 24) — the context-length splitting step "
+    "for docs longer than the training sequence (operators/packing.py:"
+    "chunk_documents; map-only expression math, no shuffle).",
+    tags=("text", "closure"),
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs.select("doc_id", "text"), max_tokens=32, overlap=8)
