@@ -278,3 +278,22 @@ def test_events_ts_pushdown_survives_ntz_normalization(spark, sf_dir):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "GreaterThanOrEqual(ts" in pushed, pushed
+
+
+def test_chunk_docs_map_only(spark, sf_dir):
+    """Chunking is expression math fused into the scan — any Exchange or
+    Python node means the sliding window stopped being map-only."""
+    plan = plan_of(spark, sf_dir, "q_chunk_docs")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_token_freq_two_stage_distinct_agg(spark, sf_dir):
+    """The token frequency relation is the canonical two-stage distinct
+    aggregate: partial (token, doc) dedup, then the token rollup — two
+    hash exchanges, both fed by partial aggregation, and never a join
+    (a df join-back would shuffle the mention stream a third time)."""
+    plan = plan_of(spark, sf_dir, "q_token_freq")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan  # map-side combine before each exchange
+    assert "Join" not in plan
