@@ -284,3 +284,23 @@ def test_dsir_sample_deterministic_and_biased(spark):
     cold = {r["doc"] for r in dsir_sample(df, 0.25, temperature=0.1, seed=3).collect()}
     cold_mean = sum(i / 10.0 for i in cold) / len(cold)
     assert cold_mean >= kept_mean
+
+
+def test_dsir_weights_broadcast_close_to_plain(spark):
+    from dbbspark.operators.lm import dsir_weights
+
+    t_df = spark.createDataFrame([(t,) for t in TARGET_TRAIN], "text string")
+    s_df = spark.createDataFrame([(t,) for t in SOURCE_TRAIN], "text string")
+    lm_t, lm_s = train_ngram_lm(t_df, n=2), train_ngram_lm(s_df, n=2)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TARGET_TRAIN + SOURCE_TRAIN)],
+        "doc_id long, text string",
+    )
+    plain = {r["doc"]: r["log_ratio"] for r in dsir_weights(docs, lm_t, lm_s).collect()}
+    bcast = {
+        r["doc"]: r["log_ratio"]
+        for r in dsir_weights(docs, lm_t, lm_s, broadcast_model=True).collect()
+    }
+    assert set(plain) == set(bcast)
+    for doc in plain:
+        assert bcast[doc] == pytest.approx(plain[doc], rel=1e-9)
