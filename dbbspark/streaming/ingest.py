@@ -379,3 +379,45 @@ def start_ingest_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def replay_quarantine(
+    spark: SparkSession,
+    cfg: IngestConfig,
+    reasons: tuple[str, ...] | None = None,
+    task_id: str | None = None,
+) -> IngestResult:
+    """Re-run the ingest gate over previously-quarantined files (the
+    operator workflow behind the reference's DBB_BAD_FILE table: fix the
+    cause — corrected notify metadata, registry cleanup, restored data
+    file — then re-stage; bin/save_DBB_stagein_to_DBB.py:274-291 keeps
+    the failure rows precisely so this is possible).
+
+    Reads the quarantine table (optionally only ``reasons``), re-pairs
+    the named files from the CURRENT stage-in area, and pushes them
+    through the SAME classify + sinks path as a normal batch: files whose
+    cause was fixed archive + register; files that fail again append a
+    fresh quarantine row (new uniq name) — so replay is idempotent and
+    the quarantine stays an append-only failure LOG (history is never
+    rewritten; current-state queries use the latest row per filename,
+    the keep-last dedup shape of q_window_dedup).
+
+    Scale: the quarantine name set is small (failures, not the corpus) —
+    it broadcasts into a semi-join against the re-scanned pairing, so
+    the byte-carrying side never shuffles."""
+    bad = spark.read.parquet(cfg.quarantine_path)
+    if reasons:
+        bad = bad.where(F.col("rejected_msg").isin(list(reasons)))
+    names = bad.select(
+        F.col("orig_filename").alias("data_name")
+    ).distinct()
+    pairs = (
+        read_stagein_pairs(spark, cfg.notify_dir, cfg.delivery_dir)
+        .join(F.broadcast(names), "data_name", "left_semi")
+        .persist()
+    )
+    try:
+        classified = classify_pairs(spark, cfg, pairs)
+        return _write_sinks(classified, cfg, task_id)
+    finally:
+        pairs.unpersist()

@@ -471,3 +471,41 @@ def test_duplicate_notify_keys_last_wins_not_crash(spark, area):
     # and the full batch still ingests: the file checksums clean
     res = ingest_batch(spark, _cfg(area))
     assert res.archived == 3  # the two originals + this one
+
+
+def test_replay_quarantine_after_fix(spark, area):
+    """The operator workflow: a checksum-mismatch file is quarantined;
+    the upstream re-delivers a corrected notify file; replay archives it.
+    Files whose cause is NOT fixed re-quarantine (append-only log), and
+    already-archived files are untouched (replay scopes to the named
+    failures only)."""
+    import hashlib as _h
+
+    from dbbspark.streaming.ingest import replay_quarantine
+
+    cfg = _cfg(area)
+    first = ingest_batch(spark, cfg, task_id="t-1")
+    assert first.by_reason.get("checksum mismatch", 0) == 1
+
+    # fix: corrected notify md5 for the mismatched file
+    data = open(os.path.join(area, "delivery", "DECam_00000002.fits"), "rb").read()
+    _write(
+        os.path.join(area, "notify", "DECam_00000002.fits.dbb"),
+        f"md5sum = {_h.md5(data).hexdigest()}\n".encode(),
+    )
+
+    res = replay_quarantine(spark, cfg, reasons=("checksum mismatch",))
+    assert res.archived == 1 and res.quarantined == 0
+    # now registered: the file appears in the registry exactly once
+    reg = spark.read.parquet(cfg.registry_path)
+    assert reg.where(reg.filename == "DECam_00000002.fits").count() == 1
+
+    # replaying ALL reasons now: the fixed file re-fails as a duplicate
+    # (it is registered), unfixed ones re-fail with their original reason
+    res2 = replay_quarantine(spark, cfg)
+    assert res2.archived == 0
+    assert res2.by_reason.get("duplicate file", 0) >= 1
+    assert res2.by_reason.get("unknown filetype", 0) == 1
+    # quarantine stayed append-only: the original failure rows remain
+    q = spark.read.parquet(cfg.quarantine_path)
+    assert q.where(q.orig_filename == "DECam_00000002.fits").count() >= 2
