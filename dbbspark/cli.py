@@ -109,6 +109,24 @@ def cmd_create_task(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_replay(args: argparse.Namespace) -> int:
+    from .streaming.ingest import replay_quarantine
+
+    spark = _session("dbbspark-replay")
+    cfg, raw = _ingest_config(spark, args.config)
+    res = replay_quarantine(
+        spark,
+        cfg,
+        reasons=tuple(args.reason) if args.reason else None,
+        task_id=raw.get("dts_task_id"),
+    )
+    print(
+        f"archived={res.archived} requarantined={res.quarantined} "
+        f"by_reason={res.by_reason}"
+    )
+    return 0
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     """Training-data curation chain over a documents table: normalize →
     exact dedup → near-dedup (LSH + connected components) → line dedup →
@@ -169,6 +187,15 @@ def main(argv: list[str] | None = None) -> int:
     ct.add_argument("--task-table", required=True)
     ct.add_argument("--label", default="DBB_stagein_to_DBB")
     ct.set_defaults(fn=cmd_create_task)
+
+    rp = sub.add_parser("replay", help="re-gate quarantined files after a fix")
+    rp.add_argument("--config", required=True)
+    rp.add_argument(
+        "--reason",
+        action="append",
+        help="limit to these rejected_msg values (repeatable; default all)",
+    )
+    rp.set_defaults(fn=cmd_replay)
 
     cu = sub.add_parser("curate", help="dedup+clean a documents table into training shards")
     cu.add_argument("--sf-dir", required=True)
