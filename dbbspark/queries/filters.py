@@ -6,7 +6,9 @@ SQL-string WHERE clauses and Python if-gates.
 
 Round-2 consolidation (driver checks ≤50 queries): P1+F16 merged into
 q_case_logic, P3+J8 into q_ingest_gate; P5 (rlike) lives in
-q_string_funcs (queries/scalars.py).
+q_string_funcs (queries/scalars.py). Round 3: P6's case-insensitive
+duplicate split moved into the flagship (q_group_count.cnt_dup,
+queries/reconcile.py) to free a slot for q_line_dedup.
 """
 
 from __future__ import annotations
@@ -14,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import query
-from ..domain import FAILURES_SQL, failures
 from ..tables import load_table
 
 
