@@ -89,3 +89,53 @@ def coverage_at(freqs: DataFrame, ks: tuple[int, ...]) -> list[dict]:
         out.append({"k": marks[mi], "coverage": running / total})
         mi += 1
     return out
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    source_col: str | None = None,
+) -> dict:
+    """The dataset-card summary every corpus release records, as ONE
+    aggregation job (driver receives a single row): doc/token/char
+    totals, token-length percentiles (approx_percentile sketch), an
+    approximate exact-duplicate rate (HLL over sha256 of the text —
+    1 - distinct/total), and optional language/source cardinalities.
+
+    Everything is sketch- or sum-shaped, so the job is a single
+    map-side-combined aggregate regardless of corpus size; nothing but
+    the one result row reaches the driver."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(toks.cast("bigint")).alias("total_tokens"),
+        F.sum(F.length(text_col).cast("bigint")).alias("total_chars"),
+        F.expr(
+            f"approx_percentile(size(split({text_col}, ' ')), array(0.5, 0.95))"
+        ).alias("tok_pcts"),
+        F.approx_count_distinct(
+            F.sha2(F.col(text_col).cast("binary"), 256)
+        ).alias("approx_distinct"),
+    ]
+    if lang_col:
+        aggs.append(F.approx_count_distinct(lang_col).alias("n_langs"))
+    if source_col:
+        aggs.append(F.approx_count_distinct(source_col).alias("n_sources"))
+    row = docs.agg(*aggs).first()
+    n = row["n_docs"] or 0
+    out = {
+        "n_docs": n,
+        "total_tokens": row["total_tokens"] or 0,
+        "total_chars": row["total_chars"] or 0,
+        "p50_tokens": row["tok_pcts"][0] if row["tok_pcts"] else None,
+        "p95_tokens": row["tok_pcts"][1] if row["tok_pcts"] else None,
+        "approx_dup_rate": (
+            max(0.0, 1.0 - row["approx_distinct"] / n) if n else 0.0
+        ),
+    }
+    if lang_col:
+        out["n_langs"] = row["n_langs"]
+    if source_col:
+        out["n_sources"] = row["n_sources"]
+    return out

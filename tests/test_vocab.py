@@ -74,3 +74,19 @@ def test_coverage_validates_ks(spark, freqs):
         coverage_at(freqs, ())
     with pytest.raises(ValueError):
         coverage_at(freqs, (0,))
+
+
+def test_corpus_report_single_job(spark):
+    from dbbspark.operators.vocab import corpus_report
+
+    docs = [(i, "tok " * (i + 1) + "end", "en", f"s{i % 2}") for i in range(20)]
+    docs += [(99, docs[0][1], "en", "s0")]  # one exact duplicate text
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string")
+    rep = corpus_report(df, lang_col="lang", source_col="source")
+    assert rep["n_docs"] == 21
+    assert rep["total_chars"] == sum(len(t) for _, t, _, _ in docs)
+    assert rep["total_tokens"] == sum(len(t.split(" ")) for _, t, _, _ in docs)
+    assert rep["n_langs"] == 1 and rep["n_sources"] == 2
+    # 21 docs, 20 distinct texts -> dup rate ~ 1/21 (HLL is near-exact here)
+    assert 0.0 < rep["approx_dup_rate"] < 0.15
+    assert rep["p50_tokens"] <= rep["p95_tokens"]
