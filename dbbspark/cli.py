@@ -164,8 +164,14 @@ def cmd_curate(args: argparse.Namespace) -> int:
     global_shuffle(docs, "doc_id", seed=args.seed).write.mode(
         "overwrite"
     ).parquet(args.out)
-    n = spark.read.parquet(args.out).count()
-    print(f"curated={n} -> {args.out}")
+    out = spark.read.parquet(args.out)
+    print(f"curated={out.count()} -> {args.out}")
+    if args.report:
+        import json
+
+        from .operators.vocab import corpus_report
+
+        print(json.dumps(corpus_report(out)))
     return 0
 
 
@@ -203,6 +209,11 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--line-min-df", type=int, default=5)
     cu.add_argument("--min-tokens", type=int, default=5)
     cu.add_argument("--seed", type=int, default=0)
+    cu.add_argument(
+        "--report",
+        action="store_true",
+        help="print the dataset-card summary JSON for the curated output",
+    )
     cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
