@@ -570,3 +570,74 @@ def cluster_balanced_sample(
             (F.col("__rk") <= per_cell).alias("kept"),
         )
     )
+
+
+def pca_project(
+    vectors: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    whiten: bool = False,
+):
+    """(model, scales, projected): fit a k-component PCA on the
+    embedding column and return the frame with ``vec_col`` replaced by
+    the k-dim projection — the standard pre-ANN dimensionality reduction
+    (centroids train faster, cells are rounder, cosine over the leading
+    components preserves neighborhoods). With ``whiten`` each component
+    is divided by its stddev (one extra aggregate; the SemDeDup-style
+    isotropic space that stops high-variance directions dominating the
+    metric) — ``scales`` carries those stddevs (None unwhitened) so
+    query vectors can replay the identical transform via `apply_pca`.
+
+    Training is pyspark.ml's distributed covariance PCA; the fitted
+    model is d×k (broadcast-sized) and projection is a map-only
+    transform — the frame never shuffles."""
+    d = len(vectors.select(vec_col).first()[0])
+    if not 0 < k <= d:
+        raise ValueError(f"k must be in 1..{d}")
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    vec = vectors.withColumn("__v", array_to_vector(F.col(vec_col)))
+    model = PCA(k=k, inputCol="__v", outputCol="__p").fit(vec)
+    scales = None
+    if whiten:
+        from pyspark.ml.functions import vector_to_array
+
+        sq = model.transform(vec).select(vector_to_array("__p").alias("p"))
+        n = sq.count()
+        sums = sq.agg(
+            *[
+                F.sum(F.col("p")[i]).alias(f"s{i}")
+                for i in range(k)
+            ],
+            *[
+                F.sum(F.col("p")[i] * F.col("p")[i]).alias(f"q{i}")
+                for i in range(k)
+            ],
+        ).first()
+        scales = [
+            max(((sums[f"q{i}"] / n) - (sums[f"s{i}"] / n) ** 2), 1e-24) ** 0.5
+            for i in range(k)
+        ]
+    return model, scales, apply_pca(model, vectors, vec_col, scales=scales)
+
+
+def apply_pca(
+    model,
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    scales: list[float] | None = None,
+) -> DataFrame:
+    """Project ``vec_col`` through a fitted PCA model (and the training
+    run's whitening ``scales``, if any) — the SAME basis as training,
+    required for query-time consistency. Map-only."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    out = model.transform(
+        vectors.withColumn("__v", array_to_vector(F.col(vec_col)))
+    )
+    proj = vector_to_array(F.col("__p"))
+    if scales is not None:
+        sc = F.array(*[F.lit(float(s)) for s in scales])
+        proj = F.zip_with(proj, sc, lambda x, s: x / s)
+    return out.drop(vec_col).withColumn(vec_col, proj).drop("__v", "__p")

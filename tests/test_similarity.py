@@ -335,3 +335,63 @@ def test_frame_sampling_policy_and_plumbing(spark):
     idxs = sorted({r["frame_idx"] for r in got})
     assert idxs == [0, 3, 6, 9]  # round(i*9/3): 0,3,6,9
     assert all(r["feature"] == [float(r["frame_idx"])] for r in got)
+
+
+def test_pca_project_matches_numpy(spark):
+    """PCA projection vs numpy eigendecomposition of the same covariance:
+    the projected coordinates must agree up to per-component sign, and
+    whitening must bring every component's variance to ~1."""
+    import numpy as np
+
+    from dbbspark.operators.similarity import apply_pca, pca_project
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: variance concentrated in two directions
+    base = rng.normal(size=(200, 2)) @ np.array([[5.0, 0.3, 0.1, 0.0],
+                                                 [0.0, 2.0, 0.2, 0.1]])
+    data = base + 0.01 * rng.normal(size=(200, 4))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<double>",
+    )
+    model, scales, proj = pca_project(df, k=2)
+    got = {r["vec_id"]: np.array(r["embedding"]) for r in proj.collect()}
+    assert all(len(v) == 2 for v in got.values())
+
+    centered = data - data.mean(axis=0)
+    cov = centered.T @ centered / (len(data) - 1)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, np.argsort(w)[::-1][:2]]
+    expected = data @ top  # spark.ml PCA projects the UNcentered data
+    g = np.array([got[i] for i in range(len(data))])
+    for c in range(2):
+        agree = np.allclose(g[:, c], expected[:, c], atol=1e-6)
+        flipped = np.allclose(g[:, c], -expected[:, c], atol=1e-6)
+        assert agree or flipped, c
+
+    # whiten: each projected component has ~unit variance
+    _, scales_w, proj_w = pca_project(df, k=2, whiten=True)
+    pw = np.array(
+        [r["embedding"] for r in proj_w.orderBy("vec_id").collect()]
+    )
+    assert np.allclose(pw.std(axis=0, ddof=0), 1.0, atol=1e-6)
+
+    # query-time replay: apply_pca with the returned scales reproduces
+    # the training-side projection exactly
+    replay = apply_pca(model, df, scales=scales_w)
+    rp = np.array([r["embedding"] for r in replay.orderBy("vec_id").collect()])
+    assert np.allclose(rp, pw, atol=1e-12)
+
+
+def test_pca_validates_k(spark):
+    from dbbspark.operators.similarity import pca_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pca_project(df, k=0)
+    with _pt.raises(ValueError):
+        pca_project(df, k=4)
