@@ -158,7 +158,12 @@ def main() -> None:
             best = min(best, time.time() - t)
         print(json.dumps({"op": name, "sec": round(best, 2), "rows": rows}))
 
-    if wanted and not wanted & {"ivf_topk", "semantic_dedup", "cosine_pairs_blocked"}:
+    if wanted and not wanted & {
+        "pca_project",
+        "ivf_topk",
+        "semantic_dedup",
+        "cosine_pairs_blocked",
+    }:
         return
 
     # embeddings side: replicate vec_ids with identical vectors — the
@@ -188,7 +193,10 @@ def main() -> None:
     queries = bigv.limit(200).localCheckpoint(eager=True)
     queries.count()
 
+    from dbbspark.operators.similarity import pca_project
+
     vops = {
+        "pca_project": lambda: pca_project(bigv, k=16, whiten=True)[2],
         "ivf_topk": lambda: ivf_topk(bigv, queries, cents, k=5, probes=2),
         "semantic_dedup": lambda: semantic_dedup(bigv, cents, eps=0.05),
         "cosine_pairs_blocked": lambda: cosine_pairs_above_blocked(bigv, 0.45),
