@@ -41,3 +41,24 @@ def test_entry_from_foreign_cwd_hostile_tz(tmp_path):
         env={**os.environ, "PYTHONPATH": ""},
     )
     assert "CONTRACT_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_bench_runs_and_emits_json(tmp_path):
+    """The driver records bench.py's single JSON line each round — guard
+    that it runs clean (rc=0) and parses, at the smallest fixture."""
+    import json
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+             "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert len(d["queries"]) == 50
