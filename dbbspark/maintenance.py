@@ -106,3 +106,49 @@ def compact_partitioned(
         fs.rename(Path(backup), hpath)
         raise IOError(f"compaction swap failed: could not move {staging} in")
     return backup
+
+
+def compact_gate_index(
+    spark: SparkSession,
+    index_dir: str,
+    reserved_batch: int = -1,
+    target_files: int = 1,
+) -> str:
+    """Compact a streaming-gate state dataset (the batch=<id>-partitioned
+    signature/doc sinks of streaming/neardedup.py and linededup.py's
+    out_dir) into a single reserved partition.
+
+    Those sinks grow one ``batch=<id>`` partition per micro-batch
+    forever — append-shaped for retry-idempotence, but after 10k batches
+    the gate's index scan pays 10k directory listings and ≥10k file
+    footers. Collapsing history into ``batch=<reserved_batch>`` keeps
+    the layout identical for readers (same partition column, same
+    schema) while bounding file count; ``reserved_batch`` defaults to -1
+    because foreachBatch batch_ids are non-negative, so no future retry
+    can dynamic-overwrite the compacted partition. Run it between
+    streaming triggers (availableNow cadence) or against a quiesced
+    query — the swap itself is the same two-rename used by
+    compact_partitioned (readers see old or new, never a mix).
+
+    Returns the backup path holding the pre-compaction dataset (caller
+    deletes after verifying the gate still answers identically)."""
+    df = spark.read.parquet(index_dir)
+    data_cols = [c for c in df.columns if c != "batch"]
+    staging = index_dir.rstrip("/") + ".compact-staging"
+    backup = index_dir.rstrip("/") + ".pre-compact"
+    (
+        df.select(*data_cols)
+        .withColumn("batch", F.lit(int(reserved_batch)))
+        .repartition(target_files)
+        .write.mode("errorifexists")
+        .partitionBy("batch")
+        .parquet(staging)
+    )
+    fs, hpath, jvm = _fs_and_path(spark, index_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.rename(hpath, Path(backup)):
+        raise IOError(f"index compaction failed: could not move {index_dir} aside")
+    if not fs.rename(Path(staging), hpath):
+        fs.rename(Path(backup), hpath)
+        raise IOError(f"index compaction failed: could not move {staging} in")
+    return backup

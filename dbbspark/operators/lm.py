@@ -243,6 +243,7 @@ def dsir_sample(
     ratio_col: str = "log_ratio",
     temperature: float = 1.0,
     seed: int = 0,
+    cut: float | None = None,
 ) -> DataFrame:
     """Deterministic importance sampling of ~``fraction`` of the rows,
     biased toward high ``ratio_col``: per-row Gumbel-top-k without a
@@ -252,6 +253,15 @@ def dsir_sample(
     (1-fraction) approxQuantile of the key distribution are kept. The
     quantile is one aggregate (driver scalar), the filter is a map —
     no global sort, no driver data.
+
+    Margin sensitivity: the per-row Gumbel keys are fully deterministic,
+    but the CUT comes from approxQuantile, whose result depends on
+    partition layout — so docs whose key sits within the quantile
+    error band can flip in/out across re-executions or cluster layouts
+    (same caveat as perplexity_buckets). Production runs that must
+    replay the exact selection should pass ``cut`` (e.g. the value
+    recorded from a prior run) or persist the chosen ids
+    (localCheckpoint — see examples/curation_pipeline.py).
 
     Null ratios (too-short docs) are dropped: they carry no evidence
     either way, and DSIR's use case is choosing a high-value subset."""
@@ -268,5 +278,6 @@ def dsir_sample(
     keyed = weighted.where(F.col(ratio_col).isNotNull()).withColumn(
         "__gumbel", key
     )
-    (cut,) = keyed.approxQuantile("__gumbel", [1.0 - fraction], 0.001)
+    if cut is None:
+        (cut,) = keyed.approxQuantile("__gumbel", [1.0 - fraction], 0.001)
     return keyed.where(F.col("__gumbel") >= cut).drop("__gumbel")

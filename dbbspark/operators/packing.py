@@ -178,14 +178,17 @@ def chunk_documents(
     count per doc is 1 + ceil((n - max_tokens) / stride) with
     stride = max_tokens - overlap; chunk i is slice(toks, i*stride,
     max_tokens). Docs at or under the budget come back as one chunk,
-    byte-identical. Empty docs yield one empty chunk (report-don't-drop).
+    byte-identical. Empty AND null-text docs yield one empty chunk
+    (report-don't-drop: a null text must surface as a row, not vanish —
+    null would propagate through size() into a null chunk count and
+    posexplode would emit nothing).
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     if not 0 <= overlap < max_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(toks)
     n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
         F.lit(1) + F.ceil((n - F.lit(max_tokens)) / F.lit(stride)).cast("int")

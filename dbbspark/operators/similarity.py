@@ -591,14 +591,25 @@ def pca_project(
     Training is pyspark.ml's distributed covariance PCA; the fitted
     model is d×k (broadcast-sized) and projection is a map-only
     transform — the frame never shuffles."""
-    d = len(vectors.select(vec_col).first()[0])
-    if not 0 < k <= d:
-        raise ValueError(f"k must be in 1..{d}")
+    if k < 1:
+        raise ValueError("k must be >= 1")
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector
 
     vec = vectors.withColumn("__v", array_to_vector(F.col(vec_col)))
-    model = PCA(k=k, inputCol="__v", outputCol="__p").fit(vec)
+    # k-vs-dimension validation comes from the FITTED model (pc is d×k),
+    # not a pre-fit first() probe: no extra driver job, and empty/null
+    # inputs fail with a clear message instead of a TypeError.
+    try:
+        model = PCA(k=k, inputCol="__v", outputCol="__p").fit(vec)
+    except Exception as e:
+        raise ValueError(
+            f"PCA fit failed (k={k}): empty input, null vectors, or "
+            f"k larger than the embedding dimension — {e}"
+        ) from e
+    d = model.pc.numRows
+    if k > d:
+        raise ValueError(f"k must be in 1..{d}")
     scales = None
     if whiten:
         from pyspark.ml.functions import vector_to_array

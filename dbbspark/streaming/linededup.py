@@ -31,7 +31,22 @@ The index is one row per distinct normalized line, far smaller than the
 corpus; the merge reads + rewrites it per batch (availableNow cadence).
 At crawl scale, partition the index dir by a hash prefix of ``h`` and
 rewrite only the partitions the batch touches (the same device as
-operators.bucketing for the registry)."""
+operators.bucketing for the registry).
+
+Crash/retry semantics (foreachBatch is at-least-once — a crash after a
+side-effect but before the checkpoint commit re-runs the batch with the
+SAME batch_id):
+
+- documents land in ``out_dir/batch=<batch_id>`` via dynamic-partition
+  overwrite, so a retried batch replaces exactly its own partition —
+  output is idempotent, never appended twice;
+- the index is a VERSIONED full snapshot ``index_dir/v=<batch_id>``;
+  readers resolve the newest version that has a ``_SUCCESS`` marker, so
+  a crash mid-rewrite leaves the previous snapshot intact (nothing to
+  lose) and the retry overwrites the same half-written version dir.
+  Old versions are pruned after the new one commits (the index's own
+  maintenance — each snapshot is complete, so exactly one survives).
+"""
 
 from __future__ import annotations
 
@@ -39,15 +54,58 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..maintenance import _fs_and_path
 from ..operators.lines import line_mentions
 
 
-def index_df(spark: SparkSession, index_dir: str) -> DataFrame:
-    """The persisted (h, df) line-frequency index; empty on first run.
-    Spark-FS probe (AnalysisException), not os.path.exists — see
-    ingest._registry_names."""
+def _versions(spark: SparkSession, index_dir: str) -> list[int]:
+    """Committed snapshot numbers under index_dir (v=<N> dirs holding a
+    _SUCCESS marker), ascending; [] if none (missing dir, flat layout,
+    or FS error). Hadoop FS API — hdfs/s3a/file alike."""
     try:
-        return spark.read.parquet(index_dir).select("h", "df")
+        fs, root, jvm = _fs_and_path(spark, index_dir)
+        if not fs.exists(root):
+            return []
+        Path = jvm.org.apache.hadoop.fs.Path
+        out: list[int] = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("v=")):
+                continue
+            try:
+                n = int(name[2:])
+            except ValueError:
+                continue
+            if fs.exists(Path(st.getPath(), "_SUCCESS")):
+                out.append(n)
+        return sorted(out)
+    except Exception:
+        return []
+
+
+def index_df(
+    spark: SparkSession, index_dir: str, before: int | None = None
+) -> DataFrame:
+    """The persisted (h, df) line-frequency index; empty on first run.
+
+    Resolves the newest committed snapshot (see module docstring).
+    ``before`` bounds the search to versions < before — the retry path
+    must resolve the PREDECESSOR snapshot, never one a crashed attempt
+    of the same batch already committed (reading the batch's own counts
+    back would double them). When a versioned layout exists but no
+    version qualifies, the index is empty by definition — never fall
+    through to reading the root (partition discovery would surface the
+    crashed attempt's rows)."""
+    vs = _versions(spark, index_dir)
+    if vs:
+        eligible = [n for n in vs if before is None or n < before]
+        if not eligible:
+            return spark.createDataFrame([], "h bigint, df bigint")
+        path = f"{index_dir.rstrip('/')}/v={eligible[-1]}"
+    else:
+        path = index_dir  # pre-versioning flat layout, or first run
+    try:
+        return spark.read.parquet(path).select("h", "df")
     except AnalysisException:
         return spark.createDataFrame([], "h bigint, df bigint")
 
@@ -113,6 +171,54 @@ def gate_batch(
     return deduped, updated
 
 
+def process_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> None:
+    """One micro-batch's side effects, idempotent under foreachBatch
+    retry (module-level so the retry contract is directly testable):
+    docs → ``out_dir/batch=<id>`` dynamic overwrite first, index
+    snapshot ``v=<id>`` second, prune last. Re-running the same
+    (batch, batch_id) is a byte-level no-op: the doc partition is
+    replaced with identical rows and the snapshot is recomputed from
+    the same predecessor."""
+    spark = batch.sparkSession
+    bid = int(batch_id)
+    deduped, updated = gate_batch(
+        batch, index_df(spark, index_dir, before=bid), id_col, text_col, min_df
+    )
+    (
+        deduped.withColumn("batch", F.lit(bid))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(out_dir)
+    )
+    # New snapshot reads v=<predecessor> and writes v=<id> — different
+    # paths, so no read-under-write and no checkpoint materialization.
+    updated.write.mode("overwrite").parquet(f"{index_dir.rstrip('/')}/v={bid}")
+    # Prune: keep THIS snapshot and its immediate predecessor. The
+    # predecessor must survive until the checkpoint commits (a retry of
+    # this batch_id re-reads it); batch N+1 running at all proves N
+    # committed, and its prune pass retires N-1. Best-effort — a missed
+    # prune is retried next batch.
+    try:
+        keep = {f"v={n}" for n in _versions(spark, index_dir)[-2:]}
+        keep.add(f"v={bid}")
+        fs, root, jvm = _fs_and_path(spark, index_dir)
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v=") and name not in keep:
+                fs.delete(st.getPath(), True)
+    except Exception:
+        pass
+
+
 def streaming_line_dedup(
     docs: DataFrame,
     index_dir: str,
@@ -127,15 +233,9 @@ def streaming_line_dedup(
     production)."""
 
     def _one_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        deduped, updated = gate_batch(
-            batch, index_df(spark, index_dir), id_col, text_col, min_df
+        process_batch(
+            batch, batch_id, index_dir, out_dir, id_col, text_col, min_df
         )
-        # The updated index REPLACES the old one; materialize it before
-        # the overwrite or the read-under-write corrupts it.
-        staged = updated.localCheckpoint(eager=True)
-        deduped.write.mode("append").parquet(out_dir)
-        staged.write.mode("overwrite").parquet(index_dir)
 
     return (
         docs.writeStream.foreachBatch(_one_batch)

@@ -26,6 +26,15 @@ the query (it IS the corpus memory), survives restarts via the
 checkpoint + availableNow pattern, and at billions of docs is bucketed
 by (band, sig) (`operators.bucketing`) so step 2 co-locates without
 shuffling the corpus side.
+
+Crash/retry semantics: foreachBatch is at-least-once, so both sinks
+write ``batch=<batch_id>`` partitions via dynamic-partition overwrite —
+a retried batch replaces exactly its own partition instead of appending
+a second copy. The index therefore grows by one partition per batch
+(append-shaped, O(batch) work) while staying retry-idempotent;
+``maintenance.compact_gate_index`` periodically collapses the committed
+partitions into one reserved ``batch=-1`` partition (a value no live
+batch_id can overwrite) to keep file counts bounded.
 """
 
 from __future__ import annotations
@@ -36,12 +45,22 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.dedup import lsh_incremental_pairs, minhash_signatures
 
 
-def _index_signatures(spark: SparkSession, index_dir: str) -> DataFrame:
+def _index_signatures(
+    spark: SparkSession, index_dir: str, before: int | None = None
+) -> DataFrame:
     """The persisted (doc, perm, minhash) index; empty on first run.
-    Spark-FS probe (AnalysisException), not os.path.exists — see
+
+    ``before`` excludes batch partitions >= before: the retry path must
+    not see the signatures a crashed attempt of the SAME batch already
+    wrote (batch docs colliding with their own index rows would reject
+    the entire batch). Partition pruning makes the filter free. Spark-FS
+    probe (AnalysisException), not os.path.exists — see
     ingest._registry_names."""
     try:
-        return spark.read.parquet(index_dir).select("doc", "perm", "minhash")
+        idx = spark.read.parquet(index_dir)
+        if before is not None and "batch" in idx.columns:
+            idx = idx.where(F.col("batch") < before)
+        return idx.select("doc", "perm", "minhash")
     except AnalysisException:
         return spark.createDataFrame(
             [], "doc long, perm bigint, minhash bigint"
@@ -80,6 +99,47 @@ def gate_batch(
     return accepted, accepted_sigs
 
 
+def process_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    accepted_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """One micro-batch's side effects, idempotent under foreachBatch
+    retry (module-level so the retry contract is directly testable).
+    Docs first, index last (never lose an accepted doc); both sinks are
+    batch=<id> dynamic-partition overwrites, so a re-run replaces its
+    own partitions, never duplicates them — and the index read excludes
+    partitions >= batch_id so the re-run can't collide the batch with
+    its own crashed attempt's signatures."""
+    spark = batch.sparkSession
+    bid = int(batch_id)
+    accepted, accepted_sigs = gate_batch(
+        batch,
+        _index_signatures(spark, index_dir, before=bid),
+        id_col,
+        text_col,
+        num_perm,
+        bands,
+        rows_per_band,
+        shingle_n,
+    )
+    for df, sink in ((accepted, accepted_dir), (accepted_sigs, index_dir)):
+        (
+            df.withColumn("batch", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(sink)
+        )
+
+
 def streaming_near_dedup(
     docs: DataFrame,
     index_dir: str,
@@ -97,10 +157,11 @@ def streaming_near_dedup(
     tests, continuous in production)."""
 
     def _one_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        accepted, accepted_sigs = gate_batch(
+        process_batch(
             batch,
-            _index_signatures(spark, index_dir),
+            batch_id,
+            index_dir,
+            accepted_dir,
             id_col,
             text_col,
             num_perm,
@@ -108,10 +169,6 @@ def streaming_near_dedup(
             rows_per_band,
             shingle_n,
         )
-        # docs first, index last (never lose an accepted doc; a crash
-        # in between re-admits at most one batch's duplicates on retry)
-        accepted.write.mode("append").parquet(accepted_dir)
-        accepted_sigs.write.mode("append").parquet(index_dir)
 
     return (
         docs.writeStream.foreachBatch(_one_batch)

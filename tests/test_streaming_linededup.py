@@ -118,3 +118,68 @@ def test_min_df_validation(spark, tmp_path):
     batch = spark.createDataFrame([(1, BODY1)], "doc_id long, text string")
     with pytest.raises(ValueError):
         gate_batch(batch, index_df(spark, str(tmp_path / "x")), min_df=1)
+
+
+def test_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the SAME batch_id
+    (crash after side-effects, before checkpoint commit) must leave
+    output rows and index counts byte-identical — no doubled docs, no
+    doubled df."""
+    from dbbspark.streaming.linededup import process_batch
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    b1 = spark.createDataFrame(
+        [(1, f"{BOILER}\n{BODY1}"), (2, f"{BOILER}\n{BODY2}")],
+        "doc_id long, text string",
+    )
+    process_batch(b1, 0, idx, out)
+    b2 = spark.createDataFrame(
+        [(3, f"{BOILER}\n{BODY3}")], "doc_id long, text string"
+    )
+    process_batch(b2, 1, idx, out)
+    docs_once = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    )
+    idx_once = sorted(
+        (r["h"], r["df"]) for r in index_df(spark, idx).collect()
+    )
+    # retry batch 1 twice more — crashed-attempt re-runs
+    process_batch(b2, 1, idx, out)
+    process_batch(b2, 1, idx, out)
+    assert sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    ) == docs_once
+    assert sorted(
+        (r["h"], r["df"]) for r in index_df(spark, idx).collect()
+    ) == idx_once
+    # the boiler line's df counts each doc exactly once: 2 (b1) + 1 (b2)
+    assert max(df for _, df in idx_once) == 3
+
+
+def test_crashed_snapshot_not_read_by_retry(spark, tmp_path):
+    """A committed-but-unacknowledged v=<bid> snapshot must be invisible
+    to the retry of batch <bid> (reading it would double the batch's own
+    counts), while the predecessor snapshot survives pruning."""
+    from dbbspark.streaming.linededup import process_batch
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    b1 = spark.createDataFrame(
+        [(1, f"{BOILER}\n{BODY1}")], "doc_id long, text string"
+    )
+    process_batch(b1, 0, idx, out)
+    # batch 1 ran fully (v=1 exists) but checkpoint never committed
+    b2 = spark.createDataFrame(
+        [(2, f"{BOILER}\n{BODY2}")], "doc_id long, text string"
+    )
+    process_batch(b2, 1, idx, out)
+    # retry of batch 1 resolves the v=0 predecessor, not its own v=1
+    assert {
+        r["df"] for r in index_df(spark, idx, before=1).collect()
+    } == {1}
+    process_batch(b2, 1, idx, out)
+    dfs = sorted(r["df"] for r in index_df(spark, idx).collect())
+    # boiler counted once per doc (2), each body line once — NOT doubled
+    # to 4/2 by the retry re-reading its own v=1 snapshot
+    assert dfs == [1, 1, 2]

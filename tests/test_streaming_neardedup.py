@@ -70,6 +70,86 @@ def test_gate_across_micro_batches(spark, tmp_path):
     assert idx.count() == 3 * 16
 
 
+def test_retry_is_idempotent(spark, tmp_path):
+    """Re-running the same batch_id (foreachBatch at-least-once retry)
+    must neither duplicate accepted docs/signatures nor reject the batch
+    against its own crashed attempt's index rows."""
+    from dbbspark.streaming.neardedup import process_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    b1 = spark.createDataFrame([(1, BANK), (2, BEND), (3, SPARK)], ["doc_id", "text"])
+    process_batch(b1, 0, idx, acc)
+    b2 = spark.createDataFrame([(4, BARN), (5, PARQUET)], ["doc_id", "text"])
+    process_batch(b2, 1, idx, acc)
+    docs_once = sorted(r["doc_id"] for r in spark.read.parquet(acc).collect())
+    sigs_once = sorted(
+        (r["doc"], r["perm"], r["minhash"])
+        for r in spark.read.parquet(idx).collect()
+    )
+    assert docs_once == [1, 3, 5]
+    # retry batch 1: its own signatures are already in the index — the
+    # gate must not collide docs 4/5 with themselves
+    process_batch(b2, 1, idx, acc)
+    process_batch(b2, 1, idx, acc)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(acc).collect()) == docs_once
+    assert sorted(
+        (r["doc"], r["perm"], r["minhash"])
+        for r in spark.read.parquet(idx).collect()
+    ) == sigs_once
+
+
+def test_index_compaction_preserves_gate(spark, tmp_path):
+    """maintenance.compact_gate_index: file count collapses, the gate's
+    decisions and the index contents are identical afterwards."""
+    import glob
+
+    from dbbspark.maintenance import compact_gate_index
+    from dbbspark.streaming.neardedup import gate_batch, process_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    batches = [
+        [(1, BANK), (2, BEND), (3, SPARK)],
+        [(4, BARN), (5, PARQUET)],
+        [(6, "totally fresh sentence about columnar vectorized execution")],
+    ]
+    for i, rows in enumerate(batches):
+        process_batch(
+            spark.createDataFrame(rows, ["doc_id", "text"]), i, idx, acc
+        )
+    pre_files = glob.glob(f"{idx}/**/*.parquet", recursive=True)
+    pre_rows = sorted(
+        (r["doc"], r["perm"], r["minhash"])
+        for r in spark.read.parquet(idx).collect()
+    )
+    probe = spark.createDataFrame(
+        [(7, BANK), (8, "another unseen sentence regarding shuffle hash joins")],
+        ["doc_id", "text"],
+    )
+    def decide():
+        accepted, _ = gate_batch(
+            probe, spark.read.parquet(idx).select("doc", "perm", "minhash")
+        )
+        return sorted(r["doc_id"] for r in accepted.collect())
+
+    pre_decision = decide()
+    backup = compact_gate_index(spark, idx)
+    post_files = glob.glob(f"{idx}/**/*.parquet", recursive=True)
+    assert len(post_files) < len(pre_files) and len(post_files) == 1
+    assert sorted(
+        (r["doc"], r["perm"], r["minhash"])
+        for r in spark.read.parquet(idx).collect()
+    ) == pre_rows
+    assert decide() == pre_decision
+    # a post-compaction batch still lands its own partition
+    process_batch(probe, 3, idx, acc)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(acc).collect()
+    ) == [1, 3, 5, 6, 8]
+    import shutil
+
+    shutil.rmtree(backup)
+
+
 def test_streaming_equals_direct_batch(spark, tmp_path):
     batch = spark.createDataFrame(
         [(1, BANK), (2, BEND), (3, SPARK)], ["doc_id", "text"]
