@@ -1,0 +1,336 @@
+"""Real media codecs for the multimodal seam (SURVEY.md §2.11 C5) —
+pure Python + numpy, no external media libraries.
+
+`sources.multimodal` defines the pluggable decode seam
+(`register_decoder` / `register_frame_extractor`, mirroring the
+reference's per-filetype plugin dispatch at
+bin/save_DBB_stagein_to_DBB.py:160). This module supplies genuine
+decoders for three real public formats whose specifications need no
+codec library:
+
+- **netpbm (PGM/PPM, P2/P3/P5/P6)** — the classic uncompressed image
+  interchange format: ASCII header (magic, width, height, maxval),
+  then raster samples (ASCII or binary).
+- **FITS primary-HDU images** — the astronomy standard the reference's
+  own files use (FITS Standard 4.0): 2880-byte header blocks of
+  80-char cards, then a big-endian data unit shaped by
+  BITPIX/NAXIS1/NAXIS2, scaled by BSCALE/BZERO.
+- **WAV (RIFF PCM)** — chunked container: `fmt ` chunk fixes the
+  sample layout, `data` chunk holds interleaved PCM samples. The frame
+  extractor decodes ONLY the byte ranges of the sampled windows —
+  the whole point of choosing frame indices before decoding.
+
+All decoders return the stable shapes `decode_media` / `sample_frames`
+expect (DECODE_SCHEMA / FRAME_SCHEMA): width, height, n_frames, and an
+8-dim feature vector (summary statistics + a 4-bin histogram — a
+deterministic, value-testable stand-in for a learned embedding).
+
+Import this module (or call `register_default_codecs()`) to activate
+the registrations; the deterministic fakes in sources/multimodal.py
+remain the fallback for kinds with no real codec, which keeps the
+DuckDB-oracled fixture queries (text-KV bytes under kind="image")
+byte-stable.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .multimodal import (
+    fits_header_decode,
+    register_decoder,
+    register_frame_extractor,
+)
+
+
+def _feature(arr: np.ndarray) -> list[float]:
+    """8-dim deterministic feature: [mean, std, min, max, hist4...] over
+    the flattened samples, each scaled into [0, 1] by the array's own
+    range where applicable."""
+    a = arr.astype(np.float64).ravel()
+    if a.size == 0:
+        return [0.0] * 8
+    lo, hi = float(a.min()), float(a.max())
+    span = (hi - lo) or 1.0
+    hist, _ = np.histogram(a, bins=4, range=(lo, lo + span))
+    h = hist / a.size
+    return [
+        float(a.mean()),
+        float(a.std()),
+        lo,
+        hi,
+        float(h[0]),
+        float(h[1]),
+        float(h[2]),
+        float(h[3]),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# netpbm (PGM P2/P5 grayscale, PPM P3/P6 RGB)
+
+def decode_netpbm(raw: bytes) -> dict:
+    """Decode a PGM/PPM image (netpbm formats P2/P3/P5/P6).
+
+    Header tokens (magic, width, height, maxval) are whitespace-
+    separated with `#` comments; binary rasters follow the single
+    whitespace byte after maxval, row-major, 1 or 2 bytes per sample
+    (big-endian when maxval > 255, per spec)."""
+    if len(raw) < 2 or raw[0:1] != b"P" or raw[1:2] not in b"2356":
+        raise ValueError("not a PGM/PPM file")
+    magic = raw[:2].decode("ascii")
+    channels = 3 if magic in ("P3", "P6") else 1
+    binary = magic in ("P5", "P6")
+
+    # Tokenize the header: comments run '#'..newline; stop after maxval.
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3 and i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"#":
+            i = raw.find(b"\n", i)
+            if i < 0:
+                raise ValueError("truncated netpbm header")
+            i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(raw) and not raw[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(raw[i:j]))
+            i = j
+    if len(tokens) < 3:
+        raise ValueError("truncated netpbm header")
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+        raise ValueError("bad netpbm dimensions")
+    n = width * height * channels
+
+    if binary:
+        i += 1  # exactly one whitespace byte separates maxval and raster
+        dtype = ">u2" if maxval > 255 else "u1"
+        itemsize = 2 if maxval > 255 else 1
+        data = np.frombuffer(raw, dtype=dtype, count=n, offset=i)
+    else:
+        data = np.array(raw[i:].split()[:n], dtype=np.int64)
+        if data.size != n:
+            raise ValueError("truncated netpbm raster")
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": 1,
+        "feature": _feature(data),
+    }
+
+
+def encode_pgm(arr: np.ndarray, maxval: int = 255) -> bytes:
+    """Write a real binary PGM (P5) file from a 2-D uint array — the
+    test-side counterpart so the decode path is exercised on genuine
+    format bytes (also handy for dumping debug images)."""
+    h, w = arr.shape
+    header = f"P5\n# dbbspark test image\n{w} {h}\n{maxval}\n".encode("ascii")
+    dtype = ">u2" if maxval > 255 else "u1"
+    return header + np.ascontiguousarray(arr, dtype=dtype).tobytes()
+
+
+def encode_ppm(arr: np.ndarray, maxval: int = 255) -> bytes:
+    """Write a real binary PPM (P6) file from an (h, w, 3) uint array."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("PPM needs 3 channels")
+    header = f"P6\n{w} {h}\n{maxval}\n".encode("ascii")
+    dtype = ">u2" if maxval > 255 else "u1"
+    return header + np.ascontiguousarray(arr, dtype=dtype).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# FITS primary-HDU image (header parse shared with the metadata seam)
+
+_BITPIX_DTYPE = {
+    8: "u1",
+    16: ">i2",
+    32: ">i4",
+    64: ">i8",
+    -32: ">f4",
+    -64: ">f8",
+}
+
+
+def decode_fits_image(raw: bytes) -> dict:
+    """Decode a FITS primary-HDU image: header cards via
+    `fits_header_decode` (the same real parser the metadata seam uses),
+    then the data unit — big-endian array of BITPIX type, NAXIS1 ×
+    NAXIS2 (× NAXIS3 planes → n_frames), linearly scaled by
+    BSCALE/BZERO (FITS Standard 4.0 §4.4.2, §5.2-5.3)."""
+    hdr = fits_header_decode(raw)
+    if hdr.get("SIMPLE") != "T":
+        raise ValueError("not a FITS primary HDU")
+    bitpix = int(hdr["BITPIX"])
+    naxis = int(hdr["NAXIS"])
+    if naxis < 2:
+        raise ValueError("FITS HDU holds no image")
+    w = int(hdr["NAXIS1"])
+    h = int(hdr["NAXIS2"])
+    planes = int(hdr.get("NAXIS3", "1")) if naxis >= 3 else 1
+    dtype = _BITPIX_DTYPE.get(bitpix)
+    if dtype is None:
+        raise ValueError(f"bad BITPIX {bitpix}")
+    # Header occupies whole 2880-byte blocks through its END card.
+    end = raw.find(b"END     ")
+    if end < 0:
+        raise ValueError("no END card")
+    data_off = ((end // 2880) + 1) * 2880
+    n = w * h * planes
+    data = np.frombuffer(raw, dtype=dtype, count=n, offset=data_off)
+    bscale = float(hdr.get("BSCALE", "1.0"))
+    bzero = float(hdr.get("BZERO", "0.0"))
+    if bscale != 1.0 or bzero != 0.0:
+        data = data * bscale + bzero
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": planes,
+        "feature": _feature(data),
+    }
+
+
+def encode_fits_image(arr: np.ndarray, bitpix: int = 16) -> bytes:
+    """Write a real single-HDU FITS image (2880-blocked header + data)
+    from a 2-D array — genuine bytes any FITS reader accepts."""
+    h, w = arr.shape
+    cards = [
+        f"{'SIMPLE':8s}= {'T':>20s}",
+        f"{'BITPIX':8s}= {bitpix:>20d}",
+        f"{'NAXIS':8s}= {2:>20d}",
+        f"{'NAXIS1':8s}= {w:>20d}",
+        f"{'NAXIS2':8s}= {h:>20d}",
+        "END",
+    ]
+    header = "".join(c.ljust(80) for c in cards).encode("ascii")
+    header += b" " * (-len(header) % 2880)
+    data = np.ascontiguousarray(arr, dtype=_BITPIX_DTYPE[bitpix]).tobytes()
+    data += b"\0" * (-len(data) % 2880)
+    return header + data
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) frame extraction
+
+WAV_WINDOW = 1024  # samples per analysis frame
+
+
+def _wav_layout(raw: bytes) -> tuple[int, int, int, int, int]:
+    """(data_offset, data_bytes, n_channels, sample_width, sample_rate)
+    from the RIFF chunk list; PCM (format tag 1) only."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data_span = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = pos + 8
+        if cid == b"fmt ":
+            tag, nch, rate = struct.unpack("<HHI", raw[body : body + 8])
+            bits = struct.unpack("<H", raw[body + 14 : body + 16])[0]
+            if tag != 1:
+                raise ValueError("only PCM WAV supported")
+            fmt = (nch, bits // 8, rate)
+        elif cid == b"data":
+            data_span = (body, min(size, len(raw) - body))
+        pos = body + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data_span is None:
+        raise ValueError("missing fmt/data chunk")
+    nch, width, rate = fmt
+    if width not in (1, 2) or nch < 1:
+        raise ValueError("unsupported PCM layout")
+    return data_span[0], data_span[1], nch, width, rate
+
+
+def wav_frame_count(raw: bytes) -> int:
+    """Number of WAV_WINDOW-sample analysis frames — header-only: reads
+    the chunk list, never the samples."""
+    _off, nbytes, nch, width, _rate = _wav_layout(raw)
+    samples = nbytes // (nch * width)
+    return max(1, math.ceil(samples / WAV_WINDOW))
+
+
+def wav_extract_frames(raw: bytes, idxs: list[int]) -> list[list[float]]:
+    """Per-window features for exactly the requested frame indices,
+    decoding ONLY those windows' byte ranges (a real extractor over a
+    seekable store reads just these slices — the reason sample_frames
+    picks indices before decoding). Feature: [rms, mean, min, max,
+    zero-crossing rate, energy-in-thirds...] — 8 dims, all in [-1, 1]
+    sample space."""
+    off, nbytes, nch, width, _rate = _wav_layout(raw)
+    dtype = "<i2" if width == 2 else "u1"
+    frame_bytes = WAV_WINDOW * nch * width
+    out: list[list[float]] = []
+    for i in idxs:
+        start = off + i * frame_bytes
+        chunk = raw[start : min(start + frame_bytes, off + nbytes)]
+        a = np.frombuffer(chunk, dtype=dtype).astype(np.float64)
+        if width == 1:
+            a = (a - 128.0) / 128.0  # 8-bit WAV is unsigned
+        else:
+            a = a / 32768.0
+        if a.size == 0:
+            out.append([0.0] * 8)
+            continue
+        thirds = np.array_split(a, 3)
+        out.append(
+            [
+                float(np.sqrt(np.mean(a * a))),
+                float(a.mean()),
+                float(a.min()),
+                float(a.max()),
+                float(np.mean(np.abs(np.diff(np.signbit(a).astype(np.int8)))))
+                if a.size > 1
+                else 0.0,
+                float(np.mean(thirds[0] ** 2)),
+                float(np.mean(thirds[1] ** 2)),
+                float(np.mean(thirds[2] ** 2)),
+            ]
+        )
+    return out
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Write a real PCM16 mono WAV file from float samples in [-1, 1]."""
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+
+
+def wav_decode(raw: bytes) -> dict:
+    """decode_media-shaped WAV summary (width=samples per channel,
+    height=channels) so audio files also flow through the decode seam."""
+    off, nbytes, nch, width, _rate = _wav_layout(raw)
+    dtype = "<i2" if width == 2 else "u1"
+    a = np.frombuffer(raw, dtype=dtype, count=nbytes // width, offset=off)
+    a = ((a.astype(np.float64) - 128.0) / 128.0) if width == 1 else a / 32768.0
+    samples = a.size // nch
+    return {
+        "width": int(samples),
+        "height": int(nch),
+        "n_frames": max(1, math.ceil(samples / WAV_WINDOW)),
+        "feature": _feature(a),
+    }
+
+
+def register_default_codecs() -> None:
+    """Activate the real codecs under their format kinds. The generic
+    "image"/"video" kinds keep the deterministic fakes (fixture bytes
+    are not real media; the DuckDB-oracled queries pin that path)."""
+    register_decoder("pgm", decode_netpbm)
+    register_decoder("ppm", decode_netpbm)
+    register_decoder("fits", decode_fits_image)
+    register_decoder("wav", wav_decode)
+    register_frame_extractor("wav", wav_frame_count, wav_extract_frames)
+
+
+register_default_codecs()

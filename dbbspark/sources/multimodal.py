@@ -202,23 +202,34 @@ def decode_media(
 ) -> DataFrame:
     """Attach decoded media features as a ``decoded`` struct column.
 
-    Runs the registered decoder for ``kind`` (deterministic fake unless a
-    real one was registered) over Arrow batches via mapInPandas — the
-    production shape for "decode 100 TB of images": one Python worker per
-    task, bytes never leave the executor, output is a narrow typed struct.
+    Runs the registered decoder for ``kind`` over Arrow batches via
+    mapInPandas — the production shape for "decode 100 TB of images":
+    one Python worker per task, bytes never leave the executor, output
+    is a narrow typed struct. Real codecs for pgm/ppm/fits/wav live in
+    sources/codecs.py (registered on import); the deterministic fake
+    remains the fallback for kinds with no registered decoder. A
+    decoder raising on malformed bytes yields decoded=NULL for that row
+    — quarantine's concern, never a job abort (same stance as
+    extract_kv_metadata vs the reference's SystemExit,
+    bin/save_DBB_stagein_to_DBB.py:212-215).
     """
     decoder = _DECODERS.get(kind, _fake_decode)
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("decoded", DECODE_SCHEMA, True)]
     )
 
+    def _one(raw) -> dict | None:
+        if raw is None:
+            return None
+        try:
+            return decoder(bytes(raw))
+        except Exception:  # malformed media → NULL, row survives
+            return None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["decoded"] = [
-                None if raw is None else decoder(bytes(raw))
-                for raw in pdf[content_col]
-            ]
+            pdf["decoded"] = [_one(raw) for raw in pdf[content_col]]
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
