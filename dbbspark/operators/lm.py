@@ -244,6 +244,7 @@ def dsir_sample(
     temperature: float = 1.0,
     seed: int = 0,
     cut: float | None = None,
+    u_col: Column | None = None,
 ) -> DataFrame:
     """Deterministic importance sampling of ~``fraction`` of the rows,
     biased toward high ``ratio_col``: per-row Gumbel-top-k without a
@@ -264,10 +265,14 @@ def dsir_sample(
     (localCheckpoint — see examples/curation_pipeline.py).
 
     Null ratios (too-short docs) are dropped: they carry no evidence
-    either way, and DSIR's use case is choosing a high-value subset."""
+    either way, and DSIR's use case is choosing a high-value subset.
+
+    ``u_col`` overrides the uniform draw (a Column in (0,1), e.g. an
+    md5-derived gate when the selection must replay on engines without
+    Spark's xxhash64); default is the xxhash64(id, seed) lottery."""
     if not 0.0 < fraction < 1.0:
         raise ValueError("fraction must be in (0, 1)")
-    u = (
+    u = u_col if u_col is not None else (
         (
             F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000_007))
             + F.lit(0.5)

@@ -43,10 +43,18 @@ from ..tables import load_table
             OR text LIKE '%window window%') AS rx_match,
            concat_ws('/', source, lang, CAST(doc_id AS VARCHAR)) AS rel_path,
            printf('%s has %d chars', lang, n_chars) AS msg,
-           source || '/' || lang || '/doc_' || doc_id || '.parquet' AS archive_path
+           source || '/' || lang || '/doc_' || doc_id || '.parquet' AS archive_path,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           list_reduce(
+             list_prepend(7::BIGINT,
+               list_transform(string_split(text, ' ')[1:16],
+                 t -> (ascii(t) * 7 + length(t))::BIGINT)),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
     FROM documents
     """,
-    doc="F1+F2+F3+F4+F6/U4+F13+P5 (merged): regexp_extract — expnum from "
+    doc="F1+F2+F3+F4+F6/U4+F13+P5+F11+C4-fingerprint (merged): "
+    "regexp_extract — expnum from "
     "DECam filename (bin/monitor_DBB_stagein.py:844) and notify-file "
     "key=value parse (bin/save_DBB_stagein_to_DBB.py:49-56); "
     "regexp_replace — strip "
@@ -60,7 +68,13 @@ from ..tables import load_table
     "(bin/save_DBB_stagein_to_DBB.py:255-259), and the ${var} directory-"
     "pattern template compiled to a concat expression at plan time "
     "(replace_vars_single, bin/save_DBB_stagein_to_DBB.py:180-184; "
-    "OPS_DIRECTORY_PATTERN bin/save_DBB_stagein_to_DBB.py:342-343).",
+    "OPS_DIRECTORY_PATTERN bin/save_DBB_stagein_to_DBB.py:342-343). "
+    "Round-4 fold (former q_content_hash): content checksums — md5 for "
+    "the reference's verify (bin/save_DBB_stagein_to_DBB.py:93-97), "
+    "sha256 for the dedup closure — plus the rolling polynomial document "
+    "fingerprint over the first 16 tokens (integer arithmetic, "
+    "engine-portable; the rolling-hash shape for shift-resistant dedup "
+    "keys).",
 )
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -98,6 +112,16 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         compile_template("${source}/${lang}/doc_${doc_id}.parquet").alias(
             "archive_path"
         ),
+        F.md5(F.col("text").cast("binary")).alias("md5_hex"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
+        F.aggregate(
+            F.transform(
+                F.slice(toks, 1, 16),
+                lambda t: (F.ascii(t) * 7 + F.length(t)).cast("bigint"),
+            ),
+            F.lit(7).cast("bigint"),
+            lambda acc, v: (acc * 31 + v) % 1000000007,
+        ).alias("fingerprint"),
     )
 
 
@@ -140,40 +164,6 @@ def q_row_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
         F.coalesce(et_null, F.lit("(failed)")).alias("et_filled"),
         et_null.isNull().alias("was_error"),
-    )
-
-
-@query(
-    "q_content_hash",
-    oracle="""
-    SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
-           list_reduce(
-             list_prepend(7::BIGINT,
-               list_transform(string_split(text, ' ')[1:16],
-                 t -> (ascii(t) * 7 + length(t))::BIGINT)),
-             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
-    FROM documents
-    """,
-    doc="F11 + C4 fingerprint (merged): content checksums — md5 for the "
-    "reference's verify (bin/save_DBB_stagein_to_DBB.py:93-97), sha256 for "
-    "the dedup closure — plus the rolling polynomial document fingerprint "
-    "over the first 16 tokens (integer arithmetic, engine-portable; the "
-    "rolling-hash shape used for shift-resistant dedup keys).",
-)
-def q_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    head = F.slice(F.split(F.col("text"), " "), 1, 16)
-    vals = F.transform(head, lambda t: (F.ascii(t) * 7 + F.length(t)).cast("bigint"))
-    fp = F.aggregate(
-        vals,
-        F.lit(7).cast("bigint"),
-        lambda acc, v: (acc * 31 + v) % 1000000007,
-    )
-    return docs.select(
-        "doc_id",
-        F.md5(F.col("text").cast("binary")).alias("md5_hex"),
-        F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
-        fp.alias("fingerprint"),
     )
 
 

@@ -7,7 +7,7 @@ Round-2 consolidation: the per-document metrics (quality gates, token
 counts, lang-ID, sampling gate) are one projection — q_doc_metrics — the
 natural "annotate every document" pipeline stage; grouped corpus stats
 stay in q_text_stats. The document fingerprint lives with the other
-content hashes in q_content_hash (queries/scalars.py).
+content hashes folded into q_string_funcs (queries/scalars.py).
 """
 
 from __future__ import annotations
@@ -348,3 +348,91 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs.select("doc_id", "text"), max_tokens=32, overlap=8)
+
+
+@query(
+    "q_dsir",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                    i -> struct_pack(g := t[i] || ' ' || t[i+1], c := t[i])))
+               AS gc
+      FROM toks),
+    gs AS (SELECT doc_id, lang, gc.g AS gram, gc.c AS ctx FROM grams),
+    tc AS (SELECT gram, COUNT(*) AS c FROM gs WHERE lang = 'en' GROUP BY gram),
+    tx AS (SELECT ctx, COUNT(*) AS c_ctx FROM gs WHERE lang = 'en' GROUP BY ctx),
+    sc AS (SELECT gram, COUNT(*) AS c FROM gs GROUP BY gram),
+    sx AS (SELECT ctx, COUNT(*) AS c_ctx FROM gs GROUP BY ctx),
+    vt AS (SELECT COUNT(DISTINCT tok) AS v
+           FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')),
+    vs AS (SELECT COUNT(DISTINCT tok) AS v
+           FROM (SELECT unnest(t) AS tok FROM toks)),
+    scored AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             -avg(ln((coalesce(tc.c, 0) + 1.0)
+                     / (coalesce(tx.c_ctx, 0) + (SELECT v FROM vt)))) AS nll_t,
+             -avg(ln((coalesce(sc.c, 0) + 1.0)
+                     / (coalesce(sx.c_ctx, 0) + (SELECT v FROM vs)))) AS nll_s
+      FROM gs g
+      LEFT JOIN tc ON g.gram = tc.gram
+      LEFT JOIN tx ON g.ctx = tx.ctx
+      LEFT JOIN sc ON g.gram = sc.gram
+      LEFT JOIN sx ON g.ctx = sx.ctx
+      GROUP BY g.doc_id),
+    w AS (
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+             s.n_grams * (s.nll_s - s.nll_t) AS log_ratio
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id),
+    keyed AS (
+      SELECT doc_id, n_grams, log_ratio,
+             CASE WHEN log_ratio IS NOT NULL THEN
+               log_ratio - ln(-ln(
+                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 1000000007 + 0.5) / 1000000007.0))
+             END AS k
+      FROM w)
+    SELECT doc_id, n_grams, round(log_ratio, 4) AS log_ratio,
+           coalesce(k >= 1.346, FALSE) AS dsir_selected
+    FROM keyed
+    """,
+    doc="C29 DSIR importance resampling, driver-checked: bigram LMs "
+    "trained on target (lang='en') vs source (whole corpus) via "
+    "train_ngram_lm (two aggregations each; operators/lm.py), per-doc "
+    "LLR weights via dsir_weights (log_ratio = n_grams * (nll_source - "
+    "nll_target), add-1 smoothing), then the deterministic Gumbel-top-k "
+    "lottery of dsir_sample with a PINNED cut (1.346 ~ the sf0.01 p75) "
+    "and an md5-derived uniform so the selection replays exactly on any "
+    "engine and cluster layout (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'). Zero-gram docs keep "
+    "null log_ratio and dsir_selected=false (report-don't-drop).",
+    tags=("text", "lm", "closure"),
+)
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_int_col
+    from ..operators.lm import dsir_sample, dsir_weights, train_ngram_lm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    lm_t = train_ngram_lm(docs.where(F.col("lang") == "en"), "text", n=2)
+    lm_s = train_ngram_lm(docs, "text", n=2)
+    w = dsir_weights(docs, lm_t, lm_s, "doc_id", "text", broadcast_model=True)
+    u = (
+        md5_int_col(F.col("doc").cast("string")) % F.lit(1_000_000_007)
+        + F.lit(0.5)
+    ) / F.lit(1_000_000_007.0)
+    kept = dsir_sample(w, fraction=0.25, cut=1.346, u_col=u).select(
+        "doc", F.lit(True).alias("__sel")
+    )
+    return (
+        w.join(kept, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_grams",
+            F.round("log_ratio", 4).alias("log_ratio"),
+            F.coalesce(F.col("__sel"), F.lit(False)).alias("dsir_selected"),
+        )
+    )
