@@ -79,6 +79,28 @@ def _dsir(big):
     return dsir_weights(big, t, s, broadcast_model=True)
 
 
+_CHAINS = None
+
+
+def _chain_edges(spark):
+    """2000 disjoint 33-node paths: (c*1000+i, c*1000+i+1), i<32."""
+    global _CHAINS
+    if _CHAINS is None:
+        from pyspark.sql import functions as FF
+
+        n = spark.range(2000 * 33).select(
+            ((FF.col("id") / 33).cast("long") * 1000 + FF.col("id") % 33).alias("a"),
+            (FF.col("id") % 33).alias("i"),
+        )
+        _CHAINS = (
+            n.where(FF.col("i") < 32)
+            .select("a", (FF.col("a") + 1).alias("b"))
+            .repartition(32)
+            .localCheckpoint(eager=True)
+        )
+    return _CHAINS
+
+
 def replicated_corpus(spark, sf_dir: str, copies: int):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     parts = [docs]
@@ -147,6 +169,18 @@ def main() -> None:
             src="doc_a",
             dst="doc_b",
         ),
+        # deep-graph crossover (VERDICT r3 item 6): 2000 chains of 33
+        # nodes — diameter 32, the shape where per-round min-label
+        # propagation pays O(diameter) shuffles and the star rounds pay
+        # O(log). Near-dup graphs are shallow cliques (where min-label
+        # wins); chained revisions are where the star variant is the
+        # right default.
+        "cc_chain_minlabel": lambda: D.connected_components(
+            _chain_edges(big.sparkSession), src="a", dst="b", max_iter=100
+        ),
+        "cc_chain_star": lambda: D.connected_components_star(
+            _chain_edges(big.sparkSession), src="a", dst="b", max_iter=100
+        ),
     }
     for name, build in ops.items():
         if wanted and name not in wanted:
@@ -200,6 +234,17 @@ def main() -> None:
         "ivf_topk": lambda: ivf_topk(bigv, queries, cents, k=5, probes=2),
         "semantic_dedup": lambda: semantic_dedup(bigv, cents, eps=0.05),
         "cosine_pairs_blocked": lambda: cosine_pairs_above_blocked(bigv, 0.45),
+        # B sweep (VERDICT r3 item 6): shuffle volume is O(N·B·d), per-
+        # task compute O((N/B)²·d) — the sweep finds the local knee
+        "cosine_blocked_B4": lambda: cosine_pairs_above_blocked(
+            bigv, 0.45, num_blocks=4
+        ),
+        "cosine_blocked_B16": lambda: cosine_pairs_above_blocked(
+            bigv, 0.45, num_blocks=16
+        ),
+        "cosine_blocked_B32": lambda: cosine_pairs_above_blocked(
+            bigv, 0.45, num_blocks=32
+        ),
     }
     for name, build in vops.items():
         if wanted and name not in wanted:
@@ -210,6 +255,76 @@ def main() -> None:
             rows = build().count()
             best = min(best, time.time() - t)
         print(json.dumps({"op": name, "sec": round(best, 2), "rows": rows}))
+
+    if not wanted or "ann_recall" in wanted:
+        _ann_recall(spark, bigv, args.reps)
+
+
+def _ann_recall(spark, bigv, reps: int) -> None:
+    """k-means IVF (+PCA whitening) vs exact brute force at scale
+    (VERDICT r3 item 8): recall@5 and latency for the real-cluster ANN
+    path — trained centroids over the whitened 16-dim projection, multi-
+    probe sweep — against brute_force_topk ground truth in the ORIGINAL
+    space. The corpus is jittered per-replica (deterministic sin() noise)
+    so replicas are near- but not exact duplicates; exact-dup ties would
+    make top-k rank comparison meaningless."""
+    import time as _t
+
+    from pyspark.sql import functions as FF
+
+    from dbbspark.operators.similarity import (
+        apply_pca,
+        brute_force_topk,
+        ivf_topk,
+        pca_project,
+        train_centroids,
+    )
+
+    jit = bigv.select(
+        "vec_id",
+        FF.transform(
+            "embedding",
+            lambda x, j: x + FF.sin(FF.col("vec_id") * 37 + j) * FF.lit(0.05),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    queries = jit.limit(100).localCheckpoint(eager=True)
+    queries.count()
+
+    truth = brute_force_topk(jit, queries, k=5)
+    t0 = _t.time()
+    truth_rows = truth.localCheckpoint(eager=True)
+    n_truth = truth_rows.count()
+    brute_sec = _t.time() - t0
+
+    model, scales, proj = pca_project(jit, k=16, whiten=True)
+    proj = proj.localCheckpoint(eager=True)
+    proj.count()  # isolate ANN timing from the PCA fit
+    pqueries = apply_pca(model, queries, scales=scales).localCheckpoint(
+        eager=True
+    )
+    pqueries.count()
+    cents = train_centroids(proj, k=32).localCheckpoint(eager=True)
+    cents.count()
+
+    for probes in (1, 2, 4):
+        best, hits = float("inf"), 0
+        for _ in range(reps):
+            t0 = _t.time()
+            got = ivf_topk(proj, pqueries, cents, k=5, probes=probes)
+            hits = got.join(
+                truth_rows, ["query_id", "neighbor_id"], "inner"
+            ).count()
+            best = min(best, _t.time() - t0)
+        print(
+            json.dumps(
+                {
+                    "op": f"ann_ivf_pca_probes{probes}",
+                    "sec": round(best, 2),
+                    "recall_at_5": round(hits / max(n_truth, 1), 4),
+                    "brute_sec": round(brute_sec, 2),
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

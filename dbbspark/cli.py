@@ -175,6 +175,58 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Small-file maintenance for a partitioned parquet dataset (archive
+    sink, streaming-gate state): audit first, rewrite only when the
+    worklist is non-empty. ``--gate-index`` compacts a batch=<id>
+    streaming-gate dataset into the reserved batch=-1 partition instead
+    of the generic per-partition rewrite."""
+    from .maintenance import (
+        compact_gate_index,
+        compact_partitioned,
+        small_file_report,
+    )
+
+    spark = _session("dbbspark-compact")
+    report = small_file_report(spark, args.path, small_bytes=args.small_bytes)
+    for row in report[:20]:
+        print(
+            f"{row.partition or '.'}: files={row.n_files} "
+            f"small={row.n_small} bytes={row.total_bytes}"
+        )
+    if args.audit_only:
+        return 0
+    # file COUNT across the dataset is what hurts (listing + footers +
+    # task launches), so the trigger is total small files, not any single
+    # partition's count
+    if sum(r.n_small for r in report) <= 1:
+        print("nothing to compact")
+        return 0
+    if args.gate_index:
+        backup = compact_gate_index(spark, args.path)
+    else:
+        if not args.partition_col:
+            raise SystemExit("--partition-col is required unless --gate-index")
+        backup = compact_partitioned(spark, args.path, args.partition_col)
+    # verify the swap before dropping the backup: row counts must match
+    n_new = spark.read.parquet(args.path).count()
+    n_old = spark.read.parquet(backup).count()
+    if n_new != n_old:
+        raise SystemExit(
+            f"row count changed after compaction ({n_old} -> {n_new}); "
+            f"backup kept at {backup}"
+        )
+    if args.drop_backup:
+        fs_path = spark._jvm.org.apache.hadoop.fs.Path(backup)
+        fs_path.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
+            fs_path, True
+        )
+        print(f"compacted {args.path} ({n_new} rows); backup dropped")
+    else:
+        print(f"compacted {args.path} ({n_new} rows); backup at {backup}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbbspark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -215,6 +267,25 @@ def main(argv: list[str] | None = None) -> int:
         help="print the dataset-card summary JSON for the curated output",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    co = sub.add_parser(
+        "compact", help="audit + rewrite small-file partitions (archive/gate state)"
+    )
+    co.add_argument("--path", required=True)
+    co.add_argument(
+        "--partition-col",
+        action="append",
+        help="partition columns of the dataset (repeatable)",
+    )
+    co.add_argument(
+        "--gate-index",
+        action="store_true",
+        help="streaming-gate state: collapse batch=<id> partitions into batch=-1",
+    )
+    co.add_argument("--small-bytes", type=int, default=32 * 1024 * 1024)
+    co.add_argument("--audit-only", action="store_true")
+    co.add_argument("--drop-backup", action="store_true")
+    co.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

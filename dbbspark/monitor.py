@@ -115,6 +115,8 @@ _PAGE = """<!DOCTYPE html>
  tr.state-fail td {{ background: #fbb; }}
  tr.state-missing td {{ background: #fdb; }}
  tr.state-extra td {{ background: #bdf; }}
+ td.band-0 {{ background: #eef; }}
+ td.band-1 {{ background: #efe; }}
 </style></head>
 <body><h1>{title}</h1>
 {body}
@@ -122,10 +124,17 @@ _PAGE = """<!DOCTYPE html>
 """
 
 
-def _table(df: DataFrame, row_class_col: str | None = None, max_rows: int = 10000) -> str:
+def _table(
+    df: DataFrame,
+    row_class_col: str | None = None,
+    max_rows: int = 10000,
+    cycle_col: str | None = None,
+) -> str:
     """Render a small DataFrame as an HTML table. Guard-railed: refuses to
     collect more than `max_rows` (report sinks are for aggregates, not
-    data)."""
+    data). ``cycle_col`` alternates that column's cell color each time
+    its value changes between consecutive rows — the reference's
+    per-nite color cycling (bin/monitor_DBB_stagein.py:26,382-383)."""
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
@@ -134,16 +143,22 @@ def _table(df: DataFrame, row_class_col: str | None = None, max_rows: int = 1000
     cols = df.columns
     head = "".join(f"<th>{html.escape(c)}</th>" for c in cols)
     body_rows = []
+    band, prev_cycle = 0, object()
     for r in rows:
         cls = (
             f' class="state-{html.escape(str(r[row_class_col]))}"'
             if row_class_col and r[row_class_col] is not None
             else ""
         )
+        if cycle_col is not None and r[cycle_col] != prev_cycle:
+            band, prev_cycle = (band + 1) % 2, r[cycle_col]
         # missing values render as &nbsp; like the reference
         # (bin/monitor_DBB_stagein.py:370-372)
         cells = "".join(
-            f"<td>{'&nbsp;' if r[c] is None else html.escape(str(r[c]))}</td>"
+            "<td{}>{}</td>".format(
+                f' class="band-{band}"' if c == cycle_col else "",
+                "&nbsp;" if r[c] is None else html.escape(str(r[c])),
+            )
             for c in cols
         )
         body_rows.append(f"<tr{cls}>{cells}</tr>")
@@ -197,13 +212,19 @@ def build_report(
         ),
         exposures_html=_PAGE.format(
             title=f"Exposures by state ({variant})",
-            body=_table(states, row_class_col="state", max_rows=100_000),
+            body=_table(
+                states,
+                row_class_col="state",
+                max_rows=100_000,
+                cycle_col="nite",
+            ),
         ),
         failures_html=_PAGE.format(
             title="Recent failures", body=_table(fails)
         ),
         sne_html=_PAGE.format(
-            title="SNe exposures", body=_table(sne, max_rows=100_000)
+            title="SNe exposures",
+            body=_table(sne, max_rows=100_000, cycle_col="nite"),
         ),
     )
 

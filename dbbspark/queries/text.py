@@ -419,7 +419,16 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     lm_t = train_ngram_lm(docs.where(F.col("lang") == "en"), "text", n=2)
     lm_s = train_ngram_lm(docs, "text", n=2)
-    w = dsir_weights(docs, lm_t, lm_s, "doc_id", "text", broadcast_model=True)
+    # lazy checkpoint: w feeds BOTH the lottery filter and the output
+    # join-back; without it Catalyst re-runs the whole LM-scoring DAG
+    # for each branch (measured ~2x at sf0.1). broadcast_model stays
+    # False: the fixture models are hundreds of rows, AQE demotes the
+    # joins to broadcast on its own, and the explicit hint measured
+    # SLOWER (3.1 s vs 1.9 s — two eager collect+broadcast jobs); pass
+    # True only when a big model must not risk a shuffled join.
+    w = dsir_weights(
+        docs, lm_t, lm_s, "doc_id", "text", broadcast_model=False
+    ).localCheckpoint(eager=False)
     u = (
         md5_int_col(F.col("doc").cast("string")) % F.lit(1_000_000_007)
         + F.lit(0.5)

@@ -68,3 +68,37 @@ def test_cli_curate_end_to_end(spark, sf_dir, tmp_path):
     assert len(ra) > 0
     assert len(set(ra)) == len(ra)  # no duplicate ids survive
     assert ra == [r["doc_id"] for r in b.collect()]  # seed-deterministic
+
+
+def test_cli_compact_gate_index(spark, tmp_path):
+    """The compact subcommand over streaming-gate state: audit lists the
+    per-batch partitions, the rewrite collapses them into batch=-1 with
+    identical rows, and the verified backup is droppable."""
+    import glob
+
+    from dbbspark.cli import main
+    from dbbspark.streaming.neardedup import process_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "spark shuffles partitions across executors during wide transformations",
+        "completely different text about parquet column pruning and codegen",
+    ]
+    for i, t in enumerate(texts):
+        process_batch(
+            spark.createDataFrame([(i + 1, t)], ["doc_id", "text"]), i, idx, acc
+        )
+    before = sorted(
+        map(tuple, spark.read.parquet(idx).select("doc", "perm", "minhash").collect())
+    )
+    assert main([
+        "compact", "--path", idx, "--gate-index",
+        "--small-bytes", "1048576", "--drop-backup",
+    ]) == 0
+    after = sorted(
+        map(tuple, spark.read.parquet(idx).select("doc", "perm", "minhash").collect())
+    )
+    assert after == before
+    assert glob.glob(f"{idx}/batch=-1/*.parquet")
+    assert not glob.glob(f"{idx}.pre-compact")

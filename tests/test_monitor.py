@@ -72,6 +72,10 @@ def test_report_renders(spark, sf_dir, tmp_path):
     assert os.path.exists(tmp_path / "report" / "sne.html")
     assert "<table>" in report.summary_html
     assert "state-missing" in report.exposures_html
+    # per-nite color cycling on the nite column, both bands present
+    # (reference: bin/monitor_DBB_stagein.py:26,382-383)
+    assert 'class="band-0"' in report.exposures_html
+    assert 'class="band-1"' in report.exposures_html
     fails = recent_failures(spark, sf_dir, depth=5)
     assert fails.count() <= 5
     # TakeOrderedAndProject, not a global sort
