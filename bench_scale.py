@@ -101,6 +101,17 @@ def _chain_edges(spark):
     return _CHAINS
 
 
+def _bpe_tokens(big):
+    """Train 50 merges on the corpus word counts, then tokenize the
+    corpus — the full tokenizer-fitting stage (train is K vocab-sized
+    aggregations; apply is the Arrow-batched encode)."""
+    from dbbspark.operators.bpe import apply_bpe, train_bpe, word_counts
+
+    wc = word_counts(big).localCheckpoint(eager=True)
+    merges = train_bpe(wc, 50)
+    return apply_bpe(big, merges)
+
+
 def replicated_corpus(spark, sf_dir: str, copies: int):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     parts = [docs]
@@ -181,6 +192,9 @@ def main() -> None:
         "cc_chain_star": lambda: D.connected_components_star(
             _chain_edges(big.sparkSession), src="a", dst="b", max_iter=100
         ),
+        # BPE training cost is per-ROUND over the vocab-sized symbols
+        # table; the corpus only pays the one word_counts aggregation
+        "bpe_train50": lambda: _bpe_tokens(big),
     }
     for name, build in ops.items():
         if wanted and name not in wanted:

@@ -145,6 +145,10 @@ def run(spark, sf_dir: str) -> dict[str, int]:
     # summation order can vary across re-executions, so a borderline doc
     # could otherwise flip across the Gumbel cut between this stage's
     # count and the downstream stages' recomputation of the lineage.
+    # (The other replay device is pinning the threshold itself —
+    # dsir_sample(..., cut=<recorded value>) skips the approxQuantile
+    # entirely, which is how the driver-checked q_dsir replays its
+    # selection byte-identically on a different engine.)
     chosen = (
         dsir_sample(weighted, fraction=0.8, temperature=2.0)
         .select(F.col("doc").alias("doc_id"))

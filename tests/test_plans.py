@@ -297,3 +297,16 @@ def test_token_freq_two_stage_distinct_agg(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "partial_count" in plan  # map-side combine before each exchange
     assert "Join" not in plan
+
+
+def test_dsir_stays_jvm_side(spark, sf_dir):
+    """q_dsir trains + scores two n-gram LMs entirely in JVM expressions:
+    no Python evaluation nodes may appear (the gram stream is the widest
+    relation in the query — a Python hop there is the 100 TB killer),
+    and the model-side joins must not degrade to nested loops."""
+    plan = plan_of(spark, sf_dir, "q_dsir")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
