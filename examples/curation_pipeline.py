@@ -162,7 +162,21 @@ def run(spark, sf_dir: str) -> dict[str, int]:
     train = stage("train_side", split.where(~F.col("is_val")))
     stage("val_side", split.where(F.col("is_val")))
 
-    # 6. pack the train side into fixed-budget training sequences
+    # 6. fit the tokenizer on the TRAIN side only (fitting on val leaks
+    # its subword statistics into training) and tokenize it — subword
+    # counts, not whitespace counts, are what the packing budget should
+    # meter in a real pipeline
+    from dbbspark.operators.bpe import apply_bpe, train_bpe, word_counts
+
+    merges = train_bpe(word_counts(train), num_merges=64)
+    tokenized = apply_bpe(train, merges)
+    train = stage(
+        "bpe_tokenized",
+        tokenized.withColumn("n_tokens", F.size("bpe_tokens")),
+    )
+    print(json.dumps({"stage": "bpe_merges", "count": len(merges)}))
+
+    # 7. pack the train side into fixed-budget training sequences
     packed = pack_sequences(
         train.select("doc_id", "n_tokens"), "doc_id", "n_tokens", budget=512
     )
