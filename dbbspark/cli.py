@@ -161,6 +161,11 @@ def cmd_curate(args: argparse.Namespace) -> int:
     ).join(docs.drop("text"), "doc_id")
     toks = F.size(F.split(F.col("text"), " "))
     docs = docs.where(toks >= args.min_tokens)
+    if args.bpe_merges:
+        from .operators.bpe import apply_bpe, train_bpe, word_counts
+
+        merges = train_bpe(word_counts(docs), num_merges=args.bpe_merges)
+        docs = apply_bpe(docs, merges)
     global_shuffle(docs, "doc_id", seed=args.seed).write.mode(
         "overwrite"
     ).parquet(args.out)
@@ -261,6 +266,12 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--line-min-df", type=int, default=5)
     cu.add_argument("--min-tokens", type=int, default=5)
     cu.add_argument("--seed", type=int, default=0)
+    cu.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=0,
+        help="train a BPE tokenizer on the curated docs and attach bpe_tokens",
+    )
     cu.add_argument(
         "--report",
         action="store_true",

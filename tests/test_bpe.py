@@ -106,3 +106,16 @@ def test_apply_bpe_null_text(spark):
     rows = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(df, merges).collect()}
     assert rows[1] is None
     assert rows[2] == ["low", END_WORD, "low", END_WORD]
+
+
+def test_cli_curate_with_bpe(spark, sf_dir, tmp_path):
+    from dbbspark.cli import main
+
+    out = str(tmp_path / "curated")
+    assert main([
+        "curate", "--sf-dir", sf_dir, "--out", out, "--bpe-merges", "16",
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert "bpe_tokens" in got.columns
+    row = got.where(got.bpe_tokens.isNotNull()).first()
+    assert row is not None and len(row["bpe_tokens"]) > 0
