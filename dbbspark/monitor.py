@@ -119,9 +119,23 @@ _PAGE = """<!DOCTYPE html>
  td.band-1 {{ background: #efe; }}
 </style></head>
 <body><h1>{title}</h1>
+{nav}
 {body}
 </body></html>
 """
+
+# Relative links between the generated pages — the reference's summary
+# page carries the same <li> scaffolding to its sibling reports
+# (bin/monitor_DBB_stagein.py:563-566); &nbsp; spacing matches its
+# null-cell convention.
+_NAV = (
+    '<ul class="nav">'
+    '<li><a href="summary.html">Nightly summary</a>&nbsp;</li>'
+    '<li><a href="exposures.html">Exposures by state</a>&nbsp;</li>'
+    '<li><a href="failures.html">Recent failures</a>&nbsp;</li>'
+    '<li><a href="sne.html">SNe exposures</a>&nbsp;</li>'
+    "</ul>"
+)
 
 
 def _table(
@@ -208,10 +222,13 @@ def build_report(
     )
     return MonitorReport(
         summary_html=_PAGE.format(
-            title="DBB stage-in nightly summary", body=_table(summary)
+            title="DBB stage-in nightly summary",
+            nav=_NAV,
+            body=_table(summary)
         ),
         exposures_html=_PAGE.format(
             title=f"Exposures by state ({variant})",
+            nav=_NAV,
             body=_table(
                 states,
                 row_class_col="state",
@@ -220,10 +237,11 @@ def build_report(
             ),
         ),
         failures_html=_PAGE.format(
-            title="Recent failures", body=_table(fails)
+            title="Recent failures", nav=_NAV, body=_table(fails)
         ),
         sne_html=_PAGE.format(
             title="SNe exposures",
+            nav=_NAV,
             body=_table(sne, max_rows=100_000, cycle_col="nite"),
         ),
     )
