@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for operators with crisp algebraic
+contracts. Examples are kept small and few (each one builds a real
+DataFrame and runs Spark jobs); the point is randomized coverage of the
+EDGE shapes — empty words, repeated characters, overlap==max-1 — that
+hand-written cases miss."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from dbbspark.operators.bpe import END_WORD, apply_bpe, train_bpe, word_counts
+from dbbspark.operators.packing import chunk_documents
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words_st = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=6),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=st.lists(words_st, min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_bpe_trainer_matches_reference_on_random_corpora(spark, docs):
+    from tests.test_bpe import _reference_bpe
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    wc_df = word_counts(df)
+    words = {r["word"]: r["count"] for r in wc_df.collect()}
+    assert train_bpe(wc_df, 6) == _reference_bpe(words, 6)
+
+
+@given(docs=st.lists(words_st, min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_bpe_encode_lossless_on_random_corpora(spark, docs):
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = train_bpe(word_counts(df), 5)
+    for r in apply_bpe(df, merges).collect():
+        rebuilt = "".join(r["bpe_tokens"]).replace(END_WORD, " ").strip()
+        assert rebuilt == r["text"]
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=40),
+    max_tokens=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_chunking_covers_every_token_with_exact_overlap(
+    spark, n_tokens, max_tokens, data
+):
+    """Every input token appears in some chunk; consecutive chunks share
+    exactly `overlap` tokens; concatenating chunks with the overlap
+    dropped rebuilds the document."""
+    overlap = data.draw(st.integers(min_value=0, max_value=max_tokens - 1))
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    chunks = [
+        r["text"].split(" ") if r["text"] else [""]
+        for r in chunk_documents(
+            df, max_tokens=max_tokens, overlap=overlap
+        ).orderBy("chunk_id").collect()
+    ]
+    stride = max_tokens - overlap
+    rebuilt = list(chunks[0])
+    for c in chunks[1:]:
+        assert c[:overlap] == rebuilt[len(rebuilt) - overlap :][: len(c)]
+        rebuilt.extend(c[overlap:])
+    expected = toks if toks else [""]
+    assert rebuilt == expected
+    for c in chunks:
+        assert len(c) <= max_tokens
+
+
+def test_dsir_pinned_cut_replays_exact_selection(spark):
+    """dsir_sample with an explicit cut must return the identical id set
+    across different partitionings (the production replay contract)."""
+    from dbbspark.operators.lm import dsir_sample
+
+    rows = [(i, float((-1) ** i) * (i % 7)) for i in range(200)]
+    w = spark.createDataFrame(rows, ["doc", "log_ratio"])
+    a = {
+        r["doc"]
+        for r in dsir_sample(w.repartition(13), 0.3, cut=1.5).collect()
+    }
+    b = {
+        r["doc"] for r in dsir_sample(w.coalesce(1), 0.3, cut=1.5).collect()
+    }
+    assert a == b and 0 < len(a) < 200
