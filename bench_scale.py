@@ -151,6 +151,9 @@ def main() -> None:
     ops = {
         "lsh_direct": lambda: D.lsh_candidate_pairs_direct(big, "doc_id", "text"),
         "jaccard_pairs": lambda: D.jaccard_pairs(big, "doc_id", "text", max_df=1000),
+        "jaccard_lsh_verified": lambda: D.jaccard_pairs_lsh(
+            big, "doc_id", "text", max_df=1000
+        ),
         "dup_ngram_spans": lambda: duplicate_ngram_spans(big, "doc_id", "text", n=10),
         # every replica shares its lines with copies-1 others, so ~all
         # lines are corpus-duplicated: worst case for the count window

