@@ -85,7 +85,12 @@ _JACCARD_PAIRS_SQL = f"""
     doc="C2: exact 3-gram Jaccard near-dedup — shared-shingle blocking "
     "bounds the pair space; random text shares almost no shingles, "
     "near-dups share many. Runs the production posting-list cap "
-    "(max_df, df-pruning) with the cap mirrored in the oracle.",
+    "(max_df, df-pruning) with the cap mirrored in the oracle. Three "
+    "formulations by corpus regime (operators/dedup.py): this posting "
+    "form (exact recall, moderate duplication), jaccard_pairs_prefix "
+    "(PPJoin prefix filter, template-heavy), jaccard_pairs_lsh "
+    "(LSH-verified, dup-heavy — 15× faster at the 20× replica test with "
+    "99.95% recall, zero false positives).",
     tags=("dedup", "closure"),
 )
 def q_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
