@@ -246,6 +246,7 @@ def lsh_incremental_pairs(
     corpus_sigs: DataFrame,
     bands: int = 4,
     rows_per_band: int = 4,
+    corpus_band_bloom: list[int] | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs for an INCREMENTAL batch against an
     existing corpus — the rolling-crawl shape: a new batch must be
@@ -263,8 +264,27 @@ def lsh_incremental_pairs(
     scales with |new| + collided corpus postings, not |corpus|². At
     billions of corpus docs, bucket the persisted signature table by
     (band, sig) (`operators.bucketing`) so the join co-locates without
-    shuffling the corpus side at all."""
+    shuffling the corpus side at all.
+
+    ``corpus_band_bloom`` (an operators.bloom word table over the
+    corpus's xxhash64(band, sig) bucket keys) drops new-side band rows
+    the filter proves have NO corpus collision before the join — on a
+    healthy crawl that's most of them. False positives just take the
+    join (and find nothing); false negatives can't happen, so the
+    candidate set is identical with or without the filter."""
     new_b = _band_signatures(new_sigs, bands, rows_per_band)
+    if corpus_band_bloom is not None:
+        from .bloom import might_contain
+
+        new_b = (
+            might_contain(
+                new_b.withColumn("__bk", F.xxhash64("band", "sig")),
+                corpus_band_bloom,
+                "__bk",
+            )
+            .where(F.col("maybe_known"))
+            .drop("maybe_known", "__bk")
+        )
     corp_b = _band_signatures(corpus_sigs, bands, rows_per_band)
     vs_corpus = (
         new_b.alias("a")

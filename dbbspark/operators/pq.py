@@ -1,0 +1,210 @@
+"""Product quantization for ANN at corpus scale (SURVEY.md §2.11 C35;
+Jégou et al. 2011, "Product Quantization for Nearest Neighbor Search").
+
+Extends the similarity family's compression ladder (float → int8 in
+operators/similarity.py:quantize_embeddings) to its asymptotic end: a
+d-dim embedding becomes m sub-codes of log2(k) bits each — e.g. d=64
+float32 (256 B) → m=8 codes (8 B), a 32× cut in everything downstream
+(scan, shuffle, cache). Scoring uses asymmetric distance computation
+(ADC): per query, one m×k lookup table of sub-inner-products is built
+ONCE, then every corpus code row is scored by m table lookups + a sum —
+no per-pair matmul at all.
+
+Spark mapping:
+
+- TRAINING: m independent k-means fits (pyspark.ml, distributed Lloyd)
+  over the m sub-vector slices; the codebook set is m·k·(d/m) = k·d
+  floats — identical driver footprint to one IVF centroid set.
+- ENCODE: mapInPandas argmin per subspace over Arrow batches — map-only,
+  the corpus never shuffles.
+- SEARCH: queries (small side by construction) are collected and closed
+  over; each Arrow batch of codes is scored via numpy take + sum, and
+  ONLY the per-batch per-query top-k leave the worker — the shuffle
+  carries O(batches · |Q| · k) candidate rows, never |Q|×N scores. A
+  final window rank merges batch winners (deterministic id tiebreak).
+- RERANK: the approximate top-`rerank_depth` join back to the float
+  vectors (candidate set is |Q|·depth — broadcast-sized) and exact
+  cosine reorders them; recall is then bounded by candidate coverage,
+  not ADC error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def train_pq(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+):
+    """Train the m per-subspace codebooks; returns a numpy array of shape
+    (m, k, d/m) — k·d floats total, the same driver-bounded footprint as
+    an IVF centroid set. d must divide evenly into m subspaces."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError("cannot train PQ on an empty frame")
+    d = first[0]["d"]
+    if d is None or d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible into {m} subspaces")
+    sub = d // m
+    books = []
+    for j in range(m):
+        feat = vectors.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), j * sub + 1, sub).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feat)
+        books.append(np.stack([np.asarray(c) for c in model.clusterCenters()]))
+    return np.stack(books)  # (m, k, sub)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code array<int>, norm double): each vector's per-subspace
+    nearest codebook entry, plus the RECONSTRUCTION norm (used to
+    normalize ADC inner products into cosine-comparable scores).
+    Map-only over Arrow batches."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, _k, sub = books.shape
+    # ||x - c||² = ||x||² - 2x·c + ||c||²; argmin over c drops ||x||².
+    cnorm2 = (books**2).sum(axis=2)  # (m, k)
+
+    def enc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(V), m), dtype=np.int64)
+            rnorm2 = np.zeros(len(V))
+            for j in range(m):
+                X = V[:, j * sub : (j + 1) * sub]
+                d2 = cnorm2[j][None, :] - 2.0 * (X @ books[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+                rnorm2 += cnorm2[j][codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "code": list(codes),
+                    "norm": np.sqrt(np.maximum(rnorm2, 1e-24)),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        enc, "vec_id long, code array<bigint>, norm double"
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k neighbors per query over PQ codes (ADC).
+
+    (query_id, neighbor_id, rank, sim): sim is the ADC cosine estimate
+    q·recon(code) / (‖q‖·‖recon‖). Each Arrow batch emits only its own
+    per-query top-k (partial top-k inside the worker), so the shuffle is
+    candidate-sized; the window merge re-ranks batch winners exactly."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _kc, sub = books.shape
+    qrows = queries.select(id_col, vec_col).toPandas()
+    Q = np.stack(qrows[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qrows[id_col].to_numpy()
+    # LUT[q, j, c] = q's j-th subvector · codebook_j[c]
+    lut = np.einsum("qjs,jcs->qjc", Qn.reshape(len(Q), m, sub), books)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf["code"].to_numpy())  # (n, m)
+            norms = pdf["norm"].to_numpy()
+            vids = pdf["vec_id"].to_numpy()
+            n = len(C)
+            # ip[q, i] = sum_j lut[q, j, C[i, j]]
+            ip = np.zeros((len(qids), n))
+            for j in range(m):
+                ip += lut[:, j, :][:, C[:, j]]
+            sims = ip / np.maximum(norms[None, :], 1e-24)
+            kk = min(k + 1, n)  # +1 absorbs a possible self-pair
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(qids, kk),
+                "vid": vids[part.ravel()],
+                "sim": np.take_along_axis(sims, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    scored = codes.select("vec_id", "code", "norm").mapInPandas(
+        score, "query_id long, vid long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        scored.where(F.col("vid") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias("neighbor_id"), "rank", "sim")
+    )
+
+
+def pq_topk_reranked(
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    rerank_depth: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist → exact cosine re-rank: fetch the approximate
+    top-``rerank_depth`` per query, join back to the float vectors
+    (candidate set is |Q|·depth rows — the small side, joined semi
+    against the corpus), rescore exactly, keep the true top-k. Recall
+    now depends only on the shortlist containing the true neighbors,
+    the standard IVFPQ+rerank accounting."""
+    from .similarity import matmul_scores
+
+    cand = pq_topk(
+        codes, queries, codebooks, rerank_depth, id_col, vec_col
+    ).select("query_id", F.col("neighbor_id").alias(id_col))
+    cand_vecs = vectors.join(
+        cand.select(id_col).distinct(), id_col, "left_semi"
+    )
+    exact = matmul_scores(cand_vecs, queries, id_col, vec_col, out_id="query_id")
+    # Keep only (query, candidate) pairs from the shortlist — matmul
+    # scores every candidate against every query otherwise.
+    exact = exact.join(
+        cand.withColumnRenamed(id_col, "vid"), ["query_id", "vid"], "left_semi"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        exact.where(F.col("vid") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias("neighbor_id"), "rank")
+    )

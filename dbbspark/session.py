@@ -89,21 +89,19 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         # Shipping is best-effort: in-repo drivers work without it.
         pass
     confs = dict(RUNTIME_CONFS)
-    try:
-        # Small fixture files arrive as ONE split (< maxPartitionBytes), so
-        # every expression-heavy stage would run on a single core. Ask the
-        # scan planner for at least one split per core; on real multi-file
-        # 100 TB inputs this is a no-op (files already exceed core count),
-        # and parquet row-group boundaries still bound the actual split.
-        confs["spark.sql.files.minPartitionNum"] = str(
-            spark.sparkContext.defaultParallelism
-        )
-        # minPartitionNum is clamped below by openCostInBytes (default 4 MB
-        # — larger than an entire small fixture file). 128 KB keeps
-        # small-file packing sane while letting MB-scale files split.
-        confs["spark.sql.files.openCostInBytes"] = str(128 * 1024)
-    except Exception:
-        pass
+    # Small fixture files arrive as ONE split (< maxPartitionBytes), so
+    # expression-heavy stages would run on a single core; a split floor
+    # parallelizes MB-scale files. Round-4 measured three regimes
+    # (one-split-per-core + 128 KB open cost, Spark defaults, and this
+    # 8-split + 1 MB middle ground) INTERLEAVED within the same session
+    # (diag_regression.py): per-query minima agree within 1-5% — the
+    # apparent r3 per-query regressions were external machine
+    # interference, not the confs. The middle ground is kept because it
+    # creates the fewest tiny tasks while still splitting MB-scale
+    # files; on real multi-file 100 TB inputs both values are no-ops
+    # (files already exceed these floors).
+    confs["spark.sql.files.minPartitionNum"] = "8"
+    confs["spark.sql.files.openCostInBytes"] = str(1024 * 1024)
     for k, v in confs.items():
         try:
             spark.conf.set(k, v)

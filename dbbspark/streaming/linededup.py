@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..maintenance import _fs_and_path
+from ..operators.bloom import split_by_bloom
 from ..operators.lines import line_mentions
 
 
@@ -116,25 +117,39 @@ def gate_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_df: int = 2,
+    index_bloom: list[int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(deduped_docs, updated_index) for one batch against the index.
     Pure DataFrame logic — shared by the streaming foreachBatch and
     direct batch callers (pins streaming == cumulative batch in tests).
+
+    ``index_bloom`` (a word table from operators.bloom covering the
+    index's line hashes) short-circuits the index join for lines the
+    filter proves NEW — the dominant case on a healthy crawl. Rows the
+    filter can't rule out take the join they would have taken anyway, so
+    results are byte-identical with or without it (false positives cost
+    a join row, false negatives can't happen). At scale this is the
+    difference between shuffling every batch mention and shuffling only
+    the few that might be known boilerplate.
     """
     if min_df < 2:
         raise ValueError("min_df must be >= 2 (1 would delete every line)")
     mentions = line_mentions(batch, id_col, text_col)
     cw = Window.partitionBy("h")
     prior = index.withColumnRenamed("df", "df_prior")
-    tagged = (
-        mentions.withColumn(
-            "df_batch", F.when(F.col("h").isNotNull(), F.count("*").over(cw))
+    counted = mentions.withColumn(
+        "df_batch", F.when(F.col("h").isNotNull(), F.count("*").over(cw))
+    )
+    if index_bloom is not None:
+        maybe, new = split_by_bloom(counted, index_bloom, "h")
+        joined = maybe.join(prior, "h", "left").unionByName(
+            new.withColumn("df_prior", F.lit(None).cast("long"))
         )
-        .join(prior, "h", "left")
-        .withColumn(
-            "df_total",
-            F.col("df_batch") + F.coalesce(F.col("df_prior"), F.lit(0)),
-        )
+    else:
+        joined = counted.join(prior, "h", "left")
+    tagged = joined.withColumn(
+        "df_total",
+        F.col("df_batch") + F.coalesce(F.col("df_prior"), F.lit(0)),
     )
     keep = F.col("h").isNull() | (F.col("df_total") < min_df)
     survivors = tagged.where(keep)
@@ -171,6 +186,52 @@ def gate_batch(
     return deduped, updated
 
 
+def bloom_path(index_dir: str, version: int) -> str:
+    # The filter lives in a SIBLING dir (<index>.bloom/v=N), never inside
+    # index_dir: the near-dedup index reads its root with partition
+    # discovery, which a foreign subdirectory would break.
+    return f"{index_dir.rstrip('/')}.bloom/v={version}"
+
+
+def load_bloom(
+    spark: SparkSession, index_dir: str, before: int | None = None
+) -> list[int] | None:
+    """The persisted bloom word table covering the index's hashes, or
+    None when absent (first run / feature off / crashed write — the
+    caller then takes the plain-join path, which is always correct).
+    Same predecessor rule as index_df: the retry path must resolve the
+    snapshot a crashed attempt of the SAME batch did not write."""
+    root = f"{index_dir.rstrip('/')}.bloom"
+    vs = _versions(spark, root)
+    eligible = [n for n in vs if before is None or n < before]
+    if not eligible:
+        return None
+    try:
+        row = spark.read.parquet(bloom_path(index_dir, eligible[-1])).first()
+        return list(row["words"]) if row else None
+    except (AnalysisException, Exception):
+        return None
+
+
+def _save_bloom(
+    spark: SparkSession, index_dir: str, version: int, words: list[int]
+) -> None:
+    spark.createDataFrame([(words,)], "words array<long>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(bloom_path(index_dir, version))
+    try:  # prune: same keep-2 rule as the index snapshots
+        root = f"{index_dir.rstrip('/')}.bloom"
+        keep = {f"v={n}" for n in _versions(spark, root)[-2:]}
+        keep.add(f"v={version}")
+        fs, hroot, jvm = _fs_and_path(spark, root)
+        for st in fs.listStatus(hroot):
+            name = st.getPath().getName()
+            if name.startswith("v=") and name not in keep:
+                fs.delete(st.getPath(), True)
+    except Exception:
+        pass
+
+
 def process_batch(
     batch: DataFrame,
     batch_id: int,
@@ -179,6 +240,7 @@ def process_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_df: int = 2,
+    use_bloom: bool = False,
 ) -> None:
     """One micro-batch's side effects, idempotent under foreachBatch
     retry (module-level so the retry contract is directly testable):
@@ -186,11 +248,26 @@ def process_batch(
     snapshot ``v=<id>`` second, prune last. Re-running the same
     (batch, batch_id) is a byte-level no-op: the doc partition is
     replaced with identical rows and the snapshot is recomputed from
-    the same predecessor."""
+    the same predecessor.
+
+    ``use_bloom`` maintains a broadcast Bloom filter next to the index
+    (operators/bloom.py): the gate joins only mentions the filter can't
+    prove new, and the filter is updated by UNIONING in the batch's own
+    hashes (bit_or of word tables — one batch-sized aggregation, the
+    corpus is never rescanned). Missing/corrupt filter self-heals to
+    the plain join; results are identical either way."""
+    from ..operators.bloom import build_bloom
+
     spark = batch.sparkSession
     bid = int(batch_id)
+    prior_bloom = load_bloom(spark, index_dir, before=bid) if use_bloom else None
     deduped, updated = gate_batch(
-        batch, index_df(spark, index_dir, before=bid), id_col, text_col, min_df
+        batch,
+        index_df(spark, index_dir, before=bid),
+        id_col,
+        text_col,
+        min_df,
+        index_bloom=prior_bloom,
     )
     (
         deduped.withColumn("batch", F.lit(bid))
@@ -202,6 +279,20 @@ def process_batch(
     # New snapshot reads v=<predecessor> and writes v=<id> — different
     # paths, so no read-under-write and no checkpoint materialization.
     updated.write.mode("overwrite").parquet(f"{index_dir.rstrip('/')}/v={bid}")
+    if use_bloom:
+        batch_words = build_bloom(
+            line_mentions(batch, id_col, text_col)
+            .where(F.col("h").isNotNull())
+            .select("h")
+            .distinct(),
+            "h",
+            # Union compatibility: a filter is only OR-able with one of
+            # the same geometry, so inherit the prior's size.
+            num_bits=(len(prior_bloom) * 64) if prior_bloom else 1 << 24,
+        )
+        if prior_bloom is not None:
+            batch_words = [a | b for a, b in zip(prior_bloom, batch_words)]
+        _save_bloom(spark, index_dir, bid, batch_words)
     # Prune: keep THIS snapshot and its immediate predecessor. The
     # predecessor must survive until the checkpoint commits (a retry of
     # this batch_id re-reads it); batch N+1 running at all proves N
@@ -227,6 +318,7 @@ def streaming_line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_df: int = 2,
+    use_bloom: bool = False,
 ):
     """Run the gate over a streaming DataFrame of documents; returns the
     started StreamingQuery (availableNow in tests, continuous in
@@ -234,7 +326,8 @@ def streaming_line_dedup(
 
     def _one_batch(batch: DataFrame, batch_id: int) -> None:
         process_batch(
-            batch, batch_id, index_dir, out_dir, id_col, text_col, min_df
+            batch, batch_id, index_dir, out_dir, id_col, text_col, min_df,
+            use_bloom=use_bloom,
         )
 
     return (

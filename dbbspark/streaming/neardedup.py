@@ -76,13 +76,21 @@ def gate_batch(
     bands: int = 4,
     rows_per_band: int = 4,
     shingle_n: int = 3,
+    index_bloom: list[int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(accepted_docs, accepted_signatures) for one batch against an
     index. Pure DataFrame logic — shared by the streaming foreachBatch
     and direct batch callers (which is what pins streaming == batch in
-    tests)."""
+    tests).
+
+    ``index_bloom`` (operators.bloom word table over the corpus's
+    xxhash64(band, sig) bucket keys) lets the candidate join skip
+    new-side band rows that provably collide with nothing — identical
+    accept/reject decisions either way (pinned in tests)."""
     sigs = minhash_signatures(batch, id_col, text_col, num_perm, shingle_n)
-    pairs = lsh_incremental_pairs(sigs, index_sigs, bands, rows_per_band)
+    pairs = lsh_incremental_pairs(
+        sigs, index_sigs, bands, rows_per_band, corpus_band_bloom=index_bloom
+    )
     # vs corpus: doc_a is always the new-batch doc. Within batch:
     # doc_a < doc_b, reject the larger id (greedy keep-lowest).
     rejected = (
@@ -110,6 +118,7 @@ def process_batch(
     bands: int = 4,
     rows_per_band: int = 4,
     shingle_n: int = 3,
+    use_bloom: bool = False,
 ) -> None:
     """One micro-batch's side effects, idempotent under foreachBatch
     retry (module-level so the retry contract is directly testable).
@@ -117,9 +126,21 @@ def process_batch(
     batch=<id> dynamic-partition overwrites, so a re-run replaces its
     own partitions, never duplicates them — and the index read excludes
     partitions >= batch_id so the re-run can't collide the batch with
-    its own crashed attempt's signatures."""
+    its own crashed attempt's signatures.
+
+    ``use_bloom`` maintains a broadcast Bloom filter over the index's
+    (band, sig) bucket keys next to the index (same versioned layout and
+    predecessor rule as linededup's): the candidate join then skips the
+    band rows the filter proves new. Updated by UNIONING in the accepted
+    batch's own bucket keys — one batch-sized aggregation, the corpus is
+    never rescanned. Missing filter self-heals to the plain join."""
+    from ..operators.bloom import build_bloom
+    from ..operators.dedup import _band_signatures
+    from .linededup import _save_bloom, load_bloom
+
     spark = batch.sparkSession
     bid = int(batch_id)
+    prior_bloom = load_bloom(spark, index_dir, before=bid) if use_bloom else None
     accepted, accepted_sigs = gate_batch(
         batch,
         _index_signatures(spark, index_dir, before=bid),
@@ -129,6 +150,7 @@ def process_batch(
         bands,
         rows_per_band,
         shingle_n,
+        index_bloom=prior_bloom,
     )
     for df, sink in ((accepted, accepted_dir), (accepted_sigs, index_dir)):
         (
@@ -138,6 +160,23 @@ def process_batch(
             .partitionBy("batch")
             .parquet(sink)
         )
+    if use_bloom:
+        batch_words = build_bloom(
+            _band_signatures(
+                spark.read.parquet(index_dir)
+                .where(F.col("batch") == bid)
+                .select("doc", "perm", "minhash"),
+                bands,
+                rows_per_band,
+            )
+            .select(F.xxhash64("band", "sig").alias("__bk"))
+            .distinct(),
+            "__bk",
+            num_bits=(len(prior_bloom) * 64) if prior_bloom else 1 << 24,
+        )
+        if prior_bloom is not None:
+            batch_words = [a | b for a, b in zip(prior_bloom, batch_words)]
+        _save_bloom(spark, index_dir, bid, batch_words)
 
 
 def streaming_near_dedup(
@@ -151,6 +190,7 @@ def streaming_near_dedup(
     bands: int = 4,
     rows_per_band: int = 4,
     shingle_n: int = 3,
+    use_bloom: bool = False,
 ):
     """Run the gate over a streaming DataFrame of documents; returns the
     started StreamingQuery (caller awaits termination — availableNow in
@@ -168,6 +208,7 @@ def streaming_near_dedup(
             bands,
             rows_per_band,
             shingle_n,
+            use_bloom=use_bloom,
         )
 
     return (
