@@ -177,6 +177,21 @@ def cmd_curate(args: argparse.Namespace) -> int:
         from .operators.vocab import corpus_report
 
         print(json.dumps(corpus_report(out)))
+    if args.tar_shards:
+        from .operators.shards import build_tar_shards, save_tar_files
+
+        shards = build_tar_shards(
+            out.select(
+                "doc_id",
+                F.encode("text", "utf-8").alias("content"),
+                "source",
+            ),
+            shard_bytes=args.shard_bytes,
+            ext="txt",
+            meta_cols=["source"],
+        )
+        names = save_tar_files(shards, args.tar_shards)
+        print(f"tar_shards={len(names)} -> {args.tar_shards}")
     return 0
 
 
@@ -276,6 +291,18 @@ def main(argv: list[str] | None = None) -> int:
         "--report",
         action="store_true",
         help="print the dataset-card summary JSON for the curated output",
+    )
+    cu.add_argument(
+        "--tar-shards",
+        default=None,
+        help="also export the curated docs as WebDataset-style .tar "
+        "shards into this directory",
+    )
+    cu.add_argument(
+        "--shard-bytes",
+        type=int,
+        default=64 * 1024 * 1024,
+        help="payload-byte budget per tar shard (default 64 MiB)",
     )
     cu.set_defaults(fn=cmd_curate)
 

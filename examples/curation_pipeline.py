@@ -183,6 +183,36 @@ def run(spark, sf_dir: str) -> dict[str, int]:
     stage("packed_docs", packed)
     n_seqs = packed.agg(F.max("seq_last")).first()[0]
     print(json.dumps({"stage": "sequences", "count": int(n_seqs) + 1}))
+
+    # 8. loader-facing export — WebDataset-style tar shards of the train
+    # side (payload = utf-8 text, sidecar json = source + token count);
+    # byte-deterministic, so a re-run of the whole pipeline reproduces
+    # identical shard files
+    from dbbspark.operators.shards import build_tar_shards
+
+    shards = build_tar_shards(
+        train.select(
+            "doc_id",
+            F.encode("text", "utf-8").alias("content"),
+            "source",
+            "n_tokens",
+        ),
+        shard_bytes=256 * 1024,
+        ext="txt",
+        meta_cols=["source", "n_tokens"],
+    )
+    totals = shards.agg(
+        F.count("*").alias("n"), F.sum("bytes").alias("b")
+    ).first()
+    print(
+        json.dumps(
+            {
+                "stage": "tar_shards",
+                "count": int(totals["n"]),
+                "bytes": int(totals["b"]),
+            }
+        )
+    )
     return out
 
 
