@@ -1,0 +1,96 @@
+"""PageRank (operators/graph.py, C38): exact agreement with a dense
+numpy power iteration (same damping/dangling/teleport conventions),
+probability-mass conservation, convergence, and the doc-prior join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbbspark.operators.graph import domain_rank_prior, pagerank
+
+
+def _numpy_pagerank(edges, n, damping=0.85, iters=60):
+    import numpy as np
+
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[deg == 0].sum()
+        inflow = np.zeros(n)
+        for s, d in edges:
+            inflow[d] += r[s] / deg[s]
+        r = (1 - damping) / n + damping * (inflow + dangling / n)
+    return r
+
+
+GRAPH = [
+    (0, 1), (1, 2), (2, 0),        # a 3-cycle
+    (3, 0), (4, 0),                # two feeders into the cycle
+    (5, 6),                        # a chain ending in a dangling node 6
+]
+
+
+@pytest.fixture(scope="module")
+def ranks(spark):
+    edges = spark.createDataFrame(GRAPH, "src long, dst long")
+    return {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, max_iter=60, tol=1e-12).collect()
+    }
+
+
+def test_matches_dense_power_iteration(ranks):
+    want = _numpy_pagerank(GRAPH, 7)
+    for node, rank in ranks.items():
+        assert rank == pytest.approx(want[node], abs=1e-6), node
+
+
+def test_mass_conserved_and_ordering(ranks):
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    # the cycle member fed by two extra nodes outranks its cycle peers,
+    # and every cycle member outranks the friendless chain head
+    assert ranks[0] > ranks[1] > 0
+    assert ranks[1] > ranks[5]
+
+
+def test_duplicate_edges_count_once(spark):
+    e1 = spark.createDataFrame(GRAPH, "src long, dst long")
+    e2 = spark.createDataFrame(GRAPH + GRAPH[:3], "src long, dst long")
+    a = {r["node"]: r["rank"] for r in pagerank(e1, max_iter=20).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(e2, max_iter=20).collect()}
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_empty_graph(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(edges).count() == 0
+
+
+def test_damping_validation(spark):
+    edges = spark.createDataFrame(GRAPH, "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(edges, damping=1.0)
+
+
+def test_domain_rank_prior_join(spark):
+    edges = spark.createDataFrame(
+        [("example.com", "linked.org")], "src string, dst string"
+    )
+    ranks = pagerank(edges, max_iter=10)
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.linked.org/page"),
+            (2, "https://unknown.net/x"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["domain_rank"]
+        for r in domain_rank_prior(docs, ranks).collect()
+    }
+    assert got[1] is not None and got[1] > 0
+    assert got[2] is None
