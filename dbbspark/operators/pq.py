@@ -171,6 +171,192 @@ def pq_topk(
     )
 
 
+def train_ivfpq(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Codebooks for RESIDUAL product quantization (the IVFPQ layout,
+    Jégou et al. 2011 §IV): PQ is trained on v − centroid(cell(v)), which
+    concentrates the distribution each codebook sees and roughly halves
+    quantization error vs raw-vector PQ at the same bit budget. The
+    residual computation is one broadcast join (centroids are the small
+    side by construction) + map-only arithmetic."""
+    res = _residuals(vectors, centroids, id_col, vec_col)
+    return train_pq(res, m=m, k=k, vec_col=vec_col)
+
+
+def _residuals(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell, residual-as-vec_col): each vector minus its nearest
+    centroid. Assignment reuses ivf_assign (map-side argmax); the
+    subtraction is zip_with — pure expressions, no Python."""
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col).select(
+        F.col("vid").alias(id_col), F.col("centroid_id").alias("cell")
+    )
+    cents = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("__cent")
+    )
+    return (
+        vectors.join(assigned, id_col)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(vec_col, "__cent", lambda a, b: a - b).alias(vec_col),
+        )
+    )
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, code, norm): the compact IVFPQ index row. ``norm`` is
+    the exact reconstruction norm ‖centroid + recon(residual)‖ computed
+    at encode time, which is what lets ADC return cosine-comparable
+    scores later without touching the float vectors."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _k, sub = books.shape
+    cent_rows = centroids.select(id_col, vec_col).toPandas()
+    C = {
+        int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+        for _, r in cent_rows.iterrows()
+    }
+    cnorm2 = (books**2).sum(axis=2)
+    res = _residuals(vectors, centroids, id_col, vec_col)
+
+    def enc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            R = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cells = pdf["cell"].to_numpy()
+            codes = np.empty((len(R), m), dtype=np.int64)
+            recon = np.empty_like(R)
+            for j in range(m):
+                X = R[:, j * sub : (j + 1) * sub]
+                d2 = cnorm2[j][None, :] - 2.0 * (X @ books[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+                recon[:, j * sub : (j + 1) * sub] = books[j][codes[:, j]]
+            cents = np.stack([C[int(c)] for c in cells])
+            norms = np.linalg.norm(cents + recon, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cell": cells,
+                    "code": list(codes),
+                    "norm": np.maximum(norms, 1e-24),
+                }
+            )
+
+    return res.select(id_col, "cell", vec_col).mapInPandas(
+        enc, "vec_id long, cell long, code array<bigint>, norm double"
+    )
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    k: int = 10,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k per query over an IVFPQ index: each query
+    probes its ``probes`` nearest cells and ADC-scores only rows living
+    there. Because reconstruction = centroid + Σ codebook entries, the
+    score decomposes into a per-(query, cell) scalar (q·centroid,
+    computed once driver-side on the small centroid set) plus the SAME
+    residual LUT as plain PQ — per Arrow batch, a masked lookup-sum, and
+    only per-batch per-query top-k rows leave the worker.
+
+    At full scale, bucket/partition the index by ``cell`` so unprobed
+    cells are never read (partition pruning does to this operator what
+    it does to date-partitioned facts); the mapInPandas form here still
+    bounds compute at Σ_probed |cell| per query, never |Q|×N."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _kc, sub = books.shape
+    qrows = queries.select(id_col, vec_col).toPandas()
+    Q = np.stack(qrows[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qrows[id_col].to_numpy()
+    cent_rows = centroids.select(id_col, vec_col).toPandas()
+    cent_ids = cent_rows[id_col].to_numpy()
+    CM = np.stack(cent_rows[vec_col].to_numpy()).astype(np.float64)
+    n_probes = min(probes, len(cent_ids))
+    # q·centroid for every (query, cell) + each query's probed cell set
+    qc = Qn @ CM.T  # (nq, ncells) — both sides driver-bounded
+    order = np.argsort(-qc, axis=1)[:, :n_probes]
+    probe_sets = [set(int(cent_ids[j]) for j in row) for row in order]
+    qc_by_cell = {int(c): qc[:, j] for j, c in enumerate(cent_ids)}
+    lut = np.einsum("qjs,jcs->qjc", Qn.reshape(len(Q), m, sub), books)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf["code"].to_numpy())
+            cells = pdf["cell"].to_numpy()
+            norms = pdf["norm"].to_numpy()
+            vids = pdf["vec_id"].to_numpy()
+            res_ip = np.zeros((len(qids), len(C)))
+            for j in range(m):
+                res_ip += lut[:, j, :][:, C[:, j]]
+            cent_ip = np.stack(
+                [qc_by_cell[int(c)] for c in cells], axis=1
+            )  # (nq, n)
+            sims = (cent_ip + res_ip) / norms[None, :]
+            out = {"query_id": [], "vid": [], "sim": []}
+            for qi, qid in enumerate(qids):
+                mask = np.fromiter(
+                    (int(c) in probe_sets[qi] for c in cells),
+                    dtype=bool,
+                    count=len(cells),
+                )
+                if not mask.any():
+                    continue
+                s = sims[qi][mask]
+                v = vids[mask]
+                kk = min(k + 1, len(s))
+                part = np.argpartition(-s, kk - 1)[:kk]
+                out["query_id"].extend([qid] * kk)
+                out["vid"].extend(v[part])
+                out["sim"].extend(s[part])
+            yield pd.DataFrame(out)
+
+    scored = index.select("vec_id", "cell", "code", "norm").mapInPandas(
+        score, "query_id long, vid long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        scored.where(F.col("vid") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias("neighbor_id"), "rank", "sim")
+    )
+
+
 def pq_topk_reranked(
     codes: DataFrame,
     vectors: DataFrame,

@@ -107,6 +107,100 @@ def test_topk_partition_invariant(queries, books, codes):
     assert a == b
 
 
+def test_ivfpq_scores_match_explicit_reconstruction(spark, emb, queries):
+    """The distributed ADC path (per-query·centroid scalar + residual
+    LUT + stored norms) must EQUAL cosine against the explicitly
+    reconstructed vectors computed driver-side — the implementation-
+    correctness pin that recall floors on near-random fixtures can't
+    give. Also: recall monotone in probes, full index covered."""
+    import numpy as np
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window as W
+
+    from dbbspark.operators.pq import ivfpq_encode, ivfpq_topk, train_ivfpq
+
+    cents = emb.where(F2.col("vec_id") % 100 == 7).select(
+        (F2.row_number().over(W.orderBy("vec_id")) - 1).alias("vec_id"),
+        "embedding",
+    ).localCheckpoint()
+    n_cells = cents.count()
+    books = train_ivfpq(emb, cents, m=16, k=16)
+    index = ivfpq_encode(emb, cents, books).cache()
+    assert index.count() == emb.count()
+
+    # exactness: operator top-5 (all probes) == manual reconstruction
+    C = {r["vec_id"]: np.array(r["embedding"]) for r in cents.collect()}
+    IX = {
+        r["vec_id"]: (r["cell"], np.array(r["code"]), r["norm"])
+        for r in index.collect()
+    }
+    m = books.shape[0]
+    qid = queries.select(F2.min("vec_id")).first()[0]
+    q = np.array(
+        emb.where(F2.col("vec_id") == qid).first()["embedding"], dtype=float
+    )
+    qn = q / np.linalg.norm(q)
+    sims = {}
+    for vid, (cell, code, norm) in IX.items():
+        recon = C[cell] + np.concatenate([books[j][code[j]] for j in range(m)])
+        assert abs(np.linalg.norm(recon) - norm) < 1e-9  # stored norm exact
+        sims[vid] = qn @ recon / norm
+    want = [
+        v
+        for v, _ in sorted(
+            ((v, s) for v, s in sims.items() if v != qid),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+    ]
+    got = [
+        r["neighbor_id"]
+        for r in ivfpq_topk(
+            index,
+            emb.where(F2.col("vec_id") == qid),
+            cents,
+            books,
+            k=5,
+            probes=n_cells,
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+    # probes monotonicity on the full query set
+    exact = _pairs(brute_force_topk(emb, queries, k=5).collect())
+    r = {}
+    for p in (1, n_cells):
+        hits = _pairs(
+            ivfpq_topk(index, queries, cents, books, k=5, probes=p).collect()
+        )
+        r[p] = len(exact & hits) / len(exact)
+    assert r[n_cells] >= r[1] - 1e-9, f"recall not monotone: {r}"
+    assert r[n_cells] >= 0.1, f"full-probe IVFPQ recall collapsed: {r}"
+
+
+def test_ivfpq_encode_partition_invariant(spark, emb):
+    from pyspark.sql import functions as F2
+
+    from dbbspark.operators.pq import ivfpq_encode, train_ivfpq
+
+    cents = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(64)]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_ivfpq(emb, cents, m=4, k=8)
+    a = {
+        r["vec_id"]: (r["cell"], tuple(r["code"]), round(r["norm"], 9))
+        for r in ivfpq_encode(emb, cents, books).collect()
+    }
+    b = {
+        r["vec_id"]: (r["cell"], tuple(r["code"]), round(r["norm"], 9))
+        for r in ivfpq_encode(emb.repartition(7), cents, books).collect()
+    }
+    assert a == b
+
+
 def test_train_pq_validates(emb):
     with pytest.raises(ValueError):
         train_pq(emb, m=7)  # fixture dim not divisible by 7
