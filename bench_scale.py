@@ -153,6 +153,41 @@ def _gate(big, mode):
     return accepted
 
 
+def _pagerank(spark):
+    from dbbspark.operators.graph import pagerank
+
+    edges = (
+        spark.range(200_000)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(50_000)).alias("src"),
+            # squaring the second draw skews in-degree (power-law-ish:
+            # few hub nodes receive most edges)
+            (
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(224)) ** 2 % 50_000
+            ).cast("long").alias("dst"),
+        )
+    )
+    return pagerank(edges, max_iter=20, tol=0.0)
+
+
+def _url_chain(spark):
+    from dbbspark.operators.urls import cap_per_domain, dedup_by_url
+
+    urls = spark.range(500_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("HTTP://sub.Site"),
+            F.pmod(F.xxhash64("id"), F.lit(5_000)).cast("string"),
+            F.lit(".COM:80//path//p"),
+            (F.col("id") % 97).cast("string"),
+            F.lit("/?utm_source=feed&id="),
+            (F.col("id") % 10_000).cast("string"),
+            F.lit("&fbclid=x#frag"),
+        ).alias("url"),
+    )
+    return cap_per_domain(dedup_by_url(urls), 50)
+
+
 def replicated_corpus(spark, sf_dir: str, copies: int):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     parts = [docs]
@@ -239,6 +274,13 @@ def main() -> None:
         # BPE training cost is per-ROUND over the vocab-sized symbols
         # table; the corpus only pays the one word_counts aggregation
         "bpe_train50": lambda: _bpe_tokens(big),
+        # C38 PageRank on a synthetic 200k-edge host graph (hash-derived
+        # power-law-ish endpoints; 20 fixed rounds — the per-round cost
+        # is the scale object, convergence depends only on tol)
+        "pagerank20": lambda: _pagerank(big.sparkSession),
+        # C37 URL hygiene chain over 500k synthetic URLs: canonicalize →
+        # URL dedup → per-domain cap — all map/window, one shuffle each
+        "url_chain": lambda: _url_chain(big.sparkSession),
         # C34 bloom-gated incremental near-dedup: the replicated corpus
         # is the persisted signature index; the batch is 5k genuinely
         # NEW docs (suffix token no replica carries) — the common crawl
