@@ -206,13 +206,15 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Training-pipeline closure: near-dup CLUSTERING — Jaccard pairs → "
     "connected components → canonical representative (min doc id per "
     "component, consistent with keep-first exact dedup). Spark side is "
-    "the large-star/small-star formulation (operators/dedup.py, Kiveris "
-    "et al. SoCC'14): O(log²) rounds regardless of diameter — measured "
-    "equal to min-label propagation at sf0.1 (1.3 s both) and 1.5-3.6× "
-    "faster at 10× (clique graph 8.6 vs 13.0 s; diameter-32 chains 6.7 "
-    "vs 24.2 s), so the declared query carries the plan that survives "
-    "scale; min-label remains available for known-shallow graphs. The "
-    "oracle computes the same components with a recursive CTE.",
+    "connected_components_adaptive (operators/dedup.py): the REDUCED "
+    "edge relation's materialized count picks the path — driver-safe "
+    "edge sets take one O(E α(E)) union-find pass (the blocked pair "
+    "generators bound E; 1.5 s of round overhead → 0.1 s at sf0.1), "
+    "larger ones delegate unchanged to the large-star/small-star "
+    "formulation (Kiveris et al. SoCC'14, O(log²) rounds regardless of "
+    "diameter — measured 1.5-3.6× over min-label at 10×), so the 100 TB "
+    "plan is exactly the star one. The oracle computes the same "
+    "components with a recursive CTE.",
     tags=("dedup", "closure", "iterative"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +222,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=_JACCARD_MAX_DF
     )
-    cc = D.connected_components_star(pairs, src="doc_a", dst="doc_b")
+    cc = D.connected_components_adaptive(pairs, src="doc_a", dst="doc_b")
     return cc.select(F.col("node").alias("doc"), "component")
 
 

@@ -305,6 +305,40 @@ def test_star_cc_matches_label_propagation(spark):
     assert a == b
 
 
+def test_adaptive_cc_matches_both_paths(spark):
+    """connected_components_adaptive: the driver union-find path (edge
+    count under threshold) and the forced-distributed path (threshold=0)
+    must both equal the label-propagation reference on random graphs —
+    self-loops, singletons, and multi-component shapes included."""
+    from dbbspark.operators.dedup import (
+        connected_components,
+        connected_components_adaptive,
+    )
+
+    for seed in (21, 22):
+        rng = random.Random(seed)
+        edges = [
+            Row(src=rng.randrange(80), dst=rng.randrange(80)) for _ in range(60)
+        ]
+        df = spark.createDataFrame(edges)
+        want = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        fast = {
+            r["node"]: r["component"]
+            for r in connected_components_adaptive(df).collect()
+        }
+        distributed = {
+            r["node"]: r["component"]
+            for r in connected_components_adaptive(
+                df, driver_edge_threshold=0
+            ).collect()
+        }
+        assert fast == want, seed
+        assert distributed == want, seed
+
+
 def test_jaccard_prefix_matches_plain(spark):
     """Prefix filtering (PPJoin-style) must compute the IDENTICAL pair
     relation as the count-all-co-occurrences formulation — same threshold,
