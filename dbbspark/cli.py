@@ -137,7 +137,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
     from .operators.dedup import (
-        connected_components,
+        connected_components_adaptive,
         lsh_candidate_pairs_direct,
         sha_dedup_keep_first,
     )
@@ -151,7 +151,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
     docs = sha_dedup_keep_first(docs, "text", "doc_id")
     pairs = lsh_candidate_pairs_direct(docs, "doc_id", "text")
     dropped = (
-        connected_components(pairs, "doc_a", "doc_b")
+        connected_components_adaptive(pairs, "doc_a", "doc_b")
         .where(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
     )

@@ -31,7 +31,7 @@ from dbbspark.operators.classify import (
     train_quality_classifier,
 )
 from dbbspark.operators.dedup import (
-    connected_components,
+    connected_components_adaptive,
     jaccard_pairs,
     sha_dedup_keep_first,
 )
@@ -70,7 +70,7 @@ def run(spark, sf_dir: str) -> dict[str, int]:
     # reversed order finds zero near-dup pairs).
     pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_df=1000)
     dropped = (
-        connected_components(pairs, "doc_a", "doc_b")
+        connected_components_adaptive(pairs, "doc_a", "doc_b")
         .where(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
     )
