@@ -259,6 +259,14 @@ def main() -> None:
             src="doc_a",
             dst="doc_b",
         ),
+        # adaptive: the 10x candidate edge set (~266k) is under the 2M
+        # driver bound, so this measures the union-find fast path on a
+        # realistically-sized reduced relation (incl. its collect)
+        "connected_components_adaptive": lambda: D.connected_components_adaptive(
+            D.lsh_candidate_pairs_direct(big, "doc_id", "text"),
+            src="doc_a",
+            dst="doc_b",
+        ),
         # deep-graph crossover (VERDICT r3 item 6): 2000 chains of 33
         # nodes — diameter 32, the shape where per-round min-label
         # propagation pays O(diameter) shuffles and the star rounds pay

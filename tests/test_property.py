@@ -95,3 +95,65 @@ def test_dsir_pinned_cut_replays_exact_selection(spark):
         r["doc"] for r in dsir_sample(w.coalesce(1), 0.3, cut=1.5).collect()
     }
     assert a == b and 0 < len(a) < 200
+
+
+url_st = st.builds(
+    lambda scheme, host, port, path, params, frag: (
+        scheme
+        + host
+        + port
+        + "/".join(path)
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    scheme=st.sampled_from(["http://", "https://", "HTTP://", "HTTPS://"]),
+    host=st.builds(
+        lambda a, b: f"{a}.{b}.com", st.text("abcXYZ", min_size=1, max_size=5),
+        st.text("abcXYZ", min_size=1, max_size=5),
+    ),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.lists(st.text("abAB12", min_size=0, max_size=4), max_size=4),
+    params=st.lists(
+        st.sampled_from(
+            ["id=7", "q=x", "utm_source=a", "fbclid=zz", "utm_id=9", "p="]
+        ),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#frag", "#a#b"]),
+)
+
+
+@given(urls=st.lists(url_st, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_url_canonicalization_is_idempotent(spark, urls):
+    """canon(canon(u)) == canon(u): the regexp chain must be a
+    projection onto its own image — a second pass finds nothing left to
+    rewrite, whatever combination of tracking params, ports, fragments,
+    and slash runs the input carries."""
+    from dbbspark.operators.urls import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        canonicalize_url(F.col("u")).alias("once")
+    ).select(
+        "once", canonicalize_url(F.col("once")).alias("twice")
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"], r
+
+
+@given(
+    keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=40, unique=True),
+    others=st.lists(st.integers(0, 10**9), min_size=1, max_size=40),
+)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative_on_random_keys(spark, keys, others):
+    """Membership must hold for EVERY inserted key whatever the key
+    distribution — the property the gates' correctness rides on (false
+    positives are allowed; false negatives would drop duplicates)."""
+    from dbbspark.operators.bloom import build_bloom, might_contain
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    table = build_bloom(df, "k", num_bits=1 << 12)
+    tagged = might_contain(df, table, "k")
+    assert tagged.where(~F.col("maybe_known")).count() == 0
