@@ -80,7 +80,11 @@ def build_bloom(
         F.array(*_positions(F.col(key_col), num_bits, num_hashes))
     ).alias("__pos")
     words = (
-        keys.select(pos)
+        # null keys carry no membership (probe-side returns false for
+        # them); without this filter xxhash64(null, i) would insert a
+        # phantom seed-hash key.
+        keys.where(F.col(key_col).isNotNull())
+        .select(pos)
         .select(
             F.shiftright("__pos", 6).alias("w"),
             F.expr(_BIT_OF_POS).alias("b"),

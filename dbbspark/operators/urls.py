@@ -105,7 +105,9 @@ def dedup_by_url(
     return (
         docs.withColumn("__canon", canonicalize_url(F.col(url_col)))
         .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+        # null URLs are not duplicates of each other — keep them all
+        # (report-don't-drop; the quality gates own null handling)
+        .where((F.col("__rn") == 1) | F.col("__canon").isNull())
         .drop("__canon", "__rn")
     )
 
@@ -129,7 +131,14 @@ def cap_per_domain(
     return (
         docs.withColumn("__dom", registered_domain(F.col(url_col)))
         .withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= max_per_domain)
+        # docs with no parseable domain (null url → null, junk url →
+        # empty extract) are not one shared "domain" — the cap doesn't
+        # apply to them (same stance as dedup_by_url)
+        .where(
+            (F.col("__rk") <= max_per_domain)
+            | F.col("__dom").isNull()
+            | (F.col("__dom") == "")
+        )
         .drop("__dom", "__rk")
     )
 

@@ -131,6 +131,20 @@ def test_url_ops_stay_jvm_only(spark):
     assert "PythonUDF" not in plan and "EvalPython" not in plan
 
 
+def test_null_and_junk_urls_survive(spark):
+    """Null URLs are not duplicates of each other, and docs with no
+    parseable domain are not one shared domain for the cap."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "%%%"), (4, "%%%%"), (5, "https://a.com/x")],
+        "doc_id long, url string",
+    )
+    # null rows both survive; the two junk strings differ → both survive
+    assert sorted(r["doc_id"] for r in dedup_by_url(docs).collect()) == [1, 2, 3, 4, 5]
+    assert sorted(
+        r["doc_id"] for r in cap_per_domain(docs, 1).collect()
+    ) == [1, 2, 3, 4, 5]
+
+
 def test_cap_validation(spark):
     docs = spark.createDataFrame([(1, "https://a.com/")], "doc_id long, url string")
     with pytest.raises(ValueError):
