@@ -64,7 +64,15 @@ def train_pq(
             ).alias("features")
         )
         model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feat)
-        books.append(np.stack([np.asarray(c) for c in model.clusterCenters()]))
+        centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+        if len(centers) < k:
+            # degenerate subspace (< k distinct points): k-means returns
+            # fewer centers. Pad by repeating the first center — argmin
+            # takes the first occurrence, so codes are identical to the
+            # unpadded assignment and the (m, k, sub) shape stays uniform.
+            pad = np.repeat(centers[:1], k - len(centers), axis=0)
+            centers = np.concatenate([centers, pad])
+        books.append(centers)
     return np.stack(books)  # (m, k, sub)
 
 

@@ -24,11 +24,14 @@ bytes of float32) and, per micro-batch:
 
 Two rejection rules compose:
 
-- CODE IDENTITY (exact): the encode is deterministic, so byte-identical
-  (and quantization-bucket-identical) vectors produce the same
-  (cell, code) row — an equi-join catches them with zero false
-  negatives, however coarse the quantizer. This is the SemDeDup
-  "same bucket ⇒ duplicate" rule at zero extra cost.
+- VECTOR-HASH IDENTITY (exact): each index row carries
+  xxhash64(embedding); a batch vector whose hash matches an indexed
+  one is a byte-identical duplicate — caught with zero false negatives
+  however coarse the quantizer, and with no dependence on ADC error.
+  (Quantization-BUCKET identity was deliberately rejected as the exact
+  rule: with a coarse codebook it collapses merely-similar items —
+  measured on the multimodal example, 47 items → 12 survivors under
+  bucket identity vs the intended dups-only rejection.)
 - ADC THRESHOLD (operating): vectors within ``eps`` ADC-cosine of an
   indexed one. The ADC estimate errs both ways (it compares the float
   query to the QUANTIZED corpus row), so ``eps`` is an operating
@@ -36,7 +39,7 @@ Two rejection rules compose:
   accept path with the exact re-rank (`pq_topk_reranked`) when the
   boundary must be crisp.
 
-Tests pin what is exact regardless: code-identity collisions, retry
+Tests pin what is exact regardless: hash-identity collisions, retry
 idempotence, stream ≡ batch, and index accounting."""
 
 from __future__ import annotations
@@ -56,10 +59,12 @@ def _index_codes(
         idx = spark.read.parquet(index_dir)
         if before is not None and "batch" in idx.columns:
             idx = idx.where(F.col("batch") < before)
-        return idx.select("vec_id", "cell", "code", "norm")
+        return idx.select("vec_id", "cell", "code", "norm", "vhash")
     except AnalysisException:
         return spark.createDataFrame(
-            [], "vec_id long, cell long, code array<bigint>, norm double"
+            [],
+            "vec_id long, cell long, code array<bigint>, norm double, "
+            "vhash long",
         )
 
 
@@ -78,24 +83,28 @@ def gate_batch(
     callers (pins streaming ≡ batch in tests)."""
     if not 0.0 < eps < 1.0:
         raise ValueError("eps must be in (0, 1)")
-    enc = ivfpq_encode(batch, centroids, codebooks, id_col, vec_col)
+    enc = ivfpq_encode(batch, centroids, codebooks, id_col, vec_col).join(
+        batch.select(
+            F.col(id_col).alias("vec_id"),
+            F.xxhash64(F.col(vec_col)).alias("vhash"),
+        ),
+        "vec_id",
+    )
     cut = 1.0 - eps
-    # exact rule: same (cell, code) as an indexed row ⇒ duplicate
-    # (array columns are equi-comparable, so cell narrows the join and
-    # the code compare closes it)
+    # exact rule: identical embedding hash as an indexed row ⇒ duplicate
     code_rejects = (
-        enc.join(index_codes.select("cell", F.col("code").alias("__c")), "cell")
-        .where(F.col("code") == F.col("__c"))
+        enc.join(index_codes.select(F.col("vhash").alias("__vh")),
+                 enc.vhash == F.col("__vh"), "left_semi")
         .select(F.col("vec_id").alias(id_col))
         .distinct()
     )
     # within batch, same rule, keep-lowest id
     e2 = enc.select(
-        F.col("vec_id").alias("__other"), "cell", F.col("code").alias("__c2")
+        F.col("vec_id").alias("__other"), F.col("vhash").alias("__vh2")
     )
     code_rejects_within = (
-        enc.join(e2, "cell")
-        .where((F.col("code") == F.col("__c2")) & (F.col("__other") < F.col("vec_id")))
+        enc.join(e2, enc.vhash == F.col("__vh2"))
+        .where(F.col("__other") < F.col("vec_id"))
         .select(F.col("vec_id").alias(id_col))
         .distinct()
     )
