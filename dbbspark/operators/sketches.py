@@ -1,0 +1,172 @@
+"""Mergeable corpus sketches — incremental telemetry for a rolling corpus
+(training-pipeline closure, SURVEY.md §2.11 C40).
+
+`corpus_report` (operators/vocab.py) answers the dataset-card questions
+with ONE aggregation — but it rescans the whole corpus every time. At
+100 TB with a streaming front door (streaming/linededup.py etc.) that is
+the wrong shape: each micro-batch should contribute a CONSTANT-size
+sketch row, and "stats so far" should be a union of those rows, never a
+corpus rescan. Everything here is chosen to be exactly mergeable:
+
+- Scalar totals (docs / tokens / chars) merge by SUM.
+- Distinct counts (unique documents, vocabulary size) are Apache
+  DataSketches HLL sketches via Spark's native `hll_sketch_agg`,
+  merged with `hll_union_agg` — both JVM aggregates, sketch binaries
+  are ~KB regardless of corpus size.
+- Token frequencies are a count-min sketch (Cormode & Muthukrishnan
+  2005) represented as a SPARSE RELATION of (row, col, count) cells
+  rather than an opaque binary: at most depth×width rows after the
+  map-side combine, exactly mergeable by union + groupBy + SUM, and
+  point-queryable entirely Spark-side (the same xxhash64(token, row)
+  expressions compute the query positions, so no hash function is ever
+  reimplemented driver-side). Estimates carry the classic guarantee:
+  est >= true, and est <= true + (e/width)·N with prob 1-(1/2)^depth.
+
+Scale shape: one pass over the batch (explode mentions × depth struct
+array, map-side combine), per-batch state <= depth×width + 1 rows; the
+merged "card" is an aggregation over #batches tiny rows. Nothing ever
+rescans prior batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import tokens_col
+
+# Defaults: eps = e/width ~ 0.00066, delta = 2^-5 ~ 3% per query.
+CMS_DEPTH = 5
+CMS_WIDTH = 4096
+
+
+def corpus_sketch(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE-row sketch of a document batch: scalar totals plus HLL
+    sketches for distinct-document (sha256 of text) and distinct-token
+    cardinalities. The row is a few KB; rows from different batches
+    merge exactly via `merge_corpus_sketches`.
+
+    Two aggregations (doc-grain and mention-grain — the token HLL needs
+    the explode, which can't live inside an aggregate) cross-joined as
+    one-row frames; both are map-side-combined sketch aggregates."""
+    toks = tokens_col(text_col)
+    body = F.coalesce(F.col(text_col), F.lit(""))
+    doc_side = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks).cast("bigint")).alias("total_tokens"),
+        F.sum(F.length(body).cast("bigint")).alias("total_chars"),
+        F.hll_sketch_agg(F.sha2(body.cast("binary"), 256)).alias("doc_hll"),
+    )
+    token_side = (
+        docs.select(F.explode(toks).alias("token"))
+        .agg(F.hll_sketch_agg("token").alias("token_hll"))
+    )
+    return doc_side.crossJoin(token_side)
+
+
+def merge_corpus_sketches(sketches: DataFrame) -> DataFrame:
+    """Merge per-batch sketch rows (any number, any order) into one row
+    with the same schema. SUM for scalars, hll_union_agg for sketches —
+    commutative and associative, so batch boundaries never matter."""
+    return sketches.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("total_chars").alias("total_chars"),
+        F.hll_union_agg("doc_hll").alias("doc_hll"),
+        F.hll_union_agg("token_hll").alias("token_hll"),
+    )
+
+
+def sketch_card(merged: DataFrame) -> dict:
+    """Dataset-card dict from a merged sketch row: totals, estimated
+    distinct docs / vocabulary size, and the implied duplicate rate.
+    Only the one result row reaches the driver."""
+    row = merged.select(
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.hll_sketch_estimate("doc_hll").alias("distinct_docs"),
+        F.hll_sketch_estimate("token_hll").alias("vocab_size"),
+    ).first()
+    n = row["n_docs"] or 0
+    distinct = row["distinct_docs"] or 0
+    return {
+        "n_docs": n,
+        "total_tokens": row["total_tokens"] or 0,
+        "total_chars": row["total_chars"] or 0,
+        "distinct_docs": distinct,
+        "vocab_size": row["vocab_size"] or 0,
+        "approx_dup_rate": max(0.0, 1.0 - distinct / n) if n else 0.0,
+    }
+
+
+def _cms_cells(token: Column, depth: int, width: int) -> Column:
+    """Array of (row, col) cell positions for one token mention. The
+    depth hash functions are xxhash64 seeded by the row index carried as
+    an extra hashed column — the SAME expressions serve build and query,
+    so estimates need no driver-side hashing."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(F.xxhash64(token, F.lit(r)), F.lit(width)).alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Count-min sketch of the batch's token stream as a sparse
+    (row, col, count) relation — at most depth×width rows regardless of
+    batch size (map-side combine caps the shuffle at the cell count)."""
+    toks = tokens_col(text_col)
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    mentions = docs.select(F.explode(toks).alias("token"))
+    cells = mentions.select(
+        F.explode(_cms_cells(F.col("token"), depth, width)).alias("cell")
+    )
+    return cells.groupBy(
+        F.col("cell.row").alias("row"), F.col("cell.col").alias("col")
+    ).agg(F.count("*").alias("count"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS relations built with the SAME (depth, width): union +
+    per-cell SUM. Exact — merged table equals the one-shot table."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("count").alias("count"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    queries: DataFrame,
+    token_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    lowercase: bool = True,
+) -> DataFrame:
+    """(token, est) point estimates for each query token: recompute the
+    depth cell positions with the same expressions, left-join against
+    the sketch (missing cell → 0), take the per-token MIN across rows.
+    The query side is small by construction (a vocab probe list), so the
+    join broadcasts it; the sketch side is <= depth×width rows anyway."""
+    token = F.lower(F.col(token_col)) if lowercase else F.col(token_col)
+    probes = queries.select(
+        F.col(token_col).alias("token"),
+        F.explode(_cms_cells(token, depth, width)).alias("cell"),
+    ).select("token", F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    joined = probes.join(cms, ["row", "col"], "left")
+    return joined.groupBy("token").agg(
+        F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est")
+    )
