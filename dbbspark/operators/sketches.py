@@ -99,6 +99,43 @@ def sketch_card(merged: DataFrame) -> dict:
     }
 
 
+def write_batch_sketch(
+    docs: DataFrame, batch_id: int, sketch_dir: str, text_col: str = "text"
+) -> None:
+    """Persist one batch's sketch row under ``sketch_dir/batch=<id>`` via
+    dynamic-partition overwrite — the same retry-idempotence contract as
+    the streaming gates' doc sinks: a re-run of the same batch_id
+    replaces exactly its own row, never appends a duplicate."""
+    row = corpus_sketch(docs, text_col).withColumn("batch", F.lit(int(batch_id)))
+    (
+        row.coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(sketch_dir)
+    )
+
+
+def incremental_card(spark, sketch_dir: str) -> dict:
+    """Dataset card of everything sketched so far: read the per-batch
+    rows (#batches tiny rows), merge, estimate. Never rescans a corpus.
+    Empty/missing dir → the all-zero card."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(sketch_dir).drop("batch")
+    except AnalysisException:
+        return {
+            "n_docs": 0,
+            "total_tokens": 0,
+            "total_chars": 0,
+            "distinct_docs": 0,
+            "vocab_size": 0,
+            "approx_dup_rate": 0.0,
+        }
+    return sketch_card(merge_corpus_sketches(rows))
+
+
 def _cms_cells(token: Column, depth: int, width: int) -> Column:
     """Array of (row, col) cell positions for one token mention. The
     depth hash functions are xxhash64 seeded by the row index carried as

@@ -241,6 +241,7 @@ def process_batch(
     text_col: str = "text",
     min_df: int = 2,
     use_bloom: bool = False,
+    sketch_dir: str | None = None,
 ) -> None:
     """One micro-batch's side effects, idempotent under foreachBatch
     retry (module-level so the retry contract is directly testable):
@@ -249,6 +250,12 @@ def process_batch(
     (batch, batch_id) is a byte-level no-op: the doc partition is
     replaced with identical rows and the snapshot is recomputed from
     the same predecessor.
+
+    ``sketch_dir`` adds per-batch telemetry (operators/sketches.py): a
+    one-row mergeable sketch of the EMITTED documents lands under
+    ``sketch_dir/batch=<id>`` (same dynamic-overwrite idempotence as the
+    doc sink), so `incremental_card` can report "stats of the gated
+    output so far" without ever rescanning out_dir.
 
     ``use_bloom`` maintains a broadcast Bloom filter next to the index
     (operators/bloom.py): the gate joins only mentions the filter can't
@@ -276,6 +283,12 @@ def process_batch(
         .partitionBy("batch")
         .parquet(out_dir)
     )
+    if sketch_dir is not None:
+        from ..operators.sketches import write_batch_sketch
+
+        # Telemetry of what this batch EMITTED; a retry recomputes the
+        # identical deduped frame and replaces its own partition.
+        write_batch_sketch(deduped, bid, sketch_dir, text_col=text_col)
     # New snapshot reads v=<predecessor> and writes v=<id> — different
     # paths, so no read-under-write and no checkpoint materialization.
     updated.write.mode("overwrite").parquet(f"{index_dir.rstrip('/')}/v={bid}")
@@ -319,6 +332,7 @@ def streaming_line_dedup(
     text_col: str = "text",
     min_df: int = 2,
     use_bloom: bool = False,
+    sketch_dir: str | None = None,
 ):
     """Run the gate over a streaming DataFrame of documents; returns the
     started StreamingQuery (availableNow in tests, continuous in
@@ -327,7 +341,7 @@ def streaming_line_dedup(
     def _one_batch(batch: DataFrame, batch_id: int) -> None:
         process_batch(
             batch, batch_id, index_dir, out_dir, id_col, text_col, min_df,
-            use_bloom=use_bloom,
+            use_bloom=use_bloom, sketch_dir=sketch_dir,
         )
 
     return (

@@ -155,3 +155,39 @@ def test_cms_state_is_bounded(spark):
         | (F.col("col") < 0) | (F.col("col") >= 64)
     )
     assert bad.count() == 0
+
+
+def test_gate_sketch_telemetry_incremental_and_retry_idempotent(spark, tmp_path):
+    """The line-dedup gate's sketch_dir telemetry: per-batch rows merge
+    into the card of everything EMITTED so far, and a foreachBatch retry
+    (same batch_id re-run) leaves the card unchanged."""
+    from dbbspark.operators.sketches import incremental_card
+    from dbbspark.streaming.linededup import process_batch
+
+    idx, out, sk = str(tmp_path / "idx"), str(tmp_path / "out"), str(tmp_path / "sk")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    b2 = spark.createDataFrame([(3, "epsilon zeta")], ["doc_id", "text"])
+
+    process_batch(b1, 0, idx, out, sketch_dir=sk)
+    card1 = incremental_card(spark, sk)
+    assert card1["n_docs"] == 2
+    assert card1["vocab_size"] == 4
+
+    process_batch(b2, 1, idx, out, sketch_dir=sk)
+    card2 = incremental_card(spark, sk)
+    assert card2["n_docs"] == 3
+    assert card2["vocab_size"] == 6
+    assert card2["total_tokens"] == 6
+
+    # retry of batch 1 replaces its own sketch partition, never doubles
+    process_batch(b2, 1, idx, out, sketch_dir=sk)
+    assert incremental_card(spark, sk) == card2
+
+
+def test_incremental_card_empty_dir(spark, tmp_path):
+    from dbbspark.operators.sketches import incremental_card
+
+    card = incremental_card(spark, str(tmp_path / "nowhere"))
+    assert card["n_docs"] == 0 and card["approx_dup_rate"] == 0.0
