@@ -83,16 +83,34 @@ def compact_partitioned(
     path: str,
     partition_cols: list[str],
     max_records_per_file: int = 1_000_000,
+    cluster_by: list[str] | None = None,
+    cluster_bits: int = 12,
 ) -> str:
     """Rewrite a partitioned parquet dataset with co-located, few-file
     partitions and swap it live. Returns the backup path holding the
-    pre-compaction dataset (caller deletes after verification)."""
+    pre-compaction dataset (caller deletes after verification).
+
+    ``cluster_by`` additionally Z-orders rows WITHIN the rewrite
+    (operators/layout.py): the compaction pass is the natural moment to
+    fix data layout too — one extra sort key column during a rewrite
+    that was already shuffling everything, and every later scan gets
+    min-max skipping on all the clustered columns."""
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".compact-staging"
     backup = path.rstrip("/") + ".pre-compact"
+    if cluster_by:
+        from .operators.layout import add_zorder_key
+
+        shaped = (
+            add_zorder_key(df, cluster_by, bits=cluster_bits)
+            .repartition(*[F.col(c) for c in partition_cols])
+            .sortWithinPartitions(*partition_cols, "__zorder")
+            .drop("__zorder")
+        )
+    else:
+        shaped = df.repartition(*[F.col(c) for c in partition_cols])
     (
-        df.repartition(*[F.col(c) for c in partition_cols])
-        .write.mode("errorifexists")
+        shaped.write.mode("errorifexists")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_cols)
         .parquet(staging)

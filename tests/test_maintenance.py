@@ -53,6 +53,43 @@ def test_compact_preserves_rows_and_collapses_files(spark, tmp_path):
     assert len(glob.glob(backup + "/*/*/*.parquet")) == n_before
 
 
+def test_compact_with_zorder_clustering(spark, tmp_path):
+    """cluster_by Z-orders rows during the rewrite: same multiset, same
+    partition layout, and every compacted file is tight on BOTH
+    clustered columns (max one interleave cell wide per file here, since
+    each partition collapses to a single sorted file)."""
+    import random
+
+    rng = random.Random(5)
+    path = str(tmp_path / "clustered")
+    rows = [
+        ("ft%d" % (i % 2), rng.randint(0, 10**6), rng.randint(0, 10**6))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "filetype string, x long, y long")
+    df.repartition(8).write.partitionBy("filetype").parquet(path)
+
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    compact_partitioned(
+        spark, path, ["filetype"], max_records_per_file=500,
+        cluster_by=["x", "y"],
+    )
+    after_df = spark.read.parquet(path)
+    assert sorted(map(tuple, after_df.collect())) == before
+    assert "__zorder" not in after_df.columns
+
+    from dbbspark.operators.layout import file_spans
+
+    spans = file_spans(spark, path, ["x", "y"]).collect()
+    assert len(spans) >= 4  # maxRecordsPerFile forced a split
+    # clustered files are hyper-rectangles: average per-file span on
+    # each dim well below the full range (an unclustered write leaves
+    # every file spanning ~the full 10^6)
+    for c in ("x", "y"):
+        avg_span = sum(r[f"max_{c}"] - r[f"min_{c}"] for r in spans) / len(spans)
+        assert avg_span < 700_000, f"{c} files not clustered: {avg_span}"
+
+
 def test_cli_curate_end_to_end(spark, sf_dir, tmp_path):
     """The curate subcommand: output is deduped, shuffled, non-empty,
     and deterministic for a fixed seed."""
