@@ -24,6 +24,45 @@ from dbbspark.catalog import load_all  # noqa: E402
 from dbbspark.session import get_spark  # noqa: E402
 
 
+def _burn(n: int) -> float:
+    import hashlib
+
+    h = b"x"
+    t = time.perf_counter()
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return time.perf_counter() - t
+
+
+def cpu_calibration() -> dict:
+    """Measured machine-throughput factor, reported next to the timings
+    so suite numbers are comparable ACROSS rounds: this box is a VM on
+    an oversubscribed host — under a full 32-way CPU burn the guest
+    shows 30-40% idle with zero steal and no cgroup quota, i.e. the
+    host silently withholds cores, and the factor drifts round to round
+    (measured 1.0-1.7×). `parallel_eff` is (1-proc time × nprocs) /
+    (32-proc wall × 32): 1.0 on an idle dedicated box, ~0.6 when the
+    host is oversubscribed. Divide the suite total by parallel_eff to
+    compare against BASELINE.md's anchor."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    n = 2_000_000
+    single = min(_burn(n), _burn(n))  # best-of-2: single-thread speed
+    # itself varies ~25% run-to-run on this host
+    procs = os.cpu_count() or 1
+    with ProcessPoolExecutor(procs) as ex:
+        list(ex.map(_burn, [1000] * procs))  # spawn workers outside the timing
+        t = time.perf_counter()
+        list(ex.map(_burn, [n] * procs))
+        wall = time.perf_counter() - t
+    return {
+        "single_sec": round(single, 3),
+        "nprocs": procs,
+        "parallel_wall_sec": round(wall, 3),
+        "parallel_eff": round(single / wall, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -69,6 +108,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpu_calibration": cpu_calibration(),
             }
         )
     )

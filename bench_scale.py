@@ -381,6 +381,69 @@ def main() -> None:
     if not wanted or "ann_recall" in wanted:
         _ann_recall(spark, bigv, args.reps)
 
+    if not wanted or wanted & {"zorder_scan_clustered", "zorder_scan_xsorted"}:
+        _zorder_bench(spark, args.reps)
+
+
+_Z_STATE: dict = {}
+
+
+def _zorder_layouts(spark):
+    """2M-row (x, y, payload) dataset written twice: Z-ordered on (x, y)
+    vs range-sorted on x alone — same rows, same file count. The scan
+    bench then shows what row-group min-max skipping is worth when the
+    filter touches BOTH dims."""
+    if _Z_STATE:
+        return _Z_STATE
+    import tempfile
+
+    from dbbspark.operators.layout import zorder_write
+
+    base = tempfile.mkdtemp(prefix="zorder-bench-")
+    df = spark.range(0, 2_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)).alias("y"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    t = time.time()
+    zorder_write(df, f"{base}/z", ["x", "y"], n_files=64, bits=10)
+    z_sec = round(time.time() - t, 2)
+    t = time.time()
+    (
+        df.repartitionByRange(64, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(f"{base}/xsort")
+    )
+    x_sec = round(time.time() - t, 2)
+    print(json.dumps({"op": "zorder_write", "sec": z_sec, "rows": 2_000_000}))
+    print(json.dumps({"op": "xsort_write", "sec": x_sec, "rows": 2_000_000}))
+    _Z_STATE.update({"z": f"{base}/z", "xsort": f"{base}/xsort"})
+    return _Z_STATE
+
+
+def _zorder_bench(spark, reps: int) -> None:
+    paths = _zorder_layouts(spark)
+    # selective 5%x5% box — the pushed filters reach the parquet reader
+    # either way; layout decides how many row groups survive the stats
+    pred = (
+        (F.col("x").between(510_000, 560_000))
+        & (F.col("y").between(510_000, 560_000))
+    )
+    for name, path in (("zorder_scan_clustered", paths["z"]),
+                       ("zorder_scan_xsorted", paths["xsort"])):
+        best, rows = float("inf"), None
+        for _ in range(reps):
+            t = time.time()
+            rows = (
+                spark.read.parquet(path)
+                .where(pred)
+                .agg(F.count("payload").alias("n"))
+                .first()["n"]
+            )
+            best = min(best, time.time() - t)
+        print(json.dumps({"op": name, "sec": round(best, 2), "rows": rows}))
+
 
 _PQ_STATE: dict = {}
 
