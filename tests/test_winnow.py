@@ -1,0 +1,109 @@
+"""Winnowing fingerprints (operators/winnow.py, SURVEY.md §2.11 C43)."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from dbbspark.operators.winnow import (
+    fingerprint_overlap_pairs,
+    gram_hashes_expr,
+    winnow_fingerprints,
+)
+
+
+def _serial_winnow(grams: list[int], w: int) -> set[int]:
+    """Reference winnow over precomputed gram hashes: distinct minima of
+    every w-window (global min if fewer than w grams)."""
+    if not grams:
+        return set()
+    if len(grams) < w:
+        return {min(grams)}
+    return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+
+
+def _rand_text(rng, n):
+    return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+
+def test_matches_serial_reference(spark):
+    rng = random.Random(5)
+    rows = [(i, _rand_text(rng, rng.randint(0, 120))) for i in range(60)]
+    rows += [(100, None), (101, ""), (102, "abc")]  # null / empty / < k
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 8, 4
+    # Pull the JVM gram hashes so the reference sees identical values.
+    grams = {
+        r["doc_id"]: list(r["g"])
+        for r in df.select("doc_id", F.expr(gram_hashes_expr("text", k)).alias("g")).collect()
+    }
+    got = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    for did, g in grams.items():
+        assert got[did] == _serial_winnow(g, w), did
+
+
+def test_shared_substring_guarantee(spark):
+    """Any shared substring of length >= w + k - 1 ⇒ >= 1 shared print."""
+    rng = random.Random(9)
+    k, w = 8, 4
+    needle = _rand_text(rng, k + w - 1)
+    rows = [
+        (i, _rand_text(rng, 40) + needle + _rand_text(rng, 40)) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert fps[i] & fps[j], (i, j)
+
+
+def test_overlap_pairs_and_containment(spark):
+    rng = random.Random(13)
+    base = _rand_text(rng, 200)
+    rows = [
+        (1, base),
+        (2, base[:150] + _rand_text(rng, 50)),  # heavy overlap with 1
+        (3, _rand_text(rng, 200)),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["a"], r["b"]): r["containment"]
+        for r in fingerprint_overlap_pairs(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.4
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_identical_docs_full_containment(spark):
+    rng = random.Random(17)
+    t = _rand_text(rng, 150)
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    [row] = fingerprint_overlap_pairs(df, min_shared=1).collect()
+    assert (row["a"], row["b"]) == (1, 2)
+    assert row["containment"] == 1.0
+
+
+def test_max_df_drops_hub_fingerprints(spark):
+    rng = random.Random(21)
+    header = _rand_text(rng, 60)  # shared "license header" hub
+    rows = [(i, header + _rand_text(rng, 100)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # Cap below the hub's df: pairs joined ONLY through the header vanish.
+    capped = fingerprint_overlap_pairs(df, min_shared=1, max_df=5).count()
+    uncapped = fingerprint_overlap_pairs(df, min_shared=1, max_df=None).count()
+    assert uncapped == 66  # all 12-choose-2 pairs share the header
+    assert capped < uncapped
+
+
+def test_jvm_only_plan(spark):
+    df = spark.createDataFrame([(1, "abcdefghijklmnop")], "doc_id long, text string")
+    plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
