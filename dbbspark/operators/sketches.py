@@ -207,3 +207,92 @@ def cms_estimate(
     return joined.groupBy("token").agg(
         F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketches — cross-corpus overlap estimation (SURVEY.md §2.11
+# C44). "How much of corpus B is already inside corpus A?" is the question
+# a dedup/mixing plan asks BEFORE paying the cross-corpus join; a k-minimum-
+# values sketch (Beyer et al., SIGMOD 2007) answers it from two k-row
+# aggregates. Each corpus contributes ONE TakeOrdered pass (orderBy+limit k
+# compiles to a per-partition top-k + driver merge, never a global sort);
+# sketches merge by union + re-take, and the driver only ever holds k longs.
+
+KMV_K = 1024
+# Signed-long hash values are order-isomorphic to their unsigned
+# normalization, so bottom-k over the signed values IS bottom-k over (0,1].
+_U64 = 2.0**64
+_LONG_MIN = -(2**63)
+
+
+def kmv_sketch(df: DataFrame, key: Column | str, k: int = KMV_K) -> DataFrame:
+    """Bottom-k distinct xxhash64 values of `key` as a k-row relation
+    (column ``h``). ONE aggregation: distinct is a partial-agg groupBy on
+    the hash, the bottom-k a TakeOrdered. Null keys are skipped (a null
+    element is not a set member)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        df.where(c.isNotNull())
+        .select(F.xxhash64(c).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Sketch of the UNION of two keyed sets: union + distinct + re-take.
+    Exactly the sketch the one-shot pass over A ∪ B would produce."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def _norm(h: int) -> float:
+    return (h - _LONG_MIN + 1) / _U64
+
+
+def kmv_cardinality(hashes: list[int], k: int) -> float:
+    """Distinct-count estimate from a sketch's hash list: if the sketch
+    saturated (|S| = k), N̂ = (k-1)/u_(k) (u_(k) = k-th smallest value
+    normalized to (0,1]); an unsaturated sketch holds EVERY distinct
+    hash, so the count is exact."""
+    if len(hashes) < k:
+        return float(len(hashes))
+    return (k - 1) / _norm(max(hashes))
+
+
+def corpus_overlap(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = KMV_K
+) -> dict:
+    """Jaccard + both containments between two corpora from their KMV
+    sketches alone. Estimator (Beyer et al. §4): take X = the k smallest
+    hashes of the union; J ≈ |X ∩ A ∩ B| / |X|, |A∪B| from X's k-th
+    value, |A∩B| = J·|A∪B|, containment(B⊆A) = |A∩B|/|B|. Everything
+    after the two k-row collects is driver arithmetic on ≤ 3k longs.
+
+    Relative error ~ 1/√k (k=1024 → ~3%); with UNSATURATED sketches the
+    answer is exact (the sketches are the full hash sets).
+    """
+    ha = sorted(r["h"] for r in sketch_a.collect())
+    hb = sorted(r["h"] for r in sketch_b.collect())
+    if not ha or not hb:
+        return {"jaccard": 0.0, "containment_a_in_b": 0.0,
+                "containment_b_in_a": 0.0, "card_a": float(len(ha)),
+                "card_b": float(len(hb)), "card_union": float(len(set(ha) | set(hb)))}
+    union = sorted(set(ha) | set(hb))[:k]
+    x = set(union)
+    j = len(x & set(ha) & set(hb)) / len(union)
+    card_a = kmv_cardinality(ha, k)
+    card_b = kmv_cardinality(hb, k)
+    if len(union) < k:
+        card_union = float(len(union))
+    else:
+        card_union = (k - 1) / _norm(union[-1])
+    inter = j * card_union
+    return {
+        "jaccard": j,
+        "containment_a_in_b": min(1.0, inter / card_a) if card_a else 0.0,
+        "containment_b_in_a": min(1.0, inter / card_b) if card_b else 0.0,
+        "card_a": card_a,
+        "card_b": card_b,
+        "card_union": card_union,
+    }
