@@ -147,8 +147,11 @@ def cmd_curate(args: argparse.Namespace) -> int:
     from .tables import load_table
 
     spark = _session("dbbspark-curate")
-    docs = normalize_docs(load_table(spark, args.sf_dir, "documents"))
-    docs = sha_dedup_keep_first(docs, "text", "doc_id")
+    raw = normalize_docs(load_table(spark, args.sf_dir, "documents"))
+    docs = sha_dedup_keep_first(raw, "text", "doc_id")
+    exact_dropped = raw.select("doc_id").join(
+        docs.select("doc_id"), "doc_id", "left_anti"
+    )
     pairs = lsh_candidate_pairs_direct(docs, "doc_id", "text")
     dropped = (
         connected_components_adaptive(pairs, "doc_a", "doc_b")
@@ -160,7 +163,27 @@ def cmd_curate(args: argparse.Namespace) -> int:
         docs.select("doc_id", "text"), "doc_id", "text", min_df=args.line_min_df
     ).join(docs.drop("text"), "doc_id")
     toks = F.size(F.split(F.col("text"), " "))
+    short_ids = docs.where(toks < args.min_tokens).select("doc_id")
     docs = docs.where(toks >= args.min_tokens)
+    if args.funnel:
+        import json
+
+        from .operators.funnel import funnel_audit
+
+        # Stage id-sets were computed above as the pipeline ran; the
+        # audit re-expresses them as first-drop blame over the raw input
+        # (min_tokens runs on the line-deduped text, so its id-set — not
+        # a predicate on raw text — is the faithful stage spec).
+        _, waterfall = funnel_audit(
+            raw.withColumn("n_tokens", F.size(F.split(F.col("text"), " "))),
+            [
+                ("exact_dedup", exact_dropped),
+                ("near_dedup", dropped),
+                ("min_tokens", short_ids),
+            ],
+            token_col="n_tokens",
+        )
+        print(json.dumps({"funnel": waterfall}))
     if args.bpe_merges:
         from .operators.bpe import apply_bpe, train_bpe, word_counts
 
@@ -281,6 +304,11 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--line-min-df", type=int, default=5)
     cu.add_argument("--min-tokens", type=int, default=5)
     cu.add_argument("--seed", type=int, default=0)
+    cu.add_argument(
+        "--funnel",
+        action="store_true",
+        help="print the per-stage drop waterfall (first-drop blame) as JSON",
+    )
     cu.add_argument(
         "--bpe-merges",
         type=int,
