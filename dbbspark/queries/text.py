@@ -266,19 +266,25 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pack_sequences",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             CAST(n_chars % 97 AS DOUBLE) AS score
       FROM documents),
     cum AS (
       SELECT doc_id, n_tokens,
              -- SUM() OVER yields HUGEINT in DuckDB; pin to BIGINT
              CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS c
+      FROM toks),
+    sel AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS sc
       FROM toks)
-    SELECT doc_id,
-           CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST((c - n_tokens) // 512 AS BIGINT) AS seq_first,
+    SELECT cum.doc_id,
+           CAST(cum.n_tokens AS BIGINT) AS n_tokens,
+           CAST((c - cum.n_tokens) // 512 AS BIGINT) AS seq_first,
            CAST((c - 1) // 512 AS BIGINT) AS seq_last,
-           CAST((c - n_tokens) % 512 AS BIGINT) AS seq_offset
-    FROM cum
+           CAST((c - cum.n_tokens) % 512 AS BIGINT) AS seq_offset,
+           (sel.sc - sel.n_tokens) < 10000 AS in_budget
+    FROM cum JOIN sel ON cum.doc_id = sel.doc_id
     """,
     doc="Training-pipeline closure: GPT-style sequence packing — documents "
     "laid end-to-end in doc_id order, cut into 512-token sequences; each "
@@ -286,17 +292,37 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two-pass DISTRIBUTED prefix sum (operators/packing.py: range "
     "partition → per-bucket Arrow cumsum → broadcast bucket offsets), "
     "never an unpartitioned window; the oracle's single-window form "
-    "checks it exactly because prefix sums are bucketing-invariant.",
+    "checks it exactly because prefix sums are bucketing-invariant. "
+    "FOLDED C42 (operators/select.py budget_select): `in_budget` marks "
+    "the best-scoring docs fitting a 10k-token budget (score DESC, id "
+    "tiebreak, straddling doc admitted) — the SAME distributed prefix "
+    "sum over a different order, checked against the oracle's second "
+    "window.",
     tags=("text", "pipeline", "closure"),
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import pack_sequences
+    from ..operators.select import budget_select
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        (F.col("n_chars") % 97).cast("double").alias("score"),
     )
-    return pack_sequences(toks, "doc_id", "n_tokens", budget=512, num_buckets=8)
+    packed = pack_sequences(toks, "doc_id", "n_tokens", budget=512, num_buckets=8)
+    admitted = budget_select(
+        toks, budget=10_000, id_col="doc_id", score_col="score",
+        token_col="n_tokens", num_buckets=8,
+    ).select("doc_id", F.lit(True).alias("_in"))
+    return packed.join(admitted, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "seq_first",
+        "seq_last",
+        "seq_offset",
+        F.coalesce(F.col("_in"), F.lit(False)).alias("in_budget"),
+    )
 
 
 @query(
