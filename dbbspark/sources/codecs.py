@@ -43,6 +43,7 @@ from .multimodal import (
     fits_header_decode,
     register_decoder,
     register_frame_extractor,
+    register_resizer,
 )
 
 
@@ -72,8 +73,9 @@ def _feature(arr: np.ndarray) -> list[float]:
 # ---------------------------------------------------------------------------
 # netpbm (PGM P2/P5 grayscale, PPM P3/P6 RGB)
 
-def decode_netpbm(raw: bytes) -> dict:
-    """Decode a PGM/PPM image (netpbm formats P2/P3/P5/P6).
+def _netpbm_array(raw: bytes):
+    """Parse a PGM/PPM image (netpbm formats P2/P3/P5/P6) to its flat
+    sample array: (data, width, height, channels, maxval).
 
     Header tokens (magic, width, height, maxval) are whitespace-
     separated with `#` comments; binary rasters follow the single
@@ -113,12 +115,17 @@ def decode_netpbm(raw: bytes) -> dict:
     if binary:
         i += 1  # exactly one whitespace byte separates maxval and raster
         dtype = ">u2" if maxval > 255 else "u1"
-        itemsize = 2 if maxval > 255 else 1
         data = np.frombuffer(raw, dtype=dtype, count=n, offset=i)
     else:
         data = np.array(raw[i:].split()[:n], dtype=np.int64)
-        if data.size != n:
-            raise ValueError("truncated netpbm raster")
+    if data.size != n:
+        raise ValueError("truncated netpbm raster")
+    return data, width, height, channels, maxval
+
+
+def decode_netpbm(raw: bytes) -> dict:
+    """decode_media-shaped PGM/PPM summary (see `_netpbm_array`)."""
+    data, width, height, _channels, _maxval = _netpbm_array(raw)
     return {
         "width": int(width),
         "height": int(height),
@@ -322,6 +329,52 @@ def wav_decode(raw: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Resize (the decode -> resample -> re-encode leg of the multimodal seam)
+
+def _nn_resize(arr: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbor resample by pixel-center index mapping — the
+    deterministic, library-free resize (what cv2 INTER_NEAREST does)."""
+    in_h, in_w = arr.shape[:2]
+    ys = np.clip(((np.arange(out_h) + 0.5) * in_h / out_h).astype(np.int64), 0, in_h - 1)
+    xs = np.clip(((np.arange(out_w) + 0.5) * in_w / out_w).astype(np.int64), 0, in_w - 1)
+    return arr[ys][:, xs]
+
+
+def resize_netpbm(raw: bytes, width: int, height: int) -> bytes:
+    """Resize a PGM/PPM to (width, height) and re-encode in the binary
+    variant of its own format (P2->P5, P3->P6 — lossless for samples)."""
+    data, w, h, channels, maxval = _netpbm_array(raw)
+    arr = np.asarray(data).reshape((h, w, channels) if channels == 3 else (h, w))
+    out = _nn_resize(arr, height, width)
+    return (
+        encode_ppm(out, maxval) if channels == 3 else encode_pgm(out, maxval)
+    )
+
+
+def resize_fits(raw: bytes, width: int, height: int) -> bytes:
+    """Resize a 2-D FITS primary-HDU image, preserving BITPIX. Stored
+    values pass through unscaled (BSCALE/BZERO are header metadata a
+    resample must not bake in); >2-D HDUs are rejected (-> NULL row at
+    the seam, quarantine's concern)."""
+    hdr = fits_header_decode(raw)
+    if hdr.get("SIMPLE") != "T":
+        raise ValueError("not a FITS primary HDU")
+    bitpix = int(hdr["BITPIX"])
+    if int(hdr["NAXIS"]) != 2:
+        raise ValueError("resize_fits handles 2-D HDUs only")
+    w, h = int(hdr["NAXIS1"]), int(hdr["NAXIS2"])
+    dtype = _BITPIX_DTYPE.get(bitpix)
+    if dtype is None:
+        raise ValueError(f"bad BITPIX {bitpix}")
+    end = raw.find(b"END     ")
+    if end < 0:
+        raise ValueError("no END card")
+    data_off = ((end // 2880) + 1) * 2880
+    arr = np.frombuffer(raw, dtype=dtype, count=w * h, offset=data_off).reshape(h, w)
+    return encode_fits_image(_nn_resize(arr, height, width), bitpix)
+
+
 def register_default_codecs() -> None:
     """Activate the real codecs under their format kinds. The generic
     "image"/"video" kinds keep the deterministic fakes (fixture bytes
@@ -331,6 +384,9 @@ def register_default_codecs() -> None:
     register_decoder("fits", decode_fits_image)
     register_decoder("wav", wav_decode)
     register_frame_extractor("wav", wav_frame_count, wav_extract_frames)
+    register_resizer("pgm", resize_netpbm)
+    register_resizer("ppm", resize_netpbm)
+    register_resizer("fits", resize_fits)
 
 
 register_default_codecs()

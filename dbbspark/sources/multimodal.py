@@ -251,6 +251,71 @@ def decode_media(
 _FRAME_EXTRACTORS: dict[str, tuple[Callable[[bytes], int], Callable[[bytes, list[int]], list[list[float]]]]] = {}
 
 
+_RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {}
+
+
+def register_resizer(kind: str, fn: Callable[[bytes, int, int], bytes]) -> None:
+    """Register a real (raw, width, height) -> raw resizer for ``kind``
+    (built-ins cover pgm/ppm/fits — sources/codecs.py). There is NO
+    fake fallback for resize: emitting fabricated bytes as "the resized
+    image" would poison downstream consumers, so unregistered kinds
+    yield NULL rows instead."""
+    _RESIZERS[kind] = fn
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    kind: str = "pgm",
+    content_col: str = "content",
+) -> DataFrame:
+    """Attach a ``resized`` struct (re-encoded bytes + target dims) —
+    the decode → resample → re-encode leg of the multimodal pipeline
+    (thumbnailing / input-normalization before feature extraction).
+
+    Same execution shape as `decode_media`: Arrow-batched mapInPandas,
+    bytes never leave the executor, malformed media → NULL row (the
+    quarantine stance), map-only so it fuses with the binaryFile scan.
+    Real resizers for pgm/ppm/fits are registered by sources/codecs.py
+    (nearest-neighbor by pixel-center index mapping, format-preserving
+    re-encode)."""
+    _load_default_codecs()
+    resizer = _RESIZERS.get(kind)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("resized", RESIZED_SCHEMA, True)]
+    )
+
+    def _one(raw) -> dict | None:
+        if raw is None or resizer is None:
+            return None
+        try:
+            return {
+                "content": resizer(bytes(raw), width, height),
+                "width": width,
+                "height": height,
+            }
+        except Exception:  # malformed media → NULL, row survives
+            return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["resized"] = [_one(raw) for raw in pdf[content_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def register_frame_extractor(
     kind: str,
     count_fn: Callable[[bytes], int],
