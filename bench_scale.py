@@ -205,6 +205,30 @@ def replicated_corpus(spark, sf_dir: str, copies: int):
     return big.repartition(32).localCheckpoint(eager=True)
 
 
+def _budget_select(big):
+    from dbbspark.operators.select import budget_select
+
+    toks = big.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        (F.length("text") % 97).cast("double").alias("score"),
+    )
+    return budget_select(toks, budget=1_000_000)
+
+
+def _winnow(big, pairs: bool):
+    from dbbspark.operators.winnow import (
+        fingerprint_overlap_pairs,
+        winnow_fingerprints,
+    )
+
+    if pairs:
+        return fingerprint_overlap_pairs(
+            big, "doc_id", "text", min_shared=3, max_df=50
+        )
+    return winnow_fingerprints(big, "doc_id", "text")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -296,6 +320,16 @@ def main() -> None:
         # Timed: plain gate vs bloom build + bloom-gated gate.
         "gate_plain": lambda: _gate(big, None),
         "gate_bloom": lambda: _gate(big, "bloom"),
+        # C42 budget selection: exact two-pass prefix sum over the
+        # (score desc, id) order — cost is the 3-column range shuffle,
+        # independent of text width
+        "budget_select": lambda: _budget_select(big),
+        # C43 winnowing: map-only fingerprinting (the O(len·w) window
+        # minima) + df-capped posting-list pair join — the replicated
+        # corpus makes every doc share ~all fingerprints with its
+        # copies-1 replicas, the pair-emission worst case
+        "winnow_fingerprints": lambda: _winnow(big, pairs=False),
+        "winnow_pairs": lambda: _winnow(big, pairs=True),
     }
     for name, build in ops.items():
         if wanted and name not in wanted:

@@ -54,6 +54,15 @@ def winnow_fingerprints(
     of length >= w + k - 1 share at least one fingerprint; no shared
     substring shorter than k is ever detected. Map-only, JVM-only.
 
+    Caller hazard: do NOT filter on `fingerprints` directly (e.g.
+    ``.where(size(...) > 0)``) — Catalyst pushes such filters below the
+    projections, substituting the full fingerprint expression (gram
+    transform duplicated per reference, re-hashed per window position)
+    into the Filter: measured 50× at the 10× scale test. Filter on a
+    cheap derived column after a shuffle/checkpoint boundary instead,
+    or rely on explode's empty-array semantics as
+    `fingerprint_overlap_pairs` does.
+
     Short documents (fewer than w k-grams) still yield ONE fingerprint —
     the global min of their k-grams — so no document silently drops out
     of overlap detection; empty/null text yields an empty array.
@@ -96,32 +105,50 @@ def fingerprint_overlap_pairs(
     in the per-doc sizes, so containment denominators stay exact —
     the same hub-capping contract as `jaccard_pairs`.
     """
-    fps = winnow_fingerprints(docs, id_col, text_col, k, w).where(
-        F.size("fingerprints") > 0
-    )
+    # NO size(fingerprints) > 0 pre-filter: explode of an empty array
+    # already emits nothing, and the filter is actively catastrophic —
+    # Catalyst pushes it below the projections, inlining the WHOLE
+    # fingerprint CASE (gram transform duplicated 5×, window lambda
+    # re-hashing the grams per position) into a Filter that then runs
+    # O(len²·k) per row — measured 250 s vs 5 s at the 10× scale test.
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
     sized = fps.select(
         F.col(id_col).alias("_id"),
         F.size("fingerprints").alias("_nfp"),
         F.explode("fingerprints").alias("fp"),
     )
-    posted = sized.groupBy("fp").agg(
-        F.collect_list(F.struct("_id", "_nfp")).alias("ds")
-    )
-    kept = posted.where(F.size("ds") >= 2)
+    # Winnowing's df distribution is skewed BY CONSTRUCTION: each
+    # fingerprint is a window MINIMUM, so globally-small hash values are
+    # disproportionately selected in every document — the hub problem is
+    # worse than raw shingles, not better. So never build posting
+    # arrays: df comes from a codegen'd count aggregate (map-side
+    # partial combine collapses each task's mentions of a hub to one
+    # row), the surviving 2 ≤ df ≤ max_df fingerprint set joins BACK
+    # onto the mention stream (hub-capped ⇒ small by construction), and
+    # pairs come from the same shuffle_merge self-join as jaccard_pairs
+    # (operators/dedup.py). The collect_list-postings variant spent
+    # 239 s building hub arrays the cap then discarded at the 10×
+    # dup-heavy scale test; this shape runs the whole operator in ~8 s.
+    # The kept-fp semi-join is left to AQE: on dup-heavy corpora the
+    # kept set is hub-capped-small and broadcasts; on diverse corpora
+    # it can be huge (every substring shared by exactly 2+ docs) and
+    # must stay a shuffle join — no side is provably small, so no hint.
+    sized = sized.localCheckpoint(eager=False)
+    df_counts = sized.groupBy("fp").agg(F.count("*").alias("_df"))
+    kept_fps = df_counts.where(F.col("_df") >= 2)
     if max_df is not None:
-        kept = kept.where(F.size("ds") <= max_df)
-    pairs = kept.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds) - i - 1), y -> "
-                "CASE WHEN x._id < y._id THEN struct(x._id as a, y._id as b, "
-                "x._nfp as na, y._nfp as nb) "
-                "ELSE struct(y._id as a, x._id as b, y._nfp as na, x._nfp as nb) "
-                "END)))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b", "p.na", "p.nb")
+        kept_fps = kept_fps.where(F.col("_df") <= max_df)
+    m = sized.join(kept_fps.select("fp"), "fp").localCheckpoint(eager=False)
+    pairs = (
+        m.select("fp", F.col("_id").alias("a"), F.col("_nfp").alias("na"))
+        .join(
+            m.select(
+                "fp", F.col("_id").alias("b"), F.col("_nfp").alias("nb")
+            ).hint("shuffle_merge"),
+            ["fp"],
+        )
+        .where(F.col("a") < F.col("b"))
+    )
     return (
         pairs.groupBy("a", "b", "na", "nb")
         .agg(F.count("*").alias("shared"))
