@@ -176,6 +176,27 @@ def run(spark, sf_dir: str) -> dict[str, int]:
     )
     print(json.dumps({"stage": "bpe_merges", "count": len(merges)}))
 
+    # 6a. token-budget selection (operators/select.py, C42) — of the
+    # tokenized train docs, keep the most TARGET-LIKE (DSIR log-ratio
+    # as the score) documents that fit a fixed training-token budget;
+    # same distributed prefix sum as packing, over the (score desc, id)
+    # order. Docs the LM couldn't score (null ratio) sort last.
+    from dbbspark.operators.select import budget_select
+
+    picked = budget_select(
+        train.join(
+            weighted.select(
+                F.col("doc").alias("doc_id"), F.col("log_ratio").alias("score")
+            ),
+            "doc_id",
+            "left",
+        ).select("doc_id", "score", "n_tokens"),
+        budget=20_000,
+    )
+    train = stage(
+        "budget_select", train.join(picked.select("doc_id"), "doc_id", "left_semi")
+    )
+
     # 7. pack the train side into fixed-budget training sequences
     packed = pack_sequences(
         train.select("doc_id", "n_tokens"), "doc_id", "n_tokens", budget=512

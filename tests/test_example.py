@@ -27,4 +27,5 @@ def test_curation_pipeline_runs_and_shrinks(spark, sf_dir):
     counts = [out[k] for k in order]
     assert counts == sorted(counts, reverse=True)
     assert out["train_side"] + out["val_side"] == out["dsir_select"]
-    assert out["packed_docs"] == out["train_side"]
+    assert out["budget_select"] <= out["train_side"]
+    assert out["packed_docs"] == out["budget_select"]

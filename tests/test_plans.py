@@ -310,3 +310,29 @@ def test_dsir_stays_jvm_side(spark, sf_dir):
     assert "PythonUDF" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_budget_select_range_exchange_no_global_sort(spark):
+    """C42: the bucket-offset join broadcasts its k-row side and the
+    chain never degrades to a single-partition global sort — the plan
+    that survives 100 TB (the range exchange itself lives behind the
+    operator's localCheckpoint boundary)."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.select import budget_select
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 13).cast("double").alias("score"),
+        (F.col("id") % 50 + 1).alias("n_tokens"),
+    )
+    picked = budget_select(docs, budget=5000)
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    # The prefix-sum pass sits behind a localCheckpoint boundary (it is
+    # materialized once, by the totals action), so the visible plan is
+    # the offsets join: the num_buckets-row offsets side must BROADCAST
+    # onto the checkpointed mention relation, and nothing in the chain
+    # may collapse to a single-partition global sort.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan

@@ -157,3 +157,47 @@ def test_bloom_never_false_negative_on_random_keys(spark, keys, others):
     table = build_bloom(df, "k", num_bits=1 << 12)
     tagged = might_contain(df, table, "k")
     assert tagged.where(~F.col("maybe_known")).count() == 0
+
+
+text_st = st.text(alphabet="abcdwxyz ", min_size=0, max_size=60)
+
+
+@given(
+    a=text_st,
+    b=text_st,
+    shared=st.text(alphabet="abcdwxyz ", min_size=11, max_size=20),
+)
+@settings(**SETTINGS)
+def test_winnow_shared_substring_guarantee_property(spark, a, b, shared):
+    """Schleimer et al. §3: any shared substring of length >= w + k - 1
+    (here 8 + 4 - 1 = 11) forces at least one shared fingerprint,
+    WHEREVER it sits inside the two documents."""
+    from dbbspark.operators.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, a + shared + b), (2, b + shared + a)], "doc_id long, text string"
+    )
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(df, k=8, w=4).collect()
+    }
+    assert fps[1] & fps[2]
+
+
+@given(t=text_st)
+@settings(**SETTINGS)
+def test_winnow_fingerprints_subset_of_gram_hashes(spark, t):
+    """Every fingerprint is one of the document's own k-gram hashes, and
+    a non-empty gram array always yields >= 1 fingerprint (short docs
+    fall back to the global min)."""
+    from dbbspark.operators.winnow import gram_hashes_expr, winnow_fingerprints
+
+    df = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    [row] = (
+        winnow_fingerprints(df, k=4, w=3)
+        .join(df.select("doc_id", F.expr(gram_hashes_expr("text", 4)).alias("g")), "doc_id")
+        .collect()
+    )
+    grams, fps = set(row["g"]), set(row["fingerprints"])
+    assert fps <= grams
+    assert (len(fps) >= 1) == (len(grams) >= 1)
