@@ -270,6 +270,45 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    """One-pass per-column data-quality profile of a parquet dataset
+    (operators/profile.py C46); with --baseline, also print drift
+    findings against a previously-saved profile JSON."""
+    import json
+
+    from .operators.profile import profile_drift, profile_table
+
+    spark = _session("dbbspark-profile")
+    prof = profile_table(spark.read.parquet(args.path))
+    print(json.dumps(prof, default=str))
+    if args.baseline:
+        with open(args.baseline) as fh:
+            before = json.load(fh)
+        print(json.dumps({"drift": profile_drift(before, prof)}))
+    if args.save:
+        with open(args.save, "w") as fh:
+            json.dump(prof, fh, default=str)
+    return 0
+
+
+def cmd_overlap(args: argparse.Namespace) -> int:
+    """KMV cross-corpus overlap estimate (operators/sketches.py C44):
+    how much of corpus B is already in corpus A, from one bottom-k
+    aggregate per side — run BEFORE paying a cross-corpus dedup join."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .operators.sketches import corpus_overlap, kmv_sketch
+
+    spark = _session("dbbspark-overlap")
+    key = F.sha2(F.col(args.key_col).cast("binary"), 256)
+    sa = kmv_sketch(spark.read.parquet(args.a), key, k=args.k)
+    sb = kmv_sketch(spark.read.parquet(args.b), key, k=args.k)
+    print(json.dumps(corpus_overlap(sa, sb, k=args.k)))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbbspark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -352,6 +391,19 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--audit-only", action="store_true")
     co.add_argument("--drop-backup", action="store_true")
     co.set_defaults(fn=cmd_compact)
+
+    pr = sub.add_parser("profile", help="one-pass per-column data-quality profile")
+    pr.add_argument("--path", required=True)
+    pr.add_argument("--baseline", help="prior profile JSON to diff against")
+    pr.add_argument("--save", help="write this profile as JSON for future diffs")
+    pr.set_defaults(fn=cmd_profile)
+
+    ov = sub.add_parser("overlap", help="KMV cross-corpus overlap estimate")
+    ov.add_argument("--a", required=True, help="parquet dir of corpus A")
+    ov.add_argument("--b", required=True, help="parquet dir of corpus B")
+    ov.add_argument("--key-col", default="text", help="identity column (hashed)")
+    ov.add_argument("--k", type=int, default=1024)
+    ov.set_defaults(fn=cmd_overlap)
 
     args = p.parse_args(argv)
     return args.fn(args)

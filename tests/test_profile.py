@@ -1,0 +1,89 @@
+"""One-pass table profiler (operators/profile.py, SURVEY.md §2.11 C46)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dbbspark.operators.profile import profile_drift, profile_table
+
+
+def _df(spark):
+    rows = [
+        (1, "alpha", 1.5, datetime.datetime(2024, 1, 1), ["a", "b"]),
+        (2, "beta", 2.5, datetime.datetime(2024, 6, 1), ["c"]),
+        (3, None, None, None, None),
+        (4, "alpha", 4.0, datetime.datetime(2024, 3, 1), []),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, name string, score double, ts timestamp, tags array<string>"
+    )
+
+
+def test_profile_values(spark):
+    p = profile_table(_df(spark))
+    assert p["n_rows"] == 4
+    c = p["columns"]
+    assert c["id"]["n_nulls"] == 0 and c["id"]["min"] == 1 and c["id"]["max"] == 4
+    assert abs(c["id"]["mean"] - 2.5) < 1e-9
+    assert c["name"]["n_nulls"] == 1 and c["name"]["null_rate"] == 0.25
+    assert c["name"]["approx_distinct"] == 2  # alpha, beta (exact at this size)
+    assert c["name"]["minlen"] == 4 and c["name"]["maxlen"] == 5
+    assert c["score"]["min"] == 1.5 and c["score"]["max"] == 4.0
+    assert c["ts"]["min"].startswith("2024-01-01")
+    assert c["tags"]["maxsize"] == 2
+
+
+def test_profile_job_count_independent_of_columns(spark):
+    """One aggregation pass regardless of column count: profiling 5
+    columns must launch exactly as many Spark jobs as profiling 1
+    (AQE may split the agg into a fixed number of stage-jobs, but
+    per-column extra jobs would scale with the schema)."""
+    df = _df(spark).localCheckpoint(eager=True)
+    jt = spark.sparkContext._jsc.sc().statusTracker()
+
+    n0 = len(jt.getJobIdsForGroup(None))
+    profile_table(df, columns=["id"])
+    one_col = len(jt.getJobIdsForGroup(None)) - n0
+
+    n0 = len(jt.getJobIdsForGroup(None))
+    profile_table(df)
+    all_cols = len(jt.getJobIdsForGroup(None)) - n0
+
+    assert all_cols == one_col, (one_col, all_cols)
+
+
+def test_profile_empty_table(spark):
+    df = _df(spark).where(F.lit(False))
+    p = profile_table(df)
+    assert p["n_rows"] == 0
+    assert p["columns"]["id"]["null_rate"] == 0.0
+
+
+def test_profile_column_subset(spark):
+    p = profile_table(_df(spark), columns=["id"])
+    assert list(p["columns"]) == ["id"]
+
+
+def test_drift_findings(spark):
+    before = profile_table(_df(spark))
+    after_df = _df(spark).select(
+        "id",
+        F.lit(None).cast("string").alias("name"),  # null-rate jump
+        F.col("score").cast("double"),
+        "ts",
+        "tags",
+    )
+    after = profile_table(after_df)
+    kinds = {(f["column"], f["kind"]) for f in profile_drift(before, after)}
+    assert ("name", "null_rate_jump") in kinds
+    # dropping a column entirely
+    after2 = profile_table(_df(spark).drop("tags"))
+    kinds2 = {(f["column"], f["kind"]) for f in profile_drift(before, after2)}
+    assert ("tags", "vanished") in kinds2
+
+
+def test_drift_clean_when_identical(spark):
+    p = profile_table(_df(spark))
+    assert profile_drift(p, p) == []
