@@ -87,3 +87,68 @@ def test_drift_findings(spark):
 def test_drift_clean_when_identical(spark):
     p = profile_table(_df(spark))
     assert profile_drift(p, p) == []
+
+
+def test_check_table_verdicts(spark):
+    from dbbspark.operators.profile import check_table
+
+    df = _df(spark)
+    checks = [
+        {"check": "not_null", "column": "id"},
+        {"check": "not_null", "column": "name"},          # 1 null -> fail
+        {"check": "unique", "column": "id"},
+        {"check": "unique", "column": "name"},            # alpha twice -> fail
+        {"check": "between", "column": "score", "min": 0, "max": 3},  # 4.0 -> fail
+        {"check": "in_set", "column": "name", "values": ["alpha", "beta"]},
+        {"check": "matches", "column": "name", "pattern": "^[a-z]+$"},
+        {"check": "min_distinct", "column": "name", "value": 2},
+        {"check": "row_count_between", "min": 1, "max": 10},
+        {"check": "row_count_between", "min": 100},       # fail
+    ]
+    res = check_table(df, checks)
+    verdicts = [(r["check"], r["column"], r["passed"]) for r in res]
+    assert verdicts == [
+        ("not_null", "id", True),
+        ("not_null", "name", False),
+        ("unique", "id", True),
+        ("unique", "name", False),
+        ("between", "score", False),
+        ("in_set", "name", True),  # NULL row skipped (paired not_null catches it)
+        ("matches", "name", True),
+        ("min_distinct", "name", True),
+        ("row_count_between", None, True),
+        ("row_count_between", None, False),
+    ]
+    by = {(r["check"], r["column"]): r["observed"] for r in res}
+    assert by[("not_null", "name")] == 1
+    assert by[("unique", "name")] == 1  # one duplicated value
+    assert by[("between", "score")] == 1
+
+
+def test_check_table_one_job_regardless_of_checks(spark):
+    from dbbspark.operators.profile import check_table
+
+    df = _df(spark).localCheckpoint(eager=True)
+    jt = spark.sparkContext._jsc.sc().statusTracker()
+    one = [{"check": "not_null", "column": "id"}]
+    many = one + [
+        {"check": "between", "column": "score", "min": 0, "max": 10},
+        {"check": "in_set", "column": "name", "values": ["alpha", "beta"]},
+        {"check": "matches", "column": "name", "pattern": ".*"},
+        {"check": "min_distinct", "column": "name", "value": 1},
+        {"check": "row_count_between", "min": 0},
+    ]
+    n0 = len(jt.getJobIdsForGroup(None)); check_table(df, one)
+    jobs_one = len(jt.getJobIdsForGroup(None)) - n0
+    n0 = len(jt.getJobIdsForGroup(None)); check_table(df, many)
+    jobs_many = len(jt.getJobIdsForGroup(None)) - n0
+    assert jobs_many == jobs_one, (jobs_one, jobs_many)
+
+
+def test_check_table_unknown_kind_raises(spark):
+    import pytest as _pytest
+
+    from dbbspark.operators.profile import check_table
+
+    with _pytest.raises(ValueError):
+        check_table(_df(spark), [{"check": "nope", "column": "id"}])
