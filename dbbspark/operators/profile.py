@@ -213,3 +213,122 @@ def check_table(df: DataFrame, checks: list[dict], rsd: float = 0.05) -> list[di
                  "observed": bad}
             )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mergeable profile sketches — the incremental form of `profile_table`
+# (same design stance as the C40 corpus sketches: each batch contributes
+# one constant-size row; "profile so far" is an aggregation over
+# #batches rows, never a corpus rescan).
+
+def profile_sketch(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """ONE-row mergeable profile of a batch. Per column: null count,
+    HLL sketch (Spark-native `hll_sketch_agg` — register-wise max merge,
+    so merged == one-shot), and type-suited MERGEABLE accumulators:
+    min/max plus (sum, sum-of-squares) for numerics — mean/std are
+    DERIVED at render time, never stored (averages don't merge; sums
+    do). String/array columns accumulate length/size sums the same way.
+    """
+    fields = [f for f in df.schema.fields if columns is None or f.name in columns]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c, n = F.col(f.name), f.name
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"{n} nulls"))
+        # hll_sketch_agg accepts int/long/string/binary ONLY — normalize
+        # every other type to a canonical string rendering (stable, so
+        # merged batches agree on identity).
+        if isinstance(f.dataType, (T.MapType, T.StructType, T.ArrayType)):
+            hll_in = F.to_json(c)
+        elif isinstance(
+            f.dataType, (T.StringType, T.BinaryType, T.IntegerType, T.LongType)
+        ):
+            hll_in = c
+        else:
+            hll_in = c.cast("string")
+        aggs.append(F.hll_sketch_agg(hll_in).alias(f"{n} hll"))
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            aggs += [F.min(c).alias(f"{n} min"), F.max(c).alias(f"{n} max")]
+        if isinstance(f.dataType, _NUMERIC):
+            d = c.cast("double")
+            aggs += [
+                F.min(c).alias(f"{n} min"),
+                F.max(c).alias(f"{n} max"),
+                F.sum(d).alias(f"{n} sum"),
+                F.sum(d * d).alias(f"{n} sumsq"),
+            ]
+        elif isinstance(f.dataType, T.StringType):
+            ln = F.length(c).cast("double")
+            aggs += [
+                F.min(F.length(c)).alias(f"{n} minlen"),
+                F.max(F.length(c)).alias(f"{n} maxlen"),
+                F.sum(ln).alias(f"{n} lensum"),
+            ]
+        elif isinstance(f.dataType, T.ArrayType):
+            sz = F.size(c).cast("double")
+            aggs += [
+                F.max(F.size(c)).alias(f"{n} maxsize"),
+                F.sum(sz).alias(f"{n} sizesum"),
+            ]
+    return df.agg(*aggs)
+
+
+def merge_profile_sketches(sketches: DataFrame) -> DataFrame:
+    """Merge per-batch sketch rows into one: counts/sums by SUM, min/max
+    by MIN/MAX, HLL sketches by `hll_union_agg` — every accumulator is
+    associative, so merged == the one-shot sketch of the union."""
+    aggs = []
+    for f in sketches.schema.fields:
+        n = f.name
+        if n.endswith(" hll"):
+            aggs.append(F.hll_union_agg(F.col(n)).alias(n))
+        elif n.endswith(" min") or n.endswith(" minlen"):
+            aggs.append(F.min(F.col(n)).alias(n))
+        elif n.endswith(" max") or n.endswith(" maxlen") or n.endswith(" maxsize"):
+            aggs.append(F.max(F.col(n)).alias(n))
+        else:  # __n, nulls, sum, sumsq, lensum, sizesum
+            aggs.append(F.sum(F.col(n)).alias(n))
+    return sketches.agg(*aggs)
+
+
+def render_profile(sketch: DataFrame) -> dict:
+    """`profile_table`-shaped dict from a (possibly merged) sketch row:
+    distinct via `hll_sketch_estimate`, mean = sum/n, std from the
+    (sum, sumsq) moments (population → sample-corrected like stddev)."""
+    import math
+
+    cols = [
+        F.hll_sketch_estimate(F.col(f.name)).alias(f.name)
+        if f.name.endswith(" hll")
+        else F.col(f.name)
+        for f in sketch.schema.fields
+    ]
+    row = sketch.select(*cols).first().asDict()
+    total = int(row["__n"] or 0)
+    names = sorted(
+        {k.rsplit(" ", 1)[0] for k in row if k != "__n" and " " in k}
+    )
+    out: dict = {"n_rows": total, "columns": {}}
+    for n in names:
+        nn = int(row.get(f"{n} nulls") or 0)
+        stats = {
+            "n_nulls": nn,
+            "null_rate": nn / total if total else 0.0,
+            "approx_distinct": int(row.get(f"{n} hll") or 0),
+        }
+        for suffix in ("min", "max", "minlen", "maxlen", "maxsize"):
+            if f"{n} {suffix}" in row:
+                v = row[f"{n} {suffix}"]
+                stats[suffix] = v if not hasattr(v, "isoformat") else v.isoformat()
+        cnt = total - nn
+        if f"{n} sum" in row and cnt > 0:
+            s, ss = float(row[f"{n} sum"] or 0), float(row[f"{n} sumsq"] or 0)
+            stats["mean"] = s / cnt
+            if cnt > 1:
+                var = max(0.0, (ss - s * s / cnt) / (cnt - 1))
+                stats["std"] = math.sqrt(var)
+        if f"{n} lensum" in row and cnt > 0:
+            stats["avglen"] = float(row[f"{n} lensum"] or 0) / cnt
+        if f"{n} sizesum" in row and cnt > 0:
+            stats["avgsize"] = float(row[f"{n} sizesum"] or 0) / cnt
+        out["columns"][n] = stats
+    return out

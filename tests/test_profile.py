@@ -152,3 +152,58 @@ def test_check_table_unknown_kind_raises(spark):
 
     with _pytest.raises(ValueError):
         check_table(_df(spark), [{"check": "nope", "column": "id"}])
+
+
+def test_profile_sketch_merge_equals_one_shot(spark):
+    from dbbspark.operators.profile import (
+        merge_profile_sketches,
+        profile_sketch,
+        render_profile,
+    )
+
+    full = _df(spark)
+    a = full.where(F.col("id") <= 2)
+    b = full.where(F.col("id") > 2)
+    merged = merge_profile_sketches(
+        profile_sketch(a).unionByName(profile_sketch(b))
+    )
+    one_shot = render_profile(profile_sketch(full))
+    got = render_profile(merged)
+    assert got == one_shot
+    assert got["n_rows"] == 4
+    c = got["columns"]
+    assert c["name"]["n_nulls"] == 1 and c["name"]["approx_distinct"] == 2
+    assert abs(c["id"]["mean"] - 2.5) < 1e-9
+    assert c["score"]["min"] == 1.5 and c["score"]["max"] == 4.0
+
+
+def test_profile_sketch_matches_profile_table(spark):
+    """The incremental path and the one-pass path agree on the shared
+    statistics (distinct is HLL in both; exact at this size)."""
+    from dbbspark.operators.profile import profile_sketch, render_profile
+
+    direct = profile_table(_df(spark))
+    inc = render_profile(profile_sketch(_df(spark)))
+    for col, stats in inc["columns"].items():
+        for key, v in stats.items():
+            if key in direct["columns"][col]:
+                dv = direct["columns"][col][key]
+                if isinstance(v, float):
+                    assert abs(v - dv) < 1e-6, (col, key)
+                else:
+                    assert v == dv, (col, key)
+
+
+def test_profile_sketch_empty_batch_is_neutral(spark):
+    from dbbspark.operators.profile import (
+        merge_profile_sketches,
+        profile_sketch,
+        render_profile,
+    )
+
+    full = _df(spark)
+    empty = full.where(F.lit(False))
+    merged = merge_profile_sketches(
+        profile_sketch(full).unionByName(profile_sketch(empty))
+    )
+    assert render_profile(merged) == render_profile(profile_sketch(full))
