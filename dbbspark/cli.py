@@ -279,7 +279,8 @@ def cmd_profile(args: argparse.Namespace) -> int:
     from .operators.profile import profile_drift, profile_table
 
     spark = _session("dbbspark-profile")
-    prof = profile_table(spark.read.parquet(args.path))
+    df = spark.read.parquet(args.path)
+    prof = profile_table(df)
     print(json.dumps(prof, default=str))
     if args.baseline:
         with open(args.baseline) as fh:
@@ -288,6 +289,14 @@ def cmd_profile(args: argparse.Namespace) -> int:
     if args.save:
         with open(args.save, "w") as fh:
             json.dump(prof, fh, default=str)
+    if args.checks:
+        from .operators.profile import check_table
+
+        with open(args.checks) as fh:
+            results = check_table(df, json.load(fh))
+        print(json.dumps({"checks": results}))
+        if any(not r["passed"] for r in results):
+            return 1
     return 0
 
 
@@ -396,6 +405,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--path", required=True)
     pr.add_argument("--baseline", help="prior profile JSON to diff against")
     pr.add_argument("--save", help="write this profile as JSON for future diffs")
+    pr.add_argument(
+        "--checks",
+        help="JSON file of declarative expectations (check_table); "
+        "exit 1 if any fails",
+    )
     pr.set_defaults(fn=cmd_profile)
 
     ov = sub.add_parser("overlap", help="KMV cross-corpus overlap estimate")
