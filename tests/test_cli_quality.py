@@ -1,0 +1,93 @@
+"""CLI-level coverage for the round-4 quality surfaces: curate --funnel,
+profile --checks/--baseline, overlap (dbbspark/cli.py)."""
+
+from __future__ import annotations
+
+import json
+
+from dbbspark import cli
+
+
+def test_profile_checks_gate_and_baseline(spark, tmp_path, capsys):
+    src = str(tmp_path / "t")
+    spark.range(100).selectExpr(
+        "id", "cast(id % 7 as string) AS bucket"
+    ).write.parquet(src)
+
+    checks_ok = tmp_path / "ok.json"
+    checks_ok.write_text(
+        json.dumps(
+            [
+                {"check": "not_null", "column": "id"},
+                {"check": "unique", "column": "id"},
+                {"check": "row_count_between", "min": 100, "max": 100},
+            ]
+        )
+    )
+    prof_path = str(tmp_path / "prof.json")
+    rc = cli.main(
+        ["profile", "--path", src, "--save", prof_path, "--checks", str(checks_ok)]
+    )
+    assert rc == 0
+    saved = json.loads(open(prof_path).read())
+    assert saved["n_rows"] == 100
+    capsys.readouterr()
+
+    checks_bad = tmp_path / "bad.json"
+    checks_bad.write_text(
+        json.dumps([{"check": "unique", "column": "bucket"}])
+    )
+    rc = cli.main(["profile", "--path", src, "--checks", str(checks_bad)])
+    assert rc == 1
+    out = capsys.readouterr().out
+    verdicts = json.loads(out.strip().splitlines()[-1])["checks"]
+    assert verdicts[0]["passed"] is False and verdicts[0]["observed"] == 93
+
+    # baseline drift: same data against its own profile -> no findings
+    rc = cli.main(["profile", "--path", src, "--baseline", prof_path])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[-1])["drift"] == []
+
+
+def test_overlap_cli(spark, tmp_path, capsys):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.range(0, 300).selectExpr("cast(id as string) AS text").write.parquet(a)
+    spark.range(200, 500).selectExpr("cast(id as string) AS text").write.parquet(b)
+    assert cli.main(["overlap", "--a", a, "--b", b, "--key-col", "text"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 100 shared of 500 union; unsaturated sketches -> exact
+    assert out["jaccard"] == 100 / 500
+    assert out["card_union"] == 500.0
+
+
+def test_curate_funnel_waterfall_consistency(sf_dir, tmp_path, capsys):
+    rc = cli.main(
+        [
+            "curate",
+            "--sf-dir",
+            sf_dir,
+            "--out",
+            str(tmp_path / "c"),
+            "--funnel",
+        ]
+    )
+    assert rc == 0
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    funnel = next(
+        json.loads(line)["funnel"]
+        for line in out_lines
+        if line.startswith('{"funnel"')
+    )
+    curated = next(
+        int(line.split("curated=")[1].split(" ")[0])
+        for line in out_lines
+        if line.startswith("curated=")
+    )
+    # waterfall must chain: reached_{i+1} == survived_after_i, and the
+    # final survivors equal the written corpus
+    for prev, nxt in zip(funnel, funnel[1:]):
+        assert nxt["reached"] == prev["survived_after"]
+        assert prev["dropped"] + prev["survived_after"] == prev["reached"]
+    assert funnel[-1]["survived_after"] == curated
