@@ -184,6 +184,11 @@ def cmd_curate(args: argparse.Namespace) -> int:
             token_col="n_tokens",
         )
         print(json.dumps({"funnel": waterfall}))
+        if args.funnel_html:
+            from .monitor import funnel_page
+
+            with open(args.funnel_html, "w") as fh:
+                fh.write(funnel_page(waterfall))
     if args.bpe_merges:
         from .operators.bpe import apply_bpe, train_bpe, word_counts
 
@@ -356,6 +361,10 @@ def main(argv: list[str] | None = None) -> int:
         "--funnel",
         action="store_true",
         help="print the per-stage drop waterfall (first-drop blame) as JSON",
+    )
+    cu.add_argument(
+        "--funnel-html",
+        help="also write the waterfall as an HTML report page (monitor style)",
     )
     cu.add_argument(
         "--bpe-merges",

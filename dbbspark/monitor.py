@@ -269,3 +269,31 @@ def write_report(
         with open(os.path.join(out_dir, name), "w") as f:
             f.write(content)
     return report
+
+
+def funnel_page(waterfall: list[dict], title: str = "Curation funnel") -> str:
+    """Render a C45 funnel waterfall (operators/funnel.py) in the same
+    guard-railed page shape as the reconciliation reports — the
+    curation-side sibling of the reference's per-stage accounting pages
+    (its quarantine reasons table, bin/save_DBB_stagein_to_DBB.py:212-215
+    routed per first failed check). Driver-side input: the waterfall is
+    ≤ n_stages rows by construction, so no collect guard is needed."""
+    if not waterfall:
+        return _PAGE.format(title=title, nav="", body="<p>empty funnel</p>")
+    cols = list(waterfall[0].keys())
+    head = "".join(f"<th>{html.escape(str(c))}</th>" for c in cols)
+    body_rows = []
+    for row in waterfall:
+        cells = "".join(
+            "<td>{}</td>".format(
+                "&nbsp;"
+                if row.get(c) is None
+                else html.escape(
+                    f"{row[c]:.2%}" if c == "drop_rate" else str(row[c])
+                )
+            )
+            for c in cols
+        )
+        body_rows.append(f"<tr>{cells}</tr>")
+    table = f"<table><tr>{head}</tr>{''.join(body_rows)}</table>"
+    return _PAGE.format(title=title, nav="", body=table)

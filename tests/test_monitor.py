@@ -81,3 +81,19 @@ def test_report_renders(spark, sf_dir, tmp_path):
     # TakeOrderedAndProject, not a global sort
     plan = fails._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_page_renders_waterfall():
+    from dbbspark.monitor import funnel_page
+
+    waterfall = [
+        {"stage": "dedup", "reached": 100, "dropped": 10,
+         "survived_after": 90, "drop_rate": 0.1, "tokens_dropped": 400},
+        {"stage": "quality", "reached": 90, "dropped": 0,
+         "survived_after": 90, "drop_rate": 0.0, "tokens_dropped": 0},
+    ]
+    page = funnel_page(waterfall)
+    assert "<table>" in page and "dedup" in page and "quality" in page
+    assert "10.00%" in page  # drop_rate formatted as a percentage
+    assert "<th>stage</th>" in page
+    assert funnel_page([]).count("empty funnel") == 1
