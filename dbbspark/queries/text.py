@@ -309,11 +309,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.select import budget_select
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE scan+tokenize feeds BOTH prefix-sum passes (they range-shuffle
+    # on different orders, so the shuffles can't merge — but the lazy
+    # localCheckpoint stops the second pass re-reading parquet and
+    # re-splitting every document's text).
     toks = docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         (F.col("n_chars") % 97).cast("double").alias("score"),
-    )
+    ).localCheckpoint(eager=False)
     packed = pack_sequences(toks, "doc_id", "n_tokens", budget=512, num_buckets=8)
     admitted = budget_select(
         toks, budget=10_000, id_col="doc_id", score_col="score",
