@@ -149,7 +149,28 @@ def compact_gate_index(
     compact_partitioned (readers see old or new, never a mix).
 
     Returns the backup path holding the pre-compaction dataset (caller
-    deletes after verifying the gate still answers identically)."""
+    deletes after verifying the gate still answers identically).
+
+    Refuses ``v=<N>`` snapshot-versioned layouts (linededup's FREQUENCY
+    index): there, every snapshot is already a complete latest-wins
+    state — a batch=-1 rewrite would union all snapshots and corrupt the
+    counts. That layout self-compacts (process_batch prunes old
+    versions); this function is for the batch=<id> APPEND datasets
+    (neardedup signatures, annindex rows, gated-doc/sketch sinks)."""
+    try:
+        fs, root, jvm = _fs_and_path(spark, index_dir)
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                if st.isDirectory() and st.getPath().getName().startswith("v="):
+                    raise ValueError(
+                        f"{index_dir} uses the v=<N> snapshot layout "
+                        "(latest-wins); it self-compacts via version "
+                        "pruning — compact_gate_index would corrupt it"
+                    )
+    except ValueError:
+        raise
+    except Exception:
+        pass  # FS probe is best-effort; the read below surfaces real errors
     df = spark.read.parquet(index_dir)
     data_cols = [c for c in df.columns if c != "batch"]
     staging = index_dir.rstrip("/") + ".compact-staging"

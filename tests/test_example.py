@@ -29,3 +29,15 @@ def test_curation_pipeline_runs_and_shrinks(spark, sf_dir):
     assert out["train_side"] + out["val_side"] == out["dsir_select"]
     assert out["budget_select"] <= out["train_side"]
     assert out["packed_docs"] == out["budget_select"]
+
+
+def test_rolling_corpus_example(spark, sf_dir, tmp_path):
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+    )
+    from rolling_corpus import run
+
+    out = run(spark, sf_dir, str(tmp_path / "work"))
+    assert out["gated_docs"] > 0
+    assert out["card_docs"] == out["gated_docs"]  # telemetry counts the gated output
+    assert out["checks_passed"] is True

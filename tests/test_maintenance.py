@@ -139,3 +139,20 @@ def test_cli_compact_gate_index(spark, tmp_path):
     assert after == before
     assert glob.glob(f"{idx}/batch=-1/*.parquet")
     assert not glob.glob(f"{idx}.pre-compact")
+
+
+def test_compact_refuses_snapshot_versioned_layout(spark, tmp_path):
+    """compact_gate_index must refuse a v=<N> latest-wins index: a
+    batch=-1 rewrite would union every snapshot and corrupt the counts
+    (found driving examples/rolling_corpus.py against the line index)."""
+    import pytest as _pytest
+
+    from dbbspark.maintenance import compact_gate_index
+
+    idx = str(tmp_path / "vidx")
+    for v in (0, 1):
+        spark.range(5).selectExpr("id AS h", "id AS df").write.parquet(
+            f"{idx}/v={v}"
+        )
+    with _pytest.raises(ValueError, match="snapshot layout"):
+        compact_gate_index(spark, idx)
