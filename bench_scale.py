@@ -229,6 +229,32 @@ def _winnow(big, pairs: bool):
     return winnow_fingerprints(big, "doc_id", "text")
 
 
+def _fuzzy(spark, n=50_000):
+    """C47 fuzzy join at scale: n diverse hash-derived keys per side,
+    the b side a 1-char mutation of half its keys — blocking must hold
+    the candidate set near the true-match count, never |A|x|B|.
+
+    Key DIVERSITY is the operating envelope: on near-unique q-grams the
+    posting lists are tiny and the join is match-bounded. A first
+    attempt with homogeneous template keys ("item-<n>-<m>") returned
+    ZERO rows in 75 s — every gram was a >2000-df hub, the cap dropped
+    them all, and the count filter then (correctly) rejected everything.
+    That run is kept as the documented failure mode: short homogeneous
+    keys need a larger q or no cap, not silent trust in defaults."""
+    from dbbspark.operators.fuzzy import fuzzy_join
+
+    key = F.substring(F.md5(F.col("id").cast("string")), 1, 16)
+    a = spark.range(n).select(F.col("id").alias("id_a"), key.alias("key"))
+    b = spark.range(n).select(
+        (F.col("id") + 1_000_000).alias("id_b"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit("z"), F.substring(key, 2, 15)),  # 1 substitution
+        ).otherwise(key).alias("key"),
+    )
+    return fuzzy_join(a, b, "key", max_distance=1, max_df=2000)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -330,6 +356,8 @@ def main() -> None:
         # copies-1 replicas, the pair-emission worst case
         "winnow_fingerprints": lambda: _winnow(big, pairs=False),
         "winnow_pairs": lambda: _winnow(big, pairs=True),
+        # C47 fuzzy join: 50k x 50k approximate-key linkage
+        "fuzzy_join": lambda: _fuzzy(big.sparkSession),
     }
     for name, build in ops.items():
         if wanted and name not in wanted:

@@ -1,0 +1,130 @@
+"""Fuzzy string join (operators/fuzzy.py, SURVEY.md §2.11 C47)."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from dbbspark.operators.fuzzy import fuzzy_join
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def _mutate(rng, s, k):
+    for _ in range(k):
+        op = rng.choice("ids")
+        i = rng.randrange(max(1, len(s)))
+        c = rng.choice(string.ascii_lowercase)
+        if op == "i":
+            s = s[:i] + c + s[i:]
+        elif op == "d" and len(s) > 1:
+            s = s[:i] + s[i + 1:]
+        else:
+            s = s[:i] + c + s[i + 1:]
+    return s
+
+
+def test_matches_brute_force(spark):
+    """Exact equivalence with the cross-join formulation (max_df off)."""
+    rng = random.Random(31)
+    left = [(i, "".join(rng.choice("abcdef") for _ in range(rng.randint(5, 12))))
+            for i in range(40)]
+    right = [(100 + i, _mutate(rng, left[i % 40][1], rng.randint(0, 3)))
+             for i in range(40)]
+    a = spark.createDataFrame(left, "id_a long, key string")
+    b = spark.createDataFrame(right, "id_b long, key string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_join(a, b, "key", max_distance=2, max_df=None).collect()
+    }
+    want = {
+        (ia, ib, _lev(ka.lower(), kb.lower()))
+        for ia, ka in left
+        for ib, kb in right
+        if _lev(ka.lower(), kb.lower()) <= 2
+    }
+    assert got == want
+
+
+def test_case_insensitive_and_null_keys(spark):
+    a = spark.createDataFrame([(1, "Hello"), (2, None)], "id_a long, key string")
+    b = spark.createDataFrame([(10, "hello"), (11, None)], "id_b long, key string")
+    rows = fuzzy_join(a, b, "key", max_distance=0, max_df=None).collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in rows] == [(1, 10, 0)]
+
+
+def test_short_keys_block_via_padding(spark):
+    a = spark.createDataFrame([(1, "ab")], "id_a long, key string")
+    b = spark.createDataFrame([(10, "ac")], "id_b long, key string")
+    [r] = fuzzy_join(a, b, "key", max_distance=1, max_df=None).collect()
+    assert r["distance"] == 1
+
+
+def test_stop_gram_cap_documented_approximation(spark):
+    """With a tiny max_df, pairs joined ONLY through hub grams vanish —
+    the same capped contract as jaccard_pairs."""
+    rows_a = [(i, f"commonprefix{i}") for i in range(30)]
+    rows_b = [(100 + i, f"commonprefix{i}") for i in range(30)]
+    a = spark.createDataFrame(rows_a, "id_a long, key string")
+    b = spark.createDataFrame(rows_b, "id_b long, key string")
+    uncapped = fuzzy_join(a, b, "key", max_distance=1, max_df=None).count()
+    capped = fuzzy_join(a, b, "key", max_distance=1, max_df=5).count()
+    assert capped < uncapped
+
+
+def test_jvm_only_plan(spark):
+    a = spark.createDataFrame([(1, "abc")], "id_a long, key string")
+    b = spark.createDataFrame([(2, "abd")], "id_b long, key string")
+    plan = (
+        fuzzy_join(a, b, "key", max_df=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_false_negatives_at_bound_edge(spark):
+    """Pairs at exactly max_distance survive the count filter (the
+    Gravano bound is conservative, never lossy)."""
+    rng = random.Random(57)
+    base = [(i, "".join(rng.choice("abcdefgh") for _ in range(10))) for i in range(25)]
+    mutated = [(100 + i, _mutate(rng, k, 2)) for i, k in base]
+    a = spark.createDataFrame(base, "id_a long, key string")
+    b = spark.createDataFrame(mutated, "id_b long, key string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_join(a, b, "key", max_distance=2, max_df=None).collect()
+    }
+    for (ia, ka), (ib, kb) in zip(base, mutated):
+        if _lev(ka, kb) <= 2:
+            assert (ia, ib) in got
+
+
+def test_cap_does_not_reject_identical_keys_with_hub_prefix(spark):
+    """Regression (found at the 50k benchmark): per-key grams lost to
+    the max_df cap must relax the count bound, or identical keys whose
+    prefix grams are corpus-wide hubs get silently rejected."""
+    # 40 identical pairs, all sharing the hub prefix "prefix" whose
+    # grams exceed max_df=30; the distinct tail grams survive.
+    rows = [(i, f"prefix-{i:04d}-tail") for i in range(40)]
+    a = spark.createDataFrame(rows, "id_a long, key string")
+    b = spark.createDataFrame(
+        [(100 + i, k) for i, k in rows], "id_b long, key string"
+    )
+    out = fuzzy_join(a, b, "key", max_distance=1, max_df=30).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    # every identical pair must survive the capped bound ...
+    assert {(i, 100 + i) for i in range(40)} <= got
+    # ... and everything returned is a true sub-threshold match (keys
+    # differing in one digit are genuine distance-1 neighbors here)
+    keys = dict(rows)
+    for r in out:
+        assert _lev(keys[r["id_a"]], keys[r["id_b"] - 100]) <= 1
