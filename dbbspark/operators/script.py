@@ -1,0 +1,92 @@
+"""Unicode-script profiling — per-document writing-system composition
+(closure operator, SURVEY.md §2.11 C49; the multilingual-corpus routing
+signal that the stopword language-ID heuristic (C4) cannot provide for
+non-Latin scripts: a Chinese document has zero English stopwords AND
+zero Latin letters — script composition separates "other language" from
+"Latin-script junk").
+
+Pure JVM: one `regexp_count` per script block over the codepoint
+classes, ratios as column arithmetic, dominant script as a greatest-of
+CASE — map-only, fuses into the scan, no tokenization needed (scripts
+are per-CHARACTER properties).
+
+Blocks are the coarse practical set (ranges, not the full Unicode
+Script property): Latin, Cyrillic, Greek, Arabic, Hebrew, Devanagari,
+CJK (unified ideographs), Hiragana/Katakana, Hangul, plus digit /
+whitespace / other. Coarse is the point — routing and quality gates
+need "mostly CJK", not ISO 15924 exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# name -> regex character class (Java regex, \\x{...} codepoints)
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": r"[A-Za-zÀ-ɏ]",
+    "cyrillic": r"[Ѐ-ӿ]",
+    "greek": r"[Ͱ-Ͽ]",
+    "arabic": r"[؀-ۿ]",
+    "hebrew": r"[֐-׿]",
+    "devanagari": r"[ऀ-ॿ]",
+    "cjk": r"[一-鿿㐀-䶿]",
+    "kana": r"[぀-ヿ]",
+    "hangul": r"[가-힯ᄀ-ᇿ]",
+    "digit": r"[0-9]",
+}
+
+
+def script_counts(text: Column) -> list[Column]:
+    """One `regexp_count` column per script class (NULL text counts 0)."""
+    body = F.coalesce(text, F.lit(""))
+    return [
+        F.regexp_count(body, F.lit(cls)).alias(f"n_{name}")
+        for name, cls in SCRIPT_CLASSES.items()
+    ]
+
+
+def script_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_letters: int = 5,
+) -> DataFrame:
+    """(id, n_chars, per-script ratios..., dominant_script).
+
+    Ratios are over LETTER characters (script classes except digit), so
+    punctuation/whitespace-heavy docs still classify by their letters;
+    documents with fewer than ``min_letters`` letters get
+    dominant_script = 'unknown' (a 3-char fragment shouldn't route).
+    Ties break by the SCRIPT_CLASSES declaration order (stable across
+    runs and engines).
+    """
+    letters = [n for n in SCRIPT_CLASSES if n != "digit"]
+    counted = docs.select(
+        F.col(id_col),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_chars"),
+        *script_counts(F.col(text_col)),
+    )
+    total_letters = sum((F.col(f"n_{n}") for n in letters[1:]), F.col(f"n_{letters[0]}"))
+    counted = counted.withColumn("_letters", total_letters)
+    ratio_cols = [
+        (
+            F.when(F.col("_letters") > 0, F.col(f"n_{n}") / F.col("_letters"))
+            .otherwise(F.lit(0.0))
+            .alias(f"{n}_ratio")
+        )
+        for n in letters
+    ]
+    # dominant = first declared script achieving the max letter count
+    max_count = F.greatest(*[F.col(f"n_{n}") for n in letters])
+    dominant = F.lit("unknown")
+    for n in reversed(letters):
+        dominant = F.when(
+            (F.col("_letters") >= min_letters) & (F.col(f"n_{n}") == max_count),
+            F.lit(n),
+        ).otherwise(dominant)
+    return counted.select(
+        id_col,
+        "n_chars",
+        *ratio_cols,
+        dominant.alias("dominant_script"),
+    )
