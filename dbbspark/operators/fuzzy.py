@@ -110,7 +110,11 @@ def fuzzy_join(
     # p ± 0..k and equi-join on (g, p) — join groups are true positional
     # collisions only. The gram-only join enumerates df_a × df_b per
     # gram and discards ~(1 - (2k+1)/len) of it in a post-join filter;
-    # measured 87 s vs 15 s at the 50k × 50k benchmark.
+    # measured 87 s (gram-only) vs 8.2 s (this shape, whole operator)
+    # at the 50k × 50k benchmark. Mentions carry the key strings so the
+    # verifier needs no join-back — right for the short keys edit
+    # distance is meant for; if keys were long, hash ids through the
+    # pair stream and re-join keys for the verify step instead.
     bx = bm.select(
         "_bid", "_bkey", "_blen", "g",
         F.explode(

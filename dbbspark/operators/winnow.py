@@ -14,11 +14,14 @@ no Python in the plan:
    irrelevant for set-overlap detection, which makes the classic
    rightmost-tiebreak unnecessary — ties collapse in the distinct).
 
-Overlap detection then rides the SAME posting-list blocking as the
-Jaccard family (operators/dedup.py): explode fingerprints → df-capped
-grouped postings → pair counts. A fingerprint shared by thousands of
-documents (a license header) is exactly the max_df hub the cap exists
-for.
+Overlap detection then rides df-capped blocking in the Jaccard family's
+style (operators/dedup.py), with one structural difference forced by
+winnowing itself: minima are hub-skewed BY CONSTRUCTION (small hash
+values win windows in every document), so df comes from a codegen'd
+count aggregate and the kept fingerprints join back onto the mention
+stream — posting ARRAYS are never built (see the scale notes in
+`fingerprint_overlap_pairs`). A fingerprint shared by thousands of
+documents (a license header) is exactly the max_df hub the cap drops.
 
 Scale shape: fingerprinting is map-only and fuses into the scan; the
 per-doc fingerprint count is ~len/w on random text (the winnowing
