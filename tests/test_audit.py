@@ -1,0 +1,87 @@
+"""Dedup-cluster purity audit (operators/audit.py, SURVEY.md §2.11 C50)."""
+
+from __future__ import annotations
+
+from dbbspark.operators.audit import cluster_purity
+
+
+def _jac(a, b, n=3):
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_transitive_overmerge_flagged(spark):
+    # A ~ B (heavy overlap), B ~ C (heavy overlap), A vs C nearly
+    # disjoint — the chained cluster {A, B, C} with rep A must show C
+    # as a low-jaccard suspect while B stays clean.
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta lambda mu"
+    c = "nu xi omicron pi rho sigma tau eta theta lambda mu phi"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, component long"
+    )
+    per_member, per_cluster = cluster_purity(docs, comps, suspect_below=0.3)
+    pm = {r["member"]: r for r in per_member.collect()}
+    assert abs(pm[2]["jaccard"] - _jac(a, b)) < 1e-9
+    assert abs(pm[3]["jaccard"] - _jac(a, c)) < 1e-9
+    assert not pm[2]["suspect"] and pm[3]["suspect"]
+    [pc] = per_cluster.collect()
+    assert pc["n_members"] == 2 and pc["n_suspect"] == 1
+    assert abs(pc["min_jaccard"] - _jac(a, c)) < 1e-9
+
+
+def test_identical_docs_perfect_purity(spark):
+    t = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(10, t), (11, t), (12, t)], "doc_id long, text string"
+    )
+    comps = spark.createDataFrame(
+        [(10, 10), (11, 10), (12, 10)], "node long, component long"
+    )
+    per_member, per_cluster = cluster_purity(docs, comps)
+    assert all(r["jaccard"] == 1.0 for r in per_member.collect())
+    [pc] = per_cluster.collect()
+    assert pc["min_jaccard"] == 1.0 and pc["n_suspect"] == 0
+
+
+def test_singletons_absent_and_multiple_clusters(spark):
+    t1 = "a b c d e f g h"
+    t2 = "a b c d e f g z"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (5, "totally different words here now ok yes")],
+        "doc_id long, text string",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5)], "node long, component long"
+    )
+    per_member, per_cluster = cluster_purity(docs, comps)
+    assert {r["component"] for r in per_cluster.collect()} == {1}
+    assert per_member.count() == 1
+
+
+def test_end_to_end_with_real_clustering(spark):
+    """Compose with the real C12 chain: LSH candidates -> CC -> audit."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.dedup import (
+        connected_components_adaptive,
+        lsh_candidate_pairs_direct,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" tail{i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs_direct(docs, "doc_id", "text")
+    comps = connected_components_adaptive(pairs, "doc_a", "doc_b")
+    per_member, per_cluster = cluster_purity(docs, comps)
+    rows_pc = per_cluster.collect()
+    assert rows_pc, "replicated docs must cluster"
+    # near-identical family: purity high everywhere
+    assert all(r["min_jaccard"] > 0.5 for r in rows_pc)
