@@ -255,6 +255,20 @@ def _fuzzy(spark, n=50_000):
     return fuzzy_join(a, b, "key", max_distance=1, max_df=2000)
 
 
+def _purity(big):
+    from dbbspark.operators.audit import cluster_purity
+    from dbbspark.operators.dedup import (
+        connected_components_adaptive,
+        lsh_candidate_pairs_direct,
+    )
+
+    comps = connected_components_adaptive(
+        lsh_candidate_pairs_direct(big, "doc_id", "text"), "doc_a", "doc_b"
+    )
+    per_member, _per_cluster = cluster_purity(big, comps)
+    return per_member
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -358,6 +372,9 @@ def main() -> None:
         "winnow_pairs": lambda: _winnow(big, pairs=True),
         # C47 fuzzy join: 50k x 50k approximate-key linkage
         "fuzzy_join": lambda: _fuzzy(big.sparkSession),
+        # C50 purity audit over the real clustering of the replicated
+        # corpus (copies-member clusters): member-to-rep exact Jaccard
+        "cluster_purity": lambda: _purity(big),
     }
     for name, build in ops.items():
         if wanted and name not in wanted:
