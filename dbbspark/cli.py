@@ -153,11 +153,22 @@ def cmd_curate(args: argparse.Namespace) -> int:
         docs.select("doc_id"), "doc_id", "left_anti"
     )
     pairs = lsh_candidate_pairs_direct(docs, "doc_id", "text")
+    comps = connected_components_adaptive(pairs, "doc_a", "doc_b")
     dropped = (
-        connected_components_adaptive(pairs, "doc_a", "doc_b")
-        .where(F.col("node") != F.col("component"))
+        comps.where(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
     )
+    if args.purity_floor is not None:
+        # Verify-before-delete (operators/audit.py C50): a member is a
+        # real duplicate of its KEPT representative only if its exact
+        # member-to-rep Jaccard clears the floor; transitively-welded
+        # dissimilar docs stay in the corpus instead of being deleted.
+        from .operators.audit import cluster_purity
+
+        per_member, _ = cluster_purity(docs, comps)
+        dropped = per_member.where(
+            F.col("jaccard") >= F.lit(args.purity_floor)
+        ).select(F.col("member").alias("doc_id"))
     docs = docs.join(dropped, "doc_id", "left_anti")
     docs = dedup_lines(
         docs.select("doc_id", "text"), "doc_id", "text", min_df=args.line_min_df
@@ -365,6 +376,13 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument(
         "--funnel-html",
         help="also write the waterfall as an HTML report page (monitor style)",
+    )
+    cu.add_argument(
+        "--purity-floor",
+        type=float,
+        default=None,
+        help="verify-before-delete: drop a near-dup member only if its exact "
+        "member-to-representative Jaccard >= this floor (C50 audit)",
     )
     cu.add_argument(
         "--bpe-merges",

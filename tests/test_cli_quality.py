@@ -91,3 +91,34 @@ def test_curate_funnel_waterfall_consistency(sf_dir, tmp_path, capsys):
         assert nxt["reached"] == prev["survived_after"]
         assert prev["dropped"] + prev["survived_after"] == prev["reached"]
     assert funnel[-1]["survived_after"] == curated
+
+
+def test_curate_purity_floor_keeps_dissimilar_members(sf_dir, tmp_path, capsys):
+    """--purity-floor 0.99 demands near-identity before deleting: fewer
+    (or equal) docs dropped than the unchecked transitive clustering."""
+    rc = cli.main(
+        ["curate", "--sf-dir", sf_dir, "--out", str(tmp_path / "a")]
+    )
+    assert rc == 0
+    base = int(
+        next(
+            line.split("curated=")[1].split(" ")[0]
+            for line in capsys.readouterr().out.splitlines()
+            if line.startswith("curated=")
+        )
+    )
+    rc = cli.main(
+        [
+            "curate", "--sf-dir", sf_dir, "--out", str(tmp_path / "b"),
+            "--purity-floor", "0.99",
+        ]
+    )
+    assert rc == 0
+    strict = int(
+        next(
+            line.split("curated=")[1].split(" ")[0]
+            for line in capsys.readouterr().out.splitlines()
+            if line.startswith("curated=")
+        )
+    )
+    assert strict >= base
