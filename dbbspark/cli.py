@@ -301,7 +301,13 @@ def cmd_profile(args: argparse.Namespace) -> int:
     if args.baseline:
         with open(args.baseline) as fh:
             before = json.load(fh)
-        print(json.dumps({"drift": profile_drift(before, prof)}))
+        drift = profile_drift(before, prof)
+        print(json.dumps({"drift": drift}))
+        if args.drift_html:
+            from .monitor import drift_page
+
+            with open(args.drift_html, "w") as fh:
+                fh.write(drift_page(drift))
     if args.save:
         with open(args.save, "w") as fh:
             json.dump(prof, fh, default=str)
@@ -436,6 +442,10 @@ def main(argv: list[str] | None = None) -> int:
         "--checks",
         help="JSON file of declarative expectations (check_table); "
         "exit 1 if any fails",
+    )
+    pr.add_argument(
+        "--drift-html",
+        help="with --baseline: also write drift findings as an HTML page",
     )
     pr.set_defaults(fn=cmd_profile)
 

@@ -297,3 +297,33 @@ def funnel_page(waterfall: list[dict], title: str = "Curation funnel") -> str:
         body_rows.append(f"<tr>{cells}</tr>")
     table = f"<table><tr>{head}</tr>{''.join(body_rows)}</table>"
     return _PAGE.format(title=title, nav="", body=table)
+
+
+def drift_page(findings: list[dict], title: str = "Profile drift") -> str:
+    """Render C46 `profile_drift` findings as a report page — the
+    recurring-ingest sibling of the funnel page: each finding is one
+    row (column, kind, before → after), kind-colored like the
+    reconciliation states (vanished/type_change red, null_rate_jump
+    orange, appeared/distinct_shift blue)."""
+    if not findings:
+        return _PAGE.format(
+            title=title, nav="", body="<p>no drift — profiles agree</p>"
+        )
+    state = {
+        "vanished": "fail", "type_change": "fail",
+        "null_rate_jump": "missing",
+        "appeared": "extra", "distinct_shift": "extra",
+    }
+    head = "<th>column</th><th>kind</th><th>before</th><th>after</th>"
+    rows = []
+    for f in findings:
+        cls = state.get(f["kind"], "")
+        cells = "".join(
+            "<td>{}</td>".format(
+                "&nbsp;" if f.get(k) is None else html.escape(str(f.get(k)))
+            )
+            for k in ("column", "kind", "before", "after")
+        )
+        rows.append(f'<tr class="state-{cls}">{cells}</tr>' if cls else f"<tr>{cells}</tr>")
+    table = f"<table><tr>{head}</tr>{''.join(rows)}</table>"
+    return _PAGE.format(title=title, nav="", body=table)

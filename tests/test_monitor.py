@@ -97,3 +97,18 @@ def test_funnel_page_renders_waterfall():
     assert "10.00%" in page  # drop_rate formatted as a percentage
     assert "<th>stage</th>" in page
     assert funnel_page([]).count("empty funnel") == 1
+
+
+def test_drift_page_renders_findings():
+    from dbbspark.monitor import drift_page
+
+    findings = [
+        {"column": "tags", "kind": "vanished"},
+        {"column": "name", "kind": "null_rate_jump", "before": 0.0, "after": 0.4},
+        {"column": "id", "kind": "distinct_shift", "before": 100, "after": 7,
+         "ratio": 0.07},
+    ]
+    page = drift_page(findings)
+    assert 'class="state-fail"' in page and 'class="state-missing"' in page
+    assert "null_rate_jump" in page and "0.4" in page
+    assert "no drift" in drift_page([])
