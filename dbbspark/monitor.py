@@ -203,7 +203,9 @@ def build_report(
     lists only problem exposures (fail/missing/extra — bounded by the
     problem rate at any scale), "full" lists every exposure in the
     window."""
-    summary = nite_summary(spark, sf_dir).orderBy(F.desc("nite"))
+    # Dense: empty nites render as all-zero rows, matching the
+    # reference's explicit nite-range walk (see densify_nites).
+    summary = densify_nites(nite_summary(spark, sf_dir)).orderBy(F.desc("nite"))
     recent = F.broadcast(
         summary.select("nite").orderBy(F.desc("nite")).limit(num_nites)
     )
@@ -327,3 +329,31 @@ def drift_page(findings: list[dict], title: str = "Profile drift") -> str:
         rows.append(f'<tr class="state-{cls}">{cells}</tr>' if cls else f"<tr>{cells}</tr>")
     table = f"<table><tr>{head}</tr>{''.join(rows)}</table>"
     return _PAGE.format(title=title, nav="", body=table)
+
+
+def densify_nites(summary: DataFrame, nite_col_name: str = "nite") -> DataFrame:
+    """Make the per-nite summary DENSE: one row per calendar nite between
+    the earliest and latest observed (counts 0 for empty nites).
+
+    The reference's monitor walks an explicit last-N-nites list, so a
+    nite with zero arrivals still renders as a row — a grouped
+    aggregate omits it, and an omitted nite reads as "no page row"
+    instead of the loud all-zero line an operator should see
+    (`bin/monitor_DBB_stagein.py:707-715`). C48's spine join
+    (operators/timegrid.py) restores parity: nite strings (yyyyMMdd)
+    → dates, one-day spine, fill all count columns with 0."""
+    from .operators.timegrid import fill_time_gaps
+
+    as_date = summary.withColumn(
+        "_nite_d", F.to_date(F.col(nite_col_name), "yyyyMMdd")
+    ).drop(nite_col_name)
+    counts = [c for c in summary.columns if c != nite_col_name]
+    dense = fill_time_gaps(
+        as_date,
+        "_nite_d",
+        "INTERVAL 1 DAY",
+        fill={c: 0 for c in counts},
+    )
+    return dense.select(
+        F.date_format("_nite_d", "yyyyMMdd").alias(nite_col_name), *counts
+    )

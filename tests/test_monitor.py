@@ -112,3 +112,17 @@ def test_drift_page_renders_findings():
     assert 'class="state-fail"' in page and 'class="state-missing"' in page
     assert "null_rate_jump" in page and "0.4" in page
     assert "no drift" in drift_page([])
+
+
+def test_densify_nites_fills_gap_with_zeros(spark):
+    from dbbspark.monitor import densify_nites
+
+    sparse = spark.createDataFrame(
+        [("20240101", 5, 2), ("20240104", 1, 0)],
+        "nite string, n_delivered long, n_missing long",
+    )
+    rows = {r["nite"]: r for r in densify_nites(sparse).collect()}
+    assert sorted(rows) == ["20240101", "20240102", "20240103", "20240104"]
+    assert rows["20240102"]["n_delivered"] == 0
+    assert rows["20240103"]["n_missing"] == 0
+    assert rows["20240101"]["n_delivered"] == 5
