@@ -176,6 +176,19 @@ def cmd_curate(args: argparse.Namespace) -> int:
     toks = F.size(F.split(F.col("text"), " "))
     short_ids = docs.where(toks < args.min_tokens).select("doc_id")
     docs = docs.where(toks >= args.min_tokens)
+    if args.keep_scripts:
+        # C49 multilingual routing: keep only docs whose dominant
+        # writing system is in the allow-list (map-only, per-character —
+        # works where stopword language-ID can't see non-Latin text).
+        from .operators.script import script_profile
+
+        wanted = [s.strip() for s in args.keep_scripts.split(",") if s.strip()]
+        keep_ids = (
+            script_profile(docs, "doc_id", "text")
+            .where(F.col("dominant_script").isin(*wanted))
+            .select("doc_id")
+        )
+        docs = docs.join(keep_ids, "doc_id", "left_semi")
     if args.funnel:
         import json
 
@@ -389,6 +402,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="verify-before-delete: drop a near-dup member only if its exact "
         "member-to-representative Jaccard >= this floor (C50 audit)",
+    )
+    cu.add_argument(
+        "--keep-scripts",
+        default=None,
+        help="comma list of dominant Unicode scripts to keep "
+        "(e.g. 'latin,cyrillic'; C49 routing)",
     )
     cu.add_argument(
         "--bpe-merges",

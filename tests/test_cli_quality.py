@@ -122,3 +122,34 @@ def test_curate_purity_floor_keeps_dissimilar_members(sf_dir, tmp_path, capsys):
         )
     )
     assert strict >= base
+
+
+def test_curate_keep_scripts_filters_dominant_script(sf_dir, tmp_path, capsys):
+    """--keep-scripts latin keeps the (Latin-text) fixture corpus; a
+    script nothing is written in empties it."""
+    rc = cli.main(
+        ["curate", "--sf-dir", sf_dir, "--out", str(tmp_path / "l"),
+         "--keep-scripts", "latin"]
+    )
+    assert rc == 0
+    latin = int(
+        next(
+            line.split("curated=")[1].split(" ")[0]
+            for line in capsys.readouterr().out.splitlines()
+            if line.startswith("curated=")
+        )
+    )
+    assert latin > 0
+    rc = cli.main(
+        ["curate", "--sf-dir", sf_dir, "--out", str(tmp_path / "h"),
+         "--keep-scripts", "hangul"]
+    )
+    assert rc == 0
+    hangul = int(
+        next(
+            line.split("curated=")[1].split(" ")[0]
+            for line in capsys.readouterr().out.splitlines()
+            if line.startswith("curated=")
+        )
+    )
+    assert hangul == 0
