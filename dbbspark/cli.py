@@ -353,6 +353,25 @@ def cmd_overlap(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Corpus snapshot diff (operators/snapshot.py C51): the release
+    report before swapping a re-curated corpus — deltas, overlap,
+    added/removed estimates, profile drift. No cross-corpus join."""
+    import json
+
+    from .operators.snapshot import snapshot_diff
+
+    spark = _session("dbbspark-diff")
+    report = snapshot_diff(
+        spark.read.parquet(args.old),
+        spark.read.parquet(args.new),
+        key_col=args.key_col,
+        k=args.k,
+    )
+    print(json.dumps(report, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbbspark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -474,6 +493,13 @@ def main(argv: list[str] | None = None) -> int:
     ov.add_argument("--key-col", default="text", help="identity column (hashed)")
     ov.add_argument("--k", type=int, default=1024)
     ov.set_defaults(fn=cmd_overlap)
+
+    di = sub.add_parser("diff", help="corpus snapshot diff (release report)")
+    di.add_argument("--old", required=True, help="parquet dir of the prior snapshot")
+    di.add_argument("--new", required=True, help="parquet dir of the new snapshot")
+    di.add_argument("--key-col", default="text")
+    di.add_argument("--k", type=int, default=1024)
+    di.set_defaults(fn=cmd_diff)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,70 @@
+"""Corpus snapshot diff — "what changed between yesterday's curated
+corpus and today's?" (closure operator, SURVEY.md §2.11 C51; the
+release-gate question a recurring curation run answers before swapping
+the training corpus).
+
+Pure composition of the engine's own sketch/profile layers — the point
+is the REPORT SHAPE, one dict from bounded work:
+
+- row/document deltas (two counts);
+- content overlap (C44 KMV bottom-k: Jaccard + both containments —
+  "how much of the old corpus survived" and "how much of the new one
+  is genuinely new" — from one TakeOrdered aggregate per side);
+- per-column profile drift (C46: null-rate jumps, cardinality shifts,
+  type changes — one aggregation pass per side);
+- a doc-level added/removed estimate derived from the KMV
+  cardinalities (no join between the corpora is ever run).
+
+Everything driver-side is O(k + #columns); the corpora are each
+scanned at most twice (profile pass + sketch pass), never joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .profile import profile_drift, profile_table
+from .sketches import KMV_K, corpus_overlap, kmv_sketch
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "text",
+    k: int = KMV_K,
+    null_rate_jump: float = 0.05,
+    distinct_ratio: float = 0.5,
+) -> dict:
+    """One-dict release report comparing two corpus snapshots.
+
+    ``key_col`` is the content-identity column for overlap estimation
+    (hashed — the raw values never leave the executors). Returns
+    row counts, overlap estimates (exact when the sketches are
+    unsaturated), estimated added/removed document counts, and the
+    C46 drift findings between the two column profiles.
+    """
+    key = F.sha2(F.col(key_col).cast("binary"), 256)
+    ov = corpus_overlap(
+        kmv_sketch(old, key, k=k), kmv_sketch(new, key, k=k), k=k
+    )
+    prof_old = profile_table(old)
+    prof_new = profile_table(new)
+    inter = ov["jaccard"] * ov["card_union"]
+    return {
+        "rows_old": prof_old["n_rows"],
+        "rows_new": prof_new["n_rows"],
+        "row_delta": prof_new["n_rows"] - prof_old["n_rows"],
+        "distinct_old_est": ov["card_a"],
+        "distinct_new_est": ov["card_b"],
+        "jaccard": ov["jaccard"],
+        "survived_frac": ov["containment_a_in_b"],  # old content still present
+        "novel_frac": 1.0 - ov["containment_b_in_a"],  # new content not in old
+        "added_est": max(0.0, ov["card_b"] - inter),
+        "removed_est": max(0.0, ov["card_a"] - inter),
+        "drift": profile_drift(
+            prof_old,
+            prof_new,
+            null_rate_jump=null_rate_jump,
+            distinct_ratio=distinct_ratio,
+        ),
+    }
