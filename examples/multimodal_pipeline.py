@@ -74,6 +74,23 @@ def run(spark) -> dict[str, int]:
     ).cache()
     stage("input", media)
 
+    # 0b. input normalization: resize every image to a fixed 16×16
+    # through the resize leg (decode → nearest-neighbor → re-encode as
+    # real PGM bytes) — the thumbnail/input-standardization step a
+    # training pipeline runs BEFORE feature extraction; audio passes
+    # through untouched.
+    from dbbspark.sources.multimodal import resize_media
+
+    images = resize_media(
+        media.where(F.col("kind") == "pgm"), 16, 16, kind="pgm"
+    ).select(
+        "item_id", F.col("resized.content").alias("content"), "kind"
+    )
+    media = images.unionByName(
+        media.where(F.col("kind") != "pgm")
+    ).cache()
+    stage("resized", media.where(F.col("content").isNotNull()))
+
     # 1. decode through the codec seam, per format kind — the decoded
     # struct carries an 8-dim feature vector for every item
     decoded = None

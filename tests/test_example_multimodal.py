@@ -16,6 +16,7 @@ def test_multimodal_pipeline_runs(spark):
 
     out = run(spark)
     assert out["decoded"] == out["input"] == 47
+    assert out["resized"] == 47  # every image re-encoded, audio passthrough
     # exact dups (5 images + 6 same-frequency audio pairs) can never
     # survive; ADC near-threshold rejects may remove a few more
     assert out["semantic_dedup"] <= 47 - 11
