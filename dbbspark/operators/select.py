@@ -154,3 +154,104 @@ def budget_select_threshold(
     picked = bulk.select(id_col, score_col, token_col).unionByName(band_pick)
     # Re-derive cum_tokens over the final pick so the contract matches.
     return budget_select(picked, budget, id_col, score_col, token_col)
+
+
+def budget_select_grouped(
+    docs: DataFrame,
+    budgets: dict,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Per-group token budgets — the deterministic, quality-aware form
+    of dataset mixing (C14's hash gates draw a random fraction per
+    source; this admits each source's BEST-scoring docs until that
+    source's own budget fills, the "N billion tokens of code, M of web"
+    recipe stated directly).
+
+    ``budgets`` maps group value -> token budget; groups absent from
+    the map are dropped (an unmentioned source contributes nothing —
+    explicit beats implicit for corpus composition). Returns
+    (group, id, score, tokens, cum_tokens) for admitted rows, where
+    ``cum_tokens`` is the running total WITHIN the group.
+
+    Same two-pass distributed prefix sum as `budget_select`, ranged on
+    (group, score desc, id) so one shuffle serves every group; the
+    per-(bucket, group) boundary totals — #groups x num_buckets scalars
+    — are prefix-summed driver-side per group. Output is a pure
+    function of the inputs (bucket boundaries cancel), so a
+    per-group-window SQL oracle can check it exactly.
+    """
+    import pandas as pd  # noqa: F401
+
+    spark = docs.sparkSession
+    wanted = spark.createDataFrame(
+        [(k, int(v)) for k, v in budgets.items()], f"{group_col} string, _budget bigint"
+    )
+    d = (
+        docs.select(group_col, id_col, score_col, token_col)
+        .join(F.broadcast(wanted), group_col)
+        .repartitionByRange(
+            num_buckets,
+            F.col(group_col),
+            F.col(score_col).desc_nulls_last(),
+            F.col(id_col).asc(),
+        )
+        .sortWithinPartitions(
+            F.col(group_col),
+            F.col(score_col).desc_nulls_last(),
+            F.col(id_col).asc(),
+        )
+        .withColumn("_bucket", F.spark_partition_id())
+    )
+
+    def part_cumsum(batches):
+        run: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            for g, grp in pdf.groupby(group_col, sort=False):
+                c = grp[token_col].cumsum() + run.get(g, 0)
+                run[g] = int(c.iloc[-1])
+                o = grp.copy()
+                o["_cum_in_bucket"] = c
+                outs.append(o)
+            yield pd.concat(outs)
+
+    schema = (
+        f"{group_col} string, {id_col} long, {score_col} double, "
+        f"{token_col} bigint, _budget bigint, _bucket int, _cum_in_bucket bigint"
+    )
+    with_partial = d.mapInPandas(part_cumsum, schema).localCheckpoint(eager=False)
+
+    totals = (
+        with_partial.groupBy("_bucket", group_col)
+        .agg(F.max("_cum_in_bucket").alias("_total"))
+        .collect()
+    )
+    offsets: list[tuple] = []
+    run: dict = {}
+    for row in sorted(totals, key=lambda r: (r[group_col], r["_bucket"])):
+        g = row[group_col]
+        offsets.append((row["_bucket"], g, run.get(g, 0)))
+        run[g] = run.get(g, 0) + row["_total"]
+    off_df = spark.createDataFrame(
+        offsets or [(0, "", 0)], f"_bucket int, {group_col} string, _offset bigint"
+    )
+
+    return (
+        with_partial.join(F.broadcast(off_df), ["_bucket", group_col])
+        .select(
+            group_col,
+            id_col,
+            score_col,
+            token_col,
+            "_budget",
+            (F.col("_cum_in_bucket") + F.col("_offset")).alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") - F.col(token_col) < F.col("_budget"))
+        .drop("_budget")
+    )

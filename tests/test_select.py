@@ -92,3 +92,76 @@ def test_threshold_variant_lands_near_budget(spark, budget):
     scores = {d: s for d, s, _ in rows}
     core = {d for d in exact_ids if scores[d] > min(scores[x] for x in exact_ids) + 0.1}
     assert core <= got_ids
+
+
+def _mk_grouped(spark, rows):
+    return spark.createDataFrame(
+        rows, "source string, doc_id long, score double, n_tokens bigint"
+    )
+
+
+def _serial_grouped(rows, budgets):
+    out = []
+    for g in sorted({r[0] for r in rows}):
+        if g not in budgets:
+            continue
+        cum = 0
+        for src, did, score, tok in sorted(
+            (r for r in rows if r[0] == g), key=lambda r: (-r[2], r[1])
+        ):
+            if cum < budgets[g]:
+                cum += tok
+                out.append((g, did, cum))
+    return set(out)
+
+
+def test_grouped_matches_serial_reference(spark):
+    from dbbspark.operators.select import budget_select_grouped
+
+    rng = random.Random(71)
+    rows = [
+        (rng.choice(["web", "code", "books"]), i, round(rng.random(), 6),
+         rng.randint(5, 80))
+        for i in range(600)
+    ]
+    budgets = {"web": 2000, "code": 500, "books": 100}
+    got = {
+        (r["source"], r["doc_id"], r["cum_tokens"])
+        for r in budget_select_grouped(_mk_grouped(spark, rows), budgets).collect()
+    }
+    assert got == _serial_grouped(rows, budgets)
+
+
+def test_grouped_partition_invariance_and_unlisted_group_dropped(spark):
+    from dbbspark.operators.select import budget_select_grouped
+
+    rng = random.Random(73)
+    rows = [
+        (rng.choice(["a", "b", "c"]), i, float(rng.randint(0, 4)), rng.randint(1, 30))
+        for i in range(400)
+    ]
+    budgets = {"a": 600, "b": 150}  # c unlisted -> dropped entirely
+    one = sorted(
+        budget_select_grouped(_mk_grouped(spark, rows), budgets, num_buckets=1).collect()
+    )
+    many = sorted(
+        budget_select_grouped(_mk_grouped(spark, rows), budgets, num_buckets=11).collect()
+    )
+    assert one == many
+    assert not [r for r in one if r["source"] == "c"]
+    assert {r["source"] for r in one} == {"a", "b"}
+
+
+def test_grouped_budgets_independent(spark):
+    from dbbspark.operators.select import budget_select_grouped
+
+    rows = [("x", i, 1.0, 10) for i in range(10)]
+    rows += [("y", 100 + i, 1.0, 10) for i in range(10)]
+    got = budget_select_grouped(
+        _mk_grouped(spark, rows), {"x": 25, "y": 95}
+    ).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by["x"]) == 3  # 10+10 fits, third straddles 25
+    assert len(by["y"]) == 10  # 95 admits all ten (last straddles)
