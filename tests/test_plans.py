@@ -336,3 +336,21 @@ def test_budget_select_range_exchange_no_global_sort(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_fill_time_gaps_no_single_partition_spine(spark):
+    """C48: the dense spine is generated per group via explode — never a
+    single-partition global range."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.timegrid import fill_time_gaps
+
+    df = spark.range(1000).select(
+        (F.col("id") % 13).cast("string").alias("g"),
+        (F.col("id") * 3 % 101).alias("bucket"),
+        F.lit(1).alias("cnt"),
+    ).groupBy("g", "bucket").agg(F.sum("cnt").alias("cnt"))
+    dense = fill_time_gaps(df, "bucket", F.lit(1), group_cols=["g"], fill={"cnt": 0})
+    plan = dense._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Generate explode" in plan
