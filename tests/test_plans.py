@@ -354,3 +354,22 @@ def test_fill_time_gaps_no_single_partition_spine(spark):
     plan = dense._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "Generate explode" in plan
+
+
+def test_grouped_budget_select_broadcast_offsets(spark):
+    """C42 grouped variant: per-(bucket, group) offsets broadcast; no
+    single-partition sort anywhere in the selection chain."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.select import budget_select_grouped
+
+    docs = spark.range(500).select(
+        (F.col("id") % 3).cast("string").alias("source"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 11).cast("double").alias("score"),
+        (F.col("id") % 40 + 1).alias("n_tokens"),
+    )
+    picked = budget_select_grouped(docs, {"0": 900, "1": 400, "2": 100})
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
