@@ -163,3 +163,26 @@ def fingerprint_overlap_pairs(
             (F.col("shared") / F.least("na", "nb")).alias("containment"),
         )
     )
+
+
+def winnow_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    min_containment: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """(node, component) clusters of winnow-similar documents — the
+    code-corpus counterpart of the C12 shingle-Jaccard clustering:
+    fingerprint overlap pairs above ``min_containment`` feed the same
+    adaptive connected components, so keep-one-per-cluster policies
+    (and the C50 purity audit) compose unchanged."""
+    from .dedup import connected_components_adaptive
+
+    pairs = fingerprint_overlap_pairs(
+        docs, id_col, text_col, k, w, min_shared, max_df
+    ).where(F.col("containment") >= F.lit(min_containment))
+    return connected_components_adaptive(pairs, "a", "b")

@@ -65,3 +65,16 @@ def test_null_keys_skipped(spark):
 
 def test_cardinality_estimator_unsaturated_exact():
     assert kmv_cardinality([1, 2, 3], 16) == 3.0
+
+
+def test_merge_associative_three_ways(spark):
+    k = 64
+    a, b, c = _keys(spark, 0, 2000), _keys(spark, 1500, 3500), _keys(spark, 3000, 5000)
+    sa, sb, sc = (kmv_sketch(x, "key", k=k) for x in (a, b, c))
+    left = kmv_merge(kmv_merge(sa, sb, k=k), sc, k=k)
+    right = kmv_merge(sa, kmv_merge(sb, sc, k=k), k=k)
+    one_shot = kmv_sketch(a.unionByName(b).unionByName(c), "key", k=k)
+    la = sorted(r["h"] for r in left.collect())
+    ra = sorted(r["h"] for r in right.collect())
+    oa = sorted(r["h"] for r in one_shot.collect())
+    assert la == ra == oa

@@ -107,3 +107,20 @@ def test_jvm_only_plan(spark):
     df = spark.createDataFrame([(1, "abcdefghijklmnop")], "doc_id long, text string")
     plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_clusters_groups_clones(spark):
+    rng = random.Random(41)
+    base1 = _rand_text(rng, 180)
+    base2 = _rand_text(rng, 180)
+    rows = [(i, base1[:150] + _rand_text(rng, 30)) for i in range(3)]
+    rows += [(10 + i, base2[:150] + _rand_text(rng, 30)) for i in range(3)]
+    rows += [(99, _rand_text(rng, 180))]  # singleton
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from dbbspark.operators.winnow import winnow_clusters
+
+    comps = {r["node"]: r["component"] for r in winnow_clusters(df).collect()}
+    assert comps[0] == comps[1] == comps[2]
+    assert comps[10] == comps[11] == comps[12]
+    assert comps[0] != comps[10]
+    assert comps.get(99, 99) not in (comps[0], comps[10])
