@@ -269,6 +269,27 @@ def _purity(big):
     return per_member
 
 
+def _profile_op(big):
+    from dbbspark.operators.profile import profile_table
+
+    profile_table(big)  # driver dict; return a countable frame for the loop
+    return big.limit(1)
+
+
+def _funnel_op(big):
+    from dbbspark.operators.funnel import funnel_blame
+
+    toks = F.size(F.split("text", " "))
+    return funnel_blame(
+        big.withColumn("n_tokens", toks),
+        [
+            ("short", F.col("n_tokens") < 20),
+            ("long", F.col("n_tokens") > 500),
+            ("replicas", big.where(F.col("doc_id") >= 1_000_000).select("doc_id")),
+        ],
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -375,6 +396,10 @@ def main() -> None:
         # C50 purity audit over the real clustering of the replicated
         # corpus (copies-member clusters): member-to-rep exact Jaccard
         "cluster_purity": lambda: _purity(big),
+        # C46 one-pass profile + expectations over the corpus
+        "profile_table": lambda: _profile_op(big),
+        # C45 funnel blame over three synthetic stages
+        "funnel_blame": lambda: _funnel_op(big),
     }
     for name, build in ops.items():
         if wanted and name not in wanted:
