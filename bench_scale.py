@@ -290,6 +290,20 @@ def _funnel_op(big):
     )
 
 
+def _budget_grouped(big):
+    from dbbspark.operators.select import budget_select_grouped
+
+    docs = big.select(
+        (F.col("doc_id") % 10).cast("string").alias("source"),
+        "doc_id",
+        (F.length("text") % 97).cast("double").alias("score"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return budget_select_grouped(
+        docs, {str(i): 100_000 for i in range(10)}
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -400,6 +414,8 @@ def main() -> None:
         "profile_table": lambda: _profile_op(big),
         # C45 funnel blame over three synthetic stages
         "funnel_blame": lambda: _funnel_op(big),
+        # C42 grouped variant: per-source budgets over a 10-source split
+        "budget_select_grouped": lambda: _budget_grouped(big),
     }
     for name, build in ops.items():
         if wanted and name not in wanted:
