@@ -36,6 +36,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from dbbspark.session import cut_lineage
+
 END_WORD = "▁"  # sentencepiece-style end-of-word marker
 
 
@@ -112,7 +114,7 @@ def train_bpe(
             F.split(F.col(word_col), ""),
             F.array(F.lit(END_WORD)),
         ).alias("syms"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
 
     merges: list[tuple[str, str]] = []
     for round_no in range(num_merges):
@@ -130,7 +132,7 @@ def train_bpe(
         merges.append((a, b))
         syms = syms.select("count", _merge_expr(F.col("syms"), a, b).alias("syms"))
         if (round_no + 1) % checkpoint_every == 0:
-            syms = syms.localCheckpoint(eager=False)
+            syms = syms.transform(cut_lineage, eager=False)
     return merges
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from dbbspark.session import cut_lineage
+
 # 31-bit Mersenne prime for the Carter-Wegman permutations: with 28-bit
 # base hashes (7 md5 hex digits) and a,b < 2^31, a*h+b < 2^60 — no int64
 # overflow in either engine (Spark ANSI mode errors on long overflow).
@@ -388,7 +390,7 @@ def jaccard_pairs(
         .select(
             "shingle", F.col("s.doc").alias("doc"), F.col("s.n_sh").alias("n_sh")
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     inter = (
         m.select("shingle", F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
@@ -634,7 +636,7 @@ def connected_components_adaptive(
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col(src) != F.col(dst))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     n_edges = e.count()
     if n_edges > driver_edge_threshold:
@@ -686,7 +688,7 @@ def connected_components_star(
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col(src) != F.col(dst))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     e = sym
 
@@ -716,7 +718,7 @@ def connected_components_star(
 
     prev = None
     for _ in range(max_iter):
-        e = small_star(large_star(e)).distinct().localCheckpoint(eager=False)
+        e = small_star(large_star(e)).distinct().transform(cut_lineage, eager=False)
         # converged when the edge multiset is stable: edges only ever point
         # "down", so (count, sum(u), sum(v)) is a cheap fixpoint signature.
         sig = tuple(
@@ -765,7 +767,7 @@ def connected_components(
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -773,7 +775,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         # lazy: the prev_sum aggregate below is the first action and
         # materializes it — same one-job-per-step rule as the round loop.
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     # Convergence check: labels only ever decrease, so sum(label) is
     # strictly monotone until the fixpoint — one cheap aggregate per round
@@ -799,7 +801,7 @@ def connected_components(
             # LAZY checkpoint: the convergence aggregate right below is the
             # round's first action and materializes it — one job per round
             # instead of two (eager checkpoint + aggregate).
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage, eager=False)
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:

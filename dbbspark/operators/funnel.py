@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from dbbspark.session import cut_lineage
+
 SURVIVED = "__survived__"
 
 
@@ -107,5 +109,5 @@ def funnel_audit(
     """Blamed frame + ordered summary in one call. The blamed frame is
     localCheckpointed lazily so the summary aggregation and any caller
     reuse share one evaluation of the stage chain."""
-    blamed = funnel_blame(docs, stages, id_col).localCheckpoint(eager=False)
+    blamed = funnel_blame(docs, stages, id_col).transform(cut_lineage, eager=False)
     return blamed, funnel_summary(blamed, [n for n, _ in stages], token_col)

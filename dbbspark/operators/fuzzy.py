@@ -14,7 +14,11 @@ dead at scale. This is the standard q-gram blocking rewrite:
 3. count filter: two strings within edit distance k share at least
    max(|a|,|b|) - 1 - (k-1)·q q-grams (Gravano et al., VLDB 2001) —
    candidates below the bound never reach the verifier;
-4. exact `levenshtein` verification on the surviving candidates only.
+4. exact `levenshtein` verification on the surviving candidates only;
+5. short-key stratum (max(len) <= q·(k-1)+1, where the count bound
+   degenerates below 1 and a within-distance pair may share NO q-gram)
+   handled by an exact length-blocked fallback join instead of the
+   gram path — so short keys are covered, not silently dropped.
 
 Every stage is built-in expressions (xxhash64, explode, groupBy,
 levenshtein) — no Python in the plan. Output is exact: identical to the
@@ -138,14 +142,57 @@ def fuzzy_join(
         full_a = F.col("_alen") + F.lit(q - 1)
         full_b = F.col("_blen") + F.lit(q - 1)
         bound = bound - (full_a - F.col("_akept")) - (full_b - F.col("_bkept"))
-    survivors = counted.where(F.col("_shared") >= F.greatest(bound, F.lit(1)))
+    # Short-key split: when max(len_a, len_b) <= `short`, the Gravano
+    # bound is < 1 — such a pair may share ZERO positional grams (e.g.
+    # ('a','b') at k=1) yet still be within distance, so requiring >= 1
+    # shared gram (which the blocking join implicitly does) would miss
+    # it. Those pairs go through an exact length-blocked fallback below;
+    # the gram path keeps every pair the bound actually covers.
+    short = q * (max_distance - 1) + 1
+    survivors = counted.where(
+        (F.col("_shared") >= F.greatest(bound, F.lit(1)))
+        & (F.greatest("_alen", "_blen") > short)
+    )
     verified = survivors.where(
         F.levenshtein("_akey", "_bkey") <= F.lit(max_distance)
     )
-    return verified.select(
+
+    def keys_only(df: DataFrame, idc: str, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(idc).alias(f"_{tag}id"),
+                F.lower(F.col(key)).alias(f"_{tag}key"),
+            )
+            .where(F.col(f"_{tag}key").isNotNull())
+            .withColumn(f"_{tag}len", F.length(f"_{tag}key"))
+        )
+
+    # Exact fallback for the short×short stratum: keys of length <= short
+    # (<= q·(k-1)+1 chars — a few characters; the stratum is tiny in any
+    # real corpus and bounded by the alphabet at these lengths). Length
+    # blocking keeps it an equi-join: the b side replicates to each
+    # plausible a-length (|len_a - len_b| <= k is necessary for distance
+    # <= k), then Levenshtein verifies exactly.
+    a_short = keys_only(a, id_a, "a").where(F.col("_alen") <= short)
+    b_short = keys_only(b, id_b, "b").where(F.col("_blen") <= short)
+    bx_short = b_short.withColumn(
+        "_alen",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_blen") - max_distance, F.lit(1)),
+                F.col("_blen") + max_distance,
+            )
+        ),
+    ).where(F.col("_alen") <= short)
+    short_pairs = a_short.join(bx_short, "_alen").where(
+        F.levenshtein("_akey", "_bkey") <= F.lit(max_distance)
+    )
+
+    out_cols = [
         F.col("_aid").alias(id_a),
         F.col("_bid").alias(id_b),
         F.col("_akey").alias("key_a"),
         F.col("_bkey").alias("key_b"),
         F.levenshtein("_akey", "_bkey").alias("distance"),
-    )
+    ]
+    return verified.select(*out_cols).unionByName(short_pairs.select(*out_cols))

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dbbspark.session import cut_lineage
+
 
 def pagerank(
     edges: DataFrame,
@@ -47,24 +49,24 @@ def pagerank(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("s").agg(F.count("*").alias("deg"))
     # contribution edges: each (s, d) carries rank(s)/deg(s); built once
-    contrib_edges = e.join(outdeg, "s").localCheckpoint(eager=True)
+    contrib_edges = e.join(outdeg, "s").transform(cut_lineage, eager=True)
     contrib_edges.count()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
-        eager=False
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).transform(
+        cut_lineage, eager=False
     )
     base = (1.0 - damping) / n
     for _ in range(max_iter):
@@ -90,7 +92,7 @@ def pagerank(
                     * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage, eager=False)
         )
         delta = (
             ranks.select("node", F.col("rank").alias("old"))

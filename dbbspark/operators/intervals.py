@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from dbbspark.session import cut_lineage
+
 
 def interval_join(
     probe: DataFrame,
@@ -132,7 +134,7 @@ def interval_count_points(
         .select("__q", F.coalesce("__F", F.lit(0)).alias("__F"), "__at_here")
         # both boundary joins below consume this relation; pin the sweep
         # to one execution (it is small: distinct boundaries only).
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     f_end = looked.select(F.col("__q").alias(end_col), F.col("__F").alias("__f_end"))
     f_start = looked.select(

@@ -25,6 +25,8 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from dbbspark.session import cut_lineage
+
 
 def pack_sequences(
     docs: DataFrame,
@@ -71,7 +73,7 @@ def pack_sequences(
     # REUSED by the final join — without it the scan + cumsum pass runs
     # twice (shuffle outputs aren't shared across separate actions). The
     # checkpointed relation is 4 numeric columns, never the text.
-    with_partial = d.mapInPandas(part_cumsum, schema).localCheckpoint(eager=False)
+    with_partial = d.mapInPandas(part_cumsum, schema).transform(cut_lineage, eager=False)
 
     # Bucket totals → exclusive prefix offsets. num_buckets rows: driver
     # arithmetic on a broadcastable dim, never on data rows.

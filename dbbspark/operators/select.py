@@ -31,6 +31,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dbbspark.session import cut_lineage
+
+
+def _ddl(df: DataFrame, col: str) -> str:
+    """DDL type string of an input column — the mapInPandas output schema
+    is built from the ACTUAL input types (string ids, float scores, int
+    token counts all pass through unchanged) instead of assuming
+    long/double/string."""
+    return df.schema[col].dataType.simpleString()
+
 
 def budget_select(
     docs: DataFrame,
@@ -72,19 +82,19 @@ def budget_select(
         for pdf in batches:
             if pdf.empty:
                 continue
-            c = pdf[token_col].cumsum() + run
+            c = pdf[token_col].astype("int64").cumsum() + run
             run = int(c.iloc[-1])
             out = pdf.copy()
             out["_cum_in_bucket"] = c
             yield out
 
     schema = (
-        f"{id_col} long, {score_col} double, {token_col} bigint, "
-        "_bucket int, _cum_in_bucket bigint"
+        f"{id_col} {_ddl(docs, id_col)}, {score_col} {_ddl(docs, score_col)}, "
+        f"{token_col} {_ddl(docs, token_col)}, _bucket int, _cum_in_bucket bigint"
     )
     # Lazy localCheckpoint: the totals action below materializes the
     # range-shuffle + cumsum pass once; the final join reuses it.
-    with_partial = d.mapInPandas(part_cumsum, schema).localCheckpoint(eager=False)
+    with_partial = d.mapInPandas(part_cumsum, schema).transform(cut_lineage, eager=False)
 
     totals = (
         with_partial.groupBy("_bucket")
@@ -187,8 +197,10 @@ def budget_select_grouped(
     import pandas as pd  # noqa: F401
 
     spark = docs.sparkSession
+    group_t = _ddl(docs, group_col)
     wanted = spark.createDataFrame(
-        [(k, int(v)) for k, v in budgets.items()], f"{group_col} string, _budget bigint"
+        [(k, int(v)) for k, v in budgets.items()],
+        f"{group_col} {group_t}, _budget bigint",
     )
     d = (
         docs.select(group_col, id_col, score_col, token_col)
@@ -214,7 +226,7 @@ def budget_select_grouped(
                 continue
             outs = []
             for g, grp in pdf.groupby(group_col, sort=False):
-                c = grp[token_col].cumsum() + run.get(g, 0)
+                c = grp[token_col].astype("int64").cumsum() + run.get(g, 0)
                 run[g] = int(c.iloc[-1])
                 o = grp.copy()
                 o["_cum_in_bucket"] = c
@@ -222,10 +234,11 @@ def budget_select_grouped(
             yield pd.concat(outs)
 
     schema = (
-        f"{group_col} string, {id_col} long, {score_col} double, "
-        f"{token_col} bigint, _budget bigint, _bucket int, _cum_in_bucket bigint"
+        f"{group_col} {group_t}, {id_col} {_ddl(docs, id_col)}, "
+        f"{score_col} {_ddl(docs, score_col)}, {token_col} {_ddl(docs, token_col)}, "
+        "_budget bigint, _bucket int, _cum_in_bucket bigint"
     )
-    with_partial = d.mapInPandas(part_cumsum, schema).localCheckpoint(eager=False)
+    with_partial = d.mapInPandas(part_cumsum, schema).transform(cut_lineage, eager=False)
 
     totals = (
         with_partial.groupBy("_bucket", group_col)
@@ -239,7 +252,7 @@ def budget_select_grouped(
         offsets.append((row["_bucket"], g, run.get(g, 0)))
         run[g] = run.get(g, 0) + row["_total"]
     off_df = spark.createDataFrame(
-        offsets or [(0, "", 0)], f"_bucket int, {group_col} string, _offset bigint"
+        offsets, f"_bucket int, {group_col} {group_t}, _offset bigint"
     )
 
     return (

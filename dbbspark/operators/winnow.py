@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from dbbspark.session import cut_lineage
+
 
 def gram_hashes_expr(text: str, k: int) -> str:
     """SQL for the k-gram xxhash64 array of `text` (empty for null/short)."""
@@ -136,12 +138,12 @@ def fingerprint_overlap_pairs(
     # kept set is hub-capped-small and broadcasts; on diverse corpora
     # it can be huge (every substring shared by exactly 2+ docs) and
     # must stay a shuffle join — no side is provably small, so no hint.
-    sized = sized.localCheckpoint(eager=False)
+    sized = sized.transform(cut_lineage, eager=False)
     df_counts = sized.groupBy("fp").agg(F.count("*").alias("_df"))
     kept_fps = df_counts.where(F.col("_df") >= 2)
     if max_df is not None:
         kept_fps = kept_fps.where(F.col("_df") <= max_df)
-    m = sized.join(kept_fps.select("fp"), "fp").localCheckpoint(eager=False)
+    m = sized.join(kept_fps.select("fp"), "fp").transform(cut_lineage, eager=False)
     pairs = (
         m.select("fp", F.col("_id").alias("a"), F.col("_nfp").alias("na"))
         .join(

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import query
 from ..tables import load_table
 
+from dbbspark.session import cut_lineage
+
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _SW_SQL = "('" + "','".join(_STOPWORDS) + "')"
 
@@ -317,7 +319,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         (F.col("n_chars") % 97).cast("double").alias("score"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     packed = pack_sequences(toks, "doc_id", "n_tokens", budget=512, num_buckets=8)
     admitted = budget_select(
         toks, budget=10_000, id_col="doc_id", score_col="score",
@@ -468,7 +470,7 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # True only when a big model must not risk a shuffled join.
     w = dsir_weights(
         docs, lm_t, lm_s, "doc_id", "text", broadcast_model=False
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     u = (
         md5_int_col(F.col("doc").cast("string")) % F.lit(1_000_000_007)
         + F.lit(0.5)

@@ -49,6 +49,63 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Conf key that flips every lineage cut in the package from executor-local
+# checkpoint blocks to reliable (shared-filesystem) checkpoints. Runtime
+# settable: tests/operators flip it on a live session.
+CHECKPOINT_DIR_CONF = "spark.dbbspark.checkpointDir"
+
+
+def cut_lineage(df, eager: bool = False):
+    """Truncate a DataFrame's lineage — the package-wide checkpoint seam.
+
+    Every iterative loop (CC rounds, PageRank, BPE merges) and every
+    shared-sub-plan pin (prefix sums, posting streams, funnel blame) in the
+    package cuts lineage through this ONE helper instead of calling
+    ``localCheckpoint`` directly, so the fault-tolerance mode is a config
+    switch rather than 30 scattered call sites:
+
+    - default: ``localCheckpoint`` — blocks live on executors; losing an
+      executor mid-job kills the job and the (idempotent) job is re-run.
+      Right for short single-job pipelines on a stable cluster and for the
+      local test harness (no HDFS needed).
+    - ``spark.dbbspark.checkpointDir=<shared-fs path>`` (or env
+      ``DBBSPARK_CHECKPOINT_DIR`` at session build): reliable
+      ``DataFrame.checkpoint`` — blocks are written to the shared
+      filesystem, so executor loss/preemption recomputes from the
+      checkpoint instead of killing the job. Right for long-lived
+      preemptible 1000-executor clusters (SURVEY.md §4). The sites' plans
+      do not change shape; only the block store does.
+
+    The SparkContext checkpoint dir is set lazily from the conf the first
+    time a reliable cut runs; unsetting the conf (``spark.conf.unset``)
+    reverts to local mode even though the context keeps its (now unused)
+    dir — routing keys off the dbbspark conf, not the context state.
+
+    ``eager=False`` callers pin a sub-plan so two consumers share one
+    execution; ``eager=True`` callers materialize now to cut an iterative
+    loop's growing lineage. Both semantics are preserved by
+    ``DataFrame.checkpoint``, which accepts the same flag.
+    """
+    spark = df.sparkSession
+    try:
+        ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, "") or ""
+    except Exception:
+        ckpt_dir = ""
+    if not ckpt_dir:
+        return df.localCheckpoint(eager=eager)
+    sc = spark.sparkContext
+    current = None
+    try:
+        current = sc.getCheckpointDir()
+    except Exception:
+        pass
+    # setCheckpointDir appends a random subdir; match on prefix so we only
+    # re-set when the configured root actually changed.
+    if not current or not current.startswith(ckpt_dir.rstrip("/")):
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=eager)
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Distribute the dbbspark package to Python workers via addPyFile.
 
@@ -102,6 +159,10 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     # (files already exceed these floors).
     confs["spark.sql.files.minPartitionNum"] = "8"
     confs["spark.sql.files.openCostInBytes"] = str(1024 * 1024)
+    # Reliable-checkpoint opt-in for preemptible clusters (see cut_lineage).
+    env_ckpt = os.environ.get("DBBSPARK_CHECKPOINT_DIR", "")
+    if env_ckpt:
+        confs[CHECKPOINT_DIR_CONF] = env_ckpt
     for k, v in confs.items():
         try:
             spark.conf.set(k, v)

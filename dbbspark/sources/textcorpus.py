@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from dbbspark.session import cut_lineage
+
 _CORRUPT = "_corrupt_record"
 
 
@@ -49,7 +51,7 @@ def _split(parsed: DataFrame, schema: T.StructType) -> tuple[DataFrame, DataFram
     # separate action) before filtering on it — referencing it straight
     # off the scan is documented to return wrong results. A localCheckpoint
     # pins one parse, same pattern as the dedup operators.
-    parsed = parsed.localCheckpoint(eager=False)
+    parsed = parsed.transform(cut_lineage, eager=False)
     accepted = (
         parsed.where(F.col(_CORRUPT).isNull())
         .drop(_CORRUPT)

@@ -1,0 +1,114 @@
+"""The reliable-checkpoint seam (session.cut_lineage).
+
+SURVEY.md §4 promises the ~30 lineage-cut sites accept reliable
+`spark.checkpoint` "by flipping the checkpoint dir". These tests make that
+claim executable: the same iterative / shared-sub-plan operators produce
+identical results in local mode (default) and reliable mode
+(spark.dbbspark.checkpointDir set on a LIVE session), and reliable mode
+demonstrably writes checkpoint blocks to the configured directory —
+the property that lets a preemptible 1000-executor cluster recompute
+from the shared filesystem instead of dying with a lost executor.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from dbbspark.session import CHECKPOINT_DIR_CONF, cut_lineage
+
+
+def _chain_edges(spark):
+    # one diameter-30 chain + two triangles: exercises multiple star
+    # rounds (several eager + lazy cuts per round)
+    rows = [(i, i + 1) for i in range(30)]
+    rows += [(100, 101), (101, 102), (102, 100), (200, 201), (201, 202)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, 7 + (i * 13) % 23) for i in range(200)], "doc_id long, n_tokens long"
+    )
+
+
+def _run_ops(spark):
+    from dbbspark.operators.dedup import connected_components_star
+    from dbbspark.operators.packing import pack_sequences
+
+    cc = sorted(
+        tuple(r)
+        for r in connected_components_star(_chain_edges(spark)).collect()
+    )
+    packed = sorted(
+        tuple(r) for r in pack_sequences(_docs(spark), budget=64).collect()
+    )
+    return cc, packed
+
+
+@pytest.fixture()
+def ckpt_dir(spark, tmp_path):
+    d = str(tmp_path / "reliable_ckpt")
+    yield d
+    # never leak reliable mode into the rest of the (session-scoped) suite
+    try:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    except Exception:
+        pass
+
+
+def _ckpt_files(d: str) -> list[str]:
+    return [
+        p
+        for p in glob.glob(os.path.join(d, "**", "*"), recursive=True)
+        if os.path.isfile(p)
+    ]
+
+
+def test_flip_produces_identical_results_and_writes_blocks(spark, ckpt_dir):
+    local_cc, local_packed = _run_ops(spark)  # default: localCheckpoint
+
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckpt_dir)
+    try:
+        rel_cc, rel_packed = _run_ops(spark)
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+
+    assert rel_cc == local_cc
+    assert rel_packed == local_packed
+    # the reliable run must actually have durable blocks on the shared fs
+    assert len(_ckpt_files(ckpt_dir)) > 0
+
+
+def test_unset_reverts_to_local_mode(spark, ckpt_dir):
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckpt_dir)
+    df = spark.range(100).withColumnRenamed("id", "v")
+    cut_lineage(df, eager=True).count()
+    n_reliable = len(_ckpt_files(ckpt_dir))
+    assert n_reliable > 0
+
+    spark.conf.unset(CHECKPOINT_DIR_CONF)
+    cut_lineage(spark.range(50), eager=True).count()
+    # local mode even though the SparkContext still holds a checkpoint dir:
+    # routing keys off the dbbspark conf, so no new durable files appear
+    assert len(_ckpt_files(ckpt_dir)) == n_reliable
+
+
+def test_lazy_cut_preserves_values_in_reliable_mode(spark, ckpt_dir):
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckpt_dir)
+    try:
+        from pyspark.sql import functions as F
+
+        base = spark.range(1000).select(
+            F.col("id"), (F.col("id") * 3 % 17).alias("k")
+        )
+        pinned = cut_lineage(base, eager=False)
+        # two consumers of the pinned sub-plan agree with direct evaluation
+        total = pinned.agg(F.sum("k")).first()[0]
+        cnt = pinned.where(F.col("k") > 8).count()
+        assert total == sum(i * 3 % 17 for i in range(1000))
+        assert cnt == sum(1 for i in range(1000) if i * 3 % 17 > 8)
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)

@@ -108,6 +108,42 @@ def test_no_false_negatives_at_bound_edge(spark):
             assert (ia, ib) in got
 
 
+def test_short_keys_below_gram_bound_are_found(spark):
+    """Regression (ADVICE r4): when max(len_a, len_b) <= q*(k-1)+1 the
+    Gravano bound is < 1 and a within-distance pair may share ZERO
+    positional q-grams — ('a','b') at k=1, ('ab','ba') at k=2 — so such
+    pairs must route through the exact short-key fallback, not the
+    gram-blocking path."""
+    a = spark.createDataFrame([(1, "a"), (2, "ab")], "id_a long, key string")
+    b = spark.createDataFrame([(10, "b"), (11, "ba")], "id_b long, key string")
+    got1 = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_join(a, b, "key", max_distance=1, max_df=None).collect()
+    }
+    assert (1, 10, 1) in got1  # 'a' ~ 'b'
+    got2 = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_join(a, b, "key", max_distance=2, max_df=None).collect()
+    }
+    assert (2, 11, 2) in got2  # 'ab' ~ 'ba'
+    # full brute-force equivalence on the mixed short/long corpus
+    left = [(1, "a"), (2, "ab"), (3, "abcdistinct"), (4, "xy")]
+    right = [(10, "b"), (11, "ba"), (12, "abcdistinkt"), (13, "x")]
+    a2 = spark.createDataFrame(left, "id_a long, key string")
+    b2 = spark.createDataFrame(right, "id_b long, key string")
+    out = fuzzy_join(a2, b2, "key", max_distance=2, max_df=None).collect()
+    got = sorted((r["id_a"], r["id_b"], r["distance"]) for r in out)
+    want = sorted(
+        (ia, ib, _lev(ka, kb))
+        for ia, ka in left
+        for ib, kb in right
+        if _lev(ka, kb) <= 2
+    )
+    # equality (not set-equality) also proves the two paths never emit
+    # the same pair twice — the strata are complementary by construction
+    assert got == want
+
+
 def test_cap_does_not_reject_identical_keys_with_hub_prefix(spark):
     """Regression (found at the 50k benchmark): per-key grams lost to
     the max_df cap must relax the count bound, or identical keys whose

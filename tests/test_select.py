@@ -165,3 +165,31 @@ def test_grouped_budgets_independent(spark):
         by.setdefault(r["source"], []).append(r["doc_id"])
     assert len(by["x"]) == 3  # 10+10 fits, third straddles 25
     assert len(by["y"]) == 10  # 95 admits all ten (last straddles)
+
+
+def test_typed_columns_pass_through(spark):
+    """Regression (ADVICE r4): the mapInPandas output schema derives from
+    the INPUT types — string ids, float scores, int tokens, and an
+    integer group column all work, nothing is force-cast to
+    long/double/string."""
+    rows = [(f"doc-{i:03d}", float(i % 7), 10 + i % 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, score float, n_tokens int")
+    out = budget_select(df, budget=200)
+    got = out.collect()
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert dict(out.dtypes)["score"] == "float"
+    assert dict(out.dtypes)["n_tokens"] == "int"
+    want = _serial_select(rows, 200)
+    assert {(r["doc_id"], r["cum_tokens"]) for r in got} == set(want)
+
+    from dbbspark.operators.select import budget_select_grouped
+
+    grows = [(1, i, float(i % 3), 10) for i in range(10)]
+    grows += [(2, 100 + i, float(i % 3), 10) for i in range(10)]
+    gdf = spark.createDataFrame(grows, "source int, doc_id long, score double, n_tokens bigint")
+    gout = budget_select_grouped(gdf, {1: 45, 2: 95})
+    assert dict(gout.dtypes)["source"] == "int"
+    by = {}
+    for r in gout.collect():
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by[1]) == 5 and len(by[2]) == 10
