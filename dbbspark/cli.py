@@ -176,6 +176,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
     toks = F.size(F.split(F.col("text"), " "))
     short_ids = docs.where(toks < args.min_tokens).select("doc_id")
     docs = docs.where(toks >= args.min_tokens)
+    script_dropped = None
     if args.keep_scripts:
         # C49 multilingual routing: keep only docs whose dominant
         # writing system is in the allow-list (map-only, per-character —
@@ -188,6 +189,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
             .where(F.col("dominant_script").isin(*wanted))
             .select("doc_id")
         )
+        script_dropped = docs.select("doc_id").join(
+            keep_ids, "doc_id", "left_anti"
+        )
         docs = docs.join(keep_ids, "doc_id", "left_semi")
     if args.funnel:
         import json
@@ -198,13 +202,18 @@ def cmd_curate(args: argparse.Namespace) -> int:
         # audit re-expresses them as first-drop blame over the raw input
         # (min_tokens runs on the line-deduped text, so its id-set — not
         # a predicate on raw text — is the faithful stage spec).
+        stages = [
+            ("exact_dedup", exact_dropped),
+            ("near_dedup", dropped),
+            ("min_tokens", short_ids),
+        ]
+        if script_dropped is not None:
+            # without this stage, script-filtered docs would count as
+            # __survived__ in the waterfall and misattribute the drops
+            stages.append(("script", script_dropped))
         _, waterfall = funnel_audit(
             raw.withColumn("n_tokens", F.size(F.split(F.col("text"), " "))),
-            [
-                ("exact_dedup", exact_dropped),
-                ("near_dedup", dropped),
-                ("min_tokens", short_ids),
-            ],
+            stages,
             token_col="n_tokens",
         )
         print(json.dumps({"funnel": waterfall}))

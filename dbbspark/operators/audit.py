@@ -46,6 +46,12 @@ def cluster_purity(
     (component, n_members, min_jaccard, avg_jaccard, n_suspect).
     Singleton clusters (no non-rep members) don't appear — nothing was
     merged, nothing to audit.
+
+    Short documents (< ``shingle_n`` tokens) have empty shingle sets; a
+    member-rep pair where BOTH sets are empty is scored by exact text
+    identity (byte-identical → 1.0, else 0.0) rather than NULL, so the
+    per-cluster min/avg count them and a purity-floor delete policy
+    still drops genuinely identical short duplicates.
     """
     comp = components.select(
         F.col("node").cast("long").alias("node"),
@@ -63,6 +69,17 @@ def cluster_purity(
         ).alias("h"),
     )
     sizes = mentions.groupBy("doc").agg(F.count("*").alias("n_sh"))
+
+    # Exact text hash per involved doc: documents shorter than
+    # `shingle_n` tokens produce NO shingles, so their member-to-rep
+    # comparison would be 0/0. The hash resolves that stratum exactly —
+    # byte-identical short docs score 1.0, different ones 0.0 — instead
+    # of a NULL that the per-cluster min/avg would silently skip and a
+    # purity-floor delete policy would silently retain.
+    txt_hash = docs.join(involved, id_col, "left_semi").select(
+        F.col(id_col).alias("doc"),
+        F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).alias("_th"),
+    )
 
     members = comp.where(F.col("node") != F.col("component"))
     mem_mentions = members.join(
@@ -93,17 +110,40 @@ def cluster_purity(
             "component",
             "left",
         )
+        .join(
+            txt_hash.select(F.col("doc").alias("member"), F.col("_th").alias("_hm")),
+            "member",
+            "left",
+        )
+        .join(
+            txt_hash.select(
+                F.col("doc").alias("component"), F.col("_th").alias("_hr")
+            ),
+            "component",
+            "left",
+        )
         .select(
             "component",
             "member",
-            (
+            F.when(
+                # both shingle sets empty (sub-shingle_n docs): decide by
+                # exact text identity instead of emitting NULL (0/0)
+                F.coalesce(F.col("_nm"), F.lit(0))
+                + F.coalesce(F.col("_nr"), F.lit(0))
+                == 0,
+                F.when(F.col("_hm") == F.col("_hr"), F.lit(1.0)).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+            .otherwise(
                 F.coalesce(F.col("_inter"), F.lit(0))
                 / (
                     F.coalesce(F.col("_nm"), F.lit(0))
                     + F.coalesce(F.col("_nr"), F.lit(0))
                     - F.coalesce(F.col("_inter"), F.lit(0))
                 )
-            ).alias("jaccard"),
+            )
+            .alias("jaccard"),
         )
         .withColumn("suspect", F.col("jaccard") < F.lit(suspect_below))
     )

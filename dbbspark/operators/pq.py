@@ -31,6 +31,8 @@ Spark mapping:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from .similarity import _unit
 from pyspark.sql.window import Window
 
 
@@ -49,21 +51,38 @@ def train_pq(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    first = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if not first:
-        raise ValueError("cannot train PQ on an empty frame")
-    d = first[0]["d"]
-    if d is None or d % m != 0:
-        raise ValueError(f"embedding dim {d} not divisible into {m} subspaces")
-    sub = d // m
+    # The subspace width is COLUMN arithmetic (size(vec) div m), so no
+    # pre-fit dimension job runs — the first Spark job is the first
+    # KMeans fit itself (pinned by tests/test_pq.py). Divisibility is
+    # checked by an assert_true that rides the fit's own scan: NULL on
+    # success (coalesced into the slice length so it must evaluate),
+    # raises inside the job on a bad dim; the except arm converts it to
+    # the same ValueError the probe used to raise driver-side.
+    dim_err = f"__dbbspark_pq_dim_not_divisible_by_{m}__"
+    size_c = F.size(F.col(vec_col))
+    guard = F.coalesce(
+        F.assert_true(size_c % m == 0, F.lit(dim_err)).cast("int"), F.lit(0)
+    )
+    sub_c = F.floor(size_c / m).cast("int") + guard
     books = []
     for j in range(m):
         feat = vectors.select(
             array_to_vector(
-                F.slice(F.col(vec_col), j * sub + 1, sub).cast("array<double>")
+                F.slice(
+                    F.col(vec_col), F.lit(j) * sub_c + 1, sub_c
+                ).cast("array<double>")
             ).alias("features")
         )
-        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feat)
+        try:
+            model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feat)
+        except Exception as exc:
+            if dim_err in str(exc):
+                raise ValueError(
+                    f"embedding dim not divisible into {m} subspaces"
+                ) from exc
+            if j == 0 and vectors.limit(1).count() == 0:
+                raise ValueError("cannot train PQ on an empty frame") from exc
+            raise
         centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
         if len(centers) < k:
             # degenerate subspace (< k distinct points): k-means returns
@@ -140,7 +159,7 @@ def pq_topk(
     m, _kc, sub = books.shape
     qrows = queries.select(id_col, vec_col).toPandas()
     Q = np.stack(qrows[vec_col].to_numpy()).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _unit(Q)
     qids = qrows[id_col].to_numpy()
     # LUT[q, j, c] = q's j-th subvector · codebook_j[c]
     lut = np.einsum("qjs,jcs->qjc", Qn.reshape(len(Q), m, sub), books)
@@ -307,7 +326,7 @@ def ivfpq_topk(
     m, _kc, sub = books.shape
     qrows = queries.select(id_col, vec_col).toPandas()
     Q = np.stack(qrows[vec_col].to_numpy()).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _unit(Q)
     qids = qrows[id_col].to_numpy()
     cent_rows = centroids.select(id_col, vec_col).toPandas()
     cent_ids = cent_rows[id_col].to_numpy()

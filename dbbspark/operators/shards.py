@@ -36,6 +36,9 @@ import io
 import json
 import tarfile
 
+import pandas as pd  # module-level: lets typing.get_type_hints resolve the
+# grouped-pandas callables' annotations (pyspark infers eval type from them)
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
@@ -122,7 +125,7 @@ def build_tar_shards(
     assigned = assign_shards(docs, shard_bytes, id_col, content_col, num_buckets)
     cols = [id_col, content_col, *meta_cols, "shard"]
 
-    def make_tar(key, pdf):
+    def make_tar(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
         pdf = pdf.sort_values(id_col)

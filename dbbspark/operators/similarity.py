@@ -19,7 +19,22 @@ remains in `cosine_pairs_above` as the tiny-input verification baseline.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: lets typing.get_type_hints resolve the
+# grouped-pandas callables' annotations (pyspark infers eval type from them)
+
 from pyspark.sql import DataFrame, functions as F
+
+
+def _unit(X):
+    """Row-L2-normalize a matrix; zero-norm rows stay ZERO (their cosine
+    with anything is 0) instead of dividing 0/0 into NaN that would
+    propagate through every downstream score (degenerate IVF cells,
+    all-zero embeddings)."""
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return X / np.where(n == 0, 1.0, n)
+
 from pyspark.sql.window import Window
 
 from ..functions import cosine
@@ -50,7 +65,7 @@ def matmul_scores(
 
     ref_rows = refs.select(id_col, vec_col).toPandas()
     R = np.stack(ref_rows[vec_col].to_numpy()).astype(np.float64)
-    Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+    Rn = _unit(R)
     ref_ids = ref_rows[id_col].to_numpy()
     n_refs = len(ref_ids)
 
@@ -59,7 +74,7 @@ def matmul_scores(
             if pdf.empty:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = _unit(V)
             sims = Vn @ Rn.T
             yield pd.DataFrame(
                 {
@@ -153,7 +168,7 @@ def ivf_assign(
     cids = ref[id_col].to_numpy()
     # candidates sorted by id ⇒ stable top-p selection = lowest id on ties.
     order = np.argsort(cids, kind="stable")
-    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True))[order]
+    Cn = (_unit(C))[order]
     cids = cids[order]
     p = min(probes, len(cids))
 
@@ -162,7 +177,7 @@ def ivf_assign(
             if pdf.empty:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = _unit(V)
             sims = Vn @ Cn.T
             top = np.argsort(-sims, axis=1, kind="stable")[:, :p]
             out = {
@@ -228,7 +243,7 @@ def ivf_topk(
         else "query_id long, neighbor_id long, rank int"
     )
 
-    def emit(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def emit(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         cols = {
             "query_id": pd.Series(dtype="int64"),
             "neighbor_id": pd.Series(dtype="int64"),
@@ -244,8 +259,8 @@ def ivf_topk(
             return empty
         Q = np.stack(qs["vec"].to_numpy()).astype(np.float64)
         N = np.stack(ns["vec"].to_numpy()).astype(np.float64)
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        Nn = N / np.linalg.norm(N, axis=1, keepdims=True)
+        Qn = _unit(Q)
+        Nn = _unit(N)
         nvids = ns["vid"].to_numpy()
         # candidates sorted by id ⇒ stable argsort = (sim desc, vid asc).
         order = np.argsort(nvids, kind="stable")
@@ -307,7 +322,7 @@ def quantize_embeddings(
             if pdf.empty:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = _unit(V)
             Q = np.clip(np.rint(Vn * 127.0), -127, 127).astype(np.int8)
             yield pd.DataFrame(
                 {
@@ -343,7 +358,7 @@ def brute_force_topk_quantized(
     Q = np.stack(
         [np.frombuffer(b, dtype=np.int8) for b in qrows["qvec"]]
     ).astype(np.float32)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _unit(Q)
     qids = qrows[id_col].to_numpy()
 
     def score(batches):
@@ -354,7 +369,7 @@ def brute_force_topk_quantized(
                 [np.frombuffer(b, dtype=np.int8) for b in pdf["qvec"]]
             ).astype(np.float32)
             assert V.shape[1] == dim
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = _unit(V)
             sims = Vn @ Qn.T
             yield pd.DataFrame(
                 {
@@ -412,11 +427,11 @@ def semantic_dedup(
 
     tagged = ivf_assign(vectors, centroids, id_col, vec_col, keep_vec=True)
 
-    def scan(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def scan(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
         vids = pdf["vid"].to_numpy()[order]
         V = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = _unit(V)
         sims = Vn @ Vn.T
         thresh = 1.0 - eps
         keep = np.ones(len(vids), dtype=bool)
@@ -498,7 +513,7 @@ def cosine_pairs_above_blocked(
         "bi", "bj", "vid", "vec", F.lit(1).alias("side")
     )
 
-    def emit(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def emit(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         bi, bj = key
         a = pdf[pdf["side"] == 0]
         b = a if bi == bj else pdf[pdf["side"] == 1]
@@ -506,8 +521,8 @@ def cosine_pairs_above_blocked(
             return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
         A = np.stack(a["vec"].to_numpy()).astype(np.float64)
         Bm = A if bi == bj else np.stack(b["vec"].to_numpy()).astype(np.float64)
-        An = A / np.linalg.norm(A, axis=1, keepdims=True)
-        Bn = An if bi == bj else Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+        An = _unit(A)
+        Bn = An if bi == bj else _unit(Bm)
         sims = An @ Bn.T
         ia, ib = np.nonzero(sims >= threshold)
         ids_a = a["vid"].to_numpy()[ia]

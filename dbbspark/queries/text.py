@@ -26,28 +26,68 @@ _SW_SQL = "('" + "','".join(_STOPWORDS) + "')"
 @query(
     "q_text_stats",
     oracle="""
+    WITH blamed AS (
+      SELECT *, CASE
+        WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 20 = 0) THEN 'blocklist'
+        WHEN n_chars < 100 THEN 'too_short'
+        WHEN lang NOT IN ('en', 'de') THEN 'bad_lang'
+        ELSE '__survived__' END AS first_drop
+      FROM documents)
     SELECT lang, source,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
-           CAST(max(n_chars) AS BIGINT) AS max_chars
-    FROM documents
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           COUNT(*) FILTER (first_drop = 'blocklist') AS n_blocklist,
+           COUNT(*) FILTER (first_drop = 'too_short') AS n_too_short,
+           COUNT(*) FILTER (first_drop = 'bad_lang') AS n_bad_lang,
+           COUNT(*) FILTER (first_drop = '__survived__') AS n_survived
+    FROM blamed
     GROUP BY lang, source
     """,
-    doc="C4: corpus statistics per (lang, source) — doc/char/token counts, "
-    "the grouped profile a training-data pipeline reports per shard.",
-    tags=("text", "closure"),
+    doc="C4+C45 (merged): corpus statistics per (lang, source) — doc/char/"
+    "token counts, the grouped profile a training-data pipeline reports "
+    "per shard — PLUS the curation-funnel blame columns: each doc is "
+    "charged to the FIRST pipeline stage that would drop it "
+    "(operators/funnel.py:funnel_blame — first-match CASE ≡ sequential "
+    "attribution), here a 3-stage chain exercising BOTH stage forms: a "
+    "set-valued blocklist stage (DataFrame of ids, joined as a flag — "
+    "the near-dup-component shape) then two predicate stages "
+    "(too_short, bad_lang). The conditional counts are the "
+    "funnel_summary aggregation folded into the existing grouping.",
+    tags=("text", "funnel", "closure"),
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_int_col
+    from ..operators.funnel import SURVIVED, funnel_blame
+
     docs = load_table(spark, sf_dir, "documents")
+    # set-valued stage: a deterministic "blocklist" id set (md5 gate —
+    # stands in for an upstream near-dup component drop list)
+    block_ids = docs.where(
+        md5_int_col(F.col("doc_id").cast("string")) % 20 == 0
+    ).select("doc_id")
+    blamed = funnel_blame(
+        docs,
+        [
+            ("blocklist", block_ids),
+            ("too_short", F.col("n_chars") < 100),
+            ("bad_lang", ~F.col("lang").isin("en", "de")),
+        ],
+    )
     toks = F.split(F.col("text"), " ")
-    return docs.groupBy("lang", "source").agg(
+    return blamed.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.size(toks).cast("bigint")).alias("total_tokens"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
+        F.count(F.when(F.col("first_drop") == "blocklist", 1)).alias("n_blocklist"),
+        F.count(F.when(F.col("first_drop") == "too_short", 1)).alias("n_too_short"),
+        F.count(F.when(F.col("first_drop") == "bad_lang", 1)).alias("n_bad_lang"),
+        F.count(F.when(F.col("first_drop") == SURVIVED, 1)).alias("n_survived"),
     )
 
 

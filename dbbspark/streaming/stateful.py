@@ -24,6 +24,9 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd  # module-level: lets typing.get_type_hints resolve the
+# grouped-pandas callables' annotations (pyspark infers eval type from them)
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

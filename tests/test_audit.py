@@ -85,3 +85,26 @@ def test_end_to_end_with_real_clustering(spark):
     assert rows_pc, "replicated docs must cluster"
     # near-identical family: purity high everywhere
     assert all(r["min_jaccard"] > 0.5 for r in rows_pc)
+
+
+def test_short_docs_scored_by_text_identity_not_null(spark):
+    """Regression (ADVICE r4): members/reps shorter than shingle_n tokens
+    have empty shingle sets; the 0/0 case must resolve to 1.0 for
+    byte-identical texts and 0.0 for different ones — never NULL (which
+    min/avg would skip and a purity-floor delete would silently retain)."""
+    from dbbspark.operators.audit import cluster_purity
+
+    docs = spark.createDataFrame(
+        [(1, "ok"), (2, "ok"), (3, "no"), (10, "a long enough doc here ok")],
+        "doc_id long, text string",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, component long"
+    )
+    per_member, per_cluster = cluster_purity(docs, comps, shingle_n=3)
+    pm = {r["member"]: r for r in per_member.collect()}
+    assert pm[2]["jaccard"] == 1.0 and pm[2]["suspect"] is False
+    assert pm[3]["jaccard"] == 0.0 and pm[3]["suspect"] is True
+    [pc] = per_cluster.collect()
+    assert pc["min_jaccard"] == 0.0 and pc["n_suspect"] == 1
+    assert pc["n_members"] == 2

@@ -153,3 +153,33 @@ def test_curate_keep_scripts_filters_dominant_script(sf_dir, tmp_path, capsys):
         )
     )
     assert hangul == 0
+
+
+def test_curate_funnel_attributes_script_drops(sf_dir, tmp_path, capsys):
+    """Regression (ADVICE r4): with --keep-scripts AND --funnel together,
+    docs dropped by the script filter must appear as a 'script' funnel
+    stage — not be silently counted as survivors."""
+    rc = cli.main(
+        ["curate", "--sf-dir", sf_dir, "--out", str(tmp_path / "s"),
+         "--keep-scripts", "hangul", "--funnel"]
+    )
+    assert rc == 0
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    funnel = next(
+        json.loads(line)["funnel"]
+        for line in out_lines
+        if line.startswith('{"funnel"')
+    )
+    curated = next(
+        int(line.split("curated=")[1].split(" ")[0])
+        for line in out_lines
+        if line.startswith("curated=")
+    )
+    stages = {row["stage"]: row for row in funnel}
+    assert "script" in stages
+    # the Latin fixture corpus has no hangul docs: everything surviving
+    # the earlier stages is dropped by the script stage, and the
+    # waterfall's final survivors equal the (empty) written corpus
+    assert curated == 0
+    assert stages["script"]["dropped"] == stages["script"]["reached"]
+    assert funnel[-1]["survived_after"] == curated

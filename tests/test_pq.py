@@ -206,3 +206,31 @@ def test_train_pq_validates(emb):
         train_pq(emb, m=7)  # fixture dim not divisible by 7
     with pytest.raises(ValueError):
         train_pq(emb.limit(0), m=4)
+
+
+def test_train_pq_no_prefit_dimension_job(spark, emb):
+    """train_pq must launch exactly the jobs the KMeans fits launch —
+    no driver-side dimension probe before the first fit (the subspace
+    width is column arithmetic on size(vec))."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = emb.limit(1).select(F.size("embedding")).first()[0]
+    frozen = emb.localCheckpoint(eager=True)
+    jt = spark.sparkContext._jsc.sc().statusTracker()
+
+    # baseline: one direct KMeans fit on the identical features frame
+    feat = frozen.select(
+        array_to_vector(
+            F.slice(F.col("embedding"), 1, d).cast("array<double>")
+        ).alias("features")
+    )
+    n0 = len(jt.getJobIdsForGroup(None))
+    KMeans(k=4, seed=7, maxIter=3).fit(feat)
+    fit_jobs = len(jt.getJobIdsForGroup(None)) - n0
+
+    n0 = len(jt.getJobIdsForGroup(None))
+    train_pq(frozen, m=1, k=4, max_iter=3, seed=7)
+    train_jobs = len(jt.getJobIdsForGroup(None)) - n0
+
+    assert train_jobs == fit_jobs, (train_jobs, fit_jobs)

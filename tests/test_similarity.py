@@ -395,3 +395,31 @@ def test_pca_validates_k(spark):
         pca_project(df, k=0)
     with _pt.raises(ValueError):
         pca_project(df, k=4)
+
+
+def test_zero_norm_vectors_give_zero_scores_not_nan(spark):
+    """Degenerate cells/vectors: a zero-norm centroid row or embedding
+    must yield cosine 0, never NaN (previously RuntimeWarning + NaN
+    propagation through every downstream score)."""
+    import math
+    import warnings
+
+    from dbbspark.operators.similarity import ivf_assign, matmul_scores
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        assigned = ivf_assign(vecs, cents).collect()
+        scored = matmul_scores(
+            vecs, vecs.where("vec_id = 2"), out_id="query_id"
+        ).collect()
+    assert len(assigned) == 3
+    assert all(not math.isnan(r["sim"]) for r in scored)
+    assert all(r["sim"] == 0.0 for r in scored)  # zero query ⇒ cosine 0
