@@ -112,7 +112,128 @@ def _bpe_tokens(big):
     return apply_bpe(big, merges)
 
 
+def _curate_chain(big):
+    """The COMPOSED curation pipeline end-to-end (VERDICT r4 item 5):
+    normalize → exact dedup → LSH+CC near-dedup → line dedup → quality
+    gate → token-budget select → deterministic global shuffle → parquet,
+    plus the funnel waterfall. Individual operators all have 10×-50×
+    points; this is where their interactions live (lineage-cut sharing
+    between stages, AQE re-planning across the chain, the write)."""
+    import tempfile
+
+    from dbbspark.operators.funnel import funnel_audit
+    from dbbspark.operators.select import budget_select
+
+    raw = normalize_docs(big.select("doc_id", "text"))
+    docs = D.sha_dedup_keep_first(raw, "text", "doc_id")
+    exact_dropped = raw.select("doc_id").join(
+        docs.select("doc_id"), "doc_id", "left_anti"
+    )
+    pairs = D.lsh_candidate_pairs_direct(docs, "doc_id", "text")
+    comps = D.connected_components_adaptive(pairs, "doc_a", "doc_b")
+    near_dropped = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = docs.join(near_dropped, "doc_id", "left_anti")
+    docs = dedup_lines(docs.select("doc_id", "text"), "doc_id", "text", min_df=2)
+    toks = F.size(F.split(F.col("text"), " "))
+    short_ids = docs.where(toks < 5).select("doc_id")
+    docs = docs.where(toks >= 5)
+    scored = docs.select(
+        "doc_id",
+        toks.cast("bigint").alias("n_tokens"),
+        (F.length("text") % 97).cast("double").alias("score"),
+    )
+    picked = budget_select(scored, budget=5_000_000).select("doc_id")
+    docs = docs.join(picked, "doc_id", "left_semi")
+    _blamed, waterfall = funnel_audit(
+        raw.withColumn("n_tokens", toks),
+        [
+            ("exact_dedup", exact_dropped),
+            ("near_dedup", near_dropped),
+            ("min_tokens", short_ids),
+        ],
+        token_col="n_tokens",
+    )
+    out_dir = tempfile.mkdtemp(prefix="dbbspark_curate_chain_")
+    global_shuffle(docs, "doc_id", seed=1).write.mode("overwrite").parquet(out_dir)
+    surv = next(w["survived_after"] for w in waterfall if w["stage"] == "min_tokens")
+    assert surv >= 0
+    return big.sparkSession.read.parquet(out_dir)
+
+
 _GATE_STATE: dict = {}
+
+
+def _gate_smj(big, mode):
+    """The Bloom gate's TARGET regime (VERDICT r4 item 2), staged
+    honestly. A MICRO-batch's band rows are broadcastable by
+    construction, so the candidate join never shuffles the index side
+    and the bloom has nothing to save (measured flat at 20×, both
+    regimes ~3 s warm). The regime where the filter exists is the BULK
+    batch — a backfill/bootstrapping ingest where the new side's band
+    rows are themselves past the broadcast threshold: the planner must
+    sort-merge (both sides shuffle), and the bloom's "definitely new"
+    pre-filter empties the new side so AQE re-plans the join as a
+    broadcast of the filtered batch — the index-side shuffle vanishes.
+    Staged with a 25k-doc batch, static threshold -1 (no compile-time
+    broadcast) and a 1 MB ADAPTIVE threshold (the unfiltered sides both
+    exceed it; the bloom-filtered new side falls under it)."""
+    from dbbspark.streaming.neardedup import gate_batch
+
+    _gate(big, None)  # ensure sigs/bloom state exists (not timed on reps>=2)
+    spark = big.sparkSession
+    if "batch_bulk" not in _GATE_STATE:
+        # GENUINELY new text (hashed-token synthesis, zero shingle overlap
+        # with the corpus): the common-crawl bulk case where the candidate
+        # join exists only to find nothing — what the bloom pre-filters.
+        # A corpus-derived batch would defeat the filter honestly (its
+        # band keys really ARE in the index).
+        batch = (
+            spark.range(25_000)
+            .select(
+                (F.col("id") + 90_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(60)),
+                        lambda i: F.substring(
+                            F.md5(F.concat(F.col("id").cast("string"), i.cast("string"))),
+                            1,
+                            8,
+                        ),
+                    ),
+                ).alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        batch.count()
+        _GATE_STATE["batch_bulk"] = batch
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", str(1024 * 1024)
+    )
+    try:
+        bloom = _GATE_STATE["bloom"] if mode == "bloom" else None
+        accepted, _sigs = gate_batch(
+            _GATE_STATE["batch_bulk"], _GATE_STATE["sigs"], index_bloom=bloom
+        )
+        # eager checkpoint inside the timed build: the conf must govern
+        # the actual execution, not just plan construction
+        return accepted.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _gate(big, mode):
@@ -395,6 +516,11 @@ def main() -> None:
         # Timed: plain gate vs bloom build + bloom-gated gate.
         "gate_plain": lambda: _gate(big, None),
         "gate_bloom": lambda: _gate(big, "bloom"),
+        # C34's target regime: index past the broadcast threshold →
+        # candidate join is sort-merge; the bloom's new-side pre-filter
+        # is what lets AQE re-plan away the index-side shuffle
+        "gate_plain_smj": lambda: _gate_smj(big, None),
+        "gate_bloom_smj": lambda: _gate_smj(big, "bloom"),
         # C42 budget selection: exact two-pass prefix sum over the
         # (score desc, id) order — cost is the 3-column range shuffle,
         # independent of text width
@@ -416,6 +542,8 @@ def main() -> None:
         "funnel_blame": lambda: _funnel_op(big),
         # C42 grouped variant: per-source budgets over a 10-source split
         "budget_select_grouped": lambda: _budget_grouped(big),
+        # the composed curation pipeline end-to-end incl. parquet write
+        "curate_chain": lambda: _curate_chain(big),
     }
     for name, build in ops.items():
         if wanted and name not in wanted:
@@ -435,6 +563,7 @@ def main() -> None:
         "pq_encode",
         "pq_topk",
         "ann_recall",
+        "pq_recall_clustered",
     }:
         return
 
@@ -500,6 +629,9 @@ def main() -> None:
 
     if not wanted or "ann_recall" in wanted:
         _ann_recall(spark, bigv, args.reps)
+
+    if wanted and "pq_recall_clustered" in wanted:
+        _pq_recall_clustered(spark)
 
     if not wanted or wanted & {"zorder_scan_clustered", "zorder_scan_xsorted"}:
         _zorder_bench(spark, args.reps)
@@ -656,6 +788,98 @@ def _ann_recall(spark, bigv, reps: int) -> None:
                 }
             )
         )
+
+
+def _pq_recall_clustered(spark) -> None:
+    """IVFPQ recall on CLUSTERED vectors (VERDICT r4 item 3): the
+    existing PQ grid runs on near-random vectors — PQ's worst case
+    (recall 0.08-0.40 raw). Real embedding corpora are mixtures; this
+    fixture is 32 Gaussian-ish clusters (deterministic sin-hash noise)
+    of 50k x d=64 vectors, the regime IVF cells + residual codebooks
+    are built for. Reports raw ADC recall@5 at probes 1/2/4 and the
+    rerank@50 recovery at probes=4, against brute-force ground truth."""
+    import time as _t
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    from dbbspark.operators.pq import ivfpq_encode, ivfpq_topk, train_ivfpq
+    from dbbspark.operators.similarity import (
+        brute_force_topk,
+        matmul_scores,
+        train_centroids,
+    )
+
+    d, n_clusters = 64, 32
+    noise = "(mod(sin(id * 12.9898 + j * 78.233) * 43758.5453, 1.0) - 0.5)"
+    center = "sin((id % 32) * 7.31 + j * 1.77) * 2.0"
+    vecs = (
+        spark.range(50_000)
+        .select(
+            FF.col("id").alias("vec_id"),
+            FF.expr(
+                f"transform(sequence(0, {d - 1}), "
+                f"j -> cast({center} + {noise} * 1.2 as double))"
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vecs.count()
+    queries = vecs.where(FF.col("vec_id") % 250 == 0).localCheckpoint(eager=True)
+    nq = queries.count()
+
+    truth = brute_force_topk(vecs, queries, k=5).localCheckpoint(eager=True)
+    n_truth = truth.count()
+
+    cents = train_centroids(vecs, k=n_clusters).localCheckpoint(eager=True)
+    cents.count()
+    books = train_ivfpq(vecs, cents, m=16, k=16)
+    index = ivfpq_encode(vecs, cents, books).localCheckpoint(eager=True)
+    index.count()
+
+    for probes in (1, 2, 4):
+        t0 = _t.time()
+        got = ivfpq_topk(index, queries, cents, books, k=5, probes=probes)
+        hits = got.join(truth, ["query_id", "neighbor_id"], "inner").count()
+        sec = _t.time() - t0
+        print(
+            json.dumps(
+                {
+                    "op": f"ivfpq_clustered_probes{probes}",
+                    "recall_at5": round(hits / n_truth, 3),
+                    "sec": round(sec, 2),
+                    "queries": nq,
+                }
+            )
+        )
+
+    # rerank@50 at probes=4: shortlist from ADC, exact cosine reorder
+    t0 = _t.time()
+    cand = ivfpq_topk(index, queries, cents, books, k=50, probes=4).select(
+        "query_id", FF.col("neighbor_id").alias("vec_id")
+    )
+    cand_vecs = vecs.join(cand.select("vec_id").distinct(), "vec_id", "left_semi")
+    exact = matmul_scores(cand_vecs, queries, out_id="query_id")
+    exact = exact.join(
+        cand.withColumnRenamed("vec_id", "vid"), ["query_id", "vid"], "left_semi"
+    ).where(FF.col("vid") != FF.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(FF.desc("sim"), FF.asc("vid"))
+    rer = (
+        exact.withColumn("rank", FF.row_number().over(w))
+        .where(FF.col("rank") <= 5)
+        .select("query_id", FF.col("vid").alias("neighbor_id"))
+    )
+    hits = rer.join(truth, ["query_id", "neighbor_id"], "inner").count()
+    print(
+        json.dumps(
+            {
+                "op": "ivfpq_clustered_rerank50_probes4",
+                "recall_at5": round(hits / n_truth, 3),
+                "sec": round(_t.time() - t0, 2),
+                "queries": nq,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -95,6 +95,23 @@ def cmd_monitor(args: argparse.Namespace) -> int:
     spark = _session("dbbspark-monitor")
     write_report(spark, args.sf_dir, args.out)
     print("report written to", args.out)
+    if args.fuzzy_keys:
+        import json
+
+        from .monitor import reconcile_with_renames
+
+        matches, m_res, x_res = reconcile_with_renames(
+            spark, args.sf_dir, max_distance=args.fuzzy_distance
+        )
+        print(
+            json.dumps(
+                {
+                    "renamed_matches": matches.count(),
+                    "missing_after_fuzzy": m_res.count(),
+                    "extra_after_fuzzy": x_res.count(),
+                }
+            )
+        )
     return 0
 
 
@@ -393,6 +410,14 @@ def main(argv: list[str] | None = None) -> int:
     mon = sub.add_parser("monitor", help="build the reconciliation report pages")
     mon.add_argument("--sf-dir", required=True)
     mon.add_argument("--out", required=True)
+    mon.add_argument(
+        "--fuzzy-keys",
+        action="store_true",
+        help="after the exact anti-joins, pair residual missing x extra "
+        "rows by fuzzy filename match (renamed files report as matches, "
+        "not missing+extra)",
+    )
+    mon.add_argument("--fuzzy-distance", type=int, default=1)
     mon.set_defaults(fn=cmd_monitor)
 
     ct = sub.add_parser("create-task", help="create a provenance root task")

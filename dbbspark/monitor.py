@@ -357,3 +357,78 @@ def densify_nites(summary: DataFrame, nite_col_name: str = "nite") -> DataFrame:
     return dense.select(
         F.date_format("_nite_d", "yyyyMMdd").alias(nite_col_name), *counts
     )
+
+
+def fuzzy_reconcile(
+    missing: DataFrame,
+    extra: DataFrame,
+    key: str,
+    id_missing: str,
+    id_extra: str,
+    max_distance: int = 2,
+):
+    """C47 wired into reconciliation (VERDICT r4 item 4): after the
+    exact anti-joins, a file that was RENAMED between the two systems
+    reports as one `missing` row plus one `extra` row — a double report
+    the reference's regex reconciliation was meant to collapse
+    (`bin/monitor_DBB_stagein.py:844,1023,1028`). This pairs the
+    residual missing × extra sets on a drifted string key via
+    `operators.fuzzy.fuzzy_join` and returns
+
+        (matches, missing_residual, extra_residual)
+
+    where `matches` is a deterministic one-to-one assignment: each
+    missing row takes its best (lowest-distance, lowest-id) extra row,
+    and each extra row is claimed by at most one missing row (two-pass
+    greedy — the standard record-linkage tiebreak, not global optimum).
+    Residuals are what's STILL missing/extra after renames pair up.
+
+    The blocking inside fuzzy_join keeps this at scale: residual sets
+    are small by construction (reconciliation converges), and even bulk
+    drift never goes |missing|×|extra| — candidates come from shared
+    positional q-grams."""
+    from .operators.fuzzy import fuzzy_join
+    from pyspark.sql.window import Window
+
+    pairs = fuzzy_join(
+        missing, extra, key,
+        max_distance=max_distance, id_a=id_missing, id_b=id_extra,
+    )
+    w1 = Window.partitionBy(id_missing).orderBy("distance", id_extra)
+    best = (
+        pairs.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") == 1)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(id_extra).orderBy("distance", id_missing)
+    matches = (
+        best.withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") == 1)
+        .drop("__r2")
+    )
+    missing_residual = missing.join(
+        matches.select(id_missing), id_missing, "left_anti"
+    )
+    extra_residual = extra.join(
+        matches.select(id_extra), id_extra, "left_anti"
+    )
+    return matches, missing_residual, extra_residual
+
+
+def reconcile_with_renames(
+    spark: SparkSession, sf_dir: str, max_distance: int = 1
+):
+    """Monitor-level composition: derive the archive filename for the
+    exact-reconcile residuals (the reference's `DECam_<expnum>.fits.fz`
+    naming, bin/monitor_DBB_stagein.py:844) and pair renamed files.
+    Returns (matches, missing_residual, extra_residual)."""
+    fname = F.format_string("DECam_%08d.fits.fz", F.col("expnum"))
+    m = missing_df(spark, sf_dir).select(
+        F.col("expnum").alias("m_expnum"), fname.alias("filename")
+    )
+    x = extra_df(spark, sf_dir).select(
+        F.col("expnum").alias("x_expnum"), fname.alias("filename")
+    )
+    return fuzzy_reconcile(
+        m, x, "filename", "m_expnum", "x_expnum", max_distance
+    )

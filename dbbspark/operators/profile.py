@@ -102,12 +102,17 @@ def profile_drift(
     after: dict,
     null_rate_jump: float = 0.05,
     distinct_ratio: float = 0.5,
+    mean_shift_stds: float | None = None,
 ) -> list[dict]:
     """Column-level drift findings between two `profile_table` outputs:
     appeared/vanished columns, type changes, null-rate jumps above
     ``null_rate_jump`` (absolute), and approx-distinct collapses/blow-ups
-    beyond ``distinct_ratio`` (relative, either direction). Driver-side
-    arithmetic on two small dicts — no Spark jobs."""
+    beyond ``distinct_ratio`` (relative, either direction). With
+    ``mean_shift_stds`` set, numeric columns additionally flag a
+    ``mean_shift`` when the mean moved more than that many baseline
+    standard deviations — the distribution-shift signal the streaming
+    ANN gate's quantizer-drift policy keys on. Driver-side arithmetic on
+    two small dicts — no Spark jobs."""
     findings: list[dict] = []
     b_cols, a_cols = before["columns"], after["columns"]
     for name in sorted(set(b_cols) | set(a_cols)):
@@ -138,6 +143,19 @@ def profile_drift(
                  "before": b["approx_distinct"], "after": a["approx_distinct"],
                  "ratio": round(ratio, 3)}
             )
+        if (
+            mean_shift_stds is not None
+            and b.get("mean") is not None
+            and a.get("mean") is not None
+        ):
+            scale = max(b.get("std") or 0.0, 1e-9)
+            if abs(a["mean"] - b["mean"]) > mean_shift_stds * scale:
+                findings.append(
+                    {"column": name, "kind": "mean_shift",
+                     "before": round(b["mean"], 6),
+                     "after": round(a["mean"], 6),
+                     "stds": round(abs(a["mean"] - b["mean"]) / scale, 2)}
+                )
     return findings
 
 

@@ -211,3 +211,232 @@ def streaming_ann_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantizer drift policy (VERDICT r4 item 3): the gate above runs on FROZEN
+# centroids/codebooks — right for a stationary stream, silently degrading
+# when the embedding distribution drifts (new domain, new encoder version):
+# cells unbalance, residuals leave the codebooks' support, ADC scores
+# decay, and the eps threshold stops meaning what it was tuned to mean.
+# The drift SIGNAL is map-only and corpus-free: the cosine between each
+# batch vector and its own IVFPQ reconstruction (high ⇔ the quantizer
+# still fits the data). The C46 profiler machinery summarizes it per
+# batch and `profile_drift(mean_shift_stds=...)` flags the shift; on
+# breach the quantizer retrains on the durable accepted vectors and the
+# code index is REBUILT (codes are meaningless across codebooks — a
+# re-key, not an append). The vector-hash identity rule is unaffected
+# throughout (exact regardless of quantizer), so retrains never
+# reintroduce byte-identical duplicates.
+# ---------------------------------------------------------------------------
+
+
+def reconstruction_sims(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, recon_sim): cosine between each vector and its IVFPQ
+    reconstruction (centroid + codebook entries) — the quantizer-fit
+    signal. Map-only over Arrow batches; nothing touches the index."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.pq import _residuals
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _k, sub = books.shape
+    cent_rows = centroids.select(id_col, vec_col).toPandas()
+    C = {
+        int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+        for _, r in cent_rows.iterrows()
+    }
+    cnorm2 = (books**2).sum(axis=2)
+    res = _residuals(vectors, centroids, id_col, vec_col)
+
+    def sims(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            R = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cells = pdf["cell"].to_numpy()
+            recon = np.empty_like(R)
+            for j in range(m):
+                X = R[:, j * sub : (j + 1) * sub]
+                d2 = cnorm2[j][None, :] - 2.0 * (X @ books[j].T)
+                code = np.argmin(d2, axis=1)
+                recon[:, j * sub : (j + 1) * sub] = books[j][code]
+            cents = np.stack([C[int(c)] for c in cells])
+            V = cents + R  # original vector = centroid + residual
+            W = cents + recon  # its quantized reconstruction
+            denom = np.linalg.norm(V, axis=1) * np.linalg.norm(W, axis=1)
+            denom = np.where(denom == 0, 1.0, denom)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "recon_sim": (V * W).sum(axis=1) / denom,
+                }
+            )
+
+    return res.select(id_col, "cell", vec_col).mapInPandas(
+        sims, "vec_id long, recon_sim double"
+    )
+
+
+def quantizer_profile(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """One-pass C46 profile of the reconstruction-cosine distribution —
+    the per-batch fit summary the drift check compares (O(1) driver
+    state, mergeable with the profiler's sketch form if batched)."""
+    from ..operators.profile import profile_table
+
+    return profile_table(
+        reconstruction_sims(
+            vectors, centroids, codebooks, id_col, vec_col
+        ).select("recon_sim")
+    )
+
+
+def quantizer_drift(
+    baseline: dict, batch_profile: dict, stds: float = 2.0
+) -> list[dict]:
+    """profile_drift findings between the bootstrap-time fit profile and
+    a batch's — a ``mean_shift`` on recon_sim is the retrain trigger."""
+    from ..operators.profile import profile_drift
+
+    return [
+        f
+        for f in profile_drift(baseline, batch_profile, mean_shift_stds=stds)
+        if f["kind"] == "mean_shift"
+    ]
+
+
+def retrain_quantizer(
+    vectors: DataFrame,
+    n_cells: int,
+    m: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """(centroids, codebooks) refit on the given vectors — same shapes
+    as the frozen quantizer so every downstream consumer is drop-in."""
+    from ..operators.pq import train_ivfpq
+    from ..operators.similarity import train_centroids
+
+    cents = train_centroids(vectors, k=n_cells, id_col=id_col, vec_col=vec_col)
+    cents = cents.localCheckpoint(eager=True)
+    books = train_ivfpq(vectors, cents, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    return cents, books
+
+
+def rebuild_index(
+    spark: SparkSession,
+    accepted_dir: str,
+    index_dir: str,
+    centroids: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Re-encode every ACCEPTED vector under a new quantizer and replace
+    the code index wholesale (codes are codebook-relative — mixing
+    generations would corrupt every ADC score). The accepted vectors are
+    the durable source of truth, so a crashed rebuild is recovered by
+    re-running it; batch partitions are preserved so the gate's
+    predecessor-bounded reads keep working. Returns rows written."""
+    acc = spark.read.parquet(accepted_dir)
+    enc = ivfpq_encode(acc, centroids, codebooks, id_col, vec_col).join(
+        acc.select(
+            F.col(id_col).alias("vec_id"),
+            F.xxhash64(F.col(vec_col)).alias("vhash"),
+            "batch",
+        ),
+        "vec_id",
+    )
+    enc.write.mode("overwrite").partitionBy("batch").parquet(index_dir)
+    return spark.read.parquet(index_dir).count()
+
+
+def streaming_ann_gate_with_drift(
+    vectors: DataFrame,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    codebooks,
+    eps: float = 0.05,
+    probes: int = 2,
+    drift_stds: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The frozen-quantizer gate plus the codebook-refresh policy.
+
+    Per micro-batch, BEFORE gating: profile the batch's reconstruction
+    cosines against the quantizer's baseline profile (established on the
+    first batch). On a ``mean_shift`` beyond ``drift_stds`` baseline
+    standard deviations: retrain centroids+codebooks on accepted ∪
+    batch vectors, rebuild the code index under the new quantizer, and
+    re-baseline. Retraining is deterministic (fixed k-means seeds) and
+    the rebuild is a full overwrite, so a foreachBatch retry that
+    re-triggers the retrain converges to the same state.
+
+    Returns (StreamingQuery, state) where ``state`` exposes the live
+    quantizer and ``state['retrains']`` counts refreshes (observability:
+    a production deployment alerts on this, it should be rare)."""
+    state = {
+        "centroids": centroids.localCheckpoint(eager=True),
+        "codebooks": codebooks,
+        "baseline": None,
+        "retrains": 0,
+        "n_cells": centroids.count(),
+    }
+    import numpy as np
+
+    m, k, _sub = np.asarray(codebooks).shape
+
+    def _one_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prof = quantizer_profile(
+            batch, state["centroids"], state["codebooks"], id_col, vec_col
+        )
+        if state["baseline"] is None:
+            state["baseline"] = prof
+        elif quantizer_drift(state["baseline"], prof, stds=drift_stds):
+            try:
+                acc = spark.read.parquet(accepted_dir).select(id_col, vec_col)
+            except AnalysisException:
+                acc = batch.select(id_col, vec_col).limit(0)
+            train_src = acc.unionByName(batch.select(id_col, vec_col))
+            state["centroids"], state["codebooks"] = retrain_quantizer(
+                train_src, state["n_cells"], m, k, id_col, vec_col
+            )
+            if not acc.isEmpty():
+                rebuild_index(
+                    spark, accepted_dir, index_dir,
+                    state["centroids"], state["codebooks"], id_col, vec_col,
+                )
+            state["baseline"] = quantizer_profile(
+                batch, state["centroids"], state["codebooks"], id_col, vec_col
+            )
+            state["retrains"] += 1
+        process_batch(
+            batch, batch_id, index_dir, accepted_dir,
+            state["centroids"], state["codebooks"], eps, probes, id_col, vec_col,
+        )
+
+    q = (
+        vectors.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, state

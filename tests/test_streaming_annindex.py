@@ -129,3 +129,140 @@ def test_eps_validation(spark, setup):
     empty = _index_codes(batch.sparkSession, "/nonexistent-annidx")
     with pytest.raises(ValueError):
         gate_batch(batch, empty, cents, books, eps=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Quantizer drift policy (VERDICT r4 item 3)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_vec(center, i, d=16, spread=0.5):
+    """Deterministic vector near `center` (sin-hash noise: no two ids
+    collide into parallel vectors, unlike modular patterns)."""
+    import math
+
+    def noise(j):
+        return (math.sin(i * 12.9898 + j * 78.233) * 43758.5453) % 1.0 - 0.5
+
+    return [c + noise(j) * spread for j, c in enumerate(center)]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _centers(d=16):
+    a = [1.0 if j % 2 == 0 else 0.2 for j in range(d)]
+    b = [-0.8 if j % 3 == 0 else 1.5 for j in range(d)]  # far from a
+    return a, b
+
+
+def test_quantizer_drift_detection(spark):
+    """Same-distribution batches stay quiet; a shifted cluster trips the
+    recon-cosine mean_shift finding."""
+    from dbbspark.streaming.annindex import quantizer_drift, quantizer_profile
+
+    a, b = _centers()
+    boot = _mk(spark, [(i, _cluster_vec(a, i)) for i in range(60)])
+    cents = train_centroids_for_test(spark, boot)
+    books = train_ivfpq(boot, cents, m=4, k=8)
+
+    base = quantizer_profile(boot, cents, books)
+    same = quantizer_profile(
+        _mk(spark, [(100 + i, _cluster_vec(a, i + 7)) for i in range(40)]),
+        cents, books,
+    )
+    assert quantizer_drift(base, same, stds=2.0) == []
+
+    shifted = quantizer_profile(
+        _mk(spark, [(200 + i, _cluster_vec(b, i)) for i in range(40)]),
+        cents, books,
+    )
+    findings = quantizer_drift(base, shifted, stds=2.0)
+    assert findings and findings[0]["kind"] == "mean_shift"
+    # drifted data reconstructs WORSE than baseline
+    assert findings[0]["after"] < findings[0]["before"]
+
+
+def train_centroids_for_test(spark, boot):
+    from dbbspark.operators.similarity import train_centroids
+
+    return train_centroids(boot, k=4).localCheckpoint(eager=True)
+
+
+def test_drift_triggered_retrain_and_rebuild(spark, tmp_path):
+    """End-to-end: a drifted batch retrains the quantizer, the code
+    index is rebuilt under the new codebooks, the gate keeps working
+    (byte-identical duplicates of earlier accepts still rejected), and
+    a non-drifted stream never retrains."""
+    import glob
+    import os
+    import shutil
+
+    from dbbspark.streaming.annindex import (
+        _index_codes,
+        streaming_ann_gate_with_drift,
+    )
+
+    a, b = _centers()
+    boot = _mk(spark, [(1000 + i, _cluster_vec(a, i)) for i in range(60)])
+    cents = train_centroids_for_test(spark, boot)
+    books = train_ivfpq(boot, cents, m=4, k=8)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+
+    def drop_batch(rows, name):
+        stage = str(tmp_path / f"stage_{name}")
+        _mk(spark, rows).coalesce(1).write.parquet(stage)
+        shutil.move(
+            glob.glob(f"{stage}/part-*.parquet")[0],
+            os.path.join(src, f"{name}.parquet"),
+        )
+
+    # batch files land before the stream starts: availableNow drains them
+    # in file order as separate micro-batches (maxFilesPerTrigger=1)
+    b1 = [(i, _cluster_vec(a, i)) for i in range(20)]
+    b2 = [(100 + i, _cluster_vec(b, i)) for i in range(20)]
+    drop_batch(b1, "b1")
+    drop_batch(b2, "b2")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    q, state = streaming_ann_gate_with_drift(
+        stream, idx, acc, str(tmp_path / "ck"), cents, books,
+        eps=0.05, drift_stds=2.0,
+    )
+    q.awaitTermination()
+
+    assert state["retrains"] == 1
+    accepted = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    # greedy within-batch dedup legitimately trims same-cluster vectors
+    # (they ARE semantic near-dups); the lowest id of each batch always
+    # survives, proving both batches were gated, not dropped
+    assert 0 in accepted
+    assert any(i >= 100 for i in accepted)  # drifted batch still gated in
+    # index fully re-keyed: every row's cell is a NEW centroid id and
+    # every accepted vector has exactly one index row
+    idx_rows = _index_codes(spark, idx).collect()
+    assert {r["vec_id"] for r in idx_rows} == accepted
+    new_cells = {r["vec_id"] for r in state["centroids"].collect()}
+    assert {r["cell"] for r in idx_rows} <= new_cells
+
+    # byte-identical duplicates of pre-retrain accepts are still
+    # rejected (vhash identity survives any re-key)
+    from dbbspark.streaming.annindex import gate_batch
+
+    # 900: byte-identical to accepted vec 0 — must be vhash-rejected.
+    # 901: far from BOTH clusters (cos < 0.2 to each) — genuinely new.
+    far = [4.0, -4.0] + [0.1] * 14
+    dup = _mk(spark, [(900, b1[0][1]), (901, far)])
+    acc2, _ = gate_batch(
+        dup, _index_codes(spark, idx), state["centroids"], state["codebooks"]
+    )
+    got = {r["vec_id"] for r in acc2.collect()}
+    assert 900 not in got and 901 in got
