@@ -811,15 +811,26 @@ def _pq_recall_clustered(spark) -> None:
     )
 
     d, n_clusters = 64, 32
-    noise = "(mod(sin(id * 12.9898 + j * 78.233) * 43758.5453, 1.0) - 0.5)"
+    # Mixture with LOW-RANK intra-cluster structure: vector = cluster
+    # center + 4 cluster-specific directions scaled by per-doc sin-hash
+    # coefficients (+ a little isotropic jitter). Real embedding
+    # corpora live on such local manifolds — the regime residual PQ is
+    # built for; full-rank uniform noise would be as incompressible as
+    # the existing random worst-case grid.
     center = "sin((id % 32) * 7.31 + j * 1.77) * 2.0"
+    manifold = " + ".join(
+        f"(mod(sin(id * {12.9898 + r * 3.7:.4f}) * 43758.5453, 1.0) - 0.5)"
+        f" * sin((id % 32) * 13.0 + {r} * 2.1 + j * 0.77) * 1.5"
+        for r in range(4)
+    )
+    jitter = "(mod(sin(id * 7.77 + j * 113.1) * 43758.5453, 1.0) - 0.5) * 0.08"
     vecs = (
         spark.range(50_000)
         .select(
             FF.col("id").alias("vec_id"),
             FF.expr(
                 f"transform(sequence(0, {d - 1}), "
-                f"j -> cast({center} + {noise} * 1.2 as double))"
+                f"j -> cast({center} + {manifold} + {jitter} as double))"
             ).alias("embedding"),
         )
         .localCheckpoint(eager=True)

@@ -26,6 +26,61 @@ _NUMERIC = (
 _ORDERED = _NUMERIC + (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType)
 
 
+def _column_aggs(f, rsd: float) -> list[tuple[str, "F.Column"]]:
+    """(suffix, agg expression) pairs for one schema field — the
+    per-column stat set profile_table assembles into its one-pass
+    aggregation. Shared with `profile_aggs` (the relational form the
+    declared queries fold into grouped reports)."""
+    c, out = F.col(f.name), []
+    out.append(("nulls", F.sum(c.isNull().cast("long"))))
+    if isinstance(f.dataType, (T.MapType, T.StructType)):
+        # not hashable by approx_count_distinct; cardinality via
+        # the json rendering (exact enough for drift detection)
+        out.append(("dist", F.approx_count_distinct(F.to_json(c), rsd)))
+    else:
+        out.append(("dist", F.approx_count_distinct(c, rsd)))
+    if isinstance(f.dataType, _NUMERIC):
+        out += [
+            ("min", F.min(c)),
+            ("max", F.max(c)),
+            ("mean", F.avg(c)),
+            ("std", F.stddev(c)),
+        ]
+    elif isinstance(f.dataType, T.StringType):
+        out += [
+            ("minlen", F.min(F.length(c))),
+            ("maxlen", F.max(F.length(c))),
+            ("avglen", F.avg(F.length(c))),
+        ]
+    elif isinstance(f.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        out += [("min", F.min(c)), ("max", F.max(c))]
+    elif isinstance(f.dataType, T.ArrayType):
+        out += [("avgsize", F.avg(F.size(c))), ("maxsize", F.max(F.size(c)))]
+    return out
+
+
+def profile_aggs(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    deterministic_only: bool = True,
+) -> list["F.Column"]:
+    """The profiler's per-column stats as ALIASED agg expressions
+    (``<col>__<stat>``) for use inside any groupBy/rollup — per-group
+    data profiling folded into an existing aggregation instead of a
+    second pass. ``deterministic_only`` drops the sketch (HLL) and
+    accumulation-order-sensitive (mean/std/avg) stats so the result is
+    exactly reproducible across engines — the form a DuckDB oracle can
+    check."""
+    skip = {"dist", "mean", "std", "avglen", "avgsize"} if deterministic_only else set()
+    fields = [f for f in df.schema.fields if columns is None or f.name in columns]
+    return [
+        c.alias(f"{f.name}__{suffix}")
+        for f in fields
+        for suffix, c in _column_aggs(f, 0.05)
+        if suffix not in skip
+    ]
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -43,39 +98,10 @@ def profile_table(
     fields = [f for f in df.schema.fields if columns is None or f.name in columns]
     aggs = [F.count(F.lit(1)).alias("__n")]
     for f in fields:
-        c, n = F.col(f.name), f.name
-        aggs.append(F.sum(c.isNull().cast("long")).alias(f"{n} nulls"))
-        if isinstance(f.dataType, (T.MapType, T.StructType)):
-            # not hashable by approx_count_distinct; cardinality via
-            # the json rendering (exact enough for drift detection)
-            aggs.append(
-                F.approx_count_distinct(F.to_json(c), rsd).alias(f"{n} dist")
-            )
-        else:
-            aggs.append(F.approx_count_distinct(c, rsd).alias(f"{n} dist"))
-        if isinstance(f.dataType, _NUMERIC):
-            aggs += [
-                F.min(c).alias(f"{n} min"),
-                F.max(c).alias(f"{n} max"),
-                F.avg(c).alias(f"{n} mean"),
-                F.stddev(c).alias(f"{n} std"),
-            ]
-        elif isinstance(f.dataType, T.StringType):
-            aggs += [
-                F.min(F.length(c)).alias(f"{n} minlen"),
-                F.max(F.length(c)).alias(f"{n} maxlen"),
-                F.avg(F.length(c)).alias(f"{n} avglen"),
-            ]
-        elif isinstance(f.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType)):
-            aggs += [
-                F.min(c).alias(f"{n} min"),
-                F.max(c).alias(f"{n} max"),
-            ]
-        elif isinstance(f.dataType, T.ArrayType):
-            aggs += [
-                F.avg(F.size(c)).alias(f"{n} avgsize"),
-                F.max(F.size(c)).alias(f"{n} maxsize"),
-            ]
+        aggs += [
+            c.alias(f"{f.name} {suffix}")
+            for suffix, c in _column_aggs(f, rsd)
+        ]
     row = df.agg(*aggs).first().asDict()
     total = row["__n"]
     out: dict = {"n_rows": total, "columns": {}}

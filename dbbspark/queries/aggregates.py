@@ -24,20 +24,35 @@ from ..tables import load_table
            arg_max(event_id, ts) AS latest_event_id,
            max(value) AS max_value,
            GROUPING(event_type) AS g_type,
-           GROUPING(CAST(floor(value / 100) AS BIGINT)) AS g_bucket
+           GROUPING(CAST(floor(value / 100) AS BIGINT)) AS g_bucket,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS event_id__nulls,
+           min(event_id) AS event_id__min,
+           max(event_id) AS event_id__max,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS value__nulls,
+           min(value) AS value__min,
+           max(value) AS value__max
     FROM events
     GROUP BY ROLLUP(event_type, CAST(floor(value / 100) AS BIGINT))
     """,
-    doc="A5+A8 (merged): rollup — replaces the reference's two separate "
+    doc="A5+A8+C46 (merged): rollup — replaces the reference's two separate "
     "summary passes (per-nite + per-propid, bin/monitor_DBB_stagein.py:"
     "1012-1038 vs 968-981) with one multi-level aggregation — carrying the "
     "scalar max / latest-row lookups at every level (latest log file, "
     "latest failure, bin/monitor_DBB_stagein.py:170-181,992; max_by is "
     "the relational form of 'sort then take last'; ts is unique in the "
-    "fixtures so arg_max is deterministic).",
-    tags=("agg", "closure"),
+    "fixtures so arg_max is deterministic). The `<col>__<stat>` columns "
+    "are the C46 profiler's per-column stat set folded in via "
+    "operators/profile.py:profile_aggs (deterministic subset: null "
+    "counts + min/max) — per-group data profiling riding the SAME "
+    "aggregation pass instead of a second scan, now under the DuckDB "
+    "oracle too.",
+    tags=("agg", "profile", "closure"),
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_aggs
+
     ev = load_table(spark, sf_dir, "events")
     bucket = F.floor(F.col("value") / 100).cast("bigint")
     d = ev.select("event_type", bucket.alias("value_bucket"), "ts", "event_id", "value")
@@ -48,6 +63,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
         F.grouping("event_type").cast("bigint").alias("g_type"),
         F.grouping("value_bucket").cast("bigint").alias("g_bucket"),
+        *profile_aggs(d, ["event_id", "value"]),
     )
 
 
