@@ -107,3 +107,62 @@ def mix_sources(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def epoch_repeats(
+    docs: DataFrame,
+    repeats: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    epoch_seed: int = 0,
+) -> DataFrame:
+    """Materialize a repeat-factor training epoch (closure operator C52).
+
+    Mixture recipes state per-source REPEAT factors, not just sampling
+    rates — "code ×3.0, books ×1.5, web ×1.0" (the multi-epoch
+    upweighting in Llama-style data recipes; DoReMi weights reduce to
+    the same shape). ``repeats`` maps source → float factor r ≥ 0: each
+    doc of that source contributes floor(r) full copies plus one more
+    copy with probability frac(r), decided by a deterministic md5 gate
+    on (id, copy index, epoch_seed) — no RNG state, reproducible across
+    runs/engines/cluster sizes, different epochs draw different
+    fractional subsets by seed.
+
+    Output: the input columns + ``rep`` (0-based copy index). Sources
+    absent from ``repeats`` are dropped (explicit beats implicit, as in
+    `budget_select_grouped`). Scale shape: one broadcast join + one
+    explode of an ≤(floor(r)+1)-element integer sequence — row
+    replication happens HERE, after any heavy per-doc transforms, and
+    the typical consumer immediately projects (id, rep, n_tokens) into
+    packing/shuffle, so the wide text column never multiplies through a
+    shuffle."""
+    if any(r < 0 for r in repeats.values()):
+        raise ValueError("repeat factors must be >= 0")
+    spark = docs.sparkSession
+    group_t = docs.schema[source_col].dataType.simpleString()
+    rep_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in repeats.items()],
+        f"{source_col} {group_t}, _r double",
+    )
+    n_full = F.floor("_r").cast("int")
+    frac = F.col("_r") - F.floor("_r")
+    gate = (
+        md5_int_col(
+            F.concat_ws(
+                "\x1f",
+                F.col(id_col).cast("string"),
+                F.col("rep").cast("string"),
+                F.lit(str(epoch_seed)),
+            )
+        )
+        % _SCALE
+    )
+    return (
+        docs.join(F.broadcast(rep_df), source_col)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), n_full)))
+        .where(
+            (F.col("rep") < n_full)
+            | ((frac > 0) & (gate < (frac * _SCALE).cast("long")))
+        )
+        .drop("_r")
+    )

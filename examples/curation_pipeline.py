@@ -197,6 +197,24 @@ def run(spark, sf_dir: str) -> dict[str, int]:
         "budget_select", train.join(picked.select("doc_id"), "doc_id", "left_semi")
     )
 
+    # 6b. epoch materialization + curriculum order: repeat high-value
+    # sources (C52 — here the DSIR-selected docs get 1.5 epochs worth)
+    # and order easy→hard by quality score with seeded within-band
+    # shuffle (C53); the (stage, order_key) order is what a loader
+    # consumes — global_shuffle's key is the degenerate 1-stage case
+    from dbbspark.operators.curriculum import curriculum_order
+    from dbbspark.operators.mixing import epoch_repeats
+
+    epoch = epoch_repeats(
+        train.withColumn("source", F.coalesce("source", F.lit("web"))),
+        {s: 1.5 for s in ("web", "news", "wiki", "books", "forum")},
+        epoch_seed=0,
+    ).withColumn(
+        "difficulty", F.size(F.split("text", " ")).cast("double")
+    )  # length as the classic difficulty proxy: short docs first
+    ordered = curriculum_order(epoch, "difficulty", stages=3, seed=0)
+    stage("epoch_curriculum", ordered.drop("difficulty"))
+
     # 7. pack the train side into fixed-budget training sequences
     packed = pack_sequences(
         train.select("doc_id", "n_tokens"), "doc_id", "n_tokens", budget=512
