@@ -162,6 +162,26 @@ def _curate_chain(big):
     return big.sparkSession.read.parquet(out_dir)
 
 
+def _epoch_repeats(big):
+    from dbbspark.operators.mixing import epoch_repeats
+
+    tagged = big.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string"))
+    )
+    return epoch_repeats(
+        tagged, {f"s{i}": 1.0 + i * 0.5 for i in range(5)}, epoch_seed=3
+    )
+
+
+def _curriculum(big):
+    from dbbspark.operators.curriculum import curriculum_order
+
+    scored = big.select(
+        "doc_id", "text", (F.length("text") % 997).cast("double").alias("score")
+    )
+    return curriculum_order(scored, "score", stages=4, seed=1)
+
+
 _GATE_STATE: dict = {}
 
 
@@ -544,6 +564,10 @@ def main() -> None:
         "budget_select_grouped": lambda: _budget_grouped(big),
         # the composed curation pipeline end-to-end incl. parquet write
         "curate_chain": lambda: _curate_chain(big),
+        # C52 epoch materialization: one broadcast join + tiny explode
+        "epoch_repeats": lambda: _epoch_repeats(big),
+        # C53 curriculum order: quantile cuts + range exchange
+        "curriculum_order": lambda: _curriculum(big),
     }
     for name, build in ops.items():
         if wanted and name not in wanted:

@@ -244,9 +244,34 @@ def cmd_curate(args: argparse.Namespace) -> int:
 
         merges = train_bpe(word_counts(docs), num_merges=args.bpe_merges)
         docs = apply_bpe(docs, merges)
-    global_shuffle(docs, "doc_id", seed=args.seed).write.mode(
-        "overwrite"
-    ).parquet(args.out)
+    order_id = "doc_id"
+    if args.repeats:
+        # C52: materialize per-source epoch repeats; the order id folds
+        # the copy index in so replicated copies spread through the
+        # shuffle instead of clustering adjacently
+        from .operators.mixing import epoch_repeats
+
+        kv = dict(p.split("=", 1) for p in args.repeats.split(","))
+        default = float(kv.pop("*")) if "*" in kv else None
+        docs = epoch_repeats(
+            docs, {k: float(v) for k, v in kv.items()}, default=default
+        ).withColumn("uid", F.col("doc_id") * 16 + F.col("rep"))
+        order_id = "uid"
+    if args.curriculum_stages:
+        from .operators.curriculum import curriculum_order
+
+        out_df = curriculum_order(
+            docs.withColumn(
+                "difficulty", F.size(F.split("text", " ")).cast("double")
+            ),
+            "difficulty",
+            stages=args.curriculum_stages,
+            id_col=order_id,
+            seed=args.seed,
+        ).drop("difficulty")
+    else:
+        out_df = global_shuffle(docs, order_id, seed=args.seed)
+    out_df.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
     print(f"curated={out.count()} -> {args.out}")
     if args.report:
@@ -461,6 +486,21 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="comma list of dominant Unicode scripts to keep "
         "(e.g. 'latin,cyrillic'; C49 routing)",
+    )
+    cu.add_argument(
+        "--repeats",
+        default=None,
+        help="per-source epoch repeat factors, e.g. 'code=3.0,*=1.0' "
+        "('*' = default for unlisted sources, which are otherwise "
+        "dropped; C52: floor(r) pinned copies + md5-gated fractional copy)",
+    )
+    cu.add_argument(
+        "--curriculum-stages",
+        type=int,
+        default=0,
+        help="order the output easy->hard in N token-count quantile bands "
+        "with seeded within-band shuffle (C53) instead of the flat "
+        "global shuffle",
     )
     cu.add_argument(
         "--bpe-merges",

@@ -115,6 +115,7 @@ def epoch_repeats(
     source_col: str = "source",
     id_col: str = "doc_id",
     epoch_seed: int = 0,
+    default: float | None = None,
 ) -> DataFrame:
     """Materialize a repeat-factor training epoch (closure operator C52).
 
@@ -130,13 +131,13 @@ def epoch_repeats(
 
     Output: the input columns + ``rep`` (0-based copy index). Sources
     absent from ``repeats`` are dropped (explicit beats implicit, as in
-    `budget_select_grouped`). Scale shape: one broadcast join + one
+    `budget_select_grouped`) unless ``default`` gives them a factor. Scale shape: one broadcast join + one
     explode of an ≤(floor(r)+1)-element integer sequence — row
     replication happens HERE, after any heavy per-doc transforms, and
     the typical consumer immediately projects (id, rep, n_tokens) into
     packing/shuffle, so the wide text column never multiplies through a
     shuffle."""
-    if any(r < 0 for r in repeats.values()):
+    if any(r < 0 for r in repeats.values()) or (default is not None and default < 0):
         raise ValueError("repeat factors must be >= 0")
     spark = docs.sparkSession
     group_t = docs.schema[source_col].dataType.simpleString()
@@ -157,9 +158,19 @@ def epoch_repeats(
         )
         % _SCALE
     )
+    joined = (
+        docs.join(F.broadcast(rep_df), source_col, "left")
+        .withColumn(
+            "_r",
+            F.coalesce(
+                F.col("_r"),
+                F.lit(float(default)) if default is not None else F.lit(None),
+            ),
+        )
+        .where(F.col("_r").isNotNull())
+    )
     return (
-        docs.join(F.broadcast(rep_df), source_col)
-        .withColumn("rep", F.explode(F.sequence(F.lit(0), n_full)))
+        joined.withColumn("rep", F.explode(F.sequence(F.lit(0), n_full)))
         .where(
             (F.col("rep") < n_full)
             | ((frac > 0) & (gate < (frac * _SCALE).cast("long")))

@@ -206,9 +206,7 @@ def run(spark, sf_dir: str) -> dict[str, int]:
     from dbbspark.operators.mixing import epoch_repeats
 
     epoch = epoch_repeats(
-        train.withColumn("source", F.coalesce("source", F.lit("web"))),
-        {s: 1.5 for s in ("web", "news", "wiki", "books", "forum")},
-        epoch_seed=0,
+        train, {}, default=1.5, epoch_seed=0
     ).withColumn(
         "difficulty", F.size(F.split("text", " ")).cast("double")
     )  # length as the classic difficulty proxy: short docs first

@@ -183,3 +183,30 @@ def test_curate_funnel_attributes_script_drops(sf_dir, tmp_path, capsys):
     assert curated == 0
     assert stages["script"]["dropped"] == stages["script"]["reached"]
     assert funnel[-1]["survived_after"] == curated
+
+
+def test_curate_repeats_and_curriculum(sf_dir, tmp_path, capsys):
+    """--repeats materializes per-source epoch copies; --curriculum-stages
+    writes a banded easy->hard ordering instead of the flat shuffle."""
+    from dbbspark.session import get_spark
+
+    rc = cli.main(
+        ["curate", "--sf-dir", sf_dir, "--out", str(tmp_path / "r"),
+         "--repeats", "*=2.0",
+         "--curriculum-stages", "3"]
+    )
+    assert rc == 0
+    base = int(
+        next(
+            line.split("curated=")[1].split(" ")[0]
+            for line in capsys.readouterr().out.splitlines()
+            if line.startswith("curated=")
+        )
+    )
+    spark = get_spark("t")
+    out = spark.read.parquet(str(tmp_path / "r"))
+    rows = out.count()
+    # x2.0 on every source: exactly two copies of each surviving doc
+    assert rows == base and base % 2 == 0
+    assert {r["rep"] for r in out.select("rep").distinct().collect()} == {0, 1}
+    assert "stage" in out.columns and "order_key" in out.columns

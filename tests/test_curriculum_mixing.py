@@ -119,3 +119,13 @@ def test_curriculum_no_global_single_partition_sort(spark):
     )
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_default_wildcard_rate(spark):
+    d = _docs(spark, 300)
+    out = epoch_repeats(d, {"web": 2.0}, default=1.0)
+    by = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by == {"web": 200, "code": 100, "books": 100}

@@ -373,3 +373,27 @@ def test_grouped_budget_select_broadcast_offsets(spark):
     plan = picked._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_folded_funnel_and_profiler_stay_cheap(spark, sf_dir):
+    """The r5 folds must not change plan shape: q_rollup's profiler
+    columns ride the SAME rollup exchange (exactly one), and
+    q_text_stats' set-valued funnel stage joins as a broadcast with no
+    Python anywhere."""
+    from dbbspark.catalog import load_all
+
+    q = load_all()
+    rollup_plan = (
+        q["q_rollup"].builder(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert rollup_plan.count("Exchange ") == 1, rollup_plan
+    assert "EvalPython" not in rollup_plan
+
+    stats_plan = (
+        q["q_text_stats"].builder(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in stats_plan
+    assert "SortMergeJoin" not in stats_plan
+    assert "EvalPython" not in stats_plan
