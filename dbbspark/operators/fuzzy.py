@@ -44,6 +44,65 @@ def _qgrams(col: str, q: int) -> str:
     )
 
 
+def fuzzy_join_d1(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """EXACT edit-distance-≤1 join via deletion-neighborhood blocking
+    (the FastSS scheme): index each key's D1 set — the key itself plus
+    every single-character deletion — and join on shared variants; two
+    strings within edit distance 1 ALWAYS share a D1 variant (equality →
+    the key; substitution at i → both i-deletions; insert/delete → the
+    shorter key is in the longer's deletion set and its own). Unlike the
+    q-gram path this has NO degenerate corpus: serial/padded keys whose
+    only distinguishing characters sit in a sea of shared hub grams
+    (where gram blocking must either cap hubs — losing pairs — or go
+    quadratic) block on small wildcard buckets instead, at L+1 variant
+    rows per key. Same output contract/columns as `fuzzy_join`."""
+    def variants(df: DataFrame, idc: str, tag: str) -> DataFrame:
+        # variants travel as xxhash64 longs (narrow shuffle, long-key
+        # join); a hash collision only admits an extra CANDIDATE, which
+        # the levenshtein verifier below discards — output unaffected.
+        k = f"lower({key})"
+        return (
+            # re-spread first: reconcile residuals often arrive in a
+            # couple of post-AQE partitions, which would serialize the
+            # L+1-variant explode + hash onto two cores (narrow rows —
+            # the shuffle is trivial at any scale)
+            df.where(F.col(key).isNotNull())
+            .repartition(F.col(idc))
+            .select(
+                F.col(idc).alias(f"_{tag}id"),
+                F.expr(k).alias(f"_{tag}key"),
+                F.explode(
+                    F.expr(
+                        f"array_distinct(transform(sequence(0, length({k})), "
+                        f"i -> xxhash64(CASE WHEN i = 0 THEN {k} "
+                        f"ELSE concat(substring({k}, 1, i - 1), "
+                        f"substring({k}, i + 1, length({k}))) END)))"
+                    )
+                ).alias("_vh"),
+            )
+        )
+
+    pairs = (
+        variants(a, id_a, "a")
+        .join(variants(b, id_b, "b"), "_vh")
+        .where(F.levenshtein("_akey", "_bkey") <= 1)
+        .dropDuplicates(["_aid", "_bid"])
+    )
+    return pairs.select(
+        F.col("_aid").alias(id_a),
+        F.col("_bid").alias(id_b),
+        F.col("_akey").alias("key_a"),
+        F.col("_bkey").alias("key_b"),
+        F.levenshtein("_akey", "_bkey").alias("distance"),
+    )
+
+
 def fuzzy_join(
     a: DataFrame,
     b: DataFrame,
@@ -62,7 +121,15 @@ def fuzzy_join(
     BEFORE the Levenshtein verifier; the verifier prunes to the exact
     answer. `max_df` caps posting hubs (stop-grams) — the documented
     approximation for dirty corpora where some q-gram is near-universal.
+
+    ``max_distance == 1`` routes to `fuzzy_join_d1` (deletion-
+    neighborhood blocking): EXACT with no cap and no hub pathology —
+    on padded serial keys ('DECam_00000005…') the gram path's only
+    distinguishing grams drown in capped hubs, while D1 wildcard
+    buckets stay small.
     """
+    if max_distance == 1:
+        return fuzzy_join_d1(a, b, key, id_a, id_b)
     def side(df: DataFrame, idc: str, tag: str) -> DataFrame:
         return (
             df.select(

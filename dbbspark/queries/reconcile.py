@@ -60,25 +60,89 @@ def extra_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_reconcile_anti",
     oracle=_RECON_CTES
     + """
-    SELECT 'missing' AS side, nite, expnum, propid, obstype FROM missing
+    , mf AS (SELECT *, printf('DECam_%08d.fits.fz', expnum) AS fn FROM missing),
+      xf AS (SELECT *, printf('DECam_%08d.fits.fz', expnum) AS fn FROM extra),
+      ln AS (SELECT max(nite) AS v FROM
+               (SELECT nite FROM mf UNION ALL SELECT nite FROM xf)),
+      pairs AS (
+        SELECT m.expnum AS m_expnum, x.expnum AS x_expnum,
+               levenshtein(m.fn, x.fn) AS d
+        FROM mf m CROSS JOIN xf x
+        WHERE m.nite = (SELECT v FROM ln) AND x.nite = (SELECT v FROM ln)
+          AND levenshtein(m.fn, x.fn) <= 1),
+      best AS (
+        SELECT * FROM (
+          SELECT pairs.*, row_number() OVER (
+            PARTITION BY m_expnum ORDER BY d, x_expnum) AS r1
+          FROM pairs) WHERE r1 = 1),
+      assigned AS (
+        SELECT m_expnum, x_expnum FROM (
+          SELECT best.*, row_number() OVER (
+            PARTITION BY x_expnum ORDER BY d, m_expnum) AS r2
+          FROM best) WHERE r2 = 1)
+    SELECT 'missing' AS side, nite, mf.expnum, propid, obstype,
+           a.x_expnum AS fuzzy_partner
+    FROM mf LEFT JOIN assigned a ON mf.expnum = a.m_expnum
     UNION ALL
-    SELECT 'extra' AS side, nite, expnum, propid, obstype FROM extra
+    SELECT 'extra' AS side, nite, xf.expnum, propid, obstype,
+           a.m_expnum AS fuzzy_partner
+    FROM xf LEFT JOIN assigned a ON xf.expnum = a.x_expnum
     """,
-    doc="J3+J4 (merged): the two left-anti-join reconciliation reports — "
-    "'missing' (delivered but never archived and not failed, "
+    doc="J3+J4+C47 (merged): the two left-anti-join reconciliation "
+    "reports — 'missing' (delivered but never archived and not failed, "
     "bin/monitor_DBB_stagein.py:1028) and 'extra' (archived but unknown "
     "to the observatory, bin/monitor_DBB_stagein.py:1023) — tagged and "
-    "unioned.",
-    tags=("join", "reconcile"),
+    "unioned, PLUS the fuzzy rename pairing for the LATEST nite's "
+    "residuals (the daily-reconcile scope the reference's cron runs "
+    "live in): `fuzzy_partner` carries the counterpart expnum when the "
+    "row's archive filename is within edit distance 1 of a row on the "
+    "other side "
+    "(monitor.fuzzy_reconcile over the FastSS deletion-neighborhood "
+    "route of operators/fuzzy.py — EXACT blocking even on these padded "
+    "serial filenames, where the q-gram path's distinguishing grams "
+    "drown in hubs; the oracle states the same one-to-one greedy "
+    "assignment over the naive cross join, which the blocked rewrite "
+    "reproduces exactly).",
+    tags=("join", "reconcile", "fuzzy"),
 )
 def q_reconcile_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = missing_df(spark, sf_dir).select(
-        F.lit("missing").alias("side"), "nite", "expnum", "propid", "obstype"
+    from ..monitor import fuzzy_reconcile
+    from ..session import cut_lineage
+
+    fname = F.format_string("DECam_%08d.fits.fz", F.col("expnum"))
+    # each residual side feeds BOTH the fuzzy pairing and its output leg:
+    # pin one evaluation of the anti-join chains (lazy lineage cut)
+    m = cut_lineage(missing_df(spark, sf_dir).withColumn("fn", fname))
+    x = cut_lineage(extra_df(spark, sf_dir).withColumn("fn", fname))
+    latest = (
+        m.select("nite").unionByName(x.select("nite")).agg(F.max("nite").alias("_ln"))
     )
-    x = extra_df(spark, sf_dir).select(
-        F.lit("extra").alias("side"), "nite", "expnum", "propid", "obstype"
+    matches, _, _ = fuzzy_reconcile(
+        m.join(F.broadcast(latest), m.nite == F.col("_ln")).select(
+            F.col("expnum").alias("m_expnum"), F.col("fn").alias("filename")
+        ),
+        x.join(F.broadcast(latest), x.nite == F.col("_ln")).select(
+            F.col("expnum").alias("x_expnum"), F.col("fn").alias("filename")
+        ),
+        "filename",
+        "m_expnum",
+        "x_expnum",
+        max_distance=1,
     )
-    return m.unionByName(x)
+    pairs = matches.select("m_expnum", "x_expnum")
+    m_out = m.join(
+        pairs, m.expnum == pairs.m_expnum, "left"
+    ).select(
+        F.lit("missing").alias("side"), "nite", "expnum", "propid", "obstype",
+        F.col("x_expnum").alias("fuzzy_partner"),
+    )
+    x_out = x.join(
+        pairs, x.expnum == pairs.x_expnum, "left"
+    ).select(
+        F.lit("extra").alias("side"), "nite", "expnum", "propid", "obstype",
+        F.col("m_expnum").alias("fuzzy_partner"),
+    )
+    return m_out.unionByName(x_out)
 
 
 @query(

@@ -71,13 +71,15 @@ def test_short_keys_block_via_padding(spark):
 
 def test_stop_gram_cap_documented_approximation(spark):
     """With a tiny max_df, pairs joined ONLY through hub grams vanish —
-    the same capped contract as jaccard_pairs."""
+    the same capped contract as jaccard_pairs. (Distance 2: the gram
+    path; distance 1 routes to the exact deletion-neighborhood path,
+    where the cap does not apply.)"""
     rows_a = [(i, f"commonprefix{i}") for i in range(30)]
     rows_b = [(100 + i, f"commonprefix{i}") for i in range(30)]
     a = spark.createDataFrame(rows_a, "id_a long, key string")
     b = spark.createDataFrame(rows_b, "id_b long, key string")
-    uncapped = fuzzy_join(a, b, "key", max_distance=1, max_df=None).count()
-    capped = fuzzy_join(a, b, "key", max_distance=1, max_df=5).count()
+    uncapped = fuzzy_join(a, b, "key", max_distance=2, max_df=None).count()
+    capped = fuzzy_join(a, b, "key", max_distance=2, max_df=5).count()
     assert capped < uncapped
 
 
@@ -164,3 +166,59 @@ def test_cap_does_not_reject_identical_keys_with_hub_prefix(spark):
     keys = dict(rows)
     for r in out:
         assert _lev(keys[r["id_a"]], keys[r["id_b"] - 100]) <= 1
+
+
+def test_d1_deletion_blocking_exact_on_degenerate_keys(spark):
+    """max_distance=1 routes through FastSS deletion-neighborhood
+    blocking — exact even on padded serial keys whose distinguishing
+    grams are drowned by corpus-wide hub grams (the case the capped
+    q-gram path documentedly loses)."""
+    left = [(i, f"DECam_{i:08d}.fits.fz") for i in (5, 17, 123, 4071)]
+    right = [(100 + i, f"DECam_{i:08d}.fits.fz") for i in (7, 16, 124, 9071, 4071)]
+    a = spark.createDataFrame(left, "id_a long, key string")
+    b = spark.createDataFrame(right, "id_b long, key string")
+    # tiny max_df: the gram path would cap every shared gram away;
+    # the d1 route must still be exact
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_join(a, b, "key", max_distance=1, max_df=5).collect()
+    }
+    want = {
+        (ia, ib, _lev(ka.lower(), kb.lower()))
+        for ia, ka in left
+        for ib, kb in right
+        if _lev(ka.lower(), kb.lower()) <= 1
+    }
+    assert got == want
+    assert (5, 107, 1) in got and (4071, 4171, 0) in got
+
+
+def test_d1_matches_brute_force_random(spark):
+    rng = random.Random(97)
+    left = [(i, "".join(rng.choice("abc") for _ in range(rng.randint(1, 8))))
+            for i in range(60)]
+    right = [(100 + i, _mutate(rng, left[i % 60][1], rng.randint(0, 2)))
+             for i in range(60)]
+    a = spark.createDataFrame(left, "id_a long, key string")
+    b = spark.createDataFrame(right, "id_b long, key string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_join(a, b, "key", max_distance=1).collect()
+    }
+    want = {
+        (ia, ib, _lev(ka, kb))
+        for ia, ka in left
+        for ib, kb in right
+        if _lev(ka, kb) <= 1
+    }
+    assert got == want
+
+
+def test_d1_jvm_only_plan(spark):
+    a = spark.createDataFrame([(1, "abc")], "id_a long, key string")
+    b = spark.createDataFrame([(2, "abd")], "id_b long, key string")
+    plan = (
+        fuzzy_join(a, b, "key", max_distance=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
