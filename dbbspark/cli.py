@@ -350,6 +350,32 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_scrub(args: argparse.Namespace) -> int:
+    """Archive integrity scrub (maintenance.verify_archive): recompute
+    checksums over the resting archive, cross-check the registry, print
+    findings; nonzero exit when anything is wrong (cron-alert shape,
+    like profile --checks)."""
+    import json
+
+    from .maintenance import verify_archive
+
+    spark = _session("dbbspark-scrub")
+    findings = verify_archive(
+        spark,
+        args.archive,
+        registry_path=args.registry,
+        sample_fraction=args.sample,
+        sample_salt=args.salt,
+    ).collect()
+    by_kind: dict = {}
+    for r in findings:
+        by_kind[r["finding"]] = by_kind.get(r["finding"], 0) + 1
+    print(json.dumps({"findings": len(findings), "by_kind": by_kind}))
+    for r in findings[:20]:
+        print(f"{r['finding']}\t{r['filename']}\t{r['expected']} -> {r['actual']}")
+    return 1 if findings else 0
+
+
 def cmd_profile(args: argparse.Namespace) -> int:
     """One-pass per-column data-quality profile of a parquet dataset
     (operators/profile.py C46); with --baseline, also print drift
@@ -545,6 +571,19 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--audit-only", action="store_true")
     co.add_argument("--drop-backup", action="store_true")
     co.set_defaults(fn=cmd_compact)
+
+    sc = sub.add_parser(
+        "scrub",
+        help="archive integrity scrub: re-checksum resting files, "
+        "cross-check the registry (nonzero exit on findings)",
+    )
+    sc.add_argument("--archive", required=True)
+    sc.add_argument("--registry", default=None)
+    sc.add_argument("--sample", type=float, default=None,
+                    help="rotating partial scrub fraction (deterministic hash gate)")
+    sc.add_argument("--salt", type=int, default=0,
+                    help="scrub epoch: vary per run to rotate the sampled slice")
+    sc.set_defaults(fn=cmd_scrub)
 
     pr = sub.add_parser("profile", help="one-pass per-column data-quality profile")
     pr.add_argument("--path", required=True)

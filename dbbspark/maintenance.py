@@ -191,3 +191,112 @@ def compact_gate_index(
         fs.rename(Path(backup), hpath)
         raise IOError(f"index compaction failed: could not move {staging} in")
     return backup
+
+
+def verify_archive(
+    spark: SparkSession,
+    archive_root: str,
+    registry_path: str | None = None,
+    sample_fraction: float | None = None,
+    sample_salt: int = 0,
+):
+    """Archive integrity scrub — the re-verification side of the
+    reference's md5-after-copy (`bin/save_DBB_stagein_to_DBB.py:100-109`),
+    run PERIODICALLY over the resting archive instead of once at copy
+    time (bit rot, partial writes, out-of-band edits). Returns a
+    findings DataFrame — empty means clean:
+
+    - ``content_md5_mismatch``: recomputed md5(content) differs from the
+      stored checksum (the actual bit-rot signal);
+    - ``size_mismatch``: stored byte length differs from recorded
+      filesize;
+    with ``registry_path`` also the cross-system checks the monitor's
+    reconciliation does for presence, applied to CONTENT:
+    - ``registry_md5_mismatch``: archive and registry disagree on the
+      checksum of the same filename;
+    - ``missing_in_registry`` / ``missing_in_archive``: presence drift.
+
+    One map-only scan of the archive (+ narrow joins for the registry
+    legs). ``sample_fraction`` makes it a rotating partial scrub: a
+    deterministic md5 hash gate on (filename, salt) — change the salt
+    per scrub epoch and successive runs cover different slices,
+    reproducibly (no RNG state; the C10 sampling device)."""
+    from .operators.dedup import md5_int_col
+
+    arch = spark.read.parquet(archive_root)
+    if sample_fraction is not None:
+        gate = md5_int_col(
+            F.concat_ws("\x1f", F.col("filename"), F.lit(str(sample_salt)))
+        ) % 1_000_000
+        arch = arch.where(gate < int(sample_fraction * 1_000_000))
+    checked = arch.select(
+        "filename",
+        "filetype",
+        "nite",
+        "md5sum",
+        "filesize",
+        F.md5("content").alias("_actual_md5"),
+        F.length("content").cast("long").alias("_actual_size"),
+    )
+
+    def finding(df, kind, expected, actual):
+        return df.select(
+            "filename",
+            F.lit(kind).alias("finding"),
+            expected.cast("string").alias("expected"),
+            actual.cast("string").alias("actual"),
+        )
+
+    out = finding(
+        checked.where(F.col("_actual_md5") != F.col("md5sum")),
+        "content_md5_mismatch",
+        F.col("md5sum"),
+        F.col("_actual_md5"),
+    ).unionByName(
+        finding(
+            checked.where(F.col("_actual_size") != F.col("filesize")),
+            "size_mismatch",
+            F.col("filesize"),
+            F.col("_actual_size"),
+        )
+    )
+    if registry_path is not None:
+        reg = spark.read.parquet(registry_path).select(
+            "filename", F.col("md5sum").alias("_reg_md5")
+        )
+        a_sums = checked.select("filename", "md5sum")
+        out = (
+            out.unionByName(
+                finding(
+                    a_sums.join(reg, "filename").where(
+                        F.col("md5sum") != F.col("_reg_md5")
+                    ),
+                    "registry_md5_mismatch",
+                    F.col("_reg_md5"),
+                    F.col("md5sum"),
+                )
+            )
+            .unionByName(
+                finding(
+                    a_sums.join(reg, "filename", "left_anti"),
+                    "missing_in_registry",
+                    F.lit(None),
+                    F.col("md5sum"),
+                )
+            )
+            .unionByName(
+                finding(
+                    reg.join(
+                        # presence drift checks run on the FULL archive
+                        # name set even under sampling (names are narrow)
+                        spark.read.parquet(archive_root).select("filename"),
+                        "filename",
+                        "left_anti",
+                    ),
+                    "missing_in_archive",
+                    F.col("_reg_md5"),
+                    F.lit(None),
+                )
+            )
+        )
+    return out

@@ -210,3 +210,27 @@ def test_curate_repeats_and_curriculum(sf_dir, tmp_path, capsys):
     assert rows == base and base % 2 == 0
     assert {r["rep"] for r in out.select("rep").distinct().collect()} == {0, 1}
     assert "stage" in out.columns and "order_key" in out.columns
+
+
+def test_scrub_cli_exit_codes(spark, tmp_path, capsys):
+    import hashlib
+
+    ok = hashlib.md5(b"x").hexdigest()
+    spark.createDataFrame(
+        [("a.fits", bytearray(b"x"), ok, 1, "raw", "20240101"),
+         ("b.fits", bytearray(b"y"), ok, 1, "raw", "20240101")],
+        "filename string, content binary, md5sum string, filesize long, "
+        "filetype string, nite string",
+    ).write.partitionBy("filetype", "nite").parquet(str(tmp_path / "arch"))
+
+    rc = cli.main(["scrub", "--archive", str(tmp_path / "arch")])
+    assert rc == 1  # b.fits is rotten
+    out = capsys.readouterr().out
+    assert "content_md5_mismatch" in out and "b.fits" in out
+
+    spark.createDataFrame(
+        [("a.fits", bytearray(b"x"), ok, 1, "raw", "20240101")],
+        "filename string, content binary, md5sum string, filesize long, "
+        "filetype string, nite string",
+    ).write.partitionBy("filetype", "nite").parquet(str(tmp_path / "clean"))
+    assert cli.main(["scrub", "--archive", str(tmp_path / "clean")]) == 0

@@ -156,3 +156,106 @@ def test_compact_refuses_snapshot_versioned_layout(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="snapshot layout"):
         compact_gate_index(spark, idx)
+
+
+def test_verify_archive_findings_and_clean(spark, tmp_path):
+    """C54 integrity scrub: planted bit-rot, size drift, registry
+    disagreement, and presence drift each produce exactly one finding;
+    a consistent archive/registry pair produces none."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dbbspark.maintenance import verify_archive
+
+    def md5(b):
+        return hashlib.md5(b).hexdigest()
+
+    rows = [
+        # (filename, content, stored_md5, stored_size)  — all consistent
+        ("ok.fits", b"payload-ok", md5(b"payload-ok"), 10),
+        # bit rot: stored checksum is of the ORIGINAL bytes
+        ("rot.fits", b"payload-XX", md5(b"payload-ok"), 10),
+        # size drift only (md5 stored for current content)
+        ("short.fits", b"abc", md5(b"abc"), 99),
+        # consistent here, but the registry disagrees on md5
+        ("regbad.fits", b"zz", md5(b"zz"), 2),
+        # consistent, but never registered
+        ("unreg.fits", b"qq", md5(b"qq"), 2),
+    ]
+    arch = spark.createDataFrame(
+        [(f, bytearray(c), m, s, "raw", "20240101") for f, c, m, s in rows],
+        "filename string, content binary, md5sum string, filesize long, "
+        "filetype string, nite string",
+    )
+    arch.write.partitionBy("filetype", "nite").parquet(str(tmp_path / "a"))
+    reg = spark.createDataFrame(
+        [
+            ("ok.fits", md5(b"payload-ok")),
+            ("rot.fits", md5(b"payload-ok")),
+            ("short.fits", md5(b"abc")),
+            ("regbad.fits", md5(b"DIFFERENT")),
+            ("lost.fits", md5(b"gone")),  # registered, not archived
+        ],
+        "filename string, md5sum string",
+    )
+    reg.write.parquet(str(tmp_path / "r"))
+
+    got = {
+        (r["finding"], r["filename"])
+        for r in verify_archive(
+            spark, str(tmp_path / "a"), str(tmp_path / "r")
+        ).collect()
+    }
+    assert got == {
+        ("content_md5_mismatch", "rot.fits"),
+        ("size_mismatch", "short.fits"),
+        ("registry_md5_mismatch", "regbad.fits"),
+        ("missing_in_registry", "unreg.fits"),
+        ("missing_in_archive", "lost.fits"),
+    }
+
+    # clean pair → no findings
+    clean = arch.where(F.col("filename") == "ok.fits")
+    clean.write.partitionBy("filetype", "nite").parquet(str(tmp_path / "ca"))
+    reg.where("filename = 'ok.fits'").write.parquet(str(tmp_path / "cr"))
+    assert (
+        verify_archive(spark, str(tmp_path / "ca"), str(tmp_path / "cr")).count()
+        == 0
+    )
+
+
+def test_verify_archive_rotating_sample(spark, tmp_path):
+    """Sampled scrubs are deterministic per salt and cover different
+    slices across salts; presence drift still checks the full name set."""
+    import hashlib
+
+    from dbbspark.maintenance import verify_archive
+
+    rows = [
+        (f"f{i:03d}", bytes([i]), hashlib.md5(bytes([i])).hexdigest(), 1,
+         "raw", "20240101")
+        for i in range(200)
+    ]
+    spark.createDataFrame(
+        [(f, bytearray(c), m, s, t, n) for f, c, m, s, t, n in rows],
+        "filename string, content binary, md5sum string, filesize long, "
+        "filetype string, nite string",
+    ).write.partitionBy("filetype", "nite").parquet(str(tmp_path / "a"))
+
+    a = verify_archive(spark, str(tmp_path / "a"), sample_fraction=0.3)
+    b = verify_archive(spark, str(tmp_path / "a"), sample_fraction=0.3)
+    assert a.count() == 0 and b.count() == 0  # clean either way
+    # determinism + rotation are visible through the sampled row sets
+    from dbbspark.operators.dedup import md5_int_col
+    from pyspark.sql import functions as F
+
+    def sampled_names(salt):
+        arch = spark.read.parquet(str(tmp_path / "a"))
+        gate = md5_int_col(
+            F.concat_ws("\x1f", F.col("filename"), F.lit(str(salt)))
+        ) % 1_000_000
+        return {r["filename"] for r in arch.where(gate < 300_000).collect()}
+
+    s0, s1 = sampled_names(0), sampled_names(1)
+    assert s0 and s1 and s0 != s1
