@@ -381,7 +381,11 @@ def _fuzzy(spark, n=50_000):
     ZERO rows in 75 s — every gram was a >2000-df hub, the cap dropped
     them all, and the count filter then (correctly) rejected everything.
     That run is kept as the documented failure mode: short homogeneous
-    keys need a larger q or no cap, not silent trust in defaults."""
+    keys need a larger q or no cap, not silent trust in defaults.
+
+    r5: max_distance=1 auto-routes to the FastSS deletion-neighborhood
+    path, which is EXACT and hub-immune — `_fuzzy_homog` below re-runs
+    the homogeneous-template envelope that used to return zero rows."""
     from dbbspark.operators.fuzzy import fuzzy_join
 
     key = F.substring(F.md5(F.col("id").cast("string")), 1, 16)
@@ -394,6 +398,30 @@ def _fuzzy(spark, n=50_000):
         ).otherwise(key).alias("key"),
     )
     return fuzzy_join(a, b, "key", max_distance=1, max_df=2000)
+
+
+def _fuzzy_homog(spark, n=50_000):
+    """The q-gram path's documented failure envelope, now served by the
+    d1 route: homogeneous template keys ('item-<n>-<m>' — every gram a
+    corpus-wide hub, zero rows under the capped gram path) and padded
+    serial keys ('DECam_%08d' — the q_reconcile_anti shape). The d1
+    deletion-neighborhood blocking is exact on both."""
+    from dbbspark.operators.fuzzy import fuzzy_join
+
+    a = spark.range(n).select(
+        F.col("id").alias("id_a"),
+        F.format_string("item-%d-%d", F.col("id") % 500, F.col("id")).alias("key"),
+    )
+    b = spark.range(n).select(
+        (F.col("id") + 1_000_000).alias("id_b"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.format_string("item-%d-%dx", F.col("id") % 500, F.col("id")),
+        ).otherwise(
+            F.format_string("item-%d-%d", F.col("id") % 500, F.col("id"))
+        ).alias("key"),
+    )
+    return fuzzy_join(a, b, "key", max_distance=1)
 
 
 def _purity(big):
@@ -553,6 +581,8 @@ def main() -> None:
         "winnow_pairs": lambda: _winnow(big, pairs=True),
         # C47 fuzzy join: 50k x 50k approximate-key linkage
         "fuzzy_join": lambda: _fuzzy(big.sparkSession),
+        # d1 route on the gram path's failure envelope (hub-only keys)
+        "fuzzy_homog_d1": lambda: _fuzzy_homog(big.sparkSession),
         # C50 purity audit over the real clustering of the replicated
         # corpus (copies-member clusters): member-to-rep exact Jaccard
         "cluster_purity": lambda: _purity(big),

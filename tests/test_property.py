@@ -201,3 +201,83 @@ def test_winnow_fingerprints_subset_of_gram_hashes(spark, t):
     grams, fps = set(row["g"]), set(row["fingerprints"])
     assert fps <= grams
     assert (len(fps) >= 1) == (len(grams) >= 1)
+
+
+@given(
+    keys_a=st.lists(st.text(alphabet="ab", min_size=0, max_size=5), min_size=1, max_size=8),
+    keys_b=st.lists(st.text(alphabet="ab", min_size=0, max_size=5), min_size=1, max_size=8),
+)
+@settings(**SETTINGS)
+def test_fuzzy_d1_equals_brute_force_property(spark, keys_a, keys_b):
+    """FastSS deletion-neighborhood route ≡ the cross-join formulation
+    for edit distance <= 1, over a tiny alphabet (maximizes collisions,
+    repeats, and empty strings — the shapes that break blocking)."""
+    from dbbspark.operators.fuzzy import fuzzy_join
+
+    def lev1(x, y):
+        if x == y:
+            return 0
+        if abs(len(x) - len(y)) > 1:
+            return 9
+        # distance-1 check: substitution or single indel
+        if len(x) == len(y):
+            return 1 if sum(c != d for c, d in zip(x, y)) == 1 else 9
+        lo, hi = (x, y) if len(x) < len(y) else (y, x)
+        for i in range(len(hi)):
+            if hi[:i] + hi[i + 1:] == lo:
+                return 1
+        return 9
+
+    a = spark.createDataFrame(
+        [(i, k if k else None) for i, k in enumerate(keys_a)],
+        "id_a long, key string",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, k if k else None) for i, k in enumerate(keys_b)],
+        "id_b long, key string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_join(a, b, "key", max_distance=1).collect()
+    }
+    want = {
+        (ia, 100 + ib, lev1(ka, kb))
+        for ia, ka in enumerate(keys_a)
+        for ib, kb in enumerate(keys_b)
+        if ka and kb and lev1(ka, kb) <= 1
+    }
+    assert got == want
+
+
+@given(
+    factors=st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+        min_size=1,
+        max_size=3,
+    ),
+    seed=st.integers(min_value=0, max_value=3),
+)
+@settings(**SETTINGS)
+def test_epoch_repeats_count_bounds_property(spark, factors, seed):
+    """For any repeat map: per-source counts land in
+    [n*floor(r), n*ceil(r)], integer copies are exact, and the result
+    is partition-invariant."""
+    import math
+
+    from dbbspark.operators.mixing import epoch_repeats
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_repeats(d, factors, epoch_seed=seed)
+    by = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    per_source = 10
+    for s_name, r in factors.items():
+        n = by.get(s_name, 0)
+        assert per_source * math.floor(r) <= n <= per_source * math.ceil(r)
+    assert set(by) <= set(factors)
+    again = epoch_repeats(d.repartition(7), factors, epoch_seed=seed)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
