@@ -618,6 +618,7 @@ def main() -> None:
         "pq_topk",
         "ann_recall",
         "pq_recall_clustered",
+        "ann_drift",
     }:
         return
 
@@ -686,6 +687,9 @@ def main() -> None:
 
     if wanted and "pq_recall_clustered" in wanted:
         _pq_recall_clustered(spark)
+
+    if wanted and "ann_drift" in wanted:
+        _ann_drift(spark)
 
     if not wanted or wanted & {"zorder_scan_clustered", "zorder_scan_xsorted"}:
         _zorder_bench(spark, args.reps)
@@ -839,6 +843,87 @@ def _ann_recall(spark, bigv, reps: int) -> None:
                     "sec": round(best, 2),
                     "recall_at_5": round(hits / max(n_truth, 1), 4),
                     "brute_sec": round(brute_sec, 2),
+                }
+            )
+        )
+
+
+def _ann_drift(spark) -> None:
+    """C39 drift policy cost accounting: gate 4×10k-vector batches
+    (d=64) through the batch caller with the per-batch reconstruction
+    profile; batch 3 drifts (shifted mixture) and triggers a retrain +
+    full index re-key. Reports the steady-state per-batch overhead of
+    the profile check and the one-time retrain+rebuild cost."""
+    import time as _t
+
+    from pyspark.sql import functions as FF
+
+    from dbbspark.operators.pq import train_ivfpq
+    from dbbspark.operators.similarity import train_centroids
+    from dbbspark.streaming.annindex import (
+        _index_codes,
+        process_batch,
+        quantizer_drift,
+        quantizer_profile,
+        rebuild_index,
+        retrain_quantizer,
+    )
+    import tempfile
+
+    base_center = "sin((id % 16) * 7.31 + j * 1.77) * 2.0"
+    drift_center = "sin((id % 16) * 3.91 + j * 2.33) * 2.5"
+    noise = "(mod(sin(id * 12.9898 + j * 78.233) * 43758.5453, 1.0) - 0.5)"
+
+    def batch(start, n, center):
+        return (
+            spark.range(start, start + n)
+            .select(
+                FF.col("id").alias("vec_id"),
+                FF.expr(
+                    f"transform(sequence(0, 63), "
+                    f"j -> cast({center} + {noise} * 0.8 as double))"
+                ).alias("embedding"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    boot = batch(0, 20_000, base_center)
+    cents = train_centroids(boot, k=16).localCheckpoint(eager=True)
+    cents.count()
+    books = train_ivfpq(boot, cents, m=8, k=16)
+    root = tempfile.mkdtemp(prefix="dbbspark_anndrift_")
+    idx, acc = f"{root}/idx", f"{root}/acc"
+
+    baseline = None
+    state_c, state_b = cents, books
+    for bid, center in enumerate([base_center, base_center, drift_center, drift_center]):
+        bvec = batch(1_000_000 * (bid + 1), 10_000, center)
+        t0 = _t.time()
+        prof = quantizer_profile(bvec, state_c, state_b)
+        prof_sec = _t.time() - t0
+        retrain_sec = 0.0
+        if baseline is None:
+            baseline = prof
+        elif quantizer_drift(baseline, prof, stds=2.0):
+            t0 = _t.time()
+            acc_vecs = spark.read.parquet(acc).select("vec_id", "embedding")
+            state_c, state_b = retrain_quantizer(
+                acc_vecs.unionByName(bvec), 16, 8, 16
+            )
+            rebuild_index(spark, acc, idx, state_c, state_b)
+            baseline = quantizer_profile(bvec, state_c, state_b)
+            retrain_sec = _t.time() - t0
+        t0 = _t.time()
+        process_batch(bvec, bid, idx, acc, state_c, state_b)
+        gate_sec = _t.time() - t0
+        print(
+            json.dumps(
+                {
+                    "op": f"ann_drift_batch{bid}",
+                    "profile_sec": round(prof_sec, 2),
+                    "gate_sec": round(gate_sec, 2),
+                    "retrain_sec": round(retrain_sec, 2),
+                    "index_rows": _index_codes(spark, idx).count(),
                 }
             )
         )
