@@ -112,3 +112,39 @@ def test_lazy_cut_preserves_values_in_reliable_mode(spark, ckpt_dir):
         assert cnt == sum(1 for i in range(1000) if i * 3 % 17 > 8)
     finally:
         spark.conf.unset(CHECKPOINT_DIR_CONF)
+
+
+def test_reliable_mode_through_composed_pipeline(spark, ckpt_dir, sf_dir, tmp_path):
+    """The flip holds through a real multi-operator composition (the
+    curate core: normalize → exact dedup → LSH+CC → line dedup), not
+    just isolated operators: identical surviving ids in both modes."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.dedup import (
+        connected_components_adaptive,
+        lsh_candidate_pairs_direct,
+        sha_dedup_keep_first,
+    )
+    from dbbspark.operators.lines import dedup_lines
+    from dbbspark.operators.normalize import normalize_docs
+    from dbbspark.tables import load_table
+
+    def run():
+        raw = normalize_docs(load_table(spark, sf_dir, "documents"))
+        docs = sha_dedup_keep_first(raw, "text", "doc_id")
+        pairs = lsh_candidate_pairs_direct(docs, "doc_id", "text")
+        comps = connected_components_adaptive(pairs, "doc_a", "doc_b")
+        dropped = comps.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        docs = docs.join(dropped, "doc_id", "left_anti")
+        docs = dedup_lines(docs.select("doc_id", "text"), "doc_id", "text", min_df=2)
+        return sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+    local_ids = run()
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckpt_dir)
+    try:
+        reliable_ids = run()
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert reliable_ids == local_ids and len(local_ids) > 0
