@@ -253,9 +253,15 @@ def cmd_curate(args: argparse.Namespace) -> int:
 
         kv = dict(p.split("=", 1) for p in args.repeats.split(","))
         default = float(kv.pop("*")) if "*" in kv else None
-        docs = epoch_repeats(
-            docs, {k: float(v) for k, v in kv.items()}, default=default
-        ).withColumn("uid", F.col("doc_id") * 16 + F.col("rep"))
+        factors = {k: float(v) for k, v in kv.items()}
+        # uid stride must exceed the largest copy index (rep <= floor(r)),
+        # else copies of one doc collide with neighboring doc_ids' uid
+        # space; derive it from the factors instead of assuming rep < 16
+        max_r = max([*factors.values(), default or 0.0, 0.0])
+        stride = 1 << max(4, int(max_r).bit_length() + 1)
+        docs = epoch_repeats(docs, factors, default=default).withColumn(
+            "uid", F.col("doc_id") * stride + F.col("rep")
+        )
         order_id = "uid"
     if args.curriculum_stages:
         from .operators.curriculum import curriculum_order

@@ -94,7 +94,30 @@ def compact_partitioned(
     (operators/layout.py): the compaction pass is the natural moment to
     fix data layout too — one extra sort key column during a rewrite
     that was already shuffling everything, and every later scan gets
-    min-max skipping on all the clustered columns."""
+    min-max skipping on all the clustered columns.
+
+    Concurrency: the whole rewrite runs under ``commit.exclusive_lock``
+    (create-exclusive ``<path>.lock``) — a second compactor aborts with
+    ConcurrentWriteError instead of interleaving the swap renames with
+    ours (two raw two-rename swaps can each move the other's staging or
+    backup and lose the dataset)."""
+    from .commit import exclusive_lock
+
+    with exclusive_lock(spark, path, purpose="compact_partitioned"):
+        return _compact_partitioned_locked(
+            spark, path, partition_cols, max_records_per_file,
+            cluster_by, cluster_bits,
+        )
+
+
+def _compact_partitioned_locked(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+    cluster_by: list[str] | None = None,
+    cluster_bits: int = 12,
+) -> str:
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".compact-staging"
     backup = path.rstrip("/") + ".pre-compact"
@@ -171,26 +194,35 @@ def compact_gate_index(
         raise
     except Exception:
         pass  # FS probe is best-effort; the read below surfaces real errors
-    df = spark.read.parquet(index_dir)
-    data_cols = [c for c in df.columns if c != "batch"]
-    staging = index_dir.rstrip("/") + ".compact-staging"
-    backup = index_dir.rstrip("/") + ".pre-compact"
-    (
-        df.select(*data_cols)
-        .withColumn("batch", F.lit(int(reserved_batch)))
-        .repartition(target_files)
-        .write.mode("errorifexists")
-        .partitionBy("batch")
-        .parquet(staging)
-    )
-    fs, hpath, jvm = _fs_and_path(spark, index_dir)
-    Path = jvm.org.apache.hadoop.fs.Path
-    if not fs.rename(hpath, Path(backup)):
-        raise IOError(f"index compaction failed: could not move {index_dir} aside")
-    if not fs.rename(Path(staging), hpath):
-        fs.rename(Path(backup), hpath)
-        raise IOError(f"index compaction failed: could not move {staging} in")
-    return backup
+    from .commit import exclusive_lock
+
+    # loser-aborts mutex: two jobs compacting the same gate index would
+    # otherwise interleave the two-rename swap and lose a dataset
+    with exclusive_lock(spark, index_dir, purpose="compact_gate_index"):
+        df = spark.read.parquet(index_dir)
+        data_cols = [c for c in df.columns if c != "batch"]
+        staging = index_dir.rstrip("/") + ".compact-staging"
+        backup = index_dir.rstrip("/") + ".pre-compact"
+        (
+            df.select(*data_cols)
+            .withColumn("batch", F.lit(int(reserved_batch)))
+            .repartition(target_files)
+            .write.mode("errorifexists")
+            .partitionBy("batch")
+            .parquet(staging)
+        )
+        fs, hpath, jvm = _fs_and_path(spark, index_dir)
+        Path = jvm.org.apache.hadoop.fs.Path
+        if not fs.rename(hpath, Path(backup)):
+            raise IOError(
+                f"index compaction failed: could not move {index_dir} aside"
+            )
+        if not fs.rename(Path(staging), hpath):
+            fs.rename(Path(backup), hpath)
+            raise IOError(
+                f"index compaction failed: could not move {staging} in"
+            )
+        return backup
 
 
 def verify_archive(

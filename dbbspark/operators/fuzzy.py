@@ -242,11 +242,13 @@ def fuzzy_join(
     # <= k), then Levenshtein verifies exactly.
     a_short = keys_only(a, id_a, "a").where(F.col("_alen") <= short)
     b_short = keys_only(b, id_b, "b").where(F.col("_blen") <= short)
+    # Lower bound clamps to 0, not 1: an empty a-side key (_alen = 0) is a
+    # legal match (distance = len(b)) and must stay joinable.
     bx_short = b_short.withColumn(
         "_alen",
         F.explode(
             F.sequence(
-                F.greatest(F.col("_blen") - max_distance, F.lit(1)),
+                F.greatest(F.col("_blen") - max_distance, F.lit(0)),
                 F.col("_blen") + max_distance,
             )
         ),

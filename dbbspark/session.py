@@ -100,8 +100,15 @@ def cut_lineage(df, eager: bool = False):
     except Exception:
         pass
     # setCheckpointDir appends a random subdir; match on prefix so we only
-    # re-set when the configured root actually changed.
-    if not current or not current.startswith(ckpt_dir.rstrip("/")):
+    # re-set when the configured root actually changed. getCheckpointDir
+    # returns a fully-qualified URI (file:/... or hdfs://host/...) while the
+    # conf value is usually a bare path, so compare path components, not raw
+    # strings — otherwise every call re-sets and churns fresh subdirectories.
+    from urllib.parse import urlparse
+
+    cur_path = urlparse(current).path if current else ""
+    root_path = urlparse(ckpt_dir).path or ckpt_dir
+    if not cur_path or not cur_path.startswith(root_path.rstrip("/")):
         sc.setCheckpointDir(ckpt_dir)
     return df.checkpoint(eager=eager)
 

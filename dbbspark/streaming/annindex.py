@@ -158,10 +158,15 @@ def process_batch(
     probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gen: int | None = None,
 ) -> None:
     """One micro-batch's side effects, idempotent under foreachBatch
     retry — vectors first, index last, batch=<id> dynamic overwrites,
-    predecessor-bounded index read (same contract as neardedup)."""
+    predecessor-bounded index read (same contract as neardedup).
+
+    ``gen`` (drift-gate callers) stamps the appended index rows with the
+    quantizer generation, so a restart can detect codes encoded under a
+    different codebook than the persisted quantizer."""
     spark = batch.sparkSession
     bid = int(batch_id)
     accepted, accepted_codes = gate_batch(
@@ -174,6 +179,8 @@ def process_batch(
         id_col,
         vec_col,
     )
+    if gen is not None:
+        accepted_codes = accepted_codes.withColumn("gen", F.lit(int(gen)))
     for df, sink in ((accepted, accepted_dir), (accepted_codes, index_dir)):
         (
             df.withColumn("batch", F.lit(bid))
@@ -318,6 +325,113 @@ def quantizer_drift(
     ]
 
 
+def _quantizer_root(index_dir: str) -> str:
+    # SIBLING dir (cf. linededup's `<index>.bloom`): never inside index_dir,
+    # where partition discovery would try to parse it
+    return f"{index_dir.rstrip('/')}.quantizer"
+
+
+def save_quantizer(
+    spark: SparkSession,
+    index_dir: str,
+    centroids: DataFrame,
+    codebooks,
+    baseline: dict | None,
+    gen: int,
+) -> None:
+    """Persist the live quantizer (centroids + codebooks + drift baseline
+    + generation) as a committed snapshot next to the index.
+
+    Closes the ADVICE r5 restart hazard: the retrained quantizer used to
+    live only in the driver-local ``state`` dict, so after a drift
+    retrain rebuilt the index under new codebooks, a process restart
+    re-entered the gate with the caller's ORIGINAL frozen quantizer —
+    and the streaming checkpoint meant the triggering batches never
+    replayed — leaving ADC scoring old codebooks against new-generation
+    codes (silent eps-gate degradation; only the vhash rule stayed
+    exact). Persisting through `commit.commit_snapshot` makes the save
+    atomic and multi-writer safe; `load_quantizer` resolves the newest
+    committed snapshot at gate start.
+
+    One row, nested: centroids are n_cells × dim (quantizer-sized, not
+    corpus-sized), so a single-row parquet is the right shape."""
+    import json as _json
+
+    import numpy as np
+
+    from ..commit import commit_snapshot, prune_snapshots
+
+    cent_rows = centroids.collect()
+    row = (
+        [[[float(x) for x in sub] for sub in book] for book in np.asarray(codebooks)],
+        _json.dumps(baseline, default=float) if baseline is not None else None,
+        [int(r[0]) for r in cent_rows],
+        [[float(x) for x in r[1]] for r in cent_rows],
+        int(gen),
+    )
+    schema = (
+        "codebooks array<array<array<double>>>, baseline string, "
+        "cent_ids array<bigint>, cent_vecs array<array<double>>, gen int"
+    )
+
+    def write_fn(path: str) -> None:
+        spark.createDataFrame([row], schema).coalesce(1).write.parquet(path)
+
+    root = _quantizer_root(index_dir)
+    commit_snapshot(spark, root, write_fn)
+    prune_snapshots(spark, root, keep_last=2)
+
+
+def load_quantizer(
+    spark: SparkSession, index_dir: str, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """(centroids_df, codebooks, baseline, gen) from the newest committed
+    quantizer snapshot, or None when absent (first run). The restored
+    centroids DataFrame is eagerly checkpointed — same contract as the
+    bootstrap-trained one."""
+    import json as _json
+
+    from ..commit import read_latest
+
+    df = read_latest(spark, _quantizer_root(index_dir))
+    if df is None:
+        return None
+    row = df.first()
+    if row is None:
+        return None
+    cents = spark.createDataFrame(
+        list(zip(row["cent_ids"], [list(v) for v in row["cent_vecs"]])),
+        f"{id_col} long, {vec_col} array<double>",
+    ).localCheckpoint(eager=True)
+    baseline = _json.loads(row["baseline"]) if row["baseline"] else None
+    books = [[list(sub) for sub in book] for book in row["codebooks"]]
+    return cents, books, baseline, int(row["gen"])
+
+
+def index_generation(spark: SparkSession, index_dir: str) -> int | None:
+    """The single generation stamped on the code index, or None when the
+    index is absent/empty/unstamped. Raises on a MIXED index — codes
+    from two codebook generations in one index corrupt every ADC score,
+    so that state must never be scored against."""
+    try:
+        idx = spark.read.parquet(index_dir)
+    except AnalysisException:
+        return None
+    if "gen" not in idx.columns:
+        return None
+    gens = [r["gen"] for r in idx.select("gen").distinct().collect()]
+    gens = [g for g in gens if g is not None]
+    if not gens:
+        return None
+    if len(gens) > 1:
+        raise RuntimeError(
+            f"{index_dir}: code index holds MIXED quantizer generations "
+            f"{sorted(gens)} — rebuild it (rebuild_index) before gating"
+        )
+    return int(gens[0])
+
+
 def retrain_quantizer(
     vectors: DataFrame,
     n_cells: int,
@@ -345,13 +459,16 @@ def rebuild_index(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gen: int | None = None,
 ) -> int:
     """Re-encode every ACCEPTED vector under a new quantizer and replace
     the code index wholesale (codes are codebook-relative — mixing
     generations would corrupt every ADC score). The accepted vectors are
     the durable source of truth, so a crashed rebuild is recovered by
     re-running it; batch partitions are preserved so the gate's
-    predecessor-bounded reads keep working. Returns rows written."""
+    predecessor-bounded reads keep working. ``gen`` stamps every row
+    with the quantizer generation the codes were encoded under. Returns
+    rows written."""
     acc = spark.read.parquet(accepted_dir)
     enc = ivfpq_encode(acc, centroids, codebooks, id_col, vec_col).join(
         acc.select(
@@ -361,6 +478,8 @@ def rebuild_index(
         ),
         "vec_id",
     )
+    if gen is not None:
+        enc = enc.withColumn("gen", F.lit(int(gen)))
     enc.write.mode("overwrite").partitionBy("batch").parquet(index_dir)
     return spark.read.parquet(index_dir).count()
 
@@ -389,19 +508,58 @@ def streaming_ann_gate_with_drift(
     the rebuild is a full overwrite, so a foreachBatch retry that
     re-triggers the retrain converges to the same state.
 
+    RESTART SAFETY (ADVICE r5): the live quantizer + baseline persist as
+    a committed snapshot next to the index (`save_quantizer`, atomic via
+    the commit protocol) on every baseline/retrain change, and gate
+    start resolves the persisted quantizer IN PREFERENCE to the caller's
+    argument — a restarted process whose checkpoint skips the retrain
+    batches still scores with the retrained codebooks. Index rows carry
+    the quantizer generation; a crash between quantizer-save and
+    index-rebuild is detected at start (generation mismatch) and healed
+    by re-running the rebuild from the durable accepted vectors.
+
     Returns (StreamingQuery, state) where ``state`` exposes the live
-    quantizer and ``state['retrains']`` counts refreshes (observability:
-    a production deployment alerts on this, it should be rare)."""
-    state = {
-        "centroids": centroids.localCheckpoint(eager=True),
-        "codebooks": codebooks,
-        "baseline": None,
-        "retrains": 0,
-        "n_cells": centroids.count(),
-    }
+    quantizer, ``state['gen']`` the codebook generation, and
+    ``state['retrains']`` counts refreshes (observability: a production
+    deployment alerts on this, it should be rare)."""
     import numpy as np
 
-    m, k, _sub = np.asarray(codebooks).shape
+    spark0 = vectors.sparkSession
+    persisted = load_quantizer(spark0, index_dir, id_col, vec_col)
+    if persisted is not None:
+        p_cents, p_books, p_baseline, p_gen = persisted
+        state = {
+            "centroids": p_cents,
+            "codebooks": p_books,
+            "baseline": p_baseline,
+            "retrains": 0,
+            "n_cells": p_cents.count(),
+            "gen": p_gen,
+        }
+        # heal the save→rebuild crash window: codes stamped with an older
+        # generation than the persisted quantizer are stale ciphertext —
+        # re-encode them from the accepted vectors before any gating
+        idx_gen = index_generation(spark0, index_dir)
+        if idx_gen is not None and idx_gen != p_gen:
+            rebuild_index(
+                spark0, accepted_dir, index_dir,
+                p_cents, p_books, id_col, vec_col, gen=p_gen,
+            )
+    else:
+        state = {
+            "centroids": centroids.localCheckpoint(eager=True),
+            "codebooks": codebooks,
+            "baseline": None,
+            "retrains": 0,
+            "n_cells": centroids.count(),
+            "gen": 0,
+        }
+        save_quantizer(
+            spark0, index_dir, state["centroids"], state["codebooks"],
+            None, 0,
+        )
+
+    m, k, _sub = np.asarray(state["codebooks"]).shape
 
     def _one_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -410,6 +568,10 @@ def streaming_ann_gate_with_drift(
         )
         if state["baseline"] is None:
             state["baseline"] = prof
+            save_quantizer(
+                spark, index_dir, state["centroids"], state["codebooks"],
+                prof, state["gen"],
+            )
         elif quantizer_drift(state["baseline"], prof, stds=drift_stds):
             try:
                 acc = spark.read.parquet(accepted_dir).select(id_col, vec_col)
@@ -419,18 +581,28 @@ def streaming_ann_gate_with_drift(
             state["centroids"], state["codebooks"] = retrain_quantizer(
                 train_src, state["n_cells"], m, k, id_col, vec_col
             )
+            state["baseline"] = quantizer_profile(
+                batch, state["centroids"], state["codebooks"], id_col, vec_col
+            )
+            state["gen"] += 1
+            # durability order: quantizer snapshot FIRST (it is the key to
+            # the codes), index re-key second — a crash between the two is
+            # exactly what the start-time generation check repairs
+            save_quantizer(
+                spark, index_dir, state["centroids"], state["codebooks"],
+                state["baseline"], state["gen"],
+            )
             if not acc.isEmpty():
                 rebuild_index(
                     spark, accepted_dir, index_dir,
                     state["centroids"], state["codebooks"], id_col, vec_col,
+                    gen=state["gen"],
                 )
-            state["baseline"] = quantizer_profile(
-                batch, state["centroids"], state["codebooks"], id_col, vec_col
-            )
             state["retrains"] += 1
         process_batch(
             batch, batch_id, index_dir, accepted_dir,
-            state["centroids"], state["codebooks"], eps, probes, id_col, vec_col,
+            state["centroids"], state["codebooks"], eps, probes, id_col,
+            vec_col, gen=state["gen"],
         )
 
     q = (

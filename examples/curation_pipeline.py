@@ -205,13 +205,18 @@ def run(spark, sf_dir: str) -> dict[str, int]:
     from dbbspark.operators.curriculum import curriculum_order
     from dbbspark.operators.mixing import epoch_repeats
 
-    epoch = epoch_repeats(
-        train, {}, default=1.5, epoch_seed=0
-    ).withColumn(
-        "difficulty", F.size(F.split("text", " ")).cast("double")
-    )  # length as the classic difficulty proxy: short docs first
-    ordered = curriculum_order(epoch, "difficulty", stages=3, seed=0)
-    stage("epoch_curriculum", ordered.drop("difficulty"))
+    epoch = (
+        epoch_repeats(train, {}, default=1.5, epoch_seed=0)
+        # fold the copy index into the ordering id (as the CLI does): with
+        # id_col="doc_id" every copy of a doc would share one order_key and
+        # cluster adjacently — defeating the point of spreading repeats
+        .withColumn("uid", F.col("doc_id") * 2 + F.col("rep"))
+        .withColumn(
+            "difficulty", F.size(F.split("text", " ")).cast("double")
+        )  # length as the classic difficulty proxy: short docs first
+    )
+    ordered = curriculum_order(epoch, "difficulty", stages=3, seed=0, id_col="uid")
+    stage("epoch_curriculum", ordered.drop("difficulty", "uid"))
 
     # 7. pack the train side into fixed-budget training sequences
     packed = pack_sequences(

@@ -148,3 +148,25 @@ def test_reliable_mode_through_composed_pipeline(spark, ckpt_dir, sf_dir, tmp_pa
     finally:
         spark.conf.unset(CHECKPOINT_DIR_CONF)
     assert reliable_ids == local_ids and len(local_ids) > 0
+
+
+def test_repeated_cuts_reuse_one_checkpoint_subdir(spark, ckpt_dir):
+    """Regression (ADVICE r5): getCheckpointDir returns a fully-qualified
+    URI (file:/...) while the conf holds a bare path, so the raw
+    startswith comparison never matched and EVERY cut re-ran
+    setCheckpointDir — one fresh random subdirectory per lineage cut
+    (directory churn on the shared filesystem). Path-component
+    comparison must keep all cuts of one configured root in ONE
+    subdirectory."""
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckpt_dir)
+    try:
+        for n in (100, 200, 300):
+            cut_lineage(spark.range(n), eager=True).count()
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    subdirs = [
+        p
+        for p in glob.glob(os.path.join(ckpt_dir, "*"))
+        if os.path.isdir(p)
+    ]
+    assert len(subdirs) == 1, subdirs

@@ -222,3 +222,36 @@ def test_d1_jvm_only_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_empty_keys_join_symmetrically(spark):
+    """Regression (ADVICE r5): the short-key fallback's exploded a-length
+    range clamped its lower bound to 1, so an a-side EMPTY key
+    (_alen = 0) could never join while the b-side-empty direction worked
+    — an asymmetric hole in the exact-output contract. Both directions
+    (and the empty~empty distance-0 pair) must now appear, at d=1 (the
+    FastSS route, which always handled this) and d=2 (the gram+fallback
+    route, which did not)."""
+    left = [(1, ""), (2, "x"), (3, "ab")]
+    right = [(10, ""), (11, "ab"), (12, "y")]
+    a = spark.createDataFrame(left, "id_a long, key string")
+    b = spark.createDataFrame(right, "id_b long, key string")
+    for k in (1, 2):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in fuzzy_join(a, b, "key", max_distance=k, max_df=None).collect()
+        )
+        want = sorted(
+            (ia, ib, _lev(ka, kb))
+            for ia, ka in left
+            for ib, kb in right
+            if _lev(ka, kb) <= k
+        )
+        assert got == want, f"max_distance={k}"
+    # the ADVICE repro verbatim: ("","") d0 and ("","ab") d2 present,
+    # alongside the b-side-empty pair that already worked
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_join(a, b, "key", max_distance=2, max_df=None).collect()
+    }
+    assert {(1, 10), (1, 12), (2, 10), (3, 11)} <= got2

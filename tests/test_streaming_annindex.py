@@ -266,3 +266,147 @@ def test_drift_triggered_retrain_and_rebuild(spark, tmp_path):
     )
     got = {r["vec_id"] for r in acc2.collect()}
     assert 900 not in got and 901 in got
+
+
+def test_restart_after_retrain_uses_persisted_quantizer(spark, tmp_path):
+    """Restart safety (ADVICE r5): after a drift retrain re-keys the
+    index, a NEW gate process started with the caller's ORIGINAL frozen
+    quantizer (checkpoint skips the retrain batches, so nothing replays)
+    must resolve the persisted retrained quantizer — not score old
+    codebooks against new-generation codes."""
+    import glob
+    import os
+    import shutil
+
+    from dbbspark.streaming.annindex import (
+        index_generation,
+        load_quantizer,
+        streaming_ann_gate_with_drift,
+    )
+
+    a, b = _centers()
+    boot = _mk(spark, [(1000 + i, _cluster_vec(a, i)) for i in range(60)])
+    cents = train_centroids_for_test(spark, boot)
+    books = train_ivfpq(boot, cents, m=4, k=8)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+
+    def drop_batch(rows, name):
+        stage = str(tmp_path / f"stage_{name}")
+        _mk(spark, rows).coalesce(1).write.parquet(stage)
+        shutil.move(
+            glob.glob(f"{stage}/part-*.parquet")[0],
+            os.path.join(src, f"{name}.parquet"),
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    b1 = [(i, _cluster_vec(a, i)) for i in range(20)]
+    b2 = [(100 + i, _cluster_vec(b, i)) for i in range(20)]
+    drop_batch(b1, "b1")
+    drop_batch(b2, "b2")
+    idx, acc, ck = (
+        str(tmp_path / "idx"), str(tmp_path / "acc"), str(tmp_path / "ck")
+    )
+    q, state = streaming_ann_gate_with_drift(
+        stream(), idx, acc, ck, cents, books, eps=0.05, drift_stds=2.0,
+    )
+    q.awaitTermination()
+    assert state["retrains"] == 1 and state["gen"] == 1
+    assert index_generation(spark, idx) == 1
+
+    accepted_b = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(acc).collect()
+        if r["vec_id"] >= 100
+    )
+    anchor = next(r for r in spark.read.parquet(acc).collect()
+                  if r["vec_id"] == accepted_b[0])
+    near = [v + (0.002 if j == 0 else 0.0) for j, v in enumerate(anchor["embedding"])]
+    far = [4.0, -4.0] + [0.1] * 14
+
+    # "restart": a fresh gate over the SAME dirs/checkpoint, handed the
+    # STALE bootstrap quantizer — only b3 will run (checkpoint advanced)
+    drop_batch([(900, near), (901, far)], "b3")
+    q2, state2 = streaming_ann_gate_with_drift(
+        stream(), idx, acc, ck, cents, books, eps=0.05, drift_stds=2.0,
+    )
+    # the persisted generation-1 quantizer was resolved before any batch
+    assert state2["gen"] >= 1
+    pq_cents = {
+        tuple(r["embedding"]) for r in state["centroids"].collect()
+    }
+    got_cents = {
+        tuple(r["embedding"]) for r in state2["centroids"].collect()
+    }
+    assert got_cents == pq_cents  # retrained centroids, not the stale arg
+    q2.awaitTermination()
+    final = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    assert 900 not in final  # eps-near an accepted vector: ADC still sees it
+    assert 901 in final  # genuinely new: still accepted
+
+    # the persisted store exposes baseline + gen for observability
+    loaded = load_quantizer(spark, idx)
+    assert loaded is not None and loaded[3] >= 1 and loaded[2] is not None
+
+
+def test_restart_heals_crash_between_quantizer_save_and_rebuild(
+    spark, tmp_path
+):
+    """Crash window: quantizer snapshot committed at gen N+1 but the
+    process died before re-keying the index (still gen N). Gate start
+    detects the generation mismatch and re-runs the rebuild from the
+    durable accepted vectors."""
+    import os
+
+    from dbbspark.streaming.annindex import (
+        gate_batch,
+        index_generation,
+        load_quantizer,
+        retrain_quantizer,
+        save_quantizer,
+        streaming_ann_gate_with_drift,
+    )
+
+    a, _b = _centers()
+    boot = _mk(spark, [(1000 + i, _cluster_vec(a, i)) for i in range(60)])
+    cents = train_centroids_for_test(spark, boot)
+    books = train_ivfpq(boot, cents, m=4, k=8)
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+
+    b1 = _mk(spark, [(i, _cluster_vec(a, i)) for i in range(30)])
+    process_batch(b1, 0, idx, acc, cents, books, gen=0)
+    save_quantizer(spark, idx, cents, books, None, 0)
+
+    # the crash: a new quantizer generation lands, the index does not
+    new_cents, new_books = retrain_quantizer(
+        spark.read.parquet(acc).select("vec_id", "embedding"), 4, 4, 8
+    )
+    save_quantizer(spark, idx, new_cents, new_books, None, 1)
+    assert index_generation(spark, idx) == 0  # stale codes on disk
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)  # empty: availableNow drains nothing
+    q, state = streaming_ann_gate_with_drift(
+        (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .parquet(src)
+        ),
+        idx, acc, str(tmp_path / "ck"), cents, books,
+    )
+    q.awaitTermination()
+    assert state["gen"] == 1
+    assert index_generation(spark, idx) == 1  # healed: re-keyed at start
+    # and the healed index still gates: byte-identical dup rejected
+    dup = _mk(spark, [(500, _cluster_vec(a, 0))])
+    ld_cents, ld_books, _, _ = load_quantizer(spark, idx)
+    acc2, _ = gate_batch(
+        dup, _index_codes(spark, idx), ld_cents, ld_books
+    )
+    assert acc2.count() == 0
