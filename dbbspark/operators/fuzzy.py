@@ -44,46 +44,81 @@ def _qgrams(col: str, q: int) -> str:
     )
 
 
-def fuzzy_join_d1(
+def _deletion_variants_sql(k: str, max_deletions: int) -> str:
+    """SQL for the xxhash64'd ≤``max_deletions``-deletion neighborhood
+    of lowered key expression ``k`` (the FastSS index set): the key
+    itself, every single deletion, and — at 2 — every deletion of two
+    positions i < j. Sizes: L+1 variants at 1, 1 + L + L(L-1)/2 at 2 —
+    O(L²) but tiny for the filename/URL-length keys reconciliation
+    joins on. Variants travel as xxhash64 longs (narrow shuffle); a
+    hash collision only admits an extra CANDIDATE, which the
+    levenshtein verifier discards — output unaffected."""
+    del1 = (
+        f"concat(substring({k}, 1, i - 1), "
+        f"substring({k}, i + 1, length({k})))"
+    )
+    # delete positions i < j: [1..i-1] + [i+1..j-1] + [j+1..L]
+    del2 = (
+        f"concat(substring({k}, 1, i - 1), "
+        f"substring({k}, i + 1, j - i - 1), "
+        f"substring({k}, j + 1, length({k})))"
+    )
+    parts = [
+        f"array(xxhash64({k}))",
+        # guard: sequence(1, 0) would DESCEND, not return empty
+        f"CASE WHEN length({k}) >= 1 THEN "
+        f"transform(sequence(1, length({k})), i -> xxhash64({del1})) "
+        f"ELSE CAST(array() AS array<bigint>) END",
+    ]
+    if max_deletions >= 2:
+        parts.append(
+            f"CASE WHEN length({k}) >= 2 THEN "
+            f"flatten(transform(sequence(1, length({k}) - 1), "
+            f"i -> transform(sequence(i + 1, length({k})), "
+            f"j -> xxhash64({del2})))) "
+            f"ELSE CAST(array() AS array<bigint>) END"
+        )
+    return f"array_distinct(concat({', '.join(parts)}))"
+
+
+def _fastss_join(
     a: DataFrame,
     b: DataFrame,
     key: str,
+    max_distance: int,
     id_a: str = "id_a",
     id_b: str = "id_b",
 ) -> DataFrame:
-    """EXACT edit-distance-≤1 join via deletion-neighborhood blocking
-    (the FastSS scheme): index each key's D1 set — the key itself plus
-    every single-character deletion — and join on shared variants; two
-    strings within edit distance 1 ALWAYS share a D1 variant (equality →
-    the key; substitution at i → both i-deletions; insert/delete → the
-    shorter key is in the longer's deletion set and its own). Unlike the
-    q-gram path this has NO degenerate corpus: serial/padded keys whose
-    only distinguishing characters sit in a sea of shared hub grams
-    (where gram blocking must either cap hubs — losing pairs — or go
-    quadratic) block on small wildcard buckets instead, at L+1 variant
-    rows per key. Same output contract/columns as `fuzzy_join`."""
+    """EXACT edit-distance-≤k join (k ∈ {1, 2}) via deletion-neighborhood
+    blocking (the FastSS scheme): index each key's ≤k-deletion set and
+    join on shared variants. Two strings within edit distance k ALWAYS
+    share a ≤k-deletion variant (align them under an optimal ≤k-op edit
+    script and delete each string's unmatched characters — at most k per
+    side — leaving the common subsequence in both neighborhoods), so the
+    blocking has NO false negatives; shared variants reach up to
+    distance 2k, which the levenshtein verifier trims exactly. Unlike
+    the q-gram path this has NO degenerate corpus: serial/padded keys
+    whose only distinguishing characters sit in a sea of shared hub
+    grams (where gram blocking must either cap hubs — losing pairs — or
+    go quadratic) block on small wildcard buckets instead. Same output
+    contract/columns as `fuzzy_join`."""
+    if max_distance not in (1, 2):
+        raise ValueError("_fastss_join supports max_distance 1 or 2")
+
     def variants(df: DataFrame, idc: str, tag: str) -> DataFrame:
-        # variants travel as xxhash64 longs (narrow shuffle, long-key
-        # join); a hash collision only admits an extra CANDIDATE, which
-        # the levenshtein verifier below discards — output unaffected.
         k = f"lower({key})"
         return (
             # re-spread first: reconcile residuals often arrive in a
             # couple of post-AQE partitions, which would serialize the
-            # L+1-variant explode + hash onto two cores (narrow rows —
-            # the shuffle is trivial at any scale)
+            # variant explode + hash onto two cores (narrow rows — the
+            # shuffle is trivial at any scale)
             df.where(F.col(key).isNotNull())
             .repartition(F.col(idc))
             .select(
                 F.col(idc).alias(f"_{tag}id"),
                 F.expr(k).alias(f"_{tag}key"),
                 F.explode(
-                    F.expr(
-                        f"array_distinct(transform(sequence(0, length({k})), "
-                        f"i -> xxhash64(CASE WHEN i = 0 THEN {k} "
-                        f"ELSE concat(substring({k}, 1, i - 1), "
-                        f"substring({k}, i + 1, length({k}))) END)))"
-                    )
+                    F.expr(_deletion_variants_sql(k, max_distance))
                 ).alias("_vh"),
             )
         )
@@ -91,7 +126,7 @@ def fuzzy_join_d1(
     pairs = (
         variants(a, id_a, "a")
         .join(variants(b, id_b, "b"), "_vh")
-        .where(F.levenshtein("_akey", "_bkey") <= 1)
+        .where(F.levenshtein("_akey", "_bkey") <= max_distance)
         .dropDuplicates(["_aid", "_bid"])
     )
     return pairs.select(
@@ -101,6 +136,30 @@ def fuzzy_join_d1(
         F.col("_bkey").alias("key_b"),
         F.levenshtein("_akey", "_bkey").alias("distance"),
     )
+
+
+def fuzzy_join_d1(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Exact distance-≤1 FastSS join (see `_fastss_join`)."""
+    return _fastss_join(a, b, key, 1, id_a, id_b)
+
+
+def fuzzy_join_d2(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Exact distance-≤2 FastSS join (see `_fastss_join`) — kills the
+    gram path's capped-hub approximation for the d=2 reconcile-shaped
+    workloads (VERDICT r5 item 3)."""
+    return _fastss_join(a, b, key, 2, id_a, id_b)
 
 
 def fuzzy_join(
@@ -122,14 +181,29 @@ def fuzzy_join(
     answer. `max_df` caps posting hubs (stop-grams) — the documented
     approximation for dirty corpora where some q-gram is near-universal.
 
-    ``max_distance == 1`` routes to `fuzzy_join_d1` (deletion-
-    neighborhood blocking): EXACT with no cap and no hub pathology —
-    on padded serial keys ('DECam_00000005…') the gram path's only
-    distinguishing grams drown in capped hubs, while D1 wildcard
-    buckets stay small.
+    ``max_distance <= 2`` routes to the FastSS deletion-neighborhood
+    joins (`fuzzy_join_d1` / `fuzzy_join_d2`): EXACT with no cap and no
+    hub pathology — on padded serial keys ('DECam_00000005…') the gram
+    path's only distinguishing grams drown in capped hubs, while
+    deletion-variant buckets stay small. d=0 is a plain lowered equi
+    join. The capped gram path below serves max_distance >= 3 (where
+    the deletion neighborhood is O(L³)+) — there ``max_df`` remains the
+    documented approximation.
     """
+    if max_distance == 0:
+        ak = a.select(
+            F.col(id_a), F.lower(F.col(key)).alias("key_a")
+        ).where(F.col("key_a").isNotNull())
+        bk = b.select(
+            F.col(id_b), F.lower(F.col(key)).alias("key_b")
+        ).where(F.col("key_b").isNotNull())
+        return ak.join(bk, ak.key_a == bk.key_b).select(
+            id_a, id_b, "key_a", "key_b", F.lit(0).alias("distance")
+        )
     if max_distance == 1:
         return fuzzy_join_d1(a, b, key, id_a, id_b)
+    if max_distance == 2:
+        return fuzzy_join_d2(a, b, key, id_a, id_b)
     def side(df: DataFrame, idc: str, tag: str) -> DataFrame:
         return (
             df.select(

@@ -323,14 +323,32 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel AS (
       SELECT doc_id, n_tokens,
              CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS sc
-      FROM toks)
+      FROM toks),
+    -- C52 epoch repeat-factors: floor(f) full copies + one more when the
+    -- deterministic md5 gate on (id, floor(f), seed=0) admits frac(f)
+    reps AS (
+      SELECT doc_id,
+             CAST(FLOOR(f) AS BIGINT)
+             + CASE WHEN (f - FLOOR(f)) > 0 AND
+                 (CAST(('0x' || substr(md5(concat(
+                    CAST(doc_id AS VARCHAR), chr(31),
+                    CAST(CAST(FLOOR(f) AS INT) AS VARCHAR), chr(31), '0'
+                  )), 1, 15)) AS BIGINT) % 1000000)
+                 < CAST(FLOOR((f - FLOOR(f)) * 1000000) AS BIGINT)
+               THEN 1 ELSE 0 END AS n_copies
+      FROM (SELECT doc_id,
+              CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                   WHEN 'src2' THEN 3.0 ELSE 1.0 END AS f
+            FROM documents))
     SELECT cum.doc_id,
            CAST(cum.n_tokens AS BIGINT) AS n_tokens,
            CAST((c - cum.n_tokens) // 512 AS BIGINT) AS seq_first,
            CAST((c - 1) // 512 AS BIGINT) AS seq_last,
            CAST((c - cum.n_tokens) % 512 AS BIGINT) AS seq_offset,
-           (sel.sc - sel.n_tokens) < 10000 AS in_budget
+           (sel.sc - sel.n_tokens) < 10000 AS in_budget,
+           reps.n_copies AS n_copies
     FROM cum JOIN sel ON cum.doc_id = sel.doc_id
+    JOIN reps ON cum.doc_id = reps.doc_id
     """,
     doc="Training-pipeline closure: GPT-style sequence packing — documents "
     "laid end-to-end in doc_id order, cut into 512-token sequences; each "
@@ -343,14 +361,30 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the best-scoring docs fitting a 10k-token budget (score DESC, id "
     "tiebreak, straddling doc admitted) — the SAME distributed prefix "
     "sum over a different order, checked against the oracle's second "
-    "window.",
+    "window. FOLDED C52 (operators/mixing.py:epoch_repeats, VERDICT r5 "
+    "item 4): `n_copies` counts each doc's materialized epoch copies "
+    "under per-source repeat factors (src0 x2.5, src1 x0.5, src2 x3.0, "
+    "default x1.0, seed 0) — full copies plus the md5-gated fractional "
+    "one, 0 = dropped (src1's unlucky half); the oracle re-derives the "
+    "gate arithmetic verbatim.",
     tags=("text", "pipeline", "closure"),
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import epoch_repeats
     from ..operators.packing import pack_sequences
     from ..operators.select import budget_select
 
     docs = load_table(spark, sf_dir, "documents")
+    reps = (
+        epoch_repeats(
+            docs.select("doc_id", "source"),
+            {"src0": 2.5, "src1": 0.5, "src2": 3.0},
+            default=1.0,
+            epoch_seed=0,
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_copies"))
+    )
     # ONE scan+tokenize feeds BOTH prefix-sum passes (they range-shuffle
     # on different orders, so the shuffles can't merge — but the lazy
     # localCheckpoint stops the second pass re-reading parquet and
@@ -365,13 +399,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, budget=10_000, id_col="doc_id", score_col="score",
         token_col="n_tokens", num_buckets=8,
     ).select("doc_id", F.lit(True).alias("_in"))
-    return packed.join(admitted, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        "seq_first",
-        "seq_last",
-        "seq_offset",
-        F.coalesce(F.col("_in"), F.lit(False)).alias("in_budget"),
+    return (
+        packed.join(admitted, "doc_id", "left")
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "seq_first",
+            "seq_last",
+            "seq_offset",
+            F.coalesce(F.col("_in"), F.lit(False)).alias("in_budget"),
+            F.coalesce(F.col("n_copies"), F.lit(0).cast("bigint")).alias(
+                "n_copies"
+            ),
+        )
     )
 
 

@@ -119,3 +119,120 @@ def test_cli_curate_with_bpe(spark, sf_dir, tmp_path):
     assert "bpe_tokens" in got.columns
     row = got.where(got.bpe_tokens.isNotNull()).first()
     assert row is not None and len(row["bpe_tokens"]) > 0
+
+
+def test_batched_equals_sequential_on_corpus(spark, docs):
+    """VERDICT r5 item 2: the batched trainer must return the EXACT
+    sequential merge list — batching is a scheduling optimization, never
+    a semantic one."""
+    wc = word_counts(docs)
+    seq = train_bpe(wc, 20, batch_size=1, driver_vocab_limit=0)
+    # driver regime (default): same list, zero per-merge Spark jobs
+    assert train_bpe(wc, 20) == seq
+    for bs in (2, 4, 32):
+        got = train_bpe(wc, 20, batch_size=bs, driver_vocab_limit=0)
+        assert got == seq, f"batch_size={bs}"
+
+
+def test_batched_equals_sequential_adversarial(spark):
+    """Tie plateaus, shared symbols, self-feeding runs ('aaa'), and
+    merged-symbol collisions ('ab' pre-existing as a word) — every case
+    where naive batching diverges must degrade to smaller batches, not
+    to a different merge list."""
+    corpora = [
+        # flat counts: everything ties, tiebreak is purely lexicographic
+        [(1, "ab cd ef gh ab cd ef gh")],
+        # self-feeding runs: (a,a) creates ("aa","a") pairs mid-batch
+        [(1, "aaaa aaaa aaa bb bb cc cc dd dd")],
+        # chained symbols: (a,b) then (ab,c) — second depends on first
+        [(1, "abc abc abc abc xy xy")],
+        # boost hazard: "x ab" exists while (a,b) is the top merge
+        [(1, "a b a b a b x y"), (2, "q r q r")],
+        # hub symbol shared across the top pairs
+        [(1, "ea eb ec ed ea eb ec ed ea eb")],
+    ]
+    for i, corpus in enumerate(corpora):
+        cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+        wc = word_counts(cdf)
+        words = {r["word"]: r["count"] for r in wc.collect()}
+        seq = _reference_bpe(words, 12, min_pair_count=1)
+        assert train_bpe(wc, 12, min_pair_count=1) == seq, f"corpus#{i} driver"
+        for bs in (2, 3, 8):
+            got = train_bpe(
+                wc, 12, min_pair_count=1, batch_size=bs, driver_vocab_limit=0
+            )
+            assert got == seq, f"corpus#{i} batch_size={bs}"
+
+
+def test_batched_equals_sequential_random(spark):
+    """Randomized equivalence sweep: small alphabets maximize count ties
+    and symbol collisions — the regimes where an unsafe batch rule would
+    diverge from the sequential reference."""
+    import random
+
+    rng = random.Random(417)
+    for trial in range(6):
+        alpha = "ab" if trial % 3 == 0 else "abc"
+        words = {}
+        for _ in range(rng.randint(4, 12)):
+            w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+            words[w] = words.get(w, 0) + rng.randint(1, 5)
+        wc = spark.createDataFrame(
+            list(words.items()), "word string, count long"
+        )
+        seq = _reference_bpe(words, 15, min_pair_count=1)
+        assert (
+            train_bpe(wc, 15, min_pair_count=1) == seq
+        ), f"trial={trial} driver words={words}"
+        for bs in (4, 16):
+            got = train_bpe(
+                wc, 15, min_pair_count=1, batch_size=bs, driver_vocab_limit=0
+            )
+            assert got == seq, f"trial={trial} bs={bs} words={words}"
+
+
+def test_driver_regime_runs_no_per_merge_jobs(spark, docs):
+    """The scaling contract (VERDICT r5 item 2): below the vocab limit
+    the merge loop runs ONCE on the driver — `_select_safe_batch` (the
+    distributed round machinery) is never entered, however many merges
+    are requested. Above the limit (forced via driver_vocab_limit=0) the
+    distributed rounds run, batched, with the identical result."""
+    import dbbspark.operators.bpe as bpe_mod
+
+    wc = word_counts(docs)
+    calls = {"n": 0}
+    orig = bpe_mod._select_safe_batch
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    bpe_mod._select_safe_batch = counting
+    try:
+        driver_merges = train_bpe(wc, 40)
+        assert calls["n"] == 0  # zero distributed rounds in driver regime
+        dist_merges = train_bpe(wc, 40, driver_vocab_limit=0)
+        assert calls["n"] > 0
+    finally:
+        bpe_mod._select_safe_batch = orig
+    assert driver_merges == dist_merges
+    words = {r["word"]: r["count"] for r in wc.collect()}
+    assert driver_merges == _reference_bpe(words, 40)
+
+
+def test_driver_regime_many_merges_converges(spark):
+    """1k-merge-scale schedule in the driver regime: exact vs the
+    from-scratch reference on a corpus rich enough to sustain hundreds
+    of merges (the 32k-production-vocab path in miniature)."""
+    import random
+
+    rng = random.Random(99)
+    words = {}
+    for _ in range(400):
+        w = "".join(rng.choice("abcdefghij") for _ in range(rng.randint(3, 10)))
+        words[w] = words.get(w, 0) + rng.randint(1, 50)
+    wc = spark.createDataFrame(list(words.items()), "word string, count long")
+    got = train_bpe(wc, 1000, min_pair_count=1)
+    want = _reference_bpe(words, 1000, min_pair_count=1)
+    assert got == want
+    assert len(got) > 300  # the schedule really runs deep, not 10 merges

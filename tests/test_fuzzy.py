@@ -71,15 +71,15 @@ def test_short_keys_block_via_padding(spark):
 
 def test_stop_gram_cap_documented_approximation(spark):
     """With a tiny max_df, pairs joined ONLY through hub grams vanish —
-    the same capped contract as jaccard_pairs. (Distance 2: the gram
-    path; distance 1 routes to the exact deletion-neighborhood path,
+    the same capped contract as jaccard_pairs. (Distance >= 3: the gram
+    path; distances <= 2 route to the exact deletion-neighborhood paths,
     where the cap does not apply.)"""
     rows_a = [(i, f"commonprefix{i}") for i in range(30)]
     rows_b = [(100 + i, f"commonprefix{i}") for i in range(30)]
     a = spark.createDataFrame(rows_a, "id_a long, key string")
     b = spark.createDataFrame(rows_b, "id_b long, key string")
-    uncapped = fuzzy_join(a, b, "key", max_distance=2, max_df=None).count()
-    capped = fuzzy_join(a, b, "key", max_distance=2, max_df=5).count()
+    uncapped = fuzzy_join(a, b, "key", max_distance=3, max_df=None).count()
+    capped = fuzzy_join(a, b, "key", max_distance=3, max_df=5).count()
     assert capped < uncapped
 
 
@@ -229,14 +229,14 @@ def test_empty_keys_join_symmetrically(spark):
     range clamped its lower bound to 1, so an a-side EMPTY key
     (_alen = 0) could never join while the b-side-empty direction worked
     — an asymmetric hole in the exact-output contract. Both directions
-    (and the empty~empty distance-0 pair) must now appear, at d=1 (the
-    FastSS route, which always handled this) and d=2 (the gram+fallback
-    route, which did not)."""
+    (and the empty~empty distance-0 pair) must now appear, at d=1/d=2
+    (the FastSS routes, which always handled this) and d=3 (the
+    gram+fallback route, which did not)."""
     left = [(1, ""), (2, "x"), (3, "ab")]
     right = [(10, ""), (11, "ab"), (12, "y")]
     a = spark.createDataFrame(left, "id_a long, key string")
     b = spark.createDataFrame(right, "id_b long, key string")
-    for k in (1, 2):
+    for k in (1, 2, 3):
         got = sorted(
             (r["id_a"], r["id_b"], r["distance"])
             for r in fuzzy_join(a, b, "key", max_distance=k, max_df=None).collect()
@@ -255,3 +255,66 @@ def test_empty_keys_join_symmetrically(spark):
         for r in fuzzy_join(a, b, "key", max_distance=2, max_df=None).collect()
     }
     assert {(1, 10), (1, 12), (2, 10), (3, 11)} <= got2
+
+
+def test_d2_exact_on_degenerate_keys_where_gram_path_lost_pairs(spark):
+    """VERDICT r5 item 3: max_distance=2 now routes through the
+    2-deletion FastSS neighborhood — exact on the homogeneous-template
+    corpus (padded serial keys) where the capped gram path silently lost
+    within-distance pairs, and regardless of max_df."""
+    ids_a = (5, 17, 123, 4071, 40710)
+    ids_b = (7, 16, 124, 9071, 4071, 40712)
+    left = [(i, f"DECam_{i:08d}.fits.fz") for i in ids_a]
+    right = [(100000 + i, f"DECam_{i:08d}.fits.fz") for i in ids_b]
+    a = spark.createDataFrame(left, "id_a long, key string")
+    b = spark.createDataFrame(right, "id_b long, key string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_join(a, b, "key", max_distance=2, max_df=5).collect()
+    }
+    want = {
+        (ia, ib, _lev(ka.lower(), kb.lower()))
+        for ia, ka in left
+        for ib, kb in right
+        if _lev(ka.lower(), kb.lower()) <= 2
+    }
+    assert got == want
+    # the serial neighbors the capped gram path dropped (5→7 and 17→16
+    # are single-digit substitutions) plus the identical pair
+    assert (5, 100007, 1) in got and (17, 100016, 1) in got
+    assert (4071, 104071, 0) in got
+    assert any(d == 2 for _, _, d in got)  # true d=2 pairs survive too
+
+
+def test_d2_matches_brute_force_random(spark):
+    """Full brute-force equivalence for the d2 route, mixed lengths
+    incl. empty/1-char keys (neighborhood-degenerate strata)."""
+    rng = random.Random(271)
+    left = [(i, "".join(rng.choice("abcd") for _ in range(rng.randint(0, 9))))
+            for i in range(50)]
+    right = [(100 + i, _mutate(rng, left[i % 50][1] or "a", rng.randint(0, 3)))
+             for i in range(50)]
+    a = spark.createDataFrame(left, "id_a long, key string")
+    b = spark.createDataFrame(right, "id_b long, key string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_join(a, b, "key", max_distance=2).collect()
+    }
+    want = {
+        (ia, ib, _lev(ka, kb))
+        for ia, ka in left
+        for ib, kb in right
+        if _lev(ka, kb) <= 2
+    }
+    assert got == want
+
+
+def test_d2_and_d0_jvm_only_plans(spark):
+    a = spark.createDataFrame([(1, "abc")], "id_a long, key string")
+    b = spark.createDataFrame([(2, "abd")], "id_b long, key string")
+    for d in (0, 2):
+        plan = (
+            fuzzy_join(a, b, "key", max_distance=d)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
