@@ -187,7 +187,13 @@ def register_decoder(kind: str, fn: Callable[[bytes], dict]) -> None:
 
 def _fake_decode(raw: bytes) -> dict:
     """Deterministic stand-in for a media decoder: stable pseudo-features
-    derived from a content digest. Replace via `register_decoder`."""
+    derived from a content digest. Replace via `register_decoder`.
+
+    Fallback contract (SURVEY C5): this stub serves the DECODE leg only
+    — it keeps `q_multimodal_decode` oracle-verifiable for kinds with no
+    registered codec. The resize and frame-sampling legs deliberately
+    have NO such fallback: an unregistered kind yields NULL there,
+    never fabricated bytes."""
     h = hashlib.sha256(raw).digest()
     return {
         "width": 64 + h[0],

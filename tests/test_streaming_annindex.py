@@ -410,3 +410,171 @@ def test_restart_heals_crash_between_quantizer_save_and_rebuild(
         dup, _index_codes(spark, idx), ld_cents, ld_books
     )
     assert acc2.count() == 0
+
+
+def test_lazy_rekey_scores_mixed_generations_and_converges(spark, tmp_path):
+    """VERDICT r5 item 5: rekey='lazy' makes a drift retrain O(new batch)
+    up front — old partitions keep old-generation codes, scored under
+    their OWN codebooks (multi-generation ADC), and a bounded slice
+    re-keys per trigger until the index converges to one generation.
+    Decisions must match the eager full-rebuild gate on margin-clear
+    vectors throughout."""
+    import glob
+    import os
+    import shutil
+
+    from dbbspark.streaming.annindex import (
+        gate_batch,
+        index_generations,
+        load_quantizer_generations,
+        streaming_ann_gate_with_drift,
+    )
+
+    a, b = _centers()
+    boot = _mk(spark, [(1000 + i, _cluster_vec(a, i)) for i in range(60)])
+    cents = train_centroids_for_test(spark, boot)
+    books = train_ivfpq(boot, cents, m=4, k=8)
+
+    def drop_batch(src, rows, name):
+        stage = str(tmp_path / f"stage_{name}_{os.path.basename(src)}")
+        _mk(spark, rows).coalesce(1).write.parquet(stage)
+        shutil.move(
+            glob.glob(f"{stage}/part-*.parquet")[0],
+            os.path.join(src, f"{name}.parquet"),
+        )
+
+    b1 = [(i, _cluster_vec(a, i)) for i in range(20)]
+    b2 = [(100 + i, _cluster_vec(b, i)) for i in range(20)]
+
+    def run(mode, tag, per_trigger):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src, exist_ok=True)
+        drop_batch(src, b1, "b1")
+        drop_batch(src, b2, "b2")
+        idx = str(tmp_path / f"idx_{tag}")
+        acc = str(tmp_path / f"acc_{tag}")
+        q, state = streaming_ann_gate_with_drift(
+            (
+                spark.readStream.schema("vec_id long, embedding array<double>")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            ),
+            idx, acc, str(tmp_path / f"ck_{tag}"), cents, books,
+            eps=0.05, drift_stds=2.0, rekey=mode,
+            rekey_batches_per_trigger=per_trigger,
+        )
+        q.awaitTermination()
+        return idx, acc, state, src
+
+    e_idx, e_acc, e_state, _ = run("eager", "eager", 0)
+    l_idx, l_acc, l_state, l_src = run("lazy", "lazy", 0)
+
+    assert e_state["retrains"] == 1 and l_state["retrains"] == 1
+    e_accepted = {r["vec_id"] for r in spark.read.parquet(e_acc).collect()}
+    l_accepted = {r["vec_id"] for r in spark.read.parquet(l_acc).collect()}
+    assert l_accepted == e_accepted  # gate decisions identical
+    # eager fully re-keyed; lazy (per_trigger=0) still holds BOTH gens
+    assert index_generations(spark, e_idx) == [1]
+    assert index_generations(spark, l_idx) == [0, 1]
+    # both generations' codebooks are live in the store
+    store = load_quantizer_generations(spark, l_idx)
+    assert {0, 1} <= set(store)
+
+    # mixed-generation gating: near-dups of BOTH strata rejected, far
+    # vector accepted — the old stratum is scored under gen-0 codebooks
+    lo = min(v for v in l_accepted if v < 100)
+    hi = min(v for v in l_accepted if v >= 100)
+    acc_rows = {r["vec_id"]: r["embedding"]
+                for r in spark.read.parquet(l_acc).collect()}
+    near_old = [v + (0.002 if j == 0 else 0.0)
+                for j, v in enumerate(acc_rows[lo])]
+    near_new = [v + (0.002 if j == 0 else 0.0)
+                for j, v in enumerate(acc_rows[hi])]
+    far = [4.0, -4.0] + [0.1] * 14
+    probe = _mk(spark, [(900, near_old), (901, near_new), (902, far)])
+    from dbbspark.streaming.annindex import _index_codes
+
+    got, _ = gate_batch(
+        probe, _index_codes(spark, l_idx, with_gen=True),
+        l_state["centroids"], l_state["codebooks"],
+        quantizers_by_gen={
+            **store, l_state["gen"]: (l_state["centroids"],
+                                      l_state["codebooks"]),
+        },
+    )
+    ids = {r["vec_id"] for r in got.collect()}
+    assert ids == {902}
+
+    # convergence: restart the lazy gate with a re-key budget and one
+    # more (clean) batch — stale partitions re-encode, single gen left,
+    # decisions for the probe unchanged
+    b3 = [(300 + i, _cluster_vec(b, 50 + i)) for i in range(5)]
+    drop_batch(l_src, b3, "b3")
+    q2, l_state2 = streaming_ann_gate_with_drift(
+        (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(l_src)
+        ),
+        l_idx, l_acc, str(tmp_path / "ck_lazy"), cents, books,
+        eps=0.05, drift_stds=2.0, rekey="lazy", rekey_batches_per_trigger=8,
+    )
+    q2.awaitTermination()
+    assert index_generations(spark, l_idx) == [l_state2["gen"]]
+    got2, _ = gate_batch(
+        probe, _index_codes(spark, l_idx, with_gen=True),
+        l_state2["centroids"], l_state2["codebooks"],
+        quantizers_by_gen={
+            l_state2["gen"]: (l_state2["centroids"], l_state2["codebooks"])
+        },
+    )
+    assert {r["vec_id"] for r in got2.collect()} == {902}
+
+
+def test_rekey_stale_partitions_bounded_and_idempotent(spark, tmp_path):
+    """The background compaction primitive: re-keys at most max_batches
+    stale partitions per call, leaves fresh ones untouched, converges,
+    and a repeat call is a no-op."""
+    from dbbspark.streaming.annindex import (
+        index_generations,
+        rekey_stale_partitions,
+        retrain_quantizer,
+    )
+
+    # unique sin-noise vectors + a tight eps: the gate must ACCEPT all
+    # 24, so the re-key has enough durable vectors to retrain/encode
+    # against (_vec has period 13 in its seed — byte-identical repeats
+    # would be vhash-rejected; an operating-width eps would ADC-trim
+    # same-cluster neighbors)
+    a, _b = _centers()
+    boot = _mk(spark, [(1000 + i, _cluster_vec(a, i)) for i in range(60)])
+    cents = train_centroids_for_test(spark, boot)
+    books = train_ivfpq(boot, cents, m=4, k=8)
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    for bid in range(3):
+        rows = _mk(
+            spark,
+            [(bid * 50 + i, _cluster_vec(a, 100 + bid * 20 + i))
+             for i in range(8)],
+        )
+        process_batch(rows, bid, idx, acc, cents, books, gen=0, eps=0.001)
+    new_cents, new_books = retrain_quantizer(
+        spark.read.parquet(acc).select("vec_id", "embedding"), 4, 4, 8
+    )
+    done = rekey_stale_partitions(
+        spark, acc, idx, new_cents, new_books, gen=1, max_batches=2
+    )
+    assert done == [0, 1]
+    assert index_generations(spark, idx) == [0, 1]  # batch 2 still stale
+    done2 = rekey_stale_partitions(
+        spark, acc, idx, new_cents, new_books, gen=1, max_batches=2
+    )
+    assert done2 == [2]
+    assert index_generations(spark, idx) == [1]
+    assert rekey_stale_partitions(
+        spark, acc, idx, new_cents, new_books, gen=1
+    ) == []
+    # every accepted vector still has exactly one index row
+    acc_ids = sorted(r["vec_id"] for r in spark.read.parquet(acc).collect())
+    idx_ids = sorted(r["vec_id"] for r in spark.read.parquet(idx).collect())
+    assert acc_ids == idx_ids
