@@ -424,6 +424,172 @@ def _fuzzy_homog(spark, n=50_000):
     return fuzzy_join(a, b, "key", max_distance=1)
 
 
+def _fuzzy_d2(spark, n=50_000):
+    """VERDICT r5 item 3's 50k×50k point: max_distance=2 now auto-routes
+    to the exact 2-deletion FastSS neighborhood (1 + L + L(L-1)/2 ≈ 137
+    variants per 16-char key → ~6.9M narrow hash rows per side), killing
+    the capped gram path's silent pair loss at the d=2 reconcile shape.
+    The b side mutates half its keys by 1 char and a quarter by 2."""
+    from dbbspark.operators.fuzzy import fuzzy_join
+
+    key = F.substring(F.md5(F.col("id").cast("string")), 1, 16)
+    a = spark.range(n).select(F.col("id").alias("id_a"), key.alias("key"))
+    b = spark.range(n).select(
+        (F.col("id") + 1_000_000).alias("id_b"),
+        F.when(
+            F.col("id") % 4 == 0,
+            F.concat(F.lit("zz"), F.substring(key, 3, 14)),  # 2 subs
+        )
+        .when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit("z"), F.substring(key, 2, 15)),  # 1 sub
+        )
+        .otherwise(key)
+        .alias("key"),
+    )
+    return fuzzy_join(a, b, "key", max_distance=2)
+
+
+def _bpe_scale(spark, sf_dir: str) -> None:
+    """VERDICT r5 item 2's >=1k-merge point. The driver regime runs the
+    whole 1k-merge schedule after ONE Spark aggregation (word_counts);
+    the old path was one pair-count job per merge. A 50-merge sequential
+    distributed run measures that per-merge job floor, from which the
+    1k-merge cost it replaces is linear extrapolation.
+
+    The fixture documents have a ~31-word vocabulary (the schedule runs
+    dry at ~100 merges), so the word table here is synthetic: 50k
+    distinct hash-derived words under a Zipf-ish count law — enough
+    pair diversity to sustain a production-depth merge schedule."""
+    import time as _t
+
+    from dbbspark.operators.bpe import train_bpe
+
+    wc = (
+        spark.range(50_000)
+        .select(
+            F.substring(
+                F.md5(F.col("id").cast("string")), 1,
+                (F.col("id") % 9 + 4).cast("int"),
+            ).alias("word"),
+            (F.lit(1_000_000) / (F.col("id") + 1)).cast("long").alias("count"),
+        )
+        .where(F.col("count") >= 1)
+        .groupBy("word").agg(F.sum("count").alias("count"))
+        .localCheckpoint(eager=True)
+    )
+    n_words = wc.count()
+
+    t0 = _t.time()
+    merges = train_bpe(wc, 1000, min_pair_count=2)
+    driver_sec = _t.time() - t0
+    print(json.dumps({
+        "op": "bpe_1k_driver", "merges": len(merges), "vocab": n_words,
+        "sec": round(driver_sec, 2),
+    }))
+
+    t0 = _t.time()
+    seq = train_bpe(wc, 50, batch_size=1, driver_vocab_limit=0)
+    seq_sec = _t.time() - t0
+    per_merge = seq_sec / max(len(seq), 1)
+    print(json.dumps({
+        "op": "bpe_seq50_distributed", "merges": len(seq),
+        "sec": round(seq_sec, 2), "sec_per_merge": round(per_merge, 3),
+        "extrapolated_1k_sec": round(per_merge * 1000, 1),
+    }))
+    assert merges[: len(seq)] == seq  # regimes agree on the shared prefix
+
+
+def _ann_drift_lazy(spark) -> None:
+    """VERDICT r5 item 5's amortization point: same drifted stream as
+    _ann_drift, but rekey is LAZY — the retrain batch pays quantizer
+    training only (no O(corpus) index rewrite inside the trigger);
+    each later batch re-keys ONE stale partition alongside its gate
+    (multi-generation ADC keeps old partitions scorable meanwhile)."""
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as FF
+
+    from dbbspark.operators.pq import train_ivfpq
+    from dbbspark.operators.similarity import train_centroids
+    from dbbspark.streaming.annindex import (
+        _index_codes,
+        index_generations,
+        process_batch,
+        quantizer_drift,
+        quantizer_profile,
+        rekey_stale_partitions,
+        retrain_quantizer,
+    )
+
+    base_center = "sin((id % 16) * 7.31 + j * 1.77) * 2.0"
+    drift_center = "sin((id % 16) * 3.91 + j * 2.33) * 2.5"
+    noise = "(mod(sin(id * 12.9898 + j * 78.233) * 43758.5453, 1.0) - 0.5)"
+
+    def batch(start, n, center):
+        return (
+            spark.range(start, start + n)
+            .select(
+                FF.col("id").alias("vec_id"),
+                FF.expr(
+                    f"transform(sequence(0, 63), "
+                    f"j -> cast({center} + {noise} * 0.8 as double))"
+                ).alias("embedding"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    boot = batch(0, 20_000, base_center)
+    cents = train_centroids(boot, k=16).localCheckpoint(eager=True)
+    cents.count()
+    books = train_ivfpq(boot, cents, m=8, k=16)
+    root = tempfile.mkdtemp(prefix="dbbspark_anndriftlazy_")
+    idx, acc = f"{root}/idx", f"{root}/acc"
+
+    baseline, gen = None, 0
+    quantizers = {0: (cents, books)}
+    state_c, state_b = cents, books
+    centers = [base_center, base_center, drift_center, drift_center,
+               drift_center, drift_center]
+    for bid, center in enumerate(centers):
+        bvec = batch(1_000_000 * (bid + 1), 10_000, center)
+        prof = quantizer_profile(bvec, state_c, state_b)
+        retrain_sec = 0.0
+        if baseline is None:
+            baseline = prof
+        elif quantizer_drift(baseline, prof, stds=2.0):
+            t0 = _t.time()
+            acc_vecs = spark.read.parquet(acc).select("vec_id", "embedding")
+            state_c, state_b = retrain_quantizer(
+                acc_vecs.unionByName(bvec), 16, 8, 16
+            )
+            gen += 1
+            quantizers[gen] = (state_c, state_b)
+            baseline = quantizer_profile(bvec, state_c, state_b)
+            retrain_sec = _t.time() - t0  # NO index rewrite in here
+        t0 = _t.time()
+        rekeyed = rekey_stale_partitions(
+            spark, acc, idx, state_c, state_b, gen, max_batches=1
+        ) if bid > 0 else []
+        rekey_sec = _t.time() - t0
+        t0 = _t.time()
+        process_batch(
+            bvec, bid, idx, acc, state_c, state_b, gen=gen,
+            quantizers_by_gen=quantizers,
+        )
+        gate_sec = _t.time() - t0
+        print(json.dumps({
+            "op": f"ann_drift_lazy_batch{bid}",
+            "gate_sec": round(gate_sec, 2),
+            "retrain_sec": round(retrain_sec, 2),
+            "rekey_sec": round(rekey_sec, 2),
+            "rekeyed_batches": rekeyed,
+            "live_gens": index_generations(spark, idx),
+            "index_rows": _index_codes(spark, idx).count(),
+        }))
+
+
 def _purity(big):
     from dbbspark.operators.audit import cluster_purity
     from dbbspark.operators.dedup import (
@@ -583,6 +749,8 @@ def main() -> None:
         "fuzzy_join": lambda: _fuzzy(big.sparkSession),
         # d1 route on the gram path's failure envelope (hub-only keys)
         "fuzzy_homog_d1": lambda: _fuzzy_homog(big.sparkSession),
+        # d2 FastSS route at 50k x 50k (VERDICT r5 item 3)
+        "fuzzy_d2": lambda: _fuzzy_d2(big.sparkSession),
         # C50 purity audit over the real clustering of the replicated
         # corpus (copies-member clusters): member-to-rep exact Jaccard
         "cluster_purity": lambda: _purity(big),
@@ -619,6 +787,8 @@ def main() -> None:
         "ann_recall",
         "pq_recall_clustered",
         "ann_drift",
+        "ann_drift_lazy",
+        "bpe_1k",
     }:
         return
 
@@ -690,6 +860,12 @@ def main() -> None:
 
     if wanted and "ann_drift" in wanted:
         _ann_drift(spark)
+
+    if wanted and "ann_drift_lazy" in wanted:
+        _ann_drift_lazy(spark)
+
+    if wanted and "bpe_1k" in wanted:
+        _bpe_scale(spark, args.sf_dir)
 
     if not wanted or wanted & {"zorder_scan_clustered", "zorder_scan_xsorted"}:
         _zorder_bench(spark, args.reps)

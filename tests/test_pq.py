@@ -225,12 +225,14 @@ def test_train_pq_no_prefit_dimension_job(spark, emb):
             F.slice(F.col("embedding"), 1, d).cast("array<double>")
         ).alias("features")
     )
-    n0 = len(jt.getJobIdsForGroup(None))
+    sc = spark.sparkContext
+    sc.setJobGroup("pq_fit_base", "pin")
     KMeans(k=4, seed=7, maxIter=3).fit(feat)
-    fit_jobs = len(jt.getJobIdsForGroup(None)) - n0
+    fit_jobs = len(jt.getJobIdsForGroup("pq_fit_base"))
 
-    n0 = len(jt.getJobIdsForGroup(None))
+    sc.setJobGroup("pq_train", "pin")
     train_pq(frozen, m=1, k=4, max_iter=3, seed=7)
-    train_jobs = len(jt.getJobIdsForGroup(None)) - n0
+    train_jobs = len(jt.getJobIdsForGroup("pq_train"))
+    sc.setLocalProperty("spark.jobGroup.id", None)
 
     assert train_jobs == fit_jobs, (train_jobs, fit_jobs)

@@ -41,15 +41,20 @@ def test_profile_job_count_independent_of_columns(spark):
     (AQE may split the agg into a fixed number of stage-jobs, but
     per-column extra jobs would scale with the schema)."""
     df = _df(spark).localCheckpoint(eager=True)
-    jt = spark.sparkContext._jsc.sc().statusTracker()
+    sc = spark.sparkContext
+    jt = sc._jsc.sc().statusTracker()
 
-    n0 = len(jt.getJobIdsForGroup(None))
+    # count via dedicated job groups, not a global diff — async jobs from
+    # other tests' cleanup (streaming listeners, lazy checkpoints) land in
+    # a global count and made this pin flaky under full-suite ordering
+    sc.setJobGroup("prof_one_col", "pin")
     profile_table(df, columns=["id"])
-    one_col = len(jt.getJobIdsForGroup(None)) - n0
+    one_col = len(jt.getJobIdsForGroup("prof_one_col"))
 
-    n0 = len(jt.getJobIdsForGroup(None))
+    sc.setJobGroup("prof_all_cols", "pin")
     profile_table(df)
-    all_cols = len(jt.getJobIdsForGroup(None)) - n0
+    all_cols = len(jt.getJobIdsForGroup("prof_all_cols"))
+    sc.setLocalProperty("spark.jobGroup.id", None)
 
     assert all_cols == one_col, (one_col, all_cols)
 
@@ -138,10 +143,12 @@ def test_check_table_one_job_regardless_of_checks(spark):
         {"check": "min_distinct", "column": "name", "value": 1},
         {"check": "row_count_between", "min": 0},
     ]
-    n0 = len(jt.getJobIdsForGroup(None)); check_table(df, one)
-    jobs_one = len(jt.getJobIdsForGroup(None)) - n0
-    n0 = len(jt.getJobIdsForGroup(None)); check_table(df, many)
-    jobs_many = len(jt.getJobIdsForGroup(None)) - n0
+    sc = spark.sparkContext
+    sc.setJobGroup("checks_one", "pin"); check_table(df, one)
+    jobs_one = len(jt.getJobIdsForGroup("checks_one"))
+    sc.setJobGroup("checks_many", "pin"); check_table(df, many)
+    jobs_many = len(jt.getJobIdsForGroup("checks_many"))
+    sc.setLocalProperty("spark.jobGroup.id", None)
     assert jobs_many == jobs_one, (jobs_one, jobs_many)
 
 
