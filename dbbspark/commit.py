@@ -74,45 +74,45 @@ def _commits_dir(root: str) -> str:
 
 
 def _reserved_versions(spark: SparkSession, root: str) -> list[int]:
-    """Slot numbers with a commit-log record (committed OR burned)."""
-    try:
-        fs, cdir, jvm = _fs_and_path(spark, _commits_dir(root))
-        if not fs.exists(cdir):
-            return []
-        out = []
-        for st in fs.listStatus(cdir):
-            try:
-                out.append(int(st.getPath().getName()))
-            except ValueError:
-                continue
-        return sorted(out)
-    except Exception:
+    """Slot numbers with a commit-log record (committed OR burned).
+
+    A MISSING directory is []; any other filesystem error PROPAGATES
+    (self-review r6): swallowing it would read as "no versions exist",
+    and a reader acting on that — e.g. the ANN drift gate deciding this
+    is a first run — would overwrite newer state with stale state."""
+    fs, cdir, jvm = _fs_and_path(spark, _commits_dir(root))
+    if not fs.exists(cdir):
         return []
+    out = []
+    for st in fs.listStatus(cdir):
+        try:
+            out.append(int(st.getPath().getName()))
+        except ValueError:
+            continue
+    return sorted(out)
 
 
 def committed_versions(spark: SparkSession, root: str) -> list[int]:
     """Snapshot numbers that are fully committed: commit-log record AND
-    ``v=<n>/_SUCCESS`` present. Ascending; [] when none."""
-    try:
-        fs, hroot, jvm = _fs_and_path(spark, root)
-        if not fs.exists(hroot):
-            return []
-        Path = jvm.org.apache.hadoop.fs.Path
-        reserved = set(_reserved_versions(spark, root))
-        out = []
-        for st in fs.listStatus(hroot):
-            name = st.getPath().getName()
-            if not (st.isDirectory() and name.startswith("v=")):
-                continue
-            try:
-                n = int(name[2:])
-            except ValueError:
-                continue
-            if n in reserved and fs.exists(Path(st.getPath(), "_SUCCESS")):
-                out.append(n)
-        return sorted(out)
-    except Exception:
+    ``v=<n>/_SUCCESS`` present. Ascending; [] when none (missing root is
+    []; real filesystem errors propagate — see `_reserved_versions`)."""
+    fs, hroot, jvm = _fs_and_path(spark, root)
+    if not fs.exists(hroot):
         return []
+    Path = jvm.org.apache.hadoop.fs.Path
+    reserved = set(_reserved_versions(spark, root))
+    out = []
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v=")):
+            continue
+        try:
+            n = int(name[2:])
+        except ValueError:
+            continue
+        if n in reserved and fs.exists(Path(st.getPath(), "_SUCCESS")):
+            out.append(n)
+    return sorted(out)
 
 
 def latest_snapshot(spark: SparkSession, root: str) -> tuple[int, str] | None:
@@ -160,32 +160,39 @@ def commit_snapshot(
     root = root.rstrip("/")
     token = uuid.uuid4().hex
     staging = f"{root}/_staging/{token}"
-    write_fn(staging)
-
     fs, hroot, jvm = _fs_and_path(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
-    fs.mkdirs(Path(_commits_dir(root)))
     record = json.dumps(
         {"token": token, "ts": time.time(), "writer": "dbbspark"}
     )
-    for _ in range(max_attempts):
-        reserved = _reserved_versions(spark, root)
-        n = (reserved[-1] + 1) if reserved else 0
-        if _create_exclusive(fs, jvm, f"{_commits_dir(root)}/{n}", record):
-            dest = Path(f"{root}/v={n}")
-            if fs.exists(dest):
-                # a corrupt slot (data without record) — never merge into
-                # it; burn this record and take the next slot
-                continue
-            if not fs.rename(Path(staging), dest):
-                raise IOError(
-                    f"commit_snapshot: rename {staging} -> v={n} failed"
-                )
-            return n, f"{root}/v={n}"
-    raise ConcurrentWriteError(
-        f"commit_snapshot: could not reserve a slot under {root} after "
-        f"{max_attempts} attempts"
-    )
+    try:
+        write_fn(staging)
+        fs.mkdirs(Path(_commits_dir(root)))
+        for _ in range(max_attempts):
+            reserved = _reserved_versions(spark, root)
+            n = (reserved[-1] + 1) if reserved else 0
+            if _create_exclusive(fs, jvm, f"{_commits_dir(root)}/{n}", record):
+                dest = Path(f"{root}/v={n}")
+                if fs.exists(dest):
+                    # a corrupt slot (data without record) — never merge
+                    # into it; burn this record and take the next slot
+                    continue
+                if not fs.rename(Path(staging), dest):
+                    raise IOError(
+                        f"commit_snapshot: rename {staging} -> v={n} failed"
+                    )
+                return n, f"{root}/v={n}"
+        raise ConcurrentWriteError(
+            f"commit_snapshot: could not reserve a slot under {root} after "
+            f"{max_attempts} attempts"
+        )
+    except BaseException:
+        # never leak the staged snapshot copy on failure (self-review r6)
+        try:
+            fs.delete(Path(staging), True)
+        except Exception:
+            pass
+        raise
 
 
 def prune_snapshots(
@@ -228,21 +235,45 @@ def exclusive_lock(
     clear a lock left by a crashed job: if the existing lock's recorded
     timestamp is older than the horizon, it is deleted and acquisition
     retried ONCE. Never the default — a long-running legitimate holder
-    is indistinguishable from a crash by mtime alone."""
+    is indistinguishable from a crash by mtime alone.
+
+    Release is OWNERSHIP-CHECKED (self-review r6): the lock file carries
+    this holder's token, and both release and stale-break re-read the
+    file and act only when the content matches what they observed — a
+    holder outlived by a stale-break must not delete the NEW holder's
+    lock (that would re-open the interleaved-rename window the lock
+    exists to close), and two racing breakers must not both acquire."""
     lock_path = f"{root.rstrip('/')}.lock"
     fs, _, jvm = _fs_and_path(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
     token = uuid.uuid4().hex
     payload = json.dumps({"token": token, "ts": time.time(), "purpose": purpose})
 
+    def read_lock() -> str | None:
+        try:
+            stream = fs.open(Path(lock_path))
+            try:
+                data = bytearray()
+                while True:
+                    b = stream.read()
+                    if b < 0:
+                        break
+                    data.append(b)
+                return bytes(data).decode("utf-8", "replace")
+            finally:
+                stream.close()
+        except Exception:
+            return None  # vanished / unreadable
+
     got = _create_exclusive(fs, jvm, lock_path, payload)
     if not got and break_stale_after is not None:
+        observed = read_lock()
         try:
             st = fs.getFileStatus(Path(lock_path))
             age = time.time() - st.getModificationTime() / 1000.0
         except Exception:
             age = float("inf")  # vanished between create and stat: retry
-        if age > break_stale_after:
+        if age > break_stale_after and read_lock() == observed:
             fs.delete(Path(lock_path), False)
             got = _create_exclusive(fs, jvm, lock_path, payload)
     if not got:
@@ -254,7 +285,14 @@ def exclusive_lock(
         yield token
     finally:
         try:
-            fs.delete(Path(lock_path), False)
+            current = read_lock()
+            if current is not None:
+                try:
+                    owner = json.loads(current).get("token")
+                except ValueError:
+                    owner = None
+                if owner == token:
+                    fs.delete(Path(lock_path), False)
         except Exception:
             pass
 

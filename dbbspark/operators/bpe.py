@@ -58,13 +58,20 @@ def word_counts(
 
 
 def _pair_col(syms: Column) -> Column:
-    """array<string> of adjacent symbol pairs 'a b' (empty for 1-symbol
-    words) — zip_with over two slices, no per-index element_at."""
+    """array<struct<a,b>> of adjacent symbol pairs (empty for 1-symbol
+    words) — zip_with over two slices, no per-index element_at. Structs,
+    not 'a b' strings (self-review r6): struct ordering compares fields
+    like the (a, b) TUPLE the reference trainer and the driver regime's
+    heap use, while the joined-string order diverges for symbols holding
+    characters below 0x20 (tabs/newlines survive the space-only word
+    split) — the tiebreak must be one order everywhere."""
     n = F.size(syms) - 1
     empty = F.array().cast("array<string>")
     heads = F.when(n >= 1, F.slice(syms, 1, n)).otherwise(empty)
     tails = F.when(n >= 1, F.slice(syms, 2, n)).otherwise(empty)
-    return F.zip_with(heads, tails, lambda a, b: F.concat_ws(" ", a, b))
+    return F.zip_with(
+        heads, tails, lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+    )
 
 
 def _batch_merge_expr(syms: Column, pairs: list[tuple[str, str]]) -> Column:
@@ -139,7 +146,7 @@ def _select_safe_batch(
     made: set[str] = set()
     c_cut: int | None = None
     for i, row in enumerate(rows):
-        a, b = row["pair"].split(" ", 1)
+        a, b = row["pair"]["a"], row["pair"]["b"]
         c = int(row["c"])
         if (
             len(accepted) >= want
@@ -166,6 +173,15 @@ def _select_safe_batch(
     if c_cut is not None:
         while len(accepted) > 1 and accepted[-1][2] <= c_cut:
             accepted.pop()
+    if not accepted and rows:
+        # forward progress (self-review r6): row 0 can be rejected by the
+        # vocab/made guards, but as a SINGLE merge it is always safe — it
+        # is the literal argmax, and the guards only protect merges AFTER
+        # it in a batch. Without this the round would select nothing and
+        # the training loop would re-run the same aggregation forever.
+        accepted = [
+            (rows[0]["pair"]["a"], rows[0]["pair"]["b"], int(rows[0]["c"]))
+        ]
     return accepted
 
 

@@ -171,6 +171,7 @@ def fuzzy_join(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_df: int | None = 1000,
+    method: str = "auto",
 ) -> DataFrame:
     """(id_a, id_b, key_a, key_b, distance) for all cross-table pairs
     with ``levenshtein(key_a, key_b) <= max_distance``.
@@ -189,7 +190,21 @@ def fuzzy_join(
     join. The capped gram path below serves max_distance >= 3 (where
     the deletion neighborhood is O(L³)+) — there ``max_df`` remains the
     documented approximation.
+
+    SCALE NOTE for the auto-routed d=2: the 2-deletion neighborhood is
+    1 + L + L(L−1)/2 variants per key — right-sized for the filename/
+    serial keys reconciliation joins on (L≈20 → ~200), but a CLIFF for
+    long keys (L=150 URLs → ~11k variants/key), where ``max_df`` is
+    also silently irrelevant. ``method='grams'`` is the escape hatch:
+    it forces the capped gram path at any distance (exactness reverts
+    to the documented cap contract). ``method='fastss'`` forces the
+    deletion route (d <= 2 only); default 'auto' picks FastSS for
+    d <= 2.
     """
+    if method not in ("auto", "fastss", "grams"):
+        raise ValueError("method must be 'auto', 'fastss', or 'grams'")
+    if method == "fastss" and max_distance > 2:
+        raise ValueError("method='fastss' supports max_distance <= 2 only")
     if max_distance == 0:
         ak = a.select(
             F.col(id_a), F.lower(F.col(key)).alias("key_a")
@@ -200,10 +215,8 @@ def fuzzy_join(
         return ak.join(bk, ak.key_a == bk.key_b).select(
             id_a, id_b, "key_a", "key_b", F.lit(0).alias("distance")
         )
-    if max_distance == 1:
-        return fuzzy_join_d1(a, b, key, id_a, id_b)
-    if max_distance == 2:
-        return fuzzy_join_d2(a, b, key, id_a, id_b)
+    if max_distance <= 2 and method != "grams":
+        return _fastss_join(a, b, key, max_distance, id_a, id_b)
     def side(df: DataFrame, idc: str, tag: str) -> DataFrame:
         return (
             df.select(

@@ -104,11 +104,25 @@ def cut_lineage(df, eager: bool = False):
     # returns a fully-qualified URI (file:/... or hdfs://host/...) while the
     # conf value is usually a bare path, so compare path components, not raw
     # strings — otherwise every call re-sets and churns fresh subdirectories.
+    # Two refinements (self-review r6): the prefix must end at a path
+    # separator (root /tmp/ckpt must NOT match a current dir under
+    # /tmp/ckpt-old), and when the conf names a scheme the current URI's
+    # scheme must match it (flipping hdfs://nn/data/ckpt -> file:/data/ckpt
+    # is a real change even though the paths are equal).
     from urllib.parse import urlparse
 
-    cur_path = urlparse(current).path if current else ""
-    root_path = urlparse(ckpt_dir).path or ckpt_dir
-    if not cur_path or not cur_path.startswith(root_path.rstrip("/")):
+    cur = urlparse(current) if current else None
+    want = urlparse(ckpt_dir)
+    root_path = (want.path or ckpt_dir).rstrip("/")
+    matches = (
+        cur is not None
+        and (not want.scheme or cur.scheme == want.scheme)
+        and (
+            cur.path == root_path
+            or cur.path.startswith(root_path + "/")
+        )
+    )
+    if not matches:
         sc.setCheckpointDir(ckpt_dir)
     return df.checkpoint(eager=eager)
 

@@ -60,7 +60,12 @@ def _index_codes(
     predates generation stamping) for multi-generation ADC scoring."""
     cols = "vec_id long, cell long, code array<bigint>, norm double, vhash long"
     try:
-        idx = spark.read.parquet(index_dir)
+        # mergeSchema: a mixed index (pre-gen partitions + gen-stamped
+        # partitions — the plain-gate → drift-gate upgrade path) must not
+        # lose the gen column to single-footer schema inference, or every
+        # row would read as generation 0 and ADC would decode gen-N codes
+        # under gen-0 codebooks
+        idx = spark.read.option("mergeSchema", "true").parquet(index_dir)
         if before is not None and "batch" in idx.columns:
             idx = idx.where(F.col("batch") < before)
         if not with_gen:
@@ -542,15 +547,18 @@ def index_generations(spark: SparkSession, index_dir: str) -> list[int]:
     (ascending; [] when the index is absent/empty/unstamped). More than
     one element = a lazily re-keyed index mid-convergence."""
     try:
-        idx = spark.read.parquet(index_dir)
+        idx = spark.read.option("mergeSchema", "true").parquet(index_dir)
     except AnalysisException:
         return []
     if "gen" not in idx.columns:
         return []
+    # null gen = a partition written before generation stamping — the
+    # same "generation 0" convention _index_codes applies
     return sorted(
-        int(r["gen"])
-        for r in idx.select("gen").distinct().collect()
-        if r["gen"] is not None
+        int(r["g"])
+        for r in idx.select(
+            F.coalesce(F.col("gen"), F.lit(0)).alias("g")
+        ).distinct().collect()
     )
 
 
@@ -573,7 +581,7 @@ def rekey_stale_partitions(
     own codebooks) or new-gen; re-running converges. Returns the batch
     ids re-keyed; [] when the index is single-generation already."""
     try:
-        idx = spark.read.parquet(index_dir)
+        idx = spark.read.option("mergeSchema", "true").parquet(index_dir)
     except AnalysisException:
         return []
     if "gen" not in idx.columns:
@@ -616,13 +624,17 @@ def index_generation(spark: SparkSession, index_dir: str) -> int | None:
     from two codebook generations in one index corrupt every ADC score,
     so that state must never be scored against."""
     try:
-        idx = spark.read.parquet(index_dir)
+        idx = spark.read.option("mergeSchema", "true").parquet(index_dir)
     except AnalysisException:
         return None
     if "gen" not in idx.columns:
         return None
-    gens = [r["gen"] for r in idx.select("gen").distinct().collect()]
-    gens = [g for g in gens if g is not None]
+    gens = sorted(
+        int(r["g"])
+        for r in idx.select(
+            F.coalesce(F.col("gen"), F.lit(0)).alias("g")
+        ).distinct().collect()
+    )
     if not gens:
         return None
     if len(gens) > 1:
@@ -776,6 +788,18 @@ def streaming_ann_gate_with_drift(
                         p_cents, p_books, p_gen, None, id_col, vec_col,
                     )
     else:
+        # guard (self-review r6): a gen-stamped index with an unreadable
+        # quantizer store means the store was LOST, not that this is a
+        # first run — re-bootstrapping would commit the caller's stale
+        # quantizer as the newest snapshot and silently undo the retrain
+        stamped = index_generations(spark0, index_dir)
+        if any(g > 0 for g in stamped):
+            raise RuntimeError(
+                f"{index_dir}: index is stamped with quantizer "
+                f"generations {stamped} but no quantizer snapshot "
+                "loads — restore the .quantizer store (or rebuild the "
+                "index from the accepted vectors) before gating"
+            )
         state = {
             "centroids": centroids.localCheckpoint(eager=True),
             "codebooks": codebooks,
@@ -790,11 +814,20 @@ def streaming_ann_gate_with_drift(
         )
 
     m, k, _sub = np.asarray(state["codebooks"]).shape
+    # lazy mode: cache the persisted generations ONCE (plus each retrain's
+    # in-memory addition) — reloading per micro-batch re-listed the commit
+    # log and eagerly re-checkpointed every generation's centroids each
+    # trigger (fixed driver overhead + leaked checkpoint blocks)
+    if rekey == "lazy":
+        state["quantizers"] = load_quantizer_generations(
+            spark0, index_dir, id_col, vec_col
+        )
+        state["quantizers"][state["gen"]] = (
+            state["centroids"], state["codebooks"],
+        )
 
     def _quantizers(spark: SparkSession) -> dict:
-        store = load_quantizer_generations(spark, index_dir, id_col, vec_col)
-        store[state["gen"]] = (state["centroids"], state["codebooks"])
-        return store
+        return state["quantizers"]
 
     def _one_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -833,6 +866,10 @@ def streaming_ann_gate_with_drift(
                     spark, accepted_dir, index_dir,
                     state["centroids"], state["codebooks"], id_col, vec_col,
                     gen=state["gen"],
+                )
+            elif rekey == "lazy":
+                state["quantizers"][state["gen"]] = (
+                    state["centroids"], state["codebooks"],
                 )
             state["retrains"] += 1
         if rekey == "lazy":

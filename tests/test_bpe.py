@@ -236,3 +236,24 @@ def test_driver_regime_many_merges_converges(spark):
     want = _reference_bpe(words, 1000, min_pair_count=1)
     assert got == want
     assert len(got) > 300  # the schedule really runs deep, not 10 merges
+
+
+def test_tiebreak_consistent_with_control_chars(spark):
+    """Self-review r6: the distributed rounds used to order ties by the
+    'a b' space-joined string, which diverges from the reference's (a, b)
+    TUPLE order for symbols holding characters below 0x20 (tabs survive
+    the space-only word split). All three paths — reference, driver
+    regime, distributed — must agree on such corpora."""
+    words = {"x\ty": 3, "xz": 3, "x\tq": 2, "xw": 2, "ab": 3}
+    wc = spark.createDataFrame(list(words.items()), "word string, count long")
+    want = _reference_bpe(words, 8, min_pair_count=1)
+    assert train_bpe(wc, 8, min_pair_count=1) == want
+    assert (
+        train_bpe(wc, 8, min_pair_count=1, driver_vocab_limit=0) == want
+    )
+    assert (
+        train_bpe(
+            wc, 8, min_pair_count=1, batch_size=1, driver_vocab_limit=0
+        )
+        == want
+    )

@@ -221,3 +221,68 @@ def test_concurrent_compaction_loser_aborts_gate_state_intact(spark, tmp_path):
     assert {(r["h"], r["df"]) for r in compacted.collect()} == before
     assert compacted.select("batch").distinct().count() == 1
     assert backup.endswith(".pre-compact")
+
+
+def test_lock_release_is_ownership_checked(spark, tmp_path):
+    """Self-review r6: a holder outlived by a stale-break must NOT
+    delete the new holder's lock on exit — release re-reads the lock and
+    acts only on its own token."""
+    import json as _json
+
+    root = str(tmp_path / "owned")
+    _write_payload(spark, 1)(root)
+    fs, _, jvm = _fs_and_path(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+
+    gen = exclusive_lock(spark, root, purpose="long-holder")
+    gen.__enter__()
+    # operator breaks the "stale" lock; a new holder acquires
+    fs.delete(Path(root + ".lock"), False)
+    with exclusive_lock(spark, root, purpose="new-holder"):
+        # the outlived holder exits — must NOT remove the new lock
+        try:
+            gen.__exit__(None, None, None)
+        except Exception:
+            pass
+        assert fs.exists(Path(root + ".lock"))
+        data = []
+        stream = fs.open(Path(root + ".lock"))
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        stream.close()
+        assert _json.loads(bytes(data))["purpose"] == "new-holder"
+    # new holder's exit DOES release (its token matches)
+    assert not fs.exists(Path(root + ".lock"))
+
+
+def test_commit_failure_cleans_staging(spark, tmp_path):
+    """A failed commit must not leak its staged snapshot copy."""
+    root = str(tmp_path / "cleanup")
+
+    def bad_write(path: str) -> None:
+        _write_payload(spark, 1)(path)
+        raise RuntimeError("simulated writer crash after staging")
+
+    with pytest.raises(RuntimeError, match="simulated"):
+        commit_snapshot(spark, root, bad_write)
+    fs, _, jvm = _fs_and_path(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    stg = Path(f"{root}/_staging")
+    assert not fs.exists(stg) or not list(fs.listStatus(stg))
+    # and the reserve/rename failure path: a pre-existing corrupt v=N
+    # for every slot burns all attempts -> ConcurrentWriteError
+    root2 = str(tmp_path / "cleanup2")
+    _write_payload(spark, 0)(f"{root2}/v=0")  # corrupt: data, no record
+    _write_payload(spark, 0)(f"{root2}/v=1")
+    with pytest.raises(ConcurrentWriteError):
+        commit_snapshot(spark, root2, _write_payload(spark, 1), max_attempts=2)
+    staging_root = Path(f"{root2}/_staging")
+    leaked = (
+        [s.getPath().getName() for s in fs.listStatus(staging_root)]
+        if fs.exists(staging_root)
+        else []
+    )
+    assert leaked == []

@@ -578,3 +578,59 @@ def test_rekey_stale_partitions_bounded_and_idempotent(spark, tmp_path):
     acc_ids = sorted(r["vec_id"] for r in spark.read.parquet(acc).collect())
     idx_ids = sorted(r["vec_id"] for r in spark.read.parquet(idx).collect())
     assert acc_ids == idx_ids
+
+
+def test_gen_column_survives_mixed_schema_index(spark, tmp_path, setup):
+    """Self-review r6: an index whose older partitions predate generation
+    stamping (plain gate) and whose newer ones carry gen must read with
+    mergeSchema — single-footer inference could drop the gen column and
+    silently score gen-N codes under gen-0 codebooks."""
+    from dbbspark.streaming.annindex import index_generations
+
+    cents, books = setup
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    b1 = spark.createDataFrame(
+        [(1, _vec(1)), (2, _vec(2))], "vec_id long, embedding array<double>"
+    )
+    process_batch(b1, 0, idx, acc, cents, books)  # pre-gen partition
+    b2 = spark.createDataFrame(
+        [(3, _vec(9))], "vec_id long, embedding array<double>"
+    )
+    process_batch(b2, 1, idx, acc, cents, books, gen=1)  # stamped
+    rows = _index_codes(spark, idx, with_gen=True).collect()
+    by_id = {r["vec_id"]: r["gen"] for r in rows}
+    assert by_id[3] == 1  # the stamped partition's gen is visible...
+    assert by_id[1] == 0 and by_id[2] == 0  # ...pre-gen rows coalesce to 0
+    assert index_generations(spark, idx) == [0, 1]
+
+
+def test_drift_gate_refuses_bootstrap_over_stamped_index(spark, tmp_path):
+    """Self-review r6: a gen-stamped index with NO loadable quantizer
+    store means the store was lost — re-bootstrapping would commit the
+    caller's stale quantizer as newest and silently undo the retrain, so
+    the gate must refuse to start."""
+    import os
+
+    import pytest as _pytest
+
+    from dbbspark.streaming.annindex import streaming_ann_gate_with_drift
+
+    a, _b = _centers()
+    boot = _mk(spark, [(1000 + i, _cluster_vec(a, i)) for i in range(60)])
+    cents = train_centroids_for_test(spark, boot)
+    books = train_ivfpq(boot, cents, m=4, k=8)
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    b1 = _mk(spark, [(i, _cluster_vec(a, i)) for i in range(10)])
+    process_batch(b1, 0, idx, acc, cents, books, gen=2)  # stamped, no store
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    with _pytest.raises(RuntimeError, match="quantizer"):
+        streaming_ann_gate_with_drift(
+            (
+                spark.readStream.schema(
+                    "vec_id long, embedding array<double>"
+                ).parquet(src)
+            ),
+            idx, acc, str(tmp_path / "ck"), cents, books,
+        )
