@@ -261,6 +261,28 @@ def test_nightly_ops_script_composes_monitor_scrub_profile(
         [("a.fits", ok)], "filename string, md5sum string"
     ).write.parquet(reg)
 
+    # a tiny stage-in area so the DRAIN leg runs too (reference:
+    # cron_save_DBB_stagein_to_DBB.sh) — one good FITS-ish delivery
+    stage = tmp_path / "stagein"
+    for d in ("notify", "delivery"):
+        os.makedirs(stage / d, exist_ok=True)
+    data = b"EXPNUM = 7\nOBSTYPE = object\npayload"
+    (stage / "delivery" / "DECam_00000007.fits").write_bytes(data)
+    (stage / "notify" / "DECam_00000007.fits.dbb").write_bytes(
+        f"md5sum = {hashlib.md5(data).hexdigest()}\n".encode()
+    )
+    ingest_cfg = tmp_path / "ingest.cfg"
+    ingest_archive = str(tmp_path / "ing_archive")
+    ingest_cfg.write_text(
+        f"""notify_dir = {stage / 'notify'}
+delivery_dir = {stage / 'delivery'}
+archive_root = {ingest_archive}
+registry_path = {tmp_path / 'ing_registry'}
+bad_file_dir = {tmp_path / 'ing_quarantine'}
+checkpoint_dir = {tmp_path / 'ing_ckpt'}
+"""
+    )
+
     env = dict(
         os.environ,
         SF_DIR=sf_dir,
@@ -271,6 +293,7 @@ def test_nightly_ops_script_composes_monitor_scrub_profile(
         PROFILE_PATH=reg,
         SCRUB_SAMPLE="1.0",
         SCRUB_SALT="7",
+        INGEST_CONFIG=str(ingest_cfg),
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = os.path.join(repo, "examples", "nightly_ops.sh")
@@ -281,6 +304,7 @@ def test_nightly_ops_script_composes_monitor_scrub_profile(
     )
     assert r1.returncode == 0, r1.stdout + r1.stderr
     assert os.path.exists(str(tmp_path / "state" / "profile.json"))
+    assert os.path.exists(ingest_archive)  # the drain leg archived the file
     report_files = os.listdir(str(tmp_path / "report"))
     assert any(f.endswith(".html") for f in report_files), report_files
     assert "renamed_matches" in r1.stdout  # fuzzy pairing ran
