@@ -132,7 +132,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
             % 100 <
             CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END)
-             AS in_sample
+             AS in_sample,
+           CAST(CAST(n_tokens > 32.0 AS INT) + CAST(n_tokens > 56.0 AS INT)
+                + CAST(n_tokens > 76.0 AS INT) AS INT) AS curriculum_stage
     FROM g
     """,
     doc="C4+C10 (merged): the per-document annotation pass every "
@@ -147,7 +149,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gate: per-stratum rates applied via an md5 hash gate on the key, so "
     "the sample is reproducible across runs, engines, AND cluster sizes "
     "(unlike sampleBy's partition-dependent RNG) and is a pushdown-able "
-    "filter — no shuffle, no state.",
+    "filter — no shuffle, no state. FOLDED C53 (operators/curriculum.py:"
+    "curriculum_stages, r6): `curriculum_stage` bands each doc by token "
+    "count against PINNED quantile cuts (32/56/76 — the replay "
+    "discipline: cuts passed in, not re-estimated), the easy→hard "
+    "banding curriculum_order materializes; the band CASE is re-derived "
+    "as boolean sums in the oracle.",
     tags=("text", "sampling", "closure"),
 )
 def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,6 +188,14 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(10)
     )
     gate = md5_int_col(F.col("doc_id").cast("string")) % 100
+    from ..operators.curriculum import curriculum_stages
+
+    m, _cuts = curriculum_stages(
+        m.withColumn("difficulty", F.col("n_tokens").cast("double")),
+        "difficulty",
+        stages=4,
+        cuts=[32.0, 56.0, 76.0],
+    )
     return m.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -196,6 +211,7 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
         .alias("lang_guess"),
         (gate < rate).alias("in_sample"),
+        F.col("stage").cast("int").alias("curriculum_stage"),
     )
 
 
