@@ -261,10 +261,34 @@ def verify_archive(
             F.concat_ws("\x1f", F.col("filename"), F.lit(str(sample_salt)))
         ) % 1_000_000
         arch = arch.where(gate < int(sample_fraction * 1_000_000))
+    reg = (
+        spark.read.parquet(registry_path) if registry_path is not None else None
+    )
+    # presence drift checks run on the FULL archive name set even under
+    # sampling (names are narrow)
+    names = (
+        spark.read.parquet(archive_root).select("filename")
+        if registry_path is not None
+        else None
+    )
+    return verify_archive_frames(arch, reg, archive_names=names)
+
+
+def verify_archive_frames(
+    arch: "DataFrame",
+    reg: "DataFrame | None" = None,
+    archive_names: "DataFrame | None" = None,
+):
+    """Frame-level core of `verify_archive` — same findings contract,
+    but over DataFrames instead of parquet paths, so the scrub composes
+    into pipelines (and sits under the driver's DuckDB oracle via
+    `q_ingest_gate`'s scrub_finding fold). ``arch`` needs (filename,
+    md5sum, filesize, content); ``reg`` (filename, md5sum);
+    ``archive_names`` is the FULL archive name set for the
+    missing_in_archive leg — pass it when ``arch`` is a sampled slice
+    (defaults to ``arch``'s own names)."""
     checked = arch.select(
         "filename",
-        "filetype",
-        "nite",
         "md5sum",
         "filesize",
         F.md5("content").alias("_actual_md5"),
@@ -292,10 +316,8 @@ def verify_archive(
             F.col("_actual_size"),
         )
     )
-    if registry_path is not None:
-        reg = spark.read.parquet(registry_path).select(
-            "filename", F.col("md5sum").alias("_reg_md5")
-        )
+    if reg is not None:
+        reg = reg.select("filename", F.col("md5sum").alias("_reg_md5"))
         a_sums = checked.select("filename", "md5sum")
         out = (
             out.unionByName(
@@ -319,9 +341,9 @@ def verify_archive(
             .unionByName(
                 finding(
                     reg.join(
-                        # presence drift checks run on the FULL archive
-                        # name set even under sampling (names are narrow)
-                        spark.read.parquet(archive_root).select("filename"),
+                        archive_names
+                        if archive_names is not None
+                        else checked.select("filename"),
                         "filename",
                         "left_anti",
                     ),

@@ -121,41 +121,109 @@ def q_filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT md5(text) AS md5sum FROM documents WHERE doc_id % 3 = 0),
     d AS (
       SELECT doc_id, source,
+             'doc_' || CAST(doc_id AS VARCHAR) AS filename,
              CASE WHEN doc_id % 97 = 0 THEN md5('corrupt')
                   ELSE md5(text) END AS declared_md5,
-             md5(text) AS actual_md5
-      FROM documents)
-    SELECT doc_id, source, declared_md5, actual_md5,
-           (declared_md5 = actual_md5) AS checksum_ok
-    FROM d
-    WHERE actual_md5 NOT IN (SELECT md5sum FROM registry)
+             md5(text) AS actual_md5,
+             strlen(text) + CASE WHEN doc_id % 89 = 0 THEN 1 ELSE 0 END
+               AS stored_size,
+             strlen(text) AS actual_size
+      FROM documents),
+    reg2 AS (
+      SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS filename,
+             CASE WHEN doc_id % 41 = 0 THEN md5('regdrift')
+                  ELSE md5(text) END AS reg_md5
+      FROM documents WHERE doc_id % 3 = 0),
+    kinds AS (
+      SELECT filename, 'content_md5_mismatch' AS finding
+      FROM d WHERE declared_md5 <> actual_md5
+      UNION ALL
+      SELECT filename, 'size_mismatch' FROM d
+      WHERE stored_size <> actual_size
+      UNION ALL
+      SELECT d.filename, 'registry_md5_mismatch'
+      FROM d JOIN reg2 ON d.filename = reg2.filename
+      WHERE d.declared_md5 <> reg2.reg_md5
+      UNION ALL
+      SELECT filename, 'missing_in_registry' FROM d
+      WHERE filename NOT IN (SELECT filename FROM reg2)),
+    scrub AS (
+      SELECT filename,
+             array_to_string(list_sort(list(DISTINCT finding)), ',')
+               AS scrub_finding
+      FROM kinds GROUP BY filename)
+    SELECT d.doc_id, d.source, d.declared_md5, d.actual_md5,
+           (d.declared_md5 = d.actual_md5) AS checksum_ok,
+           COALESCE(s.scrub_finding, 'clean') AS scrub_finding
+    FROM d LEFT JOIN scrub s ON d.filename = s.filename
+    WHERE d.actual_md5 NOT IN (SELECT md5sum FROM registry)
     """,
-    doc="P3+J8 (merged): the ingest gate — checksum-equality predicate "
+    doc="P3+J8+C54 (merged): the ingest gate — checksum-equality predicate "
     "(declared md5 from the notify file vs computed md5 of content, "
     "bin/save_DBB_stagein_to_DBB.py:100-109,170-177) composed with the "
     "registry anti-join (only files not already archived are ingested; "
     "duplicates quarantine — is_file_in_archive, "
-    "bin/save_DBB_stagein_to_DBB.py:155).",
+    "bin/save_DBB_stagein_to_DBB.py:155). The scrub_finding column is the "
+    "C54 archive-integrity fold (r6): the REAL maintenance operator "
+    "(verify_archive_frames) runs over a synthetic archive/registry pair "
+    "derived from documents — %97 bit-rot, %89 size drift, %41 registry "
+    "checksum drift, %3 registry membership — and the per-file sorted "
+    "finding list rides the gate rows, 'clean' when empty. The "
+    "missing_in_archive leg needs names absent from the archive and stays "
+    "pytest-covered (test_maintenance).",
 )
 def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..maintenance import verify_archive_frames
+
     docs = load_table(spark, sf_dir, "documents")
     actual = F.md5(F.col("text").cast("binary"))
     declared = F.when(F.col("doc_id") % 97 == 0, F.md5(F.lit("corrupt"))).otherwise(actual)
+    fname = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
     registry = docs.where(F.col("doc_id") % 3 == 0).select(actual.alias("md5sum"))
+    # C54 synthetic archive: stored checksum = the (possibly corrupt)
+    # declared md5; stored size drifts by one byte on the %89 stratum.
+    arch = docs.select(
+        fname.alias("filename"),
+        declared.alias("md5sum"),
+        (
+            F.octet_length("text").cast("long")
+            + F.when(F.col("doc_id") % 89 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("filesize"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    reg_frame = docs.where(F.col("doc_id") % 3 == 0).select(
+        fname.alias("filename"),
+        F.when(F.col("doc_id") % 41 == 0, F.md5(F.lit("regdrift")))
+        .otherwise(actual)
+        .alias("md5sum"),
+    )
+    scrub = (
+        verify_archive_frames(arch, reg_frame)
+        .groupBy("filename")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("finding")), ",").alias(
+                "scrub_finding"
+            )
+        )
+    )
     incoming = docs.select(
         "doc_id",
         "source",
         declared.alias("declared_md5"),
         actual.alias("actual_md5"),
+        fname.alias("filename"),
     )
-    return incoming.join(
-        registry, incoming.actual_md5 == registry.md5sum, "left_anti"
-    ).select(
-        "doc_id",
-        "source",
-        "declared_md5",
-        "actual_md5",
-        (F.col("declared_md5") == F.col("actual_md5")).alias("checksum_ok"),
+    return (
+        incoming.join(registry, incoming.actual_md5 == registry.md5sum, "left_anti")
+        .join(scrub, "filename", "left")
+        .select(
+            "doc_id",
+            "source",
+            "declared_md5",
+            "actual_md5",
+            (F.col("declared_md5") == F.col("actual_md5")).alias("checksum_ok"),
+            F.coalesce("scrub_finding", F.lit("clean")).alias("scrub_finding"),
+        )
     )
 
 
