@@ -356,6 +356,27 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_gc(args: argparse.Namespace) -> int:
+    """Retention maintenance for a versioned-snapshot root (the commit
+    protocol's v=<n> layout): drop all but the newest ``--keep-last``
+    committed snapshots, then reap ``_staging`` orphans older than
+    ``--staging-horizon`` seconds (a writer SIGKILL'd between its
+    staging write and the commit CAS leaks the staged copy with no
+    in-process cleanup; the horizon must exceed the longest snapshot
+    write — see commit.gc_staging)."""
+    from .commit import committed_versions, gc_staging, prune_snapshots
+
+    spark = _session("dbbspark-gc")
+    dropped = prune_snapshots(spark, args.root, keep_last=args.keep_last)
+    reaped = gc_staging(spark, args.root, older_than_sec=args.staging_horizon)
+    live = committed_versions(spark, args.root)
+    print(
+        f"pruned versions: {dropped}; staging orphans reaped: {len(reaped)}; "
+        f"live versions: {live}"
+    )
+    return 0
+
+
 def cmd_scrub(args: argparse.Namespace) -> int:
     """Archive integrity scrub (maintenance.verify_archive): recompute
     checksums over the resting archive, cross-check the registry, print
@@ -577,6 +598,15 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--audit-only", action="store_true")
     co.add_argument("--drop-backup", action="store_true")
     co.set_defaults(fn=cmd_compact)
+
+    g = sub.add_parser(
+        "gc",
+        help="snapshot-root retention: prune old versions + reap staging orphans",
+    )
+    g.add_argument("--root", required=True)
+    g.add_argument("--keep-last", type=int, default=2)
+    g.add_argument("--staging-horizon", type=float, default=86400.0)
+    g.set_defaults(fn=cmd_gc)
 
     sc = sub.add_parser(
         "scrub",

@@ -217,6 +217,41 @@ def prune_snapshots(
     return drop
 
 
+def gc_staging(
+    spark: SparkSession, root: str, older_than_sec: float = 86400.0
+) -> list[str]:
+    """Remove orphaned ``_staging/<token>`` dirs left by writers that
+    died WITHOUT in-process cleanup (SIGKILL/OOM between the staging
+    write and the commit rename — `commit_snapshot`'s except-path only
+    runs when the process survives to raise). Anything still under
+    ``_staging`` is uncommitted by construction: the winning rename
+    MOVES the staging dir into ``v=<n>``, so committed data is immune.
+
+    A dir is an orphan when the newest modification time anywhere in its
+    tree is older than ``older_than_sec``. The horizon MUST exceed the
+    longest plausible snapshot write plus the write→rename gap (same
+    contract as table-format VACUUM retention): gc'ing a live writer's
+    staging makes ITS commit rename fail — an aborted write, never a
+    corrupt or half-visible snapshot. Returns the deleted paths."""
+    sdir = f"{root.rstrip('/')}/_staging"
+    fs, spath, jvm = _fs_and_path(spark, sdir)
+    if not fs.exists(spath):
+        return []
+    now = time.time()
+    removed = []
+    for st in fs.listStatus(spath):
+        if not st.isDirectory():
+            continue
+        newest = st.getModificationTime() / 1000.0
+        it = fs.listFiles(st.getPath(), True)
+        while it.hasNext():
+            newest = max(newest, it.next().getModificationTime() / 1000.0)
+        if now - newest > older_than_sec:
+            if fs.delete(st.getPath(), True):
+                removed.append(str(st.getPath().toUri().getPath()))
+    return removed
+
+
 @contextmanager
 def exclusive_lock(
     spark: SparkSession,

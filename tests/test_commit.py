@@ -286,3 +286,54 @@ def test_commit_failure_cleans_staging(spark, tmp_path):
         else []
     )
     assert leaked == []
+
+
+def test_gc_staging_reaps_killed_writer_orphans_only(spark, tmp_path):
+    """A SIGKILL'd writer leaves _staging/<token> with no in-process
+    cleanup; gc_staging reaps it past the age horizon, never touches a
+    younger (possibly live) staging dir, and never touches committed
+    snapshots. Commits keep working afterwards."""
+    from dbbspark.commit import gc_staging
+
+    root = str(tmp_path / "gcroot")
+    commit_snapshot(spark, root, _write_payload(spark, 7))
+    # orphan: staged data whose writer died before the commit CAS
+    _write_payload(spark, 99)(f"{root}/_staging/deadwriter")
+    # horizon larger than the orphan's age: nothing is eligible
+    assert gc_staging(spark, root, older_than_sec=3600.0) == []
+    removed = gc_staging(spark, root, older_than_sec=0.0)
+    assert [p.rsplit("/", 1)[1] for p in removed] == ["deadwriter"]
+    fs, _, jvm = _fs_and_path(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    assert not fs.exists(Path(f"{root}/_staging/deadwriter"))
+    # committed state untouched; the log advances normally after gc
+    assert committed_versions(spark, root) == [0]
+    assert read_latest(spark, root).first()["payload"] == 7
+    v, _p = commit_snapshot(spark, root, _write_payload(spark, 8))
+    assert v == 1 and read_latest(spark, root).first()["payload"] == 8
+    # no _staging at all is a no-op, not an error
+    assert gc_staging(spark, str(tmp_path / "nothing"), 0.0) == []
+
+
+def test_cli_gc_prunes_and_reaps(spark, tmp_path, capsys):
+    """`cli gc` composes prune_snapshots + gc_staging: old versions and
+    dead-writer staging go, the newest snapshots and the commit log
+    stay."""
+    from dbbspark import cli
+    from dbbspark.commit import gc_staging  # noqa: F401  (import parity)
+
+    root = str(tmp_path / "cliroot")
+    for v in range(3):
+        commit_snapshot(spark, root, _write_payload(spark, v))
+    _write_payload(spark, 99)(f"{root}/_staging/dead")
+    rc = cli.main(
+        ["gc", "--root", root, "--keep-last", "2", "--staging-horizon", "0"]
+    )
+    assert rc == 0
+    assert committed_versions(spark, root) == [1, 2]
+    fs, _, jvm = _fs_and_path(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    assert not fs.exists(Path(f"{root}/_staging/dead"))
+    # version counter stays monotonic: next commit takes slot 3
+    v, _p = commit_snapshot(spark, root, _write_payload(spark, 3))
+    assert v == 3

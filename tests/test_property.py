@@ -281,3 +281,69 @@ def test_epoch_repeats_count_bounds_property(spark, factors, seed):
     assert set(by) <= set(factors)
     again = epoch_repeats(d.repartition(7), factors, epoch_seed=seed)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+@given(
+    files=st.lists(
+        st.tuples(
+            st.binary(min_size=0, max_size=8),  # content
+            st.booleans(),  # stored checksum corrupted (bit rot)
+            st.booleans(),  # stored size drifted
+            st.booleans(),  # present in registry
+            st.booleans(),  # registry checksum drifted
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    n_ghosts=st.integers(min_value=0, max_value=2),
+)
+@settings(**SETTINGS)
+def test_verify_archive_frames_matches_reference_on_random_faults(
+    spark, files, n_ghosts
+):
+    """C54 frames core ≡ a pure-Python re-derivation on random planted
+    faults: every finding kind, empty archive/registry, and the
+    stored-vs-actual subtlety (registry_md5_mismatch compares the
+    registry against the STORED archive checksum, not the recomputed
+    one) — each (filename, finding, expected, actual) multiset must
+    match exactly."""
+    import hashlib
+
+    from dbbspark.maintenance import verify_archive_frames
+
+    def h(b: bytes) -> str:
+        return hashlib.md5(b).hexdigest()
+
+    arch_rows, reg_rows, want = [], [], []
+    for i, (content, rot, sdrift, in_reg, rdrift) in enumerate(files):
+        name = f"f{i}"
+        actual = h(content)
+        stored = h(content + b"X") if rot else actual
+        size = len(content) + (1 if sdrift else 0)
+        arch_rows.append((name, stored, size, bytearray(content)))
+        if rot:
+            want.append((name, "content_md5_mismatch", stored, actual))
+        if sdrift:
+            want.append((name, "size_mismatch", str(size), str(len(content))))
+        if in_reg:
+            reg_md5 = h(b"drift" + content) if rdrift else stored
+            reg_rows.append((name, reg_md5))
+            if reg_md5 != stored:
+                want.append((name, "registry_md5_mismatch", reg_md5, stored))
+        else:
+            want.append((name, "missing_in_registry", None, stored))
+    for g in range(n_ghosts):
+        gname, gmd5 = f"ghost{g}", h(b"ghost%d" % g)
+        reg_rows.append((gname, gmd5))
+        want.append((gname, "missing_in_archive", gmd5, None))
+
+    arch = spark.createDataFrame(
+        arch_rows, "filename string, md5sum string, filesize long, content binary"
+    )
+    reg = spark.createDataFrame(reg_rows, "filename string, md5sum string")
+    got = [
+        (r["filename"], r["finding"], r["expected"], r["actual"])
+        for r in verify_archive_frames(arch, reg).collect()
+    ]
+    key = lambda t: tuple("" if v is None else v for v in t)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
