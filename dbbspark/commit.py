@@ -338,3 +338,17 @@ def read_latest(spark: SparkSession, root: str) -> DataFrame | None:
     if latest is None:
         return None
     return spark.read.parquet(latest[1])
+
+
+def read_snapshot(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Time-travel read of committed snapshot ``version`` (snapshots are
+    immutable once committed, so any retained version reproduces a past
+    gate/index state exactly). Raises ValueError when the version is not
+    fully committed — burned slot, pruned, or never reserved — instead
+    of letting a raw path read return partial or missing data."""
+    if version not in committed_versions(spark, root):
+        raise ValueError(
+            f"{root}: version {version} is not a committed snapshot "
+            "(burned, pruned, or never committed)"
+        )
+    return spark.read.parquet(f"{root.rstrip('/')}/v={version}")

@@ -22,6 +22,10 @@
 #   SCRUB_SAMPLE  partial-scrub fraction per night (default 0.1)
 #   SCRUB_SALT    scrub epoch (default: day of year, so ~10 nights at
 #                 0.1 rotate through the whole archive)
+#   GC_ROOTS      space-separated versioned-snapshot roots (gate
+#                 indexes, quantizer stores) to retention-gc — skip
+#                 if unset; the 24 h staging horizon assumes nightly
+#                 cadence (must exceed the longest snapshot write)
 #   PYTHON        interpreter (default: python)
 set -u
 
@@ -57,5 +61,12 @@ else
   $PY -m dbbspark.cli profile --path "$PROFILE_PATH" \
     --save "$STATE_DIR/profile.json" || rc=$?
 fi
+
+# 5. retention gc for versioned-snapshot state the pipelines maintain:
+#    prune old versions, reap staging copies left by killed writers
+for root in ${GC_ROOTS:-}; do
+  $PY -m dbbspark.cli gc --root "$root" --keep-last 2 \
+    --staging-horizon 86400 || rc=$?
+done
 
 exit $rc

@@ -283,6 +283,23 @@ checkpoint_dir = {tmp_path / 'ing_ckpt'}
 """
     )
 
+    # a versioned-snapshot root for the retention-gc leg: three
+    # committed versions (keep-last 2 must prune v0) and one staging
+    # orphan YOUNGER than the 24 h horizon (must survive — a live
+    # writer's staging is indistinguishable by age)
+    from dbbspark.commit import commit_snapshot, committed_versions
+
+    gc_root = str(tmp_path / "gate_index")
+    for v in range(3):
+        commit_snapshot(
+            spark,
+            gc_root,
+            lambda p, v=v: spark.range(v + 1).write.parquet(p),
+        )
+    os.makedirs(gc_root + "/_staging/young")
+    with open(gc_root + "/_staging/young/part", "w") as fh:
+        fh.write("x")
+
     env = dict(
         os.environ,
         SF_DIR=sf_dir,
@@ -294,6 +311,7 @@ checkpoint_dir = {tmp_path / 'ing_ckpt'}
         SCRUB_SAMPLE="1.0",
         SCRUB_SALT="7",
         INGEST_CONFIG=str(ingest_cfg),
+        GC_ROOTS=gc_root,
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = os.path.join(repo, "examples", "nightly_ops.sh")
@@ -308,6 +326,9 @@ checkpoint_dir = {tmp_path / 'ing_ckpt'}
     report_files = os.listdir(str(tmp_path / "report"))
     assert any(f.endswith(".html") for f in report_files), report_files
     assert "renamed_matches" in r1.stdout  # fuzzy pairing ran
+    # gc leg: v0 pruned, newest two kept, young staging untouched
+    assert committed_versions(spark, gc_root) == [1, 2]
+    assert os.path.exists(gc_root + "/_staging/young/part")
 
     r2 = subprocess.run(
         ["bash", script], env=env, cwd=repo, capture_output=True, text=True,

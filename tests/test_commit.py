@@ -315,6 +315,25 @@ def test_gc_staging_reaps_killed_writer_orphans_only(spark, tmp_path):
     assert gc_staging(spark, str(tmp_path / "nothing"), 0.0) == []
 
 
+def test_read_snapshot_time_travel_and_refusals(spark, tmp_path):
+    """read_snapshot reproduces any retained past version exactly
+    (snapshots are immutable) and refuses burned, pruned, and unknown
+    versions instead of reading a stale path."""
+    from dbbspark.commit import read_snapshot
+
+    root = str(tmp_path / "tt")
+    for v in range(3):
+        commit_snapshot(spark, root, _write_payload(spark, 10 + v))
+    assert read_snapshot(spark, root, 0).first()["payload"] == 10
+    assert read_snapshot(spark, root, 2).first()["payload"] == 12
+    prune_snapshots(spark, root, keep_last=2)
+    with pytest.raises(ValueError, match="not a committed snapshot"):
+        read_snapshot(spark, root, 0)  # pruned
+    with pytest.raises(ValueError, match="not a committed snapshot"):
+        read_snapshot(spark, root, 99)  # never existed
+    assert read_snapshot(spark, root, 1).first()["payload"] == 11
+
+
 def test_cli_gc_prunes_and_reaps(spark, tmp_path, capsys):
     """`cli gc` composes prune_snapshots + gc_staging: old versions and
     dead-writer staging go, the newest snapshots and the commit log
