@@ -242,10 +242,18 @@ def gc_staging(
     for st in fs.listStatus(spath):
         if not st.isDirectory():
             continue
-        newest = st.getModificationTime() / 1000.0
-        it = fs.listFiles(st.getPath(), True)
-        while it.hasNext():
-            newest = max(newest, it.next().getModificationTime() / 1000.0)
+        try:
+            newest = st.getModificationTime() / 1000.0
+            it = fs.listFiles(st.getPath(), True)
+            while it.hasNext():
+                newest = max(newest, it.next().getModificationTime() / 1000.0)
+        except Exception:
+            # a concurrent writer's winning commit RENAMES its staging
+            # dir away between our listStatus and this walk — that entry
+            # is simply no longer gc's business; skip, don't crash the
+            # sweep (the racing-writer scenario is the module's reason
+            # to exist)
+            continue
         if now - newest > older_than_sec:
             if fs.delete(st.getPath(), True):
                 removed.append(str(st.getPath().toUri().getPath()))
