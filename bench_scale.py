@@ -346,6 +346,33 @@ def replicated_corpus(spark, sf_dir: str, copies: int):
     return big.repartition(32).localCheckpoint(eager=True)
 
 
+def _scrub(big):
+    """C54 archive-integrity scrub at corpus scale: archive = every doc
+    as (content bytes, stored checksum, size) with planted %97 bit-rot,
+    registry = the %3 stratum with planted %41 drift — times the
+    map-only md5 recompute plus the narrow registry joins (the shape
+    that rides a 100 TB archive; no wide shuffle anywhere)."""
+    from dbbspark.maintenance import verify_archive_frames
+
+    fname = F.concat(F.lit("f"), F.col("doc_id").cast("string"))
+    actual = F.md5(F.col("text").cast("binary"))
+    arch = big.select(
+        fname.alias("filename"),
+        F.when(F.col("doc_id") % 97 == 0, F.md5(F.lit("corrupt")))
+        .otherwise(actual)
+        .alias("md5sum"),
+        F.octet_length("text").cast("long").alias("filesize"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    reg = big.where(F.col("doc_id") % 3 == 0).select(
+        fname.alias("filename"),
+        F.when(F.col("doc_id") % 41 == 0, F.md5(F.lit("regdrift")))
+        .otherwise(actual)
+        .alias("md5sum"),
+    )
+    return verify_archive_frames(arch, reg)
+
+
 def _budget_select(big):
     from dbbspark.operators.select import budget_select
 
@@ -766,6 +793,7 @@ def main() -> None:
         "epoch_repeats": lambda: _epoch_repeats(big),
         # C53 curriculum order: quantile cuts + range exchange
         "curriculum_order": lambda: _curriculum(big),
+        "verify_archive": lambda: _scrub(big),
     }
     for name, build in ops.items():
         if wanted and name not in wanted:
