@@ -231,8 +231,10 @@ def gc_staging(
     tree is older than ``older_than_sec``. The horizon MUST exceed the
     longest plausible snapshot write plus the write→rename gap (same
     contract as table-format VACUUM retention): gc'ing a live writer's
-    staging makes ITS commit rename fail — an aborted write, never a
-    corrupt or half-visible snapshot. Returns the deleted paths."""
+    staging fails THAT writer — its staging write dies mid-job or its
+    commit rename fails — an aborted write, never a corrupt or
+    half-visible snapshot (chaos-pinned in test_commit). Returns the
+    deleted paths."""
     sdir = f"{root.rstrip('/')}/_staging"
     fs, spath, jvm = _fs_and_path(spark, sdir)
     if not fs.exists(spath):

@@ -339,7 +339,6 @@ def test_cli_gc_prunes_and_reaps(spark, tmp_path, capsys):
     dead-writer staging go, the newest snapshots and the commit log
     stay."""
     from dbbspark import cli
-    from dbbspark.commit import gc_staging  # noqa: F401  (import parity)
 
     root = str(tmp_path / "cliroot")
     for v in range(3):
@@ -356,3 +355,60 @@ def test_cli_gc_prunes_and_reaps(spark, tmp_path, capsys):
     # version counter stays monotonic: next commit takes slot 3
     v, _p = commit_snapshot(spark, root, _write_payload(spark, 3))
     assert v == 3
+
+
+def test_gc_racing_live_committers_never_loses_committed_data(spark, tmp_path):
+    """Chaos: gc sweeps with a TOO-SHORT horizon while writers commit.
+    The documented worst case is an aborted in-flight write (gc reaps a
+    live staging dir, that writer's rename fails) — NEVER a lost or
+    corrupt committed snapshot, and the sweep itself never crashes on a
+    staging dir a winning commit renames away mid-walk."""
+    import threading
+
+    from dbbspark.commit import gc_staging
+
+    root = str(tmp_path / "race2")
+    committed, aborted, errors = [], [], []
+
+    def writer(v):
+        try:
+            n, _ = commit_snapshot(spark, root, _write_payload(spark, v))
+            committed.append((n, v))
+        except Exception:
+            # gc reaped our staging mid-write (Spark job failure) or
+            # just before the rename (IOError) — both are the documented
+            # "aborted write"; the invariants below prove nothing
+            # COMMITTED was harmed
+            aborted.append(v)
+
+    stop = threading.Event()
+
+    def sweeper():
+        while not stop.is_set():
+            try:
+                gc_staging(spark, root, older_than_sec=0.0)
+            except Exception as exc:
+                errors.append(exc)
+
+    sw = threading.Thread(target=sweeper)
+    sw.start()
+    try:
+        threads = [
+            threading.Thread(target=writer, args=(v,)) for v in range(6)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        stop.set()
+        sw.join()
+    assert errors == []
+    # every commit that REPORTED success is complete and readable with
+    # its own payload, at a unique version
+    assert len({n for n, _ in committed}) == len(committed)
+    for n, v in committed:
+        from dbbspark.commit import read_snapshot
+
+        assert read_snapshot(spark, root, n).first()["payload"] == v
+    assert committed_versions(spark, root) == sorted(n for n, _ in committed)
