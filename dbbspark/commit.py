@@ -287,7 +287,15 @@ def exclusive_lock(
     file and act only when the content matches what they observed — a
     holder outlived by a stale-break must not delete the NEW holder's
     lock (that would re-open the interleaved-rename window the lock
-    exists to close), and two racing breakers must not both acquire."""
+    exists to close), and two racing breakers must not both acquire.
+
+    Residual window, by design: between the breaker's content re-read
+    and its delete, a brand-new holder could acquire and be deleted —
+    unavoidable for ANY delete-based break without server-side fencing
+    (rename-based variants just move the double-hold to the restore
+    path). That is WHY ``break_stale_after`` is an explicit operator
+    decision on a lock already diagnosed as crashed, never an automatic
+    retry policy."""
     lock_path = f"{root.rstrip('/')}.lock"
     fs, _, jvm = _fs_and_path(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
