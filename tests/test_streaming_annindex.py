@@ -634,3 +634,36 @@ def test_drift_gate_refuses_bootstrap_over_stamped_index(spark, tmp_path):
             ),
             idx, acc, str(tmp_path / "ck"), cents, books,
         )
+
+
+def test_multi_gen_scoring_refuses_missing_generation(spark, tmp_path, setup):
+    """gate_batch's multi-generation path must FAIL FAST when the index
+    holds a generation whose codebooks are not in the supplied store —
+    scoring those rows under any other generation's codebooks is the
+    silent mis-decode the gen machinery exists to prevent."""
+    cents, books = setup
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    b1 = spark.createDataFrame(
+        [(1, _vec(1)), (2, _vec(5))], "vec_id long, embedding array<double>"
+    )
+    process_batch(b1, 0, idx, acc, cents, books, gen=3)  # stamped gen 3
+    b2 = spark.createDataFrame(
+        [(7, _vec(9))], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(RuntimeError, match="no persisted"):
+        gate_batch(
+            b2,
+            _index_codes(spark, idx, with_gen=True),
+            cents,
+            books,
+            quantizers_by_gen={0: (cents, books)},  # gen 3 missing
+        )
+    # with the store complete, the same call gates normally
+    accepted, _codes = gate_batch(
+        b2,
+        _index_codes(spark, idx, with_gen=True),
+        cents,
+        books,
+        quantizers_by_gen={0: (cents, books), 3: (cents, books)},
+    )
+    assert accepted.count() == 1
