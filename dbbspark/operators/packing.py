@@ -151,13 +151,20 @@ def global_shuffle(
     per-partition sort — never a single-reducer global sort; downstream
     writers consume partitions in order (partition i's keys all precede
     partition i+1's), which is exactly the semantics sharded training
-    readers need. Change ``seed`` per epoch for fresh orders."""
+    readers need. Change ``seed`` per epoch for fresh orders.
+
+    The sort tiebreaks on ``id_col``: 64-bit hash collisions are
+    EXPECTED at corpus scale (birthday bound ≈ n²/2⁶⁵ — a few percent
+    at 10⁹ rows), and without the tiebreak two colliding docs' relative
+    order would follow scan order, quietly breaking the byte-identical
+    claim exactly at the scale it matters. Colliding keys land in one
+    range partition, so the local tiebreak is globally total."""
     key = F.xxhash64(F.col(id_col), F.lit(seed))
     out = docs.withColumn("__shuffle_key", key)
     n = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
     return (
         out.repartitionByRange(n, "__shuffle_key")
-        .sortWithinPartitions("__shuffle_key")
+        .sortWithinPartitions("__shuffle_key", id_col)
         .drop("__shuffle_key")
     )
 

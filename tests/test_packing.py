@@ -116,6 +116,25 @@ def test_global_shuffle_no_single_reducer(spark):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_global_shuffle_sort_tiebreaks_on_id(spark):
+    """64-bit hash keys COLLIDE at corpus scale (birthday ≈ n²/2⁶⁵);
+    without an id tiebreak in the partition sort, colliding docs'
+    relative order follows scan order and the byte-identical-shards
+    claim silently fails exactly at the scale it matters. Pin the sort
+    order expression, since a real collision can't be staged cheaply."""
+    from dbbspark.operators.packing import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    plan = (
+        global_shuffle(df, "doc_id", seed=1)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    sort_line = next(ln for ln in plan.splitlines() if "Sort [" in ln)
+    assert "__shuffle_key" in sort_line and "doc_id" in sort_line
+
+
 def _py_chunks(text, max_tokens, overlap):
     toks = text.split(" ")
     stride = max_tokens - overlap
