@@ -347,3 +347,36 @@ def test_verify_archive_frames_matches_reference_on_random_faults(
     ]
     key = lambda t: tuple("" if v is None else v for v in t)  # noqa: E731
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+@given(
+    tokens=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=1, max_size=30
+    ),
+    num_buckets=st.integers(min_value=1, max_value=40),
+    budget=st.integers(min_value=1, max_value=64),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_matches_reference_any_bucketing(
+    spark, tokens, num_buckets, budget
+):
+    """Bucketing invisibility, randomized: pack_sequences must equal the
+    sequential reference for ANY num_buckets — including 1, more buckets
+    than rows (empty range partitions), and sparse non-contiguous ids —
+    because prefix sums are associative and the bucket count is pure
+    parallelism."""
+    from dbbspark.operators.packing import pack_sequences
+
+    rows = [(i * 7 + 3, n) for i, n in enumerate(tokens)]  # sparse ids
+    cum, expected = 0, {}
+    for doc_id, n in rows:  # ascending id order
+        start, cum = cum, cum + n
+        expected[doc_id] = (start // budget, (cum - 1) // budget, start % budget)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens bigint")
+    got = {
+        r["doc_id"]: (r["seq_first"], r["seq_last"], r["seq_offset"])
+        for r in pack_sequences(
+            df, "doc_id", "n_tokens", budget, num_buckets
+        ).collect()
+    }
+    assert got == expected
