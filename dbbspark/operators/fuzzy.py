@@ -162,6 +162,34 @@ def fuzzy_join_d2(
     return _fastss_join(a, b, key, 2, id_a, id_b)
 
 
+def _route(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    max_distance: int,
+    method: str,
+    auto_fastss_max_len: int,
+) -> str:
+    """'fastss' or 'grams' for this (corpus, distance, method). Forced
+    methods pass through; 'auto' picks FastSS for d <= 2 UNLESS the
+    longest key (one max-length aggregation over the two narrow key
+    columns) exceeds ``auto_fastss_max_len`` — the deletion-neighborhood
+    volume is O(L^d) per key, so long-key corpora must not be routed
+    onto the cliff silently (the caller can still force
+    method='fastss')."""
+    if method == "grams" or max_distance > 2:
+        return "grams"
+    if method == "fastss":
+        return "fastss"
+    lens = (
+        a.select(F.length(F.col(key)).alias("_l"))
+        .unionByName(b.select(F.length(F.col(key)).alias("_l")))
+        .agg(F.max("_l"))
+        .first()[0]
+    )
+    return "fastss" if (lens or 0) <= auto_fastss_max_len else "grams"
+
+
 def fuzzy_join(
     a: DataFrame,
     b: DataFrame,
@@ -172,6 +200,7 @@ def fuzzy_join(
     id_b: str = "id_b",
     max_df: int | None = 1000,
     method: str = "auto",
+    auto_fastss_max_len: int = 64,
 ) -> DataFrame:
     """(id_a, id_b, key_a, key_b, distance) for all cross-table pairs
     with ``levenshtein(key_a, key_b) <= max_distance``.
@@ -183,23 +212,28 @@ def fuzzy_join(
     approximation for dirty corpora where some q-gram is near-universal.
 
     ``max_distance <= 2`` routes to the FastSS deletion-neighborhood
-    joins (`fuzzy_join_d1` / `fuzzy_join_d2`): EXACT with no cap and no
+    joins (`fuzzy_join_d1` / `fuzzy_join_d2`) when the corpus's longest
+    key is at most ``auto_fastss_max_len``: EXACT with no cap and no
     hub pathology — on padded serial keys ('DECam_00000005…') the gram
     path's only distinguishing grams drown in capped hubs, while
     deletion-variant buckets stay small. d=0 is a plain lowered equi
     join. The capped gram path below serves max_distance >= 3 (where
-    the deletion neighborhood is O(L³)+) — there ``max_df`` remains the
-    documented approximation.
+    the deletion neighborhood is O(L³)+) and long-key d<=2 corpora —
+    there ``max_df`` remains the documented approximation.
 
-    SCALE NOTE for the auto-routed d=2: the 2-deletion neighborhood is
-    1 + L + L(L−1)/2 variants per key — right-sized for the filename/
+    SCALE NOTE for the FastSS route at d=2: the 2-deletion neighborhood
+    is 1 + L + L(L−1)/2 variants per key — right-sized for the filename/
     serial keys reconciliation joins on (L≈20 → ~200), but a CLIFF for
     long keys (L=150 URLs → ~11k variants/key), where ``max_df`` is
-    also silently irrelevant. ``method='grams'`` is the escape hatch:
-    it forces the capped gram path at any distance (exactness reverts
-    to the documented cap contract). ``method='fastss'`` forces the
-    deletion route (d <= 2 only); default 'auto' picks FastSS for
-    d <= 2.
+    also silently irrelevant. Default ``'auto'`` therefore PROBES the
+    longest key (one metadata-cheap max-length aggregation over the
+    narrow key columns) and picks FastSS only when it is at most
+    ``auto_fastss_max_len``; past the bound it takes the capped gram
+    path instead of silently exploding — exactness reverts to the
+    documented cap contract there, and ``method='fastss'`` is the
+    override for a caller who wants exact d<=2 on long keys and accepts
+    the variant volume. ``method='grams'`` forces the capped gram path
+    at any distance.
     """
     if method not in ("auto", "fastss", "grams"):
         raise ValueError("method must be 'auto', 'fastss', or 'grams'")
@@ -215,7 +249,7 @@ def fuzzy_join(
         return ak.join(bk, ak.key_a == bk.key_b).select(
             id_a, id_b, "key_a", "key_b", F.lit(0).alias("distance")
         )
-    if max_distance <= 2 and method != "grams":
+    if _route(a, b, key, max_distance, method, auto_fastss_max_len) == "fastss":
         return _fastss_join(a, b, key, max_distance, id_a, id_b)
     def side(df: DataFrame, idc: str, tag: str) -> DataFrame:
         return (

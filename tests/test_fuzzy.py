@@ -318,3 +318,46 @@ def test_d2_and_d0_jvm_only_plans(spark):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_auto_routes_by_key_length(spark):
+    """'auto' must not walk long-key corpora onto the deletion-variant
+    cliff (O(L^d) variants/key): past auto_fastss_max_len it takes the
+    capped gram path; short keys keep the exact FastSS route; forced
+    methods pass through; d>=3 is always grams."""
+    from dbbspark.operators.fuzzy import _route
+
+    short = spark.createDataFrame(
+        [(1, "decam_00000005.fits")], "id_a long, k string"
+    )
+    long = spark.createDataFrame(
+        [(1, "x" * 150)], "id_b long, k string"
+    )
+    assert _route(short, short, "k", 2, "auto", 64) == "fastss"
+    # ONE long key on either side is enough to leave the cliff route
+    assert _route(short, long, "k", 2, "auto", 64) == "grams"
+    assert _route(long, short, "k", 2, "auto", 64) == "grams"
+    assert _route(short, long, "k", 2, "fastss", 64) == "fastss"  # override
+    assert _route(short, short, "k", 2, "grams", 64) == "grams"
+    assert _route(short, short, "k", 3, "auto", 64) == "grams"
+    # empty corpora are trivially short
+    empty = spark.createDataFrame([], "id_a long, k string")
+    assert _route(empty, empty, "k", 1, "auto", 64) == "fastss"
+
+
+def test_auto_long_keys_still_join_through_gram_path(spark):
+    """End-to-end: a long-key corpus under 'auto' routes to grams and
+    still returns the within-distance pairs."""
+    from dbbspark.operators.fuzzy import fuzzy_join
+
+    base = "u" * 100
+    a = spark.createDataFrame([(1, base)], "id_a long, k string")
+    b = spark.createDataFrame(
+        [(10, base), (11, base[:-1] + "z"), (12, "v" * 100)],
+        "id_b long, k string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_join(a, b, "k", max_distance=2).collect()
+    }
+    assert got == {(1, 10, 0), (1, 11, 1)}
