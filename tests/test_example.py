@@ -41,3 +41,23 @@ def test_rolling_corpus_example(spark, sf_dir, tmp_path):
     assert out["gated_docs"] > 0
     assert out["card_docs"] == out["gated_docs"]  # telemetry counts the gated output
     assert out["checks_passed"] is True
+
+
+def test_ann_gate_ops_example(spark, sf_dir, tmp_path):
+    """The C39 lifecycle example: one drift retrain, generation stable
+    across a restarted gate + re-delivery (vhash rejects all of it),
+    index converged to a single generation, quantizer store pruned."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+    )
+    from ann_gate_ops import run
+
+    out = run(spark, sf_dir, str(tmp_path / "work"))
+    assert out["stream1"]["retrains"] == 1
+    assert out["stream1"]["gen"] == 1
+    # the restarted run resolved the persisted quantizer and stayed quiet
+    assert out["stream2"]["gen"] == 1
+    assert out["stream2"]["index_generations"] == [1]
+    # the full re-delivery batch was rejected: accepted count is flat
+    assert out["stream2"]["accepted"] == out["stream1"]["accepted"]
+    assert out["quantizer_versions"]  # store present and pruned
