@@ -28,10 +28,23 @@ MERSENNE_31 = (1 << 31) - 1
 
 def sha_dedup_keep_first(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
     """Exact dedup: keep the lowest-key row per sha256(text) — a
-    deterministic winner, unlike dropDuplicates (SURVEY.md §7)."""
+    deterministic winner, unlike dropDuplicates (SURVEY.md §7).
+
+    NULL texts are not duplicates of one another (same stance as
+    urls.dedup_by_url: an unknown equals nothing) — they are all kept,
+    and, equally important at scale, SALTED out of the window shuffle:
+    sha2(NULL) is NULL, and partitioning on the hash alone would send
+    every null-text row in the corpus to ONE task."""
     h = F.sha2(F.col(text_col).cast("binary"), 256)
-    w = Window.partitionBy(h).orderBy(F.col(key_col))
-    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    salt = F.when(
+        F.col(text_col).isNull(), F.xxhash64(F.col(key_col))
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy(h, salt).orderBy(F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) | F.col(text_col).isNull())
+        .drop("__rn")
+    )
 
 
 def tokens_col(text_col: str) -> Column:

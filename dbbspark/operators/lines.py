@@ -99,13 +99,24 @@ def dedup_lines(
     if min_df < 2:
         raise ValueError("min_df must be >= 2 (1 would delete every line)")
     mentions = line_mentions(docs, id_col, text_col)
-    cw = Window.partitionBy("h")
+    # Blank-line skew guard: h is NULL for every blank/whitespace line,
+    # and a window partitioned on h alone shuffles ALL of them — a
+    # double-digit percentage of a web corpus's lines — into ONE task
+    # (the F.when guards only the output, not the shuffle). A per-row
+    # salt on the null stratum spreads them; real hashes keep salt 0, so
+    # their frequency partitions are untouched and blanks never
+    # contaminate a real line's df.
+    salt = F.when(
+        F.col("h").isNull(), F.xxhash64(F.col("doc"), F.col("line_no"))
+    ).otherwise(F.lit(0))
+    mentions = mentions.withColumn("__salt", salt)
+    cw = Window.partitionBy("h", "__salt")
     tagged = mentions.withColumn(
         "df", F.when(F.col("h").isNotNull(), F.count("*").over(cw))
     )
     keep = F.col("h").isNull() | (F.col("df") < min_df)
     if keep_first:
-        ow = Window.partitionBy("h").orderBy("doc", "line_no")
+        ow = Window.partitionBy("h", "__salt").orderBy("doc", "line_no")
         tagged = tagged.withColumn("rk", F.row_number().over(ow))
         keep = keep | (F.col("rk") == 1)
     survivors = tagged.where(keep)

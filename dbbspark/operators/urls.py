@@ -101,14 +101,24 @@ def dedup_by_url(
     """Keep exactly one row per canonical URL — the lowest id wins
     (deterministic, consistent with every other keep-first rule in the
     engine). One shuffle on the canonical key."""
-    w = Window.partitionBy("__canon").orderBy(F.col(id_col).asc())
+    # null-URL skew guard: every null __canon would otherwise shuffle
+    # into ONE window partition (the keep-all `where` below exempts them
+    # from the rule, not from the shuffle) — salt the null stratum so it
+    # spreads; real keys keep salt 0, partitions untouched
+    w = Window.partitionBy("__canon", "__ns").orderBy(F.col(id_col).asc())
     return (
         docs.withColumn("__canon", canonicalize_url(F.col(url_col)))
+        .withColumn(
+            "__ns",
+            F.when(
+                F.col("__canon").isNull(), F.xxhash64(F.col(id_col))
+            ).otherwise(F.lit(0)),
+        )
         .withColumn("__rn", F.row_number().over(w))
         # null URLs are not duplicates of each other — keep them all
         # (report-don't-drop; the quality gates own null handling)
         .where((F.col("__rn") == 1) | F.col("__canon").isNull())
-        .drop("__canon", "__rn")
+        .drop("__canon", "__ns", "__rn")
     )
 
 
@@ -125,11 +135,22 @@ def cap_per_domain(
     pages). Same device as similarity.cluster_balanced_sample."""
     if max_per_domain < 1:
         raise ValueError("max_per_domain must be >= 1")
-    w = Window.partitionBy("__dom").orderBy(
+    # no-domain skew guard (same device as dedup_by_url): null AND
+    # empty-string domains — every junk URL in the corpus — would each
+    # form one giant window partition; salt those strata per row so they
+    # spread, leaving real domains' partitions untouched
+    w = Window.partitionBy("__dom", "__ns").orderBy(
         F.xxhash64(F.col(id_col), F.lit(salt)), F.col(id_col)
     )
     return (
         docs.withColumn("__dom", registered_domain(F.col(url_col)))
+        .withColumn(
+            "__ns",
+            F.when(
+                F.col("__dom").isNull() | (F.col("__dom") == ""),
+                F.xxhash64(F.col(id_col)),
+            ).otherwise(F.lit(0)),
+        )
         .withColumn("__rk", F.row_number().over(w))
         # docs with no parseable domain (null url → null, junk url →
         # empty extract) are not one shared "domain" — the cap doesn't
@@ -139,7 +160,7 @@ def cap_per_domain(
             | F.col("__dom").isNull()
             | (F.col("__dom") == "")
         )
-        .drop("__dom", "__rk")
+        .drop("__dom", "__ns", "__rk")
     )
 
 

@@ -157,3 +157,23 @@ def test_lsh_incremental_union_equals_full_batch(spark):
         for r in D.lsh_incremental_pairs(sig(new), sig(old)).collect()
     }
     assert old_pairs | inc == full
+
+
+def test_exact_dedup_null_texts_all_kept_and_salted(spark):
+    """NULL texts are not duplicates of one another (sha2(NULL) is NULL;
+    an unknown equals nothing) — all survive, while real duplicates
+    still collapse. The same change salts the null stratum out of the
+    single window partition it would otherwise pile into at scale."""
+    rows = [
+        (1, "same text"),
+        (2, "same text"),
+        (3, None),
+        (4, None),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(
+        r["doc_id"]
+        for r in D.sha_dedup_keep_first(df, "text", "doc_id").collect()
+    )
+    assert kept == [1, 3, 4, 5]
