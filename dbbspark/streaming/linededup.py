@@ -135,11 +135,20 @@ def gate_batch(
     if min_df < 2:
         raise ValueError("min_df must be >= 2 (1 would delete every line)")
     mentions = line_mentions(batch, id_col, text_col)
+    # Blank lines (h NULL) are exempt from dedup — and routed AROUND the
+    # hash-keyed shuffles entirely: a window or join keyed on h would
+    # otherwise send every blank line in the batch to ONE task (the NULL
+    # key co-locates; at bulk-backfill batch sizes that is a straggler),
+    # and a NULL key can never match the index anyway.
+    blanks = (
+        mentions.where(F.col("h").isNull())
+        .withColumn("df_batch", F.lit(None).cast("long"))
+        .withColumn("df_prior", F.lit(None).cast("long"))
+    )
+    live = mentions.where(F.col("h").isNotNull())
     cw = Window.partitionBy("h")
     prior = index.withColumnRenamed("df", "df_prior")
-    counted = mentions.withColumn(
-        "df_batch", F.when(F.col("h").isNotNull(), F.count("*").over(cw))
-    )
+    counted = live.withColumn("df_batch", F.count("*").over(cw))
     if index_bloom is not None:
         maybe, new = split_by_bloom(counted, index_bloom, "h")
         joined = maybe.join(prior, "h", "left").unionByName(
@@ -147,6 +156,7 @@ def gate_batch(
         )
     else:
         joined = counted.join(prior, "h", "left")
+    joined = joined.unionByName(blanks)
     tagged = joined.withColumn(
         "df_total",
         F.col("df_batch") + F.coalesce(F.col("df_prior"), F.lit(0)),
