@@ -18,10 +18,14 @@ Spark-native formulation, two shuffles total:
    *normalized* form (lowercase, digits stripped, whitespace collapsed —
    the CCNet normalization, so "© 2019 Acme" and "© 2020 ACME" collide)
    with xxhash64, so the corpus-wide frequency relation moves longs.
-2. A count-over-hash window tags each mention with its corpus df —
-   window, not groupBy+join-back, for the same reason as spans.py: the
-   df relation has one row per distinct line (corpus-scale) and can
-   never be broadcast at 100 TB.
+2. corpus df per hash from a groupBy (map-side partial aggregation —
+   immune to the hub keys this operator EXISTS to find), then mentions
+   tag themselves by joining the >=min_df inventory: a sort-merge join
+   AQE can skew-split on the probe side, where a count WINDOW keyed on
+   h would pin every mention of the biggest boilerplate line to one
+   unsplittable task. The inventory is never broadcast (it is
+   corpus-scale); the join shuffles on h like the window did, minus
+   the straggler.
 3. Surviving lines reassemble per doc with sort_array over
    (line_no, line) structs — order is restored exactly, and the
    reassembly groupBy(doc) is the second shuffle.
@@ -40,7 +44,6 @@ other hashed-dedup operators.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.window import Window
 
 
 def normalized_line_col(line: Column) -> Column:
@@ -99,27 +102,41 @@ def dedup_lines(
     if min_df < 2:
         raise ValueError("min_df must be >= 2 (1 would delete every line)")
     mentions = line_mentions(docs, id_col, text_col)
-    # Blank-line skew guard: h is NULL for every blank/whitespace line,
-    # and a window partitioned on h alone shuffles ALL of them — a
-    # double-digit percentage of a web corpus's lines — into ONE task
-    # (the F.when guards only the output, not the shuffle). A per-row
-    # salt on the null stratum spreads them; real hashes keep salt 0, so
-    # their frequency partitions are untouched and blanks never
-    # contaminate a real line's df.
-    salt = F.when(
-        F.col("h").isNull(), F.xxhash64(F.col("doc"), F.col("line_no"))
-    ).otherwise(F.lit(0))
-    mentions = mentions.withColumn("__salt", salt)
-    cw = Window.partitionBy("h", "__salt")
-    tagged = mentions.withColumn(
-        "df", F.when(F.col("h").isNotNull(), F.count("*").over(cw))
+    # Hub-skew-safe frequency: this operator's PURPOSE is finding hub
+    # lines (corpus-wide boilerplate), so its hot key is skewed BY
+    # DESIGN — the biggest footer line can appear in a double-digit
+    # percentage of a web corpus. A count window partitioned on h would
+    # shuffle every mention of that line into ONE task, and windows
+    # cannot be AQE-skew-split. The df therefore comes from a groupBy
+    # (map-side partial aggregation — skew-immune) and mentions are
+    # tagged by JOINING against the duplicated-hash inventory, which is
+    # exactly the probe-side-skew shape OptimizeSkewedJoin splits at
+    # runtime. Blank lines (h NULL, always kept) route around the hash
+    # join entirely — they would otherwise co-locate on the NULL key.
+    blanks = mentions.where(F.col("h").isNull())
+    live = mentions.where(F.col("h").isNotNull())
+    dup = (
+        live.groupBy("h")
+        .agg(
+            F.count("*").alias("df"),
+            F.min(F.struct("doc", "line_no")).alias("first"),
+        )
+        .where(F.col("df") >= min_df)
     )
-    keep = F.col("h").isNull() | (F.col("df") < min_df)
     if keep_first:
-        ow = Window.partitionBy("h", "__salt").orderBy("doc", "line_no")
-        tagged = tagged.withColumn("rk", F.row_number().over(ow))
-        keep = keep | (F.col("rk") == 1)
-    survivors = tagged.where(keep)
+        tagged = live.join(dup, "h", "left")
+        survivors = tagged.where(
+            F.col("df").isNull()
+            | (
+                (F.col("doc") == F.col("first.doc"))
+                & (F.col("line_no") == F.col("first.line_no"))
+            )
+        )
+    else:
+        survivors = live.join(dup.select("h"), "h", "left_anti")
+    survivors = survivors.select("doc", "line_no", "line").unionByName(
+        blanks.select("doc", "line_no", "line")
+    )
     reassembled = survivors.groupBy("doc").agg(
         F.concat_ws(
             "\n",

@@ -73,12 +73,18 @@ def duplicate_ngram_spans(
     merged into the span (span_end - span_start - n + 1 when the span is
     gapless)."""
     mentions = _ngram_mentions(docs, id_col, text_col, n)
-    cw = Window.partitionBy("h")
-    dup = (
-        mentions.withColumn("df", F.count("*").over(cw))
+    # Hub-skew-safe df (same reasoning as lines.dedup_lines): the
+    # duplicated n-grams this operator hunts ARE the skewed keys, so
+    # frequency comes from a partial-aggregated groupBy and mentions
+    # keep themselves via a left-semi join AQE can skew-split — a count
+    # window on h would pin every mention of the most-copied passage to
+    # one unsplittable task.
+    dup_h = (
+        mentions.groupBy("h")
+        .agg(F.count("*").alias("df"))
         .where(F.col("df") >= min_count)
-        .select("doc", "pos")
     )
+    dup = mentions.join(dup_h.select("h"), "h", "left_semi").select("doc", "pos")
     w = Window.partitionBy("doc").orderBy("pos")
     islands = dup.withColumn(
         "__new",
@@ -104,8 +110,10 @@ def remove_duplicate_spans(
     Output: (id_col, text_col) with the same schema as the input
     projection — drop-in for the next pipeline stage. keep_first exempts
     the occurrence with the smallest (doc, span_start) per leading-n-gram
-    group — the keep-one-copy policy, implemented as a row_number over a
-    window keyed by the span's leading duplicated n-gram hash. Spans with
+    group — the keep-one-copy policy, implemented as a skew-immune
+    groupBy-min winner per leading hash joined back against the spans
+    (never a window keyed on that hash: the most-copied passage would
+    pin its whole group to one task). Spans with
     equal content always share that key; spans that merely share their
     first n tokens do too, so keep-first is exact for identical passages
     and conservative (keeps one) for passages that diverge after the
@@ -116,11 +124,16 @@ def remove_duplicate_spans(
     through byte-identical. Span arrays per doc are small (merged,
     maximal), keeping the per-token HOF check cheap."""
     mentions = _ngram_mentions(docs, id_col, text_col, n)
-    cw = Window.partitionBy("h")
-    dup = (
-        mentions.withColumn("df", F.count("*").over(cw))
+    # hub-skew-safe df: groupBy partial agg + AQE-splittable semi join,
+    # never a count window on the deliberately-skewed gram hash (see
+    # duplicate_ngram_spans)
+    dup_h = (
+        mentions.groupBy("h")
+        .agg(F.count("*").alias("df"))
         .where(F.col("df") >= min_count)
-        .select("doc", "pos", "h")
+    )
+    dup = mentions.join(dup_h.select("h"), "h", "left_semi").select(
+        "doc", "pos", "h"
     )
     w = Window.partitionBy("doc").orderBy("pos")
     islands = (
@@ -138,10 +151,16 @@ def remove_duplicate_spans(
         F.min_by("h", "pos").alias("lead_h"),
     )
     if keep_first:
-        kw = Window.partitionBy("lead_h").orderBy("doc", "s")
-        spans = spans.withColumn("__rk", F.row_number().over(kw)).where(
-            F.col("__rk") > 1
+        # keep-first without a lead_h-keyed window (the most-copied
+        # passage's spans would all land on one task): the winner per
+        # lead_h is a groupBy min — skew-immune — and spans that are not
+        # the winner survive the flag via an inequality against it
+        winners = spans.groupBy("lead_h").agg(
+            F.min(F.struct("doc", "s")).alias("__w")
         )
+        spans = spans.join(winners, "lead_h").where(
+            (F.col("doc") != F.col("__w.doc")) | (F.col("s") != F.col("__w.s"))
+        ).drop("__w")
     per_doc = spans.groupBy("doc").agg(
         F.collect_list(F.struct("s", "e")).alias("__spans")
     )

@@ -52,7 +52,6 @@ from __future__ import annotations
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from ..maintenance import _fs_and_path
 from ..operators.bloom import split_by_bloom
@@ -146,9 +145,13 @@ def gate_batch(
         .withColumn("df_prior", F.lit(None).cast("long"))
     )
     live = mentions.where(F.col("h").isNotNull())
-    cw = Window.partitionBy("h")
     prior = index.withColumnRenamed("df", "df_prior")
-    counted = live.withColumn("df_batch", F.count("*").over(cw))
+    # hub-skew-safe batch df (same device as operators/lines.py): a
+    # partial-aggregated groupBy plus an AQE-skew-splittable join, never
+    # a count window on h — bulk backfill batches carry the same
+    # by-design hub lines the corpus does
+    counts = live.groupBy("h").agg(F.count("*").alias("df_batch"))
+    counted = live.join(counts, "h")
     if index_bloom is not None:
         maybe, new = split_by_bloom(counted, index_bloom, "h")
         joined = maybe.join(prior, "h", "left").unionByName(

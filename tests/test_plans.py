@@ -185,10 +185,13 @@ def test_jaccard_pair_join_pinned_sort_merge(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
 
 
-def test_span_df_filter_is_window_not_join(spark, sf_dir):
-    """Span detection must stay join-free: the document-frequency filter
-    is a count window over the mention stream — a df join-back would
-    broadcast a distinct-n-gram-sized relation at scale."""
+def test_span_df_filter_is_skew_splittable_not_a_hash_window(spark, sf_dir):
+    """The duplicated n-grams this operator hunts ARE the skewed keys,
+    so the frequency filter must be a partial-aggregated groupBy plus an
+    AQE-skew-splittable join — never a count window partitioned on the
+    gram hash, which would pin every mention of the most-copied passage
+    to one unsplittable task. The only windows left are the per-doc
+    island scans (bounded by document length)."""
     from dbbspark.operators.spans import duplicate_ngram_spans
     from dbbspark.tables import load_table
 
@@ -199,8 +202,11 @@ def test_span_df_filter_is_window_not_join(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "Join" not in plan
-    assert "Window" in plan
+    assert "partial_count" in plan  # df via map-side partial aggregation
+    assert "Join" in plan  # the semi-join mentions keep themselves with
+    for line in plan.splitlines():  # no window keyed on the gram hash
+        if "windowspecdefinition" in line.lower():
+            assert "doc" in line and "h#" not in line.split("windowspec")[1][:60]
 
 
 def test_simhash_no_shuffle(spark, sf_dir):
