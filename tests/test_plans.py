@@ -244,11 +244,15 @@ def test_lsh_direct_two_exchanges(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
-def test_line_dedup_df_filter_is_window_not_join(spark, sf_dir):
-    """Line dedup's corpus-df filter must be a count window over the
-    mention stream, like the span detector's — a df join-back would
-    build a distinct-line-sized relation no cluster can broadcast.
-    The only join allowed is the final id-spine restore."""
+def test_line_dedup_df_filter_is_skew_splittable_not_a_hash_window(spark, sf_dir):
+    """Line dedup's corpus-df filter must be a partial-aggregated
+    groupBy joined back through an AQE-skew-splittable join — never a
+    count window partitioned on the line hash: boilerplate lines are the
+    operator's TARGET key, so the biggest group (a footer in a
+    double-digit share of a web corpus) would otherwise pin to one
+    unsplittable task. No window at all remains in the plan (the
+    reassembly is sort_array over a groupBy), and the whole pipeline
+    stays JVM-side."""
     from dbbspark.operators.lines import dedup_lines
     from dbbspark.tables import load_table
 
@@ -259,8 +263,8 @@ def test_line_dedup_df_filter_is_window_not_join(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "Window" in plan
-    assert plan.count("Join") <= 1  # id-spine restore only
+    assert "partial_count" in plan  # df via map-side partial aggregation
+    assert "Window" not in plan
     assert "Python" not in plan
 
 
