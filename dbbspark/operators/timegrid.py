@@ -57,7 +57,20 @@ def fill_time_gaps(
             bucket_col
         ),
     )
-    joined = spine.join(aggregated, [*group_cols, bucket_col], "left")
+    # Null-SAFE join keys: a NULL group key is a legitimate group to
+    # groupBy (the bounds row exists) but plain join equality can never
+    # match it — the null group's REAL rows would silently come back as
+    # fill values. The data side's keys are renamed before the join so
+    # the eqNullSafe condition leaves no ambiguous attributes behind.
+    keys = [*group_cols, bucket_col]
+    data = aggregated
+    for c in keys:
+        data = data.withColumnRenamed(c, f"__k_{c}")
+    cond = None
+    for c in keys:
+        e = spine[c].eqNullSafe(data[f"__k_{c}"])
+        cond = e if cond is None else (cond & e)
+    joined = spine.join(data, cond, "left").drop(*[f"__k_{c}" for c in keys])
     if fill:
         joined = joined.select(
             *group_cols,

@@ -77,3 +77,29 @@ def test_matches_duckdb_generate_series(spark):
         """
     ).fetchall()
     assert got == [(b, c) for b, c in want]
+
+
+def test_null_group_keeps_its_real_values(spark):
+    """A NULL group key is a legitimate group (groupBy produces its
+    bounds row) but plain join equality can never re-match it — before
+    the null-safe join its REAL counts silently came back as the fill
+    value. The null group must densify exactly like any other."""
+    rows = [
+        ("a", 1, 10),
+        ("a", 3, 30),
+        (None, 1, 5),
+        (None, 4, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, bucket long, cnt long")
+    out = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in fill_time_gaps(
+            df, "bucket", F.lit(1), group_cols=["g"], fill={"cnt": 0}
+        ).collect()
+    }
+    assert out[("a", 1)] == 10 and out[("a", 2)] == 0 and out[("a", 3)] == 30
+    # the null group's real rows survive; its gaps fill
+    assert out[(None, 1)] == 5
+    assert out[(None, 2)] == 0 and out[(None, 3)] == 0
+    assert out[(None, 4)] == 7
+    assert len(out) == 7
