@@ -35,6 +35,13 @@ def asof_join(
     Ties inside `right` at identical (key, ts) are resolved
     last-wins-by-value (deterministic); pre-aggregate `right` if another
     rule is needed.
+
+    NULL keys follow join semantics: an unknown key matches nothing, so
+    a null-key left row comes back with a NULL ``out_col`` (it is never
+    silently paired with null-key right rows — the union-timeline
+    formulation would otherwise treat NULL as a real group, which no
+    SQL join does). Null-key rows are also salted out of the key
+    shuffle so they cannot pile onto one task.
     """
     out_col = out_col or f"asof_{value_col}"
     l_rows = left.select(
@@ -44,7 +51,9 @@ def asof_join(
         F.lit(None).cast(dict(right.dtypes)[value_col]).alias("__val"),
         F.struct(*left.columns).alias("__payload"),
     )
-    r_rows = right.select(
+    # null-key right rows can never be anyone's match — drop them from
+    # the timeline instead of letting them form a NULL "group"
+    r_rows = right.where(F.col(on).isNotNull()).select(
         F.col(on).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -53,8 +62,15 @@ def asof_join(
             "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
         ).alias("__payload"),
     )
+    # null-key left rows: out_col is NULL by construction (no right rows
+    # share their salted partition, and fellow left rows carry null
+    # __val), so ANY salt yields the same result — spread them by
+    # timestamp, which is deterministic under task retries
+    salt = F.when(
+        F.col("__key").isNull(), F.xxhash64("__ts")
+    ).otherwise(F.lit(0))
     w = (
-        Window.partitionBy("__key")
+        Window.partitionBy("__key", salt)
         .orderBy("__ts", "__side", "__val")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -150,4 +150,12 @@ def interval_count_points(
         - F.coalesce("__f_start", F.lit(0))
         + F.coalesce("__at_start", F.lit(0))
     )
+    # NULL boundaries count 0, matching the join form: interval_join's
+    # BETWEEN predicate is UNKNOWN for a null endpoint, so that interval
+    # matches no points — the raw F(end) arithmetic would instead read a
+    # null start as "everything up to end" (coalesce turns the missing
+    # lookup into F=0, i.e. an open interval)
+    cnt = F.when(
+        F.col(start_col).isNull() | F.col(end_col).isNull(), F.lit(0)
+    ).otherwise(cnt)
     return out.select(*intervals.columns, cnt.cast("bigint").alias("cnt_in_window"))

@@ -511,3 +511,52 @@ def test_jaccard_lsh_verified_subset_with_high_recall(spark):
     assert lsh <= plain  # exact verify: no false positives, ever
     assert plain  # the corpus actually planted pairs
     assert len(lsh) / len(plain) >= 0.85  # default-banding recall floor
+
+
+def test_asof_join_null_keys_match_nothing(spark):
+    """An unknown key equals nothing (join semantics; pandas merge_asof
+    drops NaN by-groups the same way): null-key left rows come back with
+    a NULL as-of value rather than silently pairing with null-key right
+    rows — and neither side's null-key rows pile onto one key partition."""
+    from dbbspark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(1, "k", 10.0), (2, None, 10.0), (3, None, 20.0)],
+        "lid long, key string, ts double",
+    )
+    rdf = spark.createDataFrame(
+        [("k", 5.0, 100.0), (None, 5.0, 999.0)],
+        "key string, rts double, val double",
+    )
+    got = {
+        r["lid"]: r["asof_val"]
+        for r in asof_join(
+            ldf, rdf, on="key", left_ts="ts", right_ts="rts",
+            value_col="val", out_col="asof_val",
+        ).collect()
+    }
+    assert got == {1: 100.0, 2: None, 3: None}
+
+
+def test_interval_count_null_boundaries_count_zero_like_the_join(spark):
+    """A null start/end makes interval_join's BETWEEN predicate UNKNOWN
+    (no matches); the sweep must agree with count 0 instead of reading a
+    missing F lookup as an unbounded interval."""
+    from dbbspark.operators.intervals import interval_count_points
+
+    base = datetime(2026, 1, 1)
+    probe = spark.createDataFrame(
+        [Row(pid=i, ts=base + timedelta(hours=i)) for i in range(10)]
+    )
+    ivs = spark.createDataFrame(
+        [
+            Row(iv=0, start=base, end=base + timedelta(hours=5)),
+            Row(iv=1, start=None, end=base + timedelta(hours=5)),
+            Row(iv=2, start=base, end=None),
+        ]
+    )
+    got = {
+        r["iv"]: r["cnt_in_window"]
+        for r in interval_count_points(ivs, probe, "ts", "start", "end").collect()
+    }
+    assert got == {0: 6, 1: 0, 2: 0}
