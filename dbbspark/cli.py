@@ -380,9 +380,17 @@ def cmd_gc(args: argparse.Namespace) -> int:
 def cmd_scrub(args: argparse.Namespace) -> int:
     """Archive integrity scrub (maintenance.verify_archive): recompute
     checksums over the resting archive, cross-check the registry, print
-    findings; nonzero exit when anything is wrong (cron-alert shape,
-    like profile --checks)."""
+    counts; nonzero exit when anything is wrong (cron-alert shape, like
+    profile --checks).
+
+    Driver output is BOUNDED (VERDICT r6 item 5): the command's purpose
+    is the unhealthy case — a systematically rotted 100 TB archive
+    yields per-file findings, so counts are aggregated Spark-side, the
+    full detail goes to a parquet sink (--findings-out), and only a
+    capped sample ever reaches the driver."""
     import json
+
+    from pyspark.sql import functions as F
 
     from .maintenance import verify_archive
 
@@ -393,14 +401,19 @@ def cmd_scrub(args: argparse.Namespace) -> int:
         registry_path=args.registry,
         sample_fraction=args.sample,
         sample_salt=args.salt,
-    ).collect()
-    by_kind: dict = {}
-    for r in findings:
-        by_kind[r["finding"]] = by_kind.get(r["finding"], 0) + 1
-    print(json.dumps({"findings": len(findings), "by_kind": by_kind}))
-    for r in findings[:20]:
+    )
+    if args.findings_out:
+        findings.write.mode("overwrite").parquet(args.findings_out)
+        findings = spark.read.parquet(args.findings_out)  # reuse, don't recompute
+    by_kind = {
+        r["finding"]: r["n"]
+        for r in findings.groupBy("finding").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(by_kind.values())
+    print(json.dumps({"findings": total, "by_kind": by_kind}))
+    for r in findings.limit(20).collect():
         print(f"{r['finding']}\t{r['filename']}\t{r['expected']} -> {r['actual']}")
-    return 1 if findings else 0
+    return 1 if total else 0
 
 
 def cmd_profile(args: argparse.Namespace) -> int:
@@ -619,6 +632,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="rotating partial scrub fraction (deterministic hash gate)")
     sc.add_argument("--salt", type=int, default=0,
                     help="scrub epoch: vary per run to rotate the sampled slice")
+    sc.add_argument("--findings-out", default=None,
+                    help="parquet sink for the full findings detail "
+                    "(driver prints counts + a 20-row sample either way)")
     sc.set_defaults(fn=cmd_scrub)
 
     pr = sub.add_parser("profile", help="one-pass per-column data-quality profile")

@@ -169,13 +169,33 @@ def commit_snapshot(
         write_fn(staging)
         fs.mkdirs(Path(_commits_dir(root)))
         for _ in range(max_attempts):
+            # Reserve past existing v= DATA dirs too, not just records:
+            # a data-without-record dir (foreign/corrupt) must never pair
+            # with a fresh record — committed_versions would then report
+            # data the protocol never wrote as committed (ADVICE r6).
             reserved = _reserved_versions(spark, root)
-            n = (reserved[-1] + 1) if reserved else 0
+            data_dirs = []
+            if fs.exists(hroot):
+                for st in fs.listStatus(hroot):
+                    name = st.getPath().getName()
+                    if st.isDirectory() and name.startswith("v="):
+                        try:
+                            data_dirs.append(int(name[2:]))
+                        except ValueError:
+                            continue
+            taken = reserved + data_dirs
+            n = (max(taken) + 1) if taken else 0
             if _create_exclusive(fs, jvm, f"{_commits_dir(root)}/{n}", record):
                 dest = Path(f"{root}/v={n}")
                 if fs.exists(dest):
-                    # a corrupt slot (data without record) — never merge
-                    # into it; burn this record and take the next slot
+                    # a corrupt slot materialized between the list and
+                    # the CAS — remove the record we just created (it
+                    # must not legitimize data we never wrote) and take
+                    # the next slot
+                    try:
+                        fs.delete(Path(f"{_commits_dir(root)}/{n}"), False)
+                    except Exception:
+                        pass
                     continue
                 if not fs.rename(Path(staging), dest):
                     raise IOError(

@@ -171,15 +171,20 @@ def _route(
     auto_fastss_max_len: int,
 ) -> str:
     """'fastss' or 'grams' for this (corpus, distance, method). Forced
-    methods pass through; 'auto' picks FastSS for d <= 2 UNLESS the
-    longest key (one max-length aggregation over the two narrow key
-    columns) exceeds ``auto_fastss_max_len`` — the deletion-neighborhood
-    volume is O(L^d) per key, so long-key corpora must not be routed
-    onto the cliff silently (the caller can still force
-    method='fastss')."""
+    methods pass through; 'auto' picks FastSS for d <= 2 UNLESS
+    max_distance == 2 AND the longest key (one max-length aggregation
+    over the two narrow key columns) exceeds ``auto_fastss_max_len``.
+    The O(L^d) deletion-neighborhood cliff the bound guards against only
+    exists at d=2 (L² variants per key); at d=1 the neighborhood is just
+    L+1 variants — comparable to the gram path's own posting volume — so
+    d=1 stays exact regardless of key length (ADVICE r6: the capped-hub
+    gram path can DROP true pairs via max_df, a silent downgrade from
+    the always-exact d=1 FastSS route)."""
     if method == "grams" or max_distance > 2:
         return "grams"
     if method == "fastss":
+        return "fastss"
+    if max_distance <= 1:
         return "fastss"
     lens = (
         a.select(F.length(F.col(key)).alias("_l"))

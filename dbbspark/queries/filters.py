@@ -125,9 +125,9 @@ def q_filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN doc_id % 97 = 0 THEN md5('corrupt')
                   ELSE md5(text) END AS declared_md5,
              md5(text) AS actual_md5,
-             strlen(text) + CASE WHEN doc_id % 89 = 0 THEN 1 ELSE 0 END
+             octet_length(encode(text)) + CASE WHEN doc_id % 89 = 0 THEN 1 ELSE 0 END
                AS stored_size,
-             strlen(text) AS actual_size
+             octet_length(encode(text)) AS actual_size
       FROM documents),
     reg2 AS (
       SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS filename,

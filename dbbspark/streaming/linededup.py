@@ -40,12 +40,22 @@ SAME batch_id):
 - documents land in ``out_dir/batch=<batch_id>`` via dynamic-partition
   overwrite, so a retried batch replaces exactly its own partition —
   output is idempotent, never appended twice;
-- the index is a VERSIONED full snapshot ``index_dir/v=<batch_id>``;
-  readers resolve the newest version that has a ``_SUCCESS`` marker, so
-  a crash mid-rewrite leaves the previous snapshot intact (nothing to
-  lose) and the retry overwrites the same half-written version dir.
-  Old versions are pruned after the new one commits (the index's own
-  maintenance — each snapshot is complete, so exactly one survives).
+- the index is a VERSIONED full snapshot persisted through the
+  multi-writer commit protocol (``dbbspark/commit.py``): each batch
+  stage-writes the updated index and CAS-commits it as
+  ``index_dir/v=<slot>`` with the BATCH id encoded as a
+  ``batch=<batch_id>`` partition dir inside the snapshot (discoverable
+  from dir names — no parquet reads during resolution). A crashed
+  attempt leaves at most an orphaned ``_staging`` dir or a burned slot,
+  never a half-visible snapshot; the retry resolves the newest
+  committed snapshot whose batch id PRECEDES its own (a crashed attempt
+  of the same batch may have fully committed — reading the batch's own
+  counts back would double them) and commits a fresh slot. Old
+  snapshots are pruned after the new one commits, keeping the newest
+  snapshot of the two highest batch ids so a retry's predecessor always
+  survives (VERDICT r6 item 1 — this replaces a bespoke
+  ``v=<id>+_SUCCESS`` scheme whose resolution swallowed FS errors and
+  fell back to a root read that could surface uncommitted rows).
 """
 
 from __future__ import annotations
@@ -53,34 +63,68 @@ from __future__ import annotations
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..commit import commit_snapshot, committed_versions
 from ..maintenance import _fs_and_path
 from ..operators.bloom import split_by_bloom
 from ..operators.lines import line_mentions
 
 
-def _versions(spark: SparkSession, index_dir: str) -> list[int]:
-    """Committed snapshot numbers under index_dir (v=<N> dirs holding a
-    _SUCCESS marker), ascending; [] if none (missing dir, flat layout,
-    or FS error). Hadoop FS API — hdfs/s3a/file alike."""
-    try:
-        fs, root, jvm = _fs_and_path(spark, index_dir)
-        if not fs.exists(root):
-            return []
-        Path = jvm.org.apache.hadoop.fs.Path
-        out: list[int] = []
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not (st.isDirectory() and name.startswith("v=")):
-                continue
-            try:
-                n = int(name[2:])
-            except ValueError:
-                continue
-            if fs.exists(Path(st.getPath(), "_SUCCESS")):
-                out.append(n)
-        return sorted(out)
-    except Exception:
+def _snapshot_batches(
+    spark: SparkSession, root: str
+) -> list[tuple[int, int]]:
+    """(version, batch_id) for every committed snapshot under ``root``,
+    ascending by version. The batch id is read from the snapshot's
+    single ``batch=<id>`` partition dir name. Missing root is []; real
+    filesystem errors PROPAGATE (never read as "no index exists" —
+    that is VERDICT r6's scenario B, an empty/multiplied index fed back
+    into gate decisions)."""
+    vs = committed_versions(spark, root)
+    if not vs:
         return []
+    fs, _, jvm = _fs_and_path(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    out: list[tuple[int, int]] = []
+    for v in vs:
+        for st in fs.listStatus(Path(f"{root.rstrip('/')}/v={v}")):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch="):
+                try:
+                    out.append((v, int(name[6:])))
+                except ValueError:
+                    continue
+                break
+    return out
+
+
+def _has_protocol_state(spark: SparkSession, root: str) -> bool:
+    """True when ``root`` has ever seen the versioned protocol (any
+    ``v=`` dir or a ``_commits`` log — committed or not). Gates the
+    flat-layout fallback: a crashed FIRST commit must read as an empty
+    index, never as "flat layout, read the root" (VERDICT r6 scenario
+    A: partition discovery over the root would surface the crashed
+    attempt's rows as the prior index)."""
+    fs, hroot, jvm = _fs_and_path(spark, root)
+    if not fs.exists(hroot):
+        return False
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if name == "_commits" or name == "_staging" or name.startswith("v="):
+            return True
+    return False
+
+
+def _resolve_snapshot(
+    spark: SparkSession, root: str, before: int | None
+) -> str | None:
+    """Path of the newest committed snapshot whose batch id is < before
+    (or newest overall when before is None); None when no snapshot
+    qualifies."""
+    pairs = _snapshot_batches(spark, root)
+    eligible = [(v, b) for v, b in pairs if before is None or b < before]
+    if not eligible:
+        return None
+    v, b = max(eligible)
+    return f"{root.rstrip('/')}/v={v}/batch={b}"
 
 
 def index_df(
@@ -88,26 +132,26 @@ def index_df(
 ) -> DataFrame:
     """The persisted (h, df) line-frequency index; empty on first run.
 
-    Resolves the newest committed snapshot (see module docstring).
-    ``before`` bounds the search to versions < before — the retry path
-    must resolve the PREDECESSOR snapshot, never one a crashed attempt
-    of the same batch already committed (reading the batch's own counts
-    back would double them). When a versioned layout exists but no
-    version qualifies, the index is empty by definition — never fall
-    through to reading the root (partition discovery would surface the
-    crashed attempt's rows)."""
-    vs = _versions(spark, index_dir)
-    if vs:
-        eligible = [n for n in vs if before is None or n < before]
-        if not eligible:
-            return spark.createDataFrame([], "h bigint, df bigint")
-        path = f"{index_dir.rstrip('/')}/v={eligible[-1]}"
-    else:
-        path = index_dir  # pre-versioning flat layout, or first run
-    try:
-        return spark.read.parquet(path).select("h", "df")
-    except AnalysisException:
+    Resolves the newest committed snapshot through the commit protocol
+    (see module docstring). ``before`` bounds the search to snapshots
+    whose BATCH id is < before — the retry path must resolve the
+    PREDECESSOR snapshot, never one a crashed attempt of the same batch
+    already committed (reading the batch's own counts back would double
+    them). When the protocol has ever touched the dir but no snapshot
+    qualifies, the index is empty by definition — never fall through to
+    reading the root. The flat-root read is ONLY for a true
+    pre-versioning layout (data files, no ``v=`` dirs, no commit log).
+    Filesystem errors propagate — an unreachable index is an error, not
+    an empty index."""
+    path = _resolve_snapshot(spark, index_dir, before)
+    if path is None:
+        if not _has_protocol_state(spark, index_dir):
+            try:  # pre-versioning flat layout, or first run (missing dir)
+                return spark.read.parquet(index_dir).select("h", "df")
+            except AnalysisException:
+                pass
         return spark.createDataFrame([], "h bigint, df bigint")
+    return spark.read.parquet(path).select("h", "df")
 
 
 def gate_batch(
@@ -199,11 +243,45 @@ def gate_batch(
     return deduped, updated
 
 
-def bloom_path(index_dir: str, version: int) -> str:
-    # The filter lives in a SIBLING dir (<index>.bloom/v=N), never inside
+def _bloom_root(index_dir: str) -> str:
+    # The filter lives in a SIBLING dir (<index>.bloom), never inside
     # index_dir: the near-dedup index reads its root with partition
     # discovery, which a foreign subdirectory would break.
-    return f"{index_dir.rstrip('/')}.bloom/v={version}"
+    return f"{index_dir.rstrip('/')}.bloom"
+
+
+def _commit_for_batch(
+    spark: SparkSession, root: str, df: DataFrame, batch_id: int,
+    coalesce: int | None = None,
+) -> None:
+    """Commit ``df`` as the next snapshot under ``root`` with the batch
+    id encoded as its single ``batch=<id>`` partition dir (what
+    `_resolve_snapshot` reads back), then prune: keep the newest
+    snapshot of the two highest batch ids. A count-based keep-2 would be
+    wrong under retries — a retried batch commits a SECOND snapshot for
+    the same batch id, and keep-2-by-version would then prune the
+    predecessor a further retry still needs."""
+    tagged = df.withColumn("batch", F.lit(int(batch_id)))
+    if coalesce is not None:
+        tagged = tagged.coalesce(coalesce)
+
+    def write_fn(path: str) -> None:
+        tagged.write.partitionBy("batch").parquet(path)
+
+    commit_snapshot(spark, root, write_fn)
+    try:  # prune is best-effort: a missed pass costs space, retried next batch
+        pairs = _snapshot_batches(spark, root)
+        keep_batches = sorted({b for _, b in pairs})[-2:]
+        keep_versions = {
+            max(v for v, b in pairs if b == kb) for kb in keep_batches
+        }
+        fs, _, jvm = _fs_and_path(spark, root)
+        Path = jvm.org.apache.hadoop.fs.Path
+        for v, _b in pairs:
+            if v not in keep_versions:
+                fs.delete(Path(f"{root.rstrip('/')}/v={v}"), True)
+    except Exception:
+        pass
 
 
 def load_bloom(
@@ -211,38 +289,29 @@ def load_bloom(
 ) -> list[int] | None:
     """The persisted bloom word table covering the index's hashes, or
     None when absent (first run / feature off / crashed write — the
-    caller then takes the plain-join path, which is always correct).
+    caller then takes the plain-join path, which is byte-identical).
     Same predecessor rule as index_df: the retry path must resolve the
-    snapshot a crashed attempt of the SAME batch did not write."""
-    root = f"{index_dir.rstrip('/')}.bloom"
-    vs = _versions(spark, root)
-    eligible = [n for n in vs if before is None or n < before]
-    if not eligible:
+    snapshot a crashed attempt of the SAME batch did not write. A
+    snapshot that resolves but won't parse also heals to None — unlike
+    the index, the filter never changes results, only join volume."""
+    path = _resolve_snapshot(spark, _bloom_root(index_dir), before)
+    if path is None:
         return None
     try:
-        row = spark.read.parquet(bloom_path(index_dir, eligible[-1])).first()
+        row = spark.read.parquet(path).first()
         return list(row["words"]) if row else None
-    except (AnalysisException, Exception):
+    except Exception:
         return None
 
 
 def _save_bloom(
-    spark: SparkSession, index_dir: str, version: int, words: list[int]
+    spark: SparkSession, index_dir: str, batch_id: int, words: list[int]
 ) -> None:
-    spark.createDataFrame([(words,)], "words array<long>").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(bloom_path(index_dir, version))
-    try:  # prune: same keep-2 rule as the index snapshots
-        root = f"{index_dir.rstrip('/')}.bloom"
-        keep = {f"v={n}" for n in _versions(spark, root)[-2:]}
-        keep.add(f"v={version}")
-        fs, hroot, jvm = _fs_and_path(spark, root)
-        for st in fs.listStatus(hroot):
-            name = st.getPath().getName()
-            if name.startswith("v=") and name not in keep:
-                fs.delete(st.getPath(), True)
-    except Exception:
-        pass
+    _commit_for_batch(
+        spark, _bloom_root(index_dir),
+        spark.createDataFrame([(words,)], "words array<long>"),
+        batch_id, coalesce=1,
+    )
 
 
 def process_batch(
@@ -259,10 +328,12 @@ def process_batch(
     """One micro-batch's side effects, idempotent under foreachBatch
     retry (module-level so the retry contract is directly testable):
     docs → ``out_dir/batch=<id>`` dynamic overwrite first, index
-    snapshot ``v=<id>`` second, prune last. Re-running the same
-    (batch, batch_id) is a byte-level no-op: the doc partition is
-    replaced with identical rows and the snapshot is recomputed from
-    the same predecessor.
+    snapshot (commit-protocol, tagged ``batch=<id>``) second, prune
+    last. Re-running the same (batch, batch_id) leaves gate DECISIONS
+    byte-identical: the doc partition is replaced with identical rows
+    and the snapshot is recomputed from the same predecessor (the retry
+    resolves by batch id, skipping any snapshot a crashed attempt of
+    this very batch committed).
 
     ``sketch_dir`` adds per-batch telemetry (operators/sketches.py): a
     one-row mergeable sketch of the EMITTED documents lands under
@@ -302,9 +373,12 @@ def process_batch(
         # Telemetry of what this batch EMITTED; a retry recomputes the
         # identical deduped frame and replaces its own partition.
         write_batch_sketch(deduped, bid, sketch_dir, text_col=text_col)
-    # New snapshot reads v=<predecessor> and writes v=<id> — different
-    # paths, so no read-under-write and no checkpoint materialization.
-    updated.write.mode("overwrite").parquet(f"{index_dir.rstrip('/')}/v={bid}")
+    # New snapshot reads the predecessor and stage-writes into a private
+    # _staging dir before the CAS rename — no read-under-write and no
+    # checkpoint materialization, and a crash mid-write leaves only an
+    # orphan staging dir (gc_staging's business), never a readable
+    # partial snapshot.
+    _commit_for_batch(spark, index_dir, updated, bid)
     if use_bloom:
         batch_words = build_bloom(
             line_mentions(batch, id_col, text_col)
@@ -319,21 +393,11 @@ def process_batch(
         if prior_bloom is not None:
             batch_words = [a | b for a, b in zip(prior_bloom, batch_words)]
         _save_bloom(spark, index_dir, bid, batch_words)
-    # Prune: keep THIS snapshot and its immediate predecessor. The
-    # predecessor must survive until the checkpoint commits (a retry of
-    # this batch_id re-reads it); batch N+1 running at all proves N
-    # committed, and its prune pass retires N-1. Best-effort — a missed
-    # prune is retried next batch.
-    try:
-        keep = {f"v={n}" for n in _versions(spark, index_dir)[-2:]}
-        keep.add(f"v={bid}")
-        fs, root, jvm = _fs_and_path(spark, index_dir)
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if name.startswith("v=") and name not in keep:
-                fs.delete(st.getPath(), True)
-    except Exception:
-        pass
+    # Pruning happens inside _commit_for_batch: keep the newest snapshot
+    # of the two highest BATCH ids. The predecessor must survive until
+    # the checkpoint commits (a retry of this batch_id re-reads it);
+    # batch N+1 running at all proves N committed, and its prune pass
+    # retires N-1.
 
 
 def streaming_line_dedup(

@@ -337,3 +337,39 @@ checkpoint_dir = {tmp_path / 'ing_ckpt'}
     assert r2.returncode == 0, r2.stdout + r2.stderr
     assert '"drift"' in r2.stdout  # baseline branch taken
     assert os.path.exists(str(tmp_path / "report" / "drift.html"))
+
+
+def test_scrub_cli_bounded_driver_output(spark, tmp_path, capsys):
+    """VERDICT r6 item 5: scrub on a FULLY-rotted archive (the command's
+    reason to exist) must stay O(counts) on the driver — counts are
+    aggregated Spark-side, stdout carries at most a 20-row sample, and
+    --findings-out lands the complete detail in parquet."""
+    import hashlib
+
+    ok = hashlib.md5(b"x").hexdigest()
+    rows = [
+        (f"f{i}.fits", bytearray(b"ROT"), ok, 1, "raw", "20240101")
+        for i in range(200)
+    ]
+    spark.createDataFrame(
+        rows,
+        "filename string, content binary, md5sum string, filesize long, "
+        "filetype string, nite string",
+    ).write.partitionBy("filetype", "nite").parquet(str(tmp_path / "rot"))
+
+    sink = str(tmp_path / "findings")
+    rc = cli.main(
+        ["scrub", "--archive", str(tmp_path / "rot"), "--findings-out", sink]
+    )
+    assert rc == 1
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    import json as _json
+
+    head = _json.loads(out_lines[0])
+    # every file is rotted twice over (md5 + size): counts see them all
+    assert head["findings"] >= 200
+    assert head["by_kind"].get("content_md5_mismatch") == 200
+    # ... but the driver printed only the capped sample
+    assert len(out_lines) <= 21
+    # the full detail is in the sink
+    assert spark.read.parquet(sink).count() == head["findings"]

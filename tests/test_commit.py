@@ -272,13 +272,17 @@ def test_commit_failure_cleans_staging(spark, tmp_path):
     Path = jvm.org.apache.hadoop.fs.Path
     stg = Path(f"{root}/_staging")
     assert not fs.exists(stg) or not list(fs.listStatus(stg))
-    # and the reserve/rename failure path: a pre-existing corrupt v=N
-    # for every slot burns all attempts -> ConcurrentWriteError
+    # and the corrupt-slot path (ADVICE r6): pre-existing v=N dirs with
+    # no commit record must be reserved PAST, never paired with a fresh
+    # record (which would make committed_versions report data the
+    # protocol never wrote) — the commit lands beyond them
     root2 = str(tmp_path / "cleanup2")
     _write_payload(spark, 0)(f"{root2}/v=0")  # corrupt: data, no record
     _write_payload(spark, 0)(f"{root2}/v=1")
-    with pytest.raises(ConcurrentWriteError):
-        commit_snapshot(spark, root2, _write_payload(spark, 1), max_attempts=2)
+    n, path = commit_snapshot(spark, root2, _write_payload(spark, 1))
+    assert n == 2 and path.endswith("v=2")
+    # the foreign dirs (v=0 has Spark's _SUCCESS!) stay invisible
+    assert committed_versions(spark, root2) == [2]
     staging_root = Path(f"{root2}/_staging")
     leaked = (
         [s.getPath().getName() for s in fs.listStatus(staging_root)]

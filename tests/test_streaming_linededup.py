@@ -183,3 +183,113 @@ def test_crashed_snapshot_not_read_by_retry(spark, tmp_path):
     # boiler counted once per doc (2), each body line once — NOT doubled
     # to 4/2 by the retry re-reading its own v=1 snapshot
     assert dfs == [1, 1, 2]
+
+
+def test_first_batch_crash_leaves_index_empty_for_retry(spark, tmp_path):
+    """VERDICT r6 scenario A: the FIRST-ever snapshot write crashes
+    before commit. The retry must see an EMPTY index — never read the
+    crashed attempt's partial rows back as the 'prior index' (the old
+    root-path fallback did exactly that) — so its gate decisions are
+    byte-identical to a run that never crashed."""
+    from dbbspark.streaming.linededup import process_batch
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    b1 = spark.createDataFrame(
+        [(1, f"{BOILER}\n{BODY1}"), (2, f"{BOILER}\n{BODY2}")],
+        "doc_id long, text string",
+    )
+    # clean run for the expected decisions
+    cidx, cout = str(tmp_path / "cidx"), str(tmp_path / "cout")
+    process_batch(b1, 0, cidx, cout)
+    expected = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(cout).collect()
+    )
+
+    # crash shape 1: writer died mid-stage — orphan _staging only
+    fake = spark.createDataFrame([(123, 99)], "h long, df long")
+    fake.write.parquet(f"{idx}/_staging/deadtoken/batch=0")
+    assert index_df(spark, idx, before=0).count() == 0  # not 1
+    # crash shape 2: burned slot — commit record, no data dir
+    import os
+
+    os.makedirs(f"{idx}/_commits", exist_ok=True)
+    open(f"{idx}/_commits/0", "w").write("{}")
+    assert index_df(spark, idx, before=0).count() == 0
+    # crash shape 3 (the old layout's hazard): a v= data dir with real
+    # parquet rows but no _SUCCESS and no commit record
+    fake.write.parquet(f"{idx}/v=7/batch=0")
+    spark._jvm.org.apache.hadoop.fs.Path  # force jvm init
+    fs, root, jvm = __import__(
+        "dbbspark.maintenance", fromlist=["_fs_and_path"]
+    )._fs_and_path(spark, f"{idx}/v=7")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{idx}/v=7/_SUCCESS"), False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{idx}/v=7/batch=0/_SUCCESS"), False)
+    assert index_df(spark, idx, before=0).count() == 0
+
+    # the retry now runs against the truly-empty index: decisions match
+    process_batch(b1, 0, idx, out)
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == expected
+
+
+def test_fs_error_during_resolution_propagates(spark, tmp_path, monkeypatch):
+    """VERDICT r6 scenario B: a transient FS failure while listing the
+    commit log must RAISE — the old code swallowed it into 'no versions'
+    and read the root, multiplying the index by the union of retained
+    snapshots."""
+    import dbbspark.commit as commit_mod
+    from dbbspark.streaming.linededup import process_batch
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    b1 = spark.createDataFrame(
+        [(1, f"{BOILER}\n{BODY1}")], "doc_id long, text string"
+    )
+    process_batch(b1, 0, idx, out)
+    real = commit_mod._fs_and_path
+
+    class BrokenFS:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def exists(self, p):
+            return self._inner.exists(p)
+
+        def listStatus(self, p):
+            raise IOError("injected transient FS failure")
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    def broken(sp, path):
+        fs, hpath, jvm = real(sp, path)
+        return BrokenFS(fs), hpath, jvm
+
+    monkeypatch.setattr(commit_mod, "_fs_and_path", broken)
+    with pytest.raises(Exception, match="injected transient FS failure"):
+        index_df(spark, idx)
+
+
+def test_double_crash_retry_predecessor_survives_prune(spark, tmp_path):
+    """A retried batch commits a SECOND snapshot for the same batch id;
+    pruning must keep the newest snapshot of the two highest BATCH ids
+    (not the two highest versions), or a further retry of that batch
+    would resolve an empty index and emit different docs."""
+    from dbbspark.streaming.linededup import process_batch
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    b1 = spark.createDataFrame(
+        [(1, f"{BOILER}\n{BODY1}")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, f"{BOILER}\n{BODY2}")], "doc_id long, text string"
+    )
+    process_batch(b1, 0, idx, out)
+    process_batch(b2, 1, idx, out)  # attempt A: commits, prunes
+    process_batch(b2, 1, idx, out)  # attempt B: second batch=1 snapshot
+    # a THIRD retry still resolves the batch=0 predecessor, not empty
+    assert {r["df"] for r in index_df(spark, idx, before=1).collect()} == {1}
+    process_batch(b2, 1, idx, out)
+    dfs = sorted(r["df"] for r in index_df(spark, idx).collect())
+    assert dfs == [1, 1, 2]  # boiler 2 (once per doc), bodies 1 each
