@@ -1,0 +1,421 @@
+"""Perceptual image/audio near-dup (SURVEY.md §2.11 C56; VERDICT r6
+item 2 — the gap between the codec seam and the dedup layer).
+
+Exact-md5 dedup misses an image that was RESIZED or RE-ENCODED; a
+100 TB multimodal corpus needs a content fingerprint over the decoded
+signal, not the container bytes. This module closes that gap with the
+classic perceptual hashes, structured Spark-first:
+
+1. **Thumbnail extraction** — the ONLY Python crossing, Arrow-batched
+   `mapInPandas` over the binary column: decode via the real codecs
+   (sources/codecs.py: netpbm/FITS; WAV for audio), grayscale by
+   channel-mean, then a ``grid×grid`` BLOCK-MEAN downscale (area
+   averaging — stable under resizes and lossless re-encodes, unlike
+   nearest-neighbor sampling). Output is a tiny ``array<double>``; the
+   wide binary column never leaves the scan stage.
+2. **Hash assembly — pure JVM expressions** over the thumbnail array:
+   dHash (horizontal-gradient sign, the industry-standard 64-bit
+   fingerprint), aHash (above-mean sign), and an energy-delta hash for
+   audio (sign of successive window-energy deltas — invariant under
+   amplitude scaling). Whole-stage-codegen territory; no Python in the
+   hash itself, so the same expression doubles as the DuckDB oracle
+   (queries/multimodal.py folds the fake-thumb form into
+   q_multimodal_decode).
+3. **Hamming-ball blocking** — the simhash band-split device
+   (operators/dedup.py): split the 64-bit hash into ``max_distance+1``
+   bands; two hashes within Hamming distance d share at least one band
+   EXACTLY (pigeonhole), so candidates reduce to an equi-join on
+   (band, band_value) with Σ bucket² candidate cost, then an exact
+   ``bit_count(a^b) <= d`` verify. Never all-pairs; at corpus scale the
+   band join is one shuffle on bucket keys (AQE-splittable — constant
+   images make hot buckets).
+
+Downstream, the pairs feed the SAME machinery text dedup uses:
+C12 `connected_components_adaptive` for clusters and the C50 purity
+audit apply unchanged.
+
+The reference never had media dedup (its checksum gate is exact md5,
+bin/save_DBB_stagein_to_DBB.py:100-109); this is LLM-pipeline closure,
+not parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+MIN_LONG = "(-9223372036854775807 - 1)"  # 1<<63 without signed overflow
+
+# ---------------------------------------------------------------------------
+# Thumbnail extraction (Python, Arrow-batched; the decode crossing)
+
+GRID = 9  # 9×9 block means → 8×8 horizontal gradients → 64-bit dHash
+AUDIO_WINDOWS = 65  # 65 window energies → 64 sign-of-delta bits
+
+
+def _block_mean(arr: np.ndarray, grid: int) -> np.ndarray:
+    """grid×grid area means of a 2-D array (row-major). Cell boundaries
+    by even index partition; images smaller than the grid repeat edge
+    pixels (cells never empty)."""
+    h, w = arr.shape
+    ys = np.linspace(0, h, grid + 1).astype(np.int64)
+    xs = np.linspace(0, w, grid + 1).astype(np.int64)
+    out = np.empty((grid, grid), dtype=np.float64)
+    for r in range(grid):
+        y0, y1 = ys[r], max(ys[r + 1], ys[r] + 1)
+        if y0 >= h:
+            y0, y1 = h - 1, h
+        for c in range(grid):
+            x0, x1 = xs[c], max(xs[c + 1], xs[c] + 1)
+            if x0 >= w:
+                x0, x1 = w - 1, w
+            out[r, c] = arr[y0:y1, x0:x1].mean()
+    return out
+
+
+def _netpbm_gray(raw: bytes) -> np.ndarray:
+    from ..sources.codecs import _netpbm_array
+
+    data, w, h, channels, _maxval = _netpbm_array(raw)
+    a = np.asarray(data, dtype=np.float64)
+    if channels == 3:
+        return a.reshape(h, w, 3).mean(axis=2)
+    return a.reshape(h, w)
+
+
+def _fits_gray(raw: bytes) -> np.ndarray:
+    from ..sources.codecs import _BITPIX_DTYPE
+    from ..sources.multimodal import fits_header_decode
+
+    hdr = fits_header_decode(raw)
+    if hdr.get("SIMPLE") != "T":
+        raise ValueError("not a FITS primary HDU")
+    w, h = int(hdr["NAXIS1"]), int(hdr["NAXIS2"])
+    dtype = _BITPIX_DTYPE[int(hdr["BITPIX"])]
+    end = raw.find(b"END     ")
+    if end < 0:
+        raise ValueError("no END card")
+    off = ((end // 2880) + 1) * 2880
+    a = np.frombuffer(raw, dtype=dtype, count=w * h, offset=off)
+    return a.astype(np.float64).reshape(h, w)
+
+
+def _image_thumb(gray_fn: Callable[[bytes], np.ndarray], grid: int):
+    def thumb(raw: bytes) -> list[float]:
+        return [float(x) for x in _block_mean(gray_fn(raw), grid).ravel()]
+
+    return thumb
+
+
+def _wav_energies(raw: bytes, windows: int = AUDIO_WINDOWS) -> list[float]:
+    """RMS energy of ``windows`` contiguous equal spans covering the
+    whole sample stream (channel-mixed). Sign-of-delta over these is
+    invariant under amplitude scaling — the audio analogue of dHash's
+    gradient signs."""
+    from ..sources.codecs import _wav_layout
+
+    off, nbytes, nch, width, _rate = _wav_layout(raw)
+    dtype = "<i2" if width == 2 else "u1"
+    a = np.frombuffer(raw, dtype=dtype, count=nbytes // width, offset=off)
+    a = ((a.astype(np.float64) - 128.0) / 128.0) if width == 1 else a / 32768.0
+    if nch > 1:
+        a = a[: (a.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+    if a.size == 0:
+        return [0.0] * windows
+    bounds = np.linspace(0, a.size, windows + 1).astype(np.int64)
+    out = []
+    for i in range(windows):
+        seg = a[bounds[i] : max(bounds[i + 1], bounds[i] + 1)]
+        out.append(float(math.sqrt(float(np.mean(seg * seg)))))
+    return out
+
+
+def _fake_thumb(raw: bytes, n: int = GRID * GRID) -> list[float]:
+    """Deterministic stand-in thumbnail for kinds with no registered
+    codec — sha256-derived byte values (0..255, exact in double), the
+    same device as sources.multimodal._fake_decode. SQL-derivable, so
+    the oracle fold in q_multimodal_decode hash-verifies the whole
+    mapInPandas + JVM-hash path (DuckDB recomputes the bytes from its
+    own sha256)."""
+    buf = b""
+    i = 0
+    while len(buf) < n:
+        suffix = b"" if i == 0 else bytes([i])
+        buf += hashlib.sha256(raw + suffix).digest()
+        i += 1
+    return [float(b) for b in buf[:n]]
+
+
+_THUMBNAILERS: dict[str, Callable[[bytes], list[float]]] = {}
+
+
+def register_thumbnailer(kind: str, fn: Callable[[bytes], list[float]]) -> None:
+    _THUMBNAILERS[kind] = fn
+
+
+def _load_default_thumbnailers() -> None:
+    if "pgm" in _THUMBNAILERS:
+        return
+    register_thumbnailer("pgm", _image_thumb(_netpbm_gray, GRID))
+    register_thumbnailer("ppm", _image_thumb(_netpbm_gray, GRID))
+    register_thumbnailer("fits", _image_thumb(_fits_gray, GRID))
+    register_thumbnailer("wav", _wav_energies)
+
+
+def thumbnails(
+    df: DataFrame, kind: str = "pgm", content_col: str = "content"
+) -> DataFrame:
+    """Attach a ``thumb`` array<double> column: 81 block means (images),
+    65 window energies (wav), or the deterministic fake for unregistered
+    kinds. Arrow-batched mapInPandas, map-only — fuses with the
+    binaryFile scan; drop ``content`` right after so the bytes never
+    shuffle. Malformed media → thumb NULL (quarantine's concern, same
+    stance as decode_media)."""
+    _load_default_thumbnailers()
+    fn = _THUMBNAILERS.get(kind, _fake_thumb)
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("thumb", T.ArrayType(T.DoubleType()), True)]
+    )
+
+    def _one(raw) -> list[float] | None:
+        if raw is None:
+            return None
+        try:
+            return fn(bytes(raw))
+        except Exception:  # malformed media → NULL, row survives
+            return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["thumb"] = [_one(raw) for raw in pdf[content_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Hash assembly (pure JVM expressions; no Python, no shuffle)
+
+def _bit_term(cond_sql: str, b: int) -> str:
+    if b == 63:
+        return f"(CASE WHEN {cond_sql} THEN {MIN_LONG} ELSE 0L END)"
+    return f"(CASE WHEN {cond_sql} THEN shiftleft(1L, {b}) ELSE 0L END)"
+
+
+def _assemble(thumb_col: str, terms: list[str]) -> Column:
+    """Sum the bit terms into a BIGINT hash, NULL for a NULL thumbnail
+    (undecodable media must match NOTHING — without the guard every
+    broken file hashes to 0 and they all pair with each other)."""
+    return F.expr(
+        f"CASE WHEN {thumb_col} IS NULL THEN NULL "
+        f"ELSE ({' + '.join(terms)}) END"
+    ).cast("bigint")
+
+
+def dhash_col(thumb_col: str = "thumb", grid: int = GRID) -> Column:
+    """64-bit dHash from a grid×grid thumbnail: bit r*(g-1)+c is the
+    sign of the horizontal gradient thumb[r][c] > thumb[r][c+1], over
+    the first (g-1) rows × (g-1) gradients — with the default 9×9 grid
+    exactly 8×8 = 64 bits. One codegen'd projection."""
+    terms = []
+    for r in range(grid - 1):
+        for c in range(grid - 1):
+            b = r * (grid - 1) + c
+            i, j = r * grid + c + 1, r * grid + c + 2  # element_at is 1-based
+            terms.append(
+                _bit_term(
+                    f"element_at({thumb_col}, {i}) > element_at({thumb_col}, {j})",
+                    b,
+                )
+            )
+    return _assemble(thumb_col, terms)
+
+
+def ahash_col(thumb_col: str = "thumb", grid: int = GRID) -> Column:
+    """64-bit aHash: bit per cell of the top-left 8×8 subgrid, set when
+    the cell exceeds the subgrid mean (strict — ties clear)."""
+    cells = [
+        f"element_at({thumb_col}, {r * grid + c + 1})"
+        for r in range(8)
+        for c in range(8)
+    ]
+    mean = "((" + " + ".join(cells) + ") / 64.0)"
+    terms = [_bit_term(f"{cell} > {mean}", b) for b, cell in enumerate(cells)]
+    return _assemble(thumb_col, terms)
+
+
+def audio_hash_col(
+    energies_col: str = "thumb", windows: int = AUDIO_WINDOWS
+) -> Column:
+    """64-bit energy-delta hash from ``windows`` energies: bit i is the
+    sign of e[i+1] > e[i] — amplitude-scale invariant."""
+    terms = [
+        _bit_term(
+            f"element_at({energies_col}, {i + 2}) > element_at({energies_col}, {i + 1})",
+            i,
+        )
+        for i in range(windows - 1)
+    ]
+    return _assemble(energies_col, terms)
+
+
+def dhash_oracle_sql(thumb_sql: Callable[[int], str], grid: int = GRID) -> str:
+    """The DuckDB form of `dhash_col` for oracle folds: ``thumb_sql(i)``
+    renders the SQL for 0-based thumbnail element i (e.g. the sha256
+    reconstruction of `_fake_thumb`). Bit 63 avoids DuckDB's checked
+    1<<63 overflow via the min-long literal, matching the Spark side."""
+    terms = []
+    for r in range(grid - 1):
+        for c in range(grid - 1):
+            b = r * (grid - 1) + c
+            cond = f"{thumb_sql(r * grid + c)} > {thumb_sql(r * grid + c + 1)}"
+            val = MIN_LONG if b == 63 else f"(1::BIGINT << {b})"
+            terms.append(f"(CASE WHEN {cond} THEN {val} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def fake_thumb_sql(content_sql: str, i: int) -> str:
+    """DuckDB reconstruction of `_fake_thumb` element ``i``: byte i of
+    sha256(content) ++ sha256(content||chr(1)) ++ sha256(content||chr(2))
+    as an integer (hex pair 2i+1..2i+2 of the concatenated digests)."""
+    block, off = divmod(i, 32)
+    src = content_sql if block == 0 else f"({content_sql} || chr({block}))"
+    return f"CAST(('0x' || substr(sha256({src}), {2 * off + 1}, 2)) AS INT)"
+
+
+# ---------------------------------------------------------------------------
+# Hamming-ball blocking (band split → equi-join → exact verify)
+
+def _band_cols(hash_col: str, bands: int) -> list[Column]:
+    """Split a 64-bit hash into ``bands`` contiguous bit ranges (the
+    last band takes the remainder). Logical shifts — the sign bit is
+    data here."""
+    width = 64 // bands
+    out = []
+    for b in range(bands):
+        lo = b * width
+        w = (64 - lo) if b == bands - 1 else width
+        mask = (1 << w) - 1
+        out.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(hash_col), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
+    return out
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int = 6,
+    bands: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, distance): all pairs within Hamming distance
+    ``max_distance`` of each other's 64-bit perceptual hash, id_a <
+    id_b, NULL hashes matching nothing.
+
+    EXACT under the default ``bands = max_distance + 1``: d differing
+    bits can dirty at most d bands, so with bands >= d+1 some band of
+    the pair is identical (pigeonhole) and the (band, value) equi-join
+    surfaces it; the ``bit_count(xor) <= d`` verifier then prunes to
+    the true ball. More bands stay exact but get narrower — less
+    selective buckets, more candidates — so d+1 is the sweet spot;
+    fewer than d+1 bands can dirty EVERY band and silently lose true
+    pairs, and is refused.
+
+    Scale shape (same as simhash/minhash banding): candidates cost
+    Σ bucket² over (band, value) buckets, never |corpus|². Constant or
+    near-constant media (solid frames) pile into hot buckets — the
+    groupBy is partial-aggregated and the verify join is
+    AQE-skew-splittable, the lines.py device."""
+    if bands is None:
+        bands = max_distance + 1
+    if bands < max_distance + 1:
+        raise ValueError(
+            f"bands={bands} < max_distance+1={max_distance + 1} would miss "
+            "true pairs (pigeonhole needs one clean band)"
+        )
+    if bands > 64:
+        raise ValueError("bands > 64: a 64-bit hash has at most 64 bands")
+    hashes = df.select(
+        F.col(id_col).alias("_pid"), F.col(hash_col).alias("_ph")
+    ).where(F.col(hash_col).isNotNull())
+    banded = hashes.select(
+        "_pid", "_ph", F.explode(F.array(*_band_cols("_ph", bands))).alias("bv")
+    ).select("_pid", "_ph", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    dist = F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._pid") < F.col("b._pid")),
+        )
+        .where(dist <= max_distance)
+        .select(
+            F.col("a._pid").alias("id_a"),
+            F.col("b._pid").alias("id_b"),
+            dist.alias("distance"),
+        )
+        .distinct()
+    )
+
+
+def hamming_pairs_brute(
+    df: DataFrame, id_col: str, hash_col: str, max_distance: int = 6
+) -> DataFrame:
+    """All-pairs reference implementation (tests pin blocked ≡ brute on
+    small corpora; never the scale path)."""
+    hashes = df.select(
+        F.col(id_col).alias("_pid"), F.col(hash_col).alias("_ph")
+    ).where(F.col(hash_col).isNotNull())
+    a, b = hashes.alias("a"), hashes.alias("b")
+    dist = F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph")))
+    return (
+        a.join(b, F.col("a._pid") < F.col("b._pid"))
+        .where(dist <= max_distance)
+        .select(
+            F.col("a._pid").alias("id_a"),
+            F.col("b._pid").alias("id_b"),
+            dist.alias("distance"),
+        )
+    )
+
+
+def phash_near_dup(
+    df: DataFrame,
+    kind: str = "pgm",
+    id_col: str = "path",
+    content_col: str = "content",
+    max_distance: int = 6,
+    hash_kind: str = "dhash",
+) -> DataFrame:
+    """End-to-end perceptual near-dup: decode → thumbnail → 64-bit hash
+    (dhash/ahash for images, energy-delta for wav) → Hamming-ball pairs.
+    Feed the result to `connected_components_adaptive` for clusters and
+    `audit_clusters` for purity — the text-dedup machinery applies
+    unchanged."""
+    hash_fn = {
+        "dhash": dhash_col,
+        "ahash": ahash_col,
+        "audio": audio_hash_col,
+    }[hash_kind]
+    hashed = thumbnails(df, kind=kind, content_col=content_col).select(
+        id_col, hash_fn("thumb").alias("phash")
+    )
+    return hamming_pairs(hashed, id_col, "phash", max_distance=max_distance)

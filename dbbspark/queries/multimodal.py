@@ -15,23 +15,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import query
+from ..operators.phash import dhash_col, dhash_oracle_sql, fake_thumb_sql, thumbnails
 from ..sources.multimodal import decode_media, extract_kv_metadata
 from ..tables import load_table
+
+# C56 fold: the perceptual-hash pipeline over the deterministic fake
+# thumbnail (sha256-derived byte grid — the kinds-without-codecs path),
+# reconstructed bit-for-bit in DuckDB. The REAL codec thumbs (pgm/ppm/
+# fits/wav block means) share the exact same JVM hash expression and are
+# value-pinned against planted resized/re-encoded duplicates in
+# tests/test_phash.py.
+_DHASH_ORACLE = dhash_oracle_sql(lambda i: fake_thumb_sql("text", i))
 
 
 @query(
     "q_multimodal_decode",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS width,
            64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) AS height,
-           1 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) % 8 AS n_frames
+           1 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) % 8 AS n_frames,
+           {_DHASH_ORACLE} AS dhash
     FROM documents
     """,
-    doc="C5: multimodal decode plumbing — binary column → mapInPandas "
-    "decoder → typed struct. The deterministic decode stub derives "
-    "features from sha256(content), so DuckDB recomputes the exact "
-    "integers: the Arrow batch path itself is value-verified.",
+    doc="C5+C56 (folded r7): multimodal decode plumbing — binary column → "
+    "mapInPandas decoder → typed struct — plus the perceptual-hash leg: "
+    "thumbnail extraction (mapInPandas) → 64-bit dHash as one JVM "
+    "projection (operators/phash.py). Both stubs derive from "
+    "sha256(content), so DuckDB recomputes the exact integers: the Arrow "
+    "batch path AND the 64-term hash assembly (incl. the bit-63 min-long "
+    "special case) are value-verified, not just row-counted.",
     tags=("multimodal", "closure"),
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,12 +52,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("content")
     )
     decoded = decode_media(docs)
-    return decoded.select(
+    hashed = thumbnails(decoded, kind="image").select(
         "doc_id",
         F.col("decoded.width").alias("width"),
         F.col("decoded.height").alias("height"),
         F.col("decoded.n_frames").alias("n_frames"),
+        dhash_col("thumb").alias("dhash"),
     )
+    return hashed
 
 
 @query(
