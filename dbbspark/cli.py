@@ -68,6 +68,8 @@ def _ingest_config(spark: SparkSession, cfg_path: str):
 
 
 def cmd_ingest(args: argparse.Namespace) -> int:
+    """`dbbspark ingest`: scan/stream a notify dir into archive +
+    registry + quarantine (the reference's save_DBB_stagein_to_DBB)."""
     from .streaming.ingest import ingest_batch, start_ingest_stream
 
     spark = _session("dbbspark-ingest")
@@ -90,6 +92,8 @@ def cmd_ingest(args: argparse.Namespace) -> int:
 
 
 def cmd_monitor(args: argparse.Namespace) -> int:
+    """`dbbspark monitor`: write the four reconciliation HTML pages
+    (the reference's monitor_DBB_stagein)."""
     from .monitor import write_report
 
     spark = _session("dbbspark-monitor")
@@ -116,6 +120,8 @@ def cmd_monitor(args: argparse.Namespace) -> int:
 
 
 def cmd_create_task(args: argparse.Namespace) -> int:
+    """`dbbspark create-task`: create the provenance root task row
+    (create_task_save_DBB_stagein_to_DBB)."""
     from .streaming.provenance import create_task
 
     spark = _session("dbbspark-task")
@@ -127,6 +133,8 @@ def cmd_create_task(args: argparse.Namespace) -> int:
 
 
 def cmd_replay(args: argparse.Namespace) -> int:
+    """`dbbspark replay`: re-drive quarantined files through the ingest
+    gate after the cause is fixed (C32)."""
     from .streaming.ingest import replay_quarantine
 
     spark = _session("dbbspark-replay")
@@ -490,6 +498,7 @@ def cmd_diff(args: argparse.Namespace) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    """CLI entry point: argparse dispatch over the subcommands."""
     p = argparse.ArgumentParser(prog="dbbspark")
     sub = p.add_subparsers(dest="cmd", required=True)
 

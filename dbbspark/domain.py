@@ -45,6 +45,8 @@ NITE_SQL = "strftime(ts - INTERVAL 15 HOURS, '%Y%m%d')"
 
 
 def sispi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observatory-side exposure relation, derived from events (the
+    fixture's stand-in for the SISPI DB, bin/monitor_DBB_stagein.py:738)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.where(F.col("event_id") % 5 != 0).select(
         F.col("event_id").alias("expnum"),
@@ -70,6 +72,9 @@ SISPI_SQL = f"""
 
 
 def desdm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The archive-side exposure relation (DESDM DB stand-in,
+    bin/monitor_DBB_stagein.py:790) — deliberately a different slice
+    than `sispi` so the anti-joins are non-trivial."""
     ev = load_table(spark, sf_dir, "events")
     return ev.where(F.col("event_id") % 7 != 0).select(
         F.col("event_id").alias("expnum"),
@@ -91,6 +96,8 @@ DESDM_SQL = f"""
 
 
 def failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-bad exposures (dts_bad_file stand-in) excluded from the
+    missing diff."""
     ev = load_table(spark, sf_dir, "events")
     return ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("expnum"),

@@ -52,6 +52,8 @@ def template_columns(pattern: str) -> list[str]:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<numeric> columns — pure JVM
+    (zip_with + aggregate), double accumulation."""
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -61,6 +63,7 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 
 def norm(a: Column | str) -> Column:
+    """L2 norm of an array column (JVM-side)."""
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
         F.aggregate(
@@ -70,6 +73,7 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array columns (JVM-side)."""
     return dot(a, b) / (norm(a) * norm(b))
 
 
@@ -110,9 +114,12 @@ def dup_ratio(arr: Column | str) -> Column:
 
 
 def money_sum(col: Column | str, alias: str) -> Column:
+    """Exact money-style SUM: accumulate in DECIMAL(18,2), cast back to
+    double — float-sum order-dependence never reaches the oracle hash."""
     col = F.col(col) if isinstance(col, str) else col
     return F.sum(col.cast("decimal(18,2)")).cast("double").alias(alias)
 
 
 def MONEY_SUM_SQL(expr: str, alias: str) -> str:
+    """DuckDB SQL counterpart of `money_sum` (same DECIMAL discipline)."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"

@@ -48,6 +48,8 @@ def sha_dedup_keep_first(df: DataFrame, text_col: str, key_col: str) -> DataFram
 
 
 def tokens_col(text_col: str) -> Column:
+    """Whitespace token array of a text column (the shared tokenizer
+    every dedup/sketch operator and its DuckDB oracle agree on)."""
     return F.split(F.col(text_col), " ")
 
 
@@ -99,6 +101,8 @@ def md5_int_col(c: Column, hex_digits: int = 15) -> Column:
 
 
 def MD5_INT_SQL(expr: str, hex_digits: int = 15) -> str:
+    """DuckDB SQL for the md5-derived integer `md5_int_col` computes —
+    the cross-engine hash both sides of every oracle share."""
     return f"CAST(('0x' || substr(md5({expr}), 1, {hex_digits})) AS BIGINT)"
 
 

@@ -157,6 +157,8 @@ _THUMBNAILERS: dict[str, Callable[[bytes], list[float]]] = {}
 
 
 def register_thumbnailer(kind: str, fn: Callable[[bytes], list[float]]) -> None:
+    """Register a raw-bytes → thumbnail extractor for ``kind`` (built-ins
+    cover pgm/ppm/fits/wav; unregistered kinds use the sha256 fake)."""
     _THUMBNAILERS[kind] = fn
 
 

@@ -40,6 +40,8 @@ _RECON_CTES = f"""
 
 
 def missing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivered SISPI exposures absent from DESDM and not known-bad —
+    the monitor's 'missing' anti-join (bin/monitor_DBB_stagein.py)."""
     s = sispi(spark, sf_dir).where("delivered")
     d = desdm(spark, sf_dir).select("expnum")
     f_ = failures(spark, sf_dir).select("expnum")
@@ -51,6 +53,8 @@ def missing_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def extra_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESDM rows with no SISPI exposure — the monitor's 'extra' side
+    of the reconciliation diff."""
     d = desdm(spark, sf_dir)
     s = sispi(spark, sf_dir).select("expnum")
     return d.join(s, "expnum", "left_anti").select("nite", "expnum", "propid", "obstype")

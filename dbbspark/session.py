@@ -202,9 +202,13 @@ def get_spark(app_name: str = "dbbspark", cpus: int | None = None) -> SparkSessi
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # SPARK_GRAFT_MASTER overrides the master for multi-JVM measurement
+    # legs (e.g. local-cluster[2,16,8192] — real executor processes, real
+    # serialization + shuffle fetch); default stays one-JVM local[n].
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.driver.memory", os.environ.get("DBBSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
