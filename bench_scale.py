@@ -578,7 +578,7 @@ def _gate_soak(spark, sf_dir: str, n_batches: int = 50) -> None:
     import tempfile
     import time as _t
 
-    from dbbspark.commit import gc_staging
+    from dbbspark.commit import gc_staging, prune_commit_records
     from dbbspark.maintenance import compact_gate_index
     from dbbspark.operators.pq import train_ivfpq
     from dbbspark.operators.similarity import train_centroids
@@ -615,7 +615,10 @@ def _gate_soak(spark, sf_dir: str, n_batches: int = 50) -> None:
         linededup.process_batch(doc_batch(i), i, idx, out, min_df=2)
         walls.append(_t.time() - t)
         if (i + 1) % maint_every == 0:
+            # quiesced single-writer gate between triggers: horizon 0 is
+            # safe (same stance the nightly_ops composition takes)
             gc_staging(spark, idx, older_than_sec=0.0)
+            prune_commit_records(spark, idx, older_than_sec=0.0)
     _soak_report("line", walls, idx, {"accepted_rows": spark.read.parquet(out).count(),
                                       "docs_per_batch": 2 * per})
 

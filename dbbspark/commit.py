@@ -237,6 +237,48 @@ def prune_snapshots(
     return drop
 
 
+def prune_commit_records(
+    spark: SparkSession, root: str, older_than_sec: float = 86400.0
+) -> list[int]:
+    """Delete commit-log records that no longer gate anything — the
+    record-side counterpart of `prune_snapshots` (r7: the 50-batch gate
+    soak showed `_commits` growing one tiny file per trigger forever,
+    and every reader lists it, an O(N²) cost over a stream's life).
+
+    A record is prunable when ALL of:
+    - its data dir is gone (pruned snapshot or burned slot) — a record
+      paired with live data must survive, deleting it would un-commit
+      the snapshot;
+    - it is not the NEWEST record — the max record alone keeps the slot
+      counter monotonic (max+1 reservation never regresses because every
+      deletion leaves a higher record in place);
+    - it is older than ``older_than_sec`` — a just-created record may
+      belong to a LIVE writer between its CAS and its rename; reaping it
+      would make that writer's about-to-land data dir recordless and
+      invisible. Same age-horizon contract as `gc_staging`: only pass 0
+      against a quiesced dataset."""
+    reserved = _reserved_versions(spark, root)
+    if len(reserved) <= 1:
+        return []
+    committed = set(committed_versions(spark, root))
+    newest = reserved[-1]
+    fs, _, jvm = _fs_and_path(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    now = time.time()
+    removed = []
+    for n in reserved:
+        if n == newest or n in committed:
+            continue
+        p = Path(f"{_commits_dir(root)}/{n}")
+        try:
+            age = now - fs.getFileStatus(p).getModificationTime() / 1000.0
+            if age > older_than_sec and fs.delete(p, False):
+                removed.append(n)
+        except Exception:
+            continue  # raced with another pruner / vanished: not ours
+    return removed
+
+
 def gc_staging(
     spark: SparkSession, root: str, older_than_sec: float = 86400.0
 ) -> list[str]:

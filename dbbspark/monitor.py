@@ -388,24 +388,31 @@ def fuzzy_reconcile(
     drift never goes |missing|×|extra| — candidates come from shared
     positional q-grams."""
     from .operators.fuzzy import fuzzy_join
-    from pyspark.sql.window import Window
 
     pairs = fuzzy_join(
         missing, extra, key,
         max_distance=max_distance, id_a=id_missing, id_b=id_extra,
     )
-    w1 = Window.partitionBy(id_missing).orderBy("distance", id_extra)
-    best = (
-        pairs.withColumn("__r1", F.row_number().over(w1))
-        .where(F.col("__r1") == 1)
-        .drop("__r1")
-    )
-    w2 = Window.partitionBy(id_extra).orderBy("distance", id_missing)
-    matches = (
-        best.withColumn("__r2", F.row_number().over(w2))
-        .where(F.col("__r2") == 1)
-        .drop("__r2")
-    )
+    # Greedy one-to-one via min_by aggregations, not rank windows (r7
+    # stage shave): each pass is a partial-aggregated groupBy — map-side
+    # combine shrinks the exchange to one row per key before it moves,
+    # where a row_number window shuffles every pair row and sorts whole
+    # partitions. Tie order matches the window form exactly: min over
+    # the (distance, counterpart-id) struct = row_number 1 under
+    # ORDER BY distance, id (pair rows are unique per (m,x), so the
+    # struct ordering is total).
+    best = pairs.groupBy(id_missing).agg(
+        F.min_by(
+            F.struct(id_extra, "key_a", "key_b", "distance"),
+            F.struct("distance", id_extra),
+        ).alias("_b")
+    ).select(id_missing, "_b.*")
+    matches = best.groupBy(id_extra).agg(
+        F.min_by(
+            F.struct(id_missing, "key_a", "key_b", "distance"),
+            F.struct("distance", id_missing),
+        ).alias("_b")
+    ).select(id_extra, "_b.*")
     missing_residual = missing.join(
         matches.select(id_missing), id_missing, "left_anti"
     )

@@ -114,10 +114,46 @@ def q_reconcile_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import cut_lineage
 
     fname = F.format_string("DECam_%08d.fits.fz", F.col("expnum"))
-    # each residual side feeds BOTH the fuzzy pairing and its output leg:
-    # pin one evaluation of the anti-join chains (lazy lineage cut)
-    m = cut_lineage(missing_df(spark, sf_dir).withColumn("fn", fname))
-    x = cut_lineage(extra_df(spark, sf_dir).withColumn("fn", fname))
+    # r7 stage shave: ONE full-outer pass computes BOTH residual sides
+    # (missing = s-present & delivered & d-absent, minus failures; extra
+    # = d-present & s-absent) where three separate anti-join chains used
+    # to re-derive the same relations — one exchange on expnum instead
+    # of three, and ONE lineage cut feeds the fuzzy pairing and both
+    # output legs. The failures exclusion stays a broadcast anti-join
+    # (map-side). missing_df/extra_df keep the standalone anti-join
+    # forms for the monitor pages; values are identical (both sides key
+    # on unique expnums, so full-outer presence flags = anti-join
+    # membership).
+    s = sispi(spark, sf_dir).select(
+        "expnum", "nite", "propid", "obstype", "delivered",
+        F.lit(True).alias("_s"),
+    )
+    d = desdm(spark, sf_dir).select(
+        "expnum",
+        F.col("nite").alias("x_nite"),
+        F.col("propid").alias("x_propid"),
+        F.col("obstype").alias("x_obstype"),
+        F.lit(True).alias("_d"),
+    )
+    both = cut_lineage(s.join(d, "expnum", "full"))
+    m = (
+        both.where(
+            F.col("_s").isNotNull() & F.col("delivered") & F.col("_d").isNull()
+        )
+        .join(failures(spark, sf_dir).select("expnum"), "expnum", "left_anti")
+        .select("nite", "expnum", "propid", "obstype")
+        .withColumn("fn", fname)
+    )
+    x = (
+        both.where(F.col("_d").isNotNull() & F.col("_s").isNull())
+        .select(
+            F.col("x_nite").alias("nite"),
+            "expnum",
+            F.col("x_propid").alias("propid"),
+            F.col("x_obstype").alias("obstype"),
+        )
+        .withColumn("fn", fname)
+    )
     latest = (
         m.select("nite").unionByName(x.select("nite")).agg(F.max("nite").alias("_ln"))
     )

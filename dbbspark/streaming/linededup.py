@@ -63,7 +63,7 @@ from __future__ import annotations
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..commit import commit_snapshot, committed_versions
+from ..commit import commit_snapshot, committed_versions, prune_commit_records
 from ..maintenance import _fs_and_path
 from ..operators.bloom import split_by_bloom
 from ..operators.lines import line_mentions
@@ -280,6 +280,13 @@ def _commit_for_batch(
         for v, _b in pairs:
             if v not in keep_versions:
                 fs.delete(Path(f"{root.rstrip('/')}/v={v}"), True)
+        # keep the commit log bounded too: one tiny record per trigger
+        # adds up to an O(N) listing per resolve over a stream's life.
+        # The hour horizon is the live-writer guard (this gate is
+        # single-writer behind the checkpoint lock, but the protocol
+        # contract is multi-writer); nightly maintenance on a quiesced
+        # gate may pass 0.
+        prune_commit_records(spark, root, older_than_sec=3600.0)
     except Exception:
         pass
 

@@ -416,3 +416,35 @@ def test_gc_racing_live_committers_never_loses_committed_data(spark, tmp_path):
 
         assert read_snapshot(spark, root, n).first()["payload"] == v
     assert committed_versions(spark, root) == sorted(n for n, _ in committed)
+
+
+def test_prune_commit_records_bounds_the_log(spark, tmp_path):
+    """r7 (found by the 50-batch gate soak): `_commits` grew one record
+    per trigger forever, an O(N) listing per resolve. Records of pruned
+    snapshots and burned slots are reaped past the age horizon; the
+    newest record always survives (monotonic counter), a record with
+    live data always survives (deleting it would un-commit), and a
+    young record is left alone (it may belong to a live writer between
+    CAS and rename)."""
+    from dbbspark.commit import prune_commit_records, prune_snapshots
+
+    root = str(tmp_path / "reclog")
+    for v in range(5):
+        commit_snapshot(spark, root, _write_payload(spark, v))
+    # burn a slot: record without data (crashed-after-CAS shape)
+    fs, _, jvm = _fs_and_path(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    out = fs.create(Path(f"{root}/_commits/5"), False)
+    out.close()
+    assert committed_versions(spark, root) == [0, 1, 2, 3, 4]
+    prune_snapshots(spark, root, keep_last=2)  # data of 0-2 gone
+
+    # young records are protected by the horizon
+    assert prune_commit_records(spark, root, older_than_sec=3600.0) == []
+    # quiesced horizon-0: prunable = {0,1,2 (data pruned)}; 5 is the
+    # NEWEST record and survives even though burned; 3,4 have live data
+    assert prune_commit_records(spark, root, older_than_sec=0.0) == [0, 1, 2]
+    assert committed_versions(spark, root) == [3, 4]
+    # the counter never regresses: next commit reserves past 5
+    v, p = commit_snapshot(spark, root, _write_payload(spark, 9))
+    assert v == 6 and committed_versions(spark, root) == [3, 4, 6]

@@ -343,6 +343,32 @@ def test_auto_routes_by_key_length(spark):
     # empty corpora are trivially short
     empty = spark.createDataFrame([], "id_a long, k string")
     assert _route(empty, empty, "k", 1, "auto", 64) == "fastss"
+    # ADVICE r6: the cliff is d=2-only (d=1 neighborhoods are L+1
+    # variants) — long keys at d=1 stay on the EXACT FastSS route, never
+    # the max_df-capped gram path that can silently drop true pairs
+    assert _route(long, long, "k", 1, "auto", 64) == "fastss"
+    assert _route(short, long, "k", 1, "auto", 64) == "fastss"
+
+
+def test_d1_long_keys_exact_despite_hub_grams(spark):
+    """ADVICE r6 end-to-end: >64-char near-identical URLs at d=1 — the
+    exact shape the gram path's max_df hub cap can drop — must all pair
+    under 'auto'."""
+    from dbbspark.operators.fuzzy import fuzzy_join
+
+    base = "https://example.org/some/very/long/path/segment/" + "a" * 40
+    a = spark.createDataFrame(
+        [(i, base + str(i)) for i in range(30)], "id_a long, k string"
+    )
+    b = spark.createDataFrame(
+        [(i + 100, base + str(i)) for i in range(30)], "id_b long, k string"
+    )
+    # every a-row has exactly one d=0 partner in b; the shared 89-char
+    # prefix makes every q-gram a hub (max_df=1 would kill the gram path)
+    got = fuzzy_join(a, b, "k", max_distance=1, max_df=1).where(
+        F.col("distance") == 0
+    )
+    assert got.count() == 30
 
 
 def test_auto_long_keys_still_join_through_gram_path(spark):

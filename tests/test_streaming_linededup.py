@@ -293,3 +293,42 @@ def test_double_crash_retry_predecessor_survives_prune(spark, tmp_path):
     process_batch(b2, 1, idx, out)
     dfs = sorted(r["df"] for r in index_df(spark, idx).collect())
     assert dfs == [1, 1, 2]  # boiler 2 (once per doc), bodies 1 each
+
+
+def test_soak_state_stays_bounded(spark, tmp_path):
+    """Mini-soak (the bench_scale gate_soak op measures the full curve):
+    15 batches with maintenance interleaved must leave BOUNDED state —
+    at most two retained snapshots, a commit log that record-pruning
+    keeps at O(retained), no staging orphans — and the index df counts
+    must equal what one batch run over the whole corpus would see."""
+    import os
+
+    from dbbspark.commit import (
+        committed_versions,
+        gc_staging,
+        prune_commit_records,
+    )
+    from dbbspark.streaming.linededup import process_batch
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    n_batches = 15
+    for i in range(n_batches):
+        batch = spark.createDataFrame(
+            [(i * 10 + j, f"{BOILER}\nbody {i} {j}") for j in range(4)],
+            "doc_id long, text string",
+        )
+        process_batch(batch, i, idx, out)
+        if (i + 1) % 5 == 0:
+            gc_staging(spark, idx, older_than_sec=0.0)
+            prune_commit_records(spark, idx, older_than_sec=0.0)
+    # bounded state: <=2 snapshot data dirs, commit log pruned to
+    # O(retained), no staging leftovers
+    vs = committed_versions(spark, idx)
+    assert len(vs) <= 2
+    records = os.listdir(os.path.join(idx, "_commits"))
+    assert len(records) <= 6  # retained + up-to-5 since the last prune
+    staging = os.path.join(idx, "_staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+    # the rolling index still carries the TOTAL df across all batches
+    dfs = {r["df"] for r in index_df(spark, idx).collect()}
+    assert n_batches * 4 in dfs  # the boiler line: every doc, every batch
