@@ -392,6 +392,13 @@ def fuzzy_reconcile(
     pairs = fuzzy_join(
         missing, extra, key,
         max_distance=max_distance, id_a=id_missing, id_b=id_extra,
+        # the min_by aggregations below collapse multi-variant duplicate
+        # pairs for free — skip the join's own distinct exchange; and
+        # residual sides are small by construction, so skip the
+        # parallelism re-spread too (r7 stage shave: each saved exchange
+        # is a saved AQE job)
+        distinct=False,
+        respread=False,
     )
     # Greedy one-to-one via min_by aggregations, not rank windows (r7
     # stage shave): each pass is a partial-aggregated groupBy — map-side

@@ -88,6 +88,8 @@ def _fastss_join(
     max_distance: int,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    distinct: bool = True,
+    respread: bool = True,
 ) -> DataFrame:
     """EXACT edit-distance-≤k join (k ∈ {1, 2}) via deletion-neighborhood
     blocking (the FastSS scheme): index each key's ≤k-deletion set and
@@ -107,13 +109,17 @@ def _fastss_join(
 
     def variants(df: DataFrame, idc: str, tag: str) -> DataFrame:
         k = f"lower({key})"
-        return (
-            # re-spread first: reconcile residuals often arrive in a
+        src = df.where(F.col(key).isNotNull())
+        if respread:
+            # re-spread first: bulk-drift corpora often arrive in a
             # couple of post-AQE partitions, which would serialize the
             # variant explode + hash onto two cores (narrow rows — the
-            # shuffle is trivial at any scale)
-            df.where(F.col(key).isNotNull())
-            .repartition(F.col(idc))
+            # shuffle is trivial at any scale). Residual-sized callers
+            # (fuzzy_reconcile) pass respread=False: two exchanges (= two
+            # AQE jobs) buy parallelism a <2k-row side never uses.
+            src = src.repartition(F.col(idc))
+        return (
+            src
             .select(
                 F.col(idc).alias(f"_{tag}id"),
                 F.expr(k).alias(f"_{tag}key"),
@@ -127,8 +133,13 @@ def _fastss_join(
         variants(a, id_a, "a")
         .join(variants(b, id_b, "b"), "_vh")
         .where(F.levenshtein("_akey", "_bkey") <= max_distance)
-        .dropDuplicates(["_aid", "_bid"])
     )
+    if distinct:
+        # a pair sharing several deletion variants appears once per
+        # shared variant; callers that aggregate per key immediately
+        # (fuzzy_reconcile's min_by greedy) pass distinct=False and
+        # absorb the duplicates there — one fewer pair-stream exchange
+        pairs = pairs.dropDuplicates(["_aid", "_bid"])
     return pairs.select(
         F.col("_aid").alias(id_a),
         F.col("_bid").alias(id_b),
@@ -206,6 +217,8 @@ def fuzzy_join(
     max_df: int | None = 1000,
     method: str = "auto",
     auto_fastss_max_len: int = 64,
+    distinct: bool = True,
+    respread: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, key_a, key_b, distance) for all cross-table pairs
     with ``levenshtein(key_a, key_b) <= max_distance``.
@@ -255,7 +268,9 @@ def fuzzy_join(
             id_a, id_b, "key_a", "key_b", F.lit(0).alias("distance")
         )
     if _route(a, b, key, max_distance, method, auto_fastss_max_len) == "fastss":
-        return _fastss_join(a, b, key, max_distance, id_a, id_b)
+        return _fastss_join(
+            a, b, key, max_distance, id_a, id_b, distinct, respread
+        )
     def side(df: DataFrame, idc: str, tag: str) -> DataFrame:
         return (
             df.select(
