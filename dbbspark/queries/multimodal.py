@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import query
-from ..operators.phash import dhash_col, dhash_oracle_sql, fake_thumb_sql, thumbnails
+from ..operators.phash import (
+    dhash_col,
+    dhash_oracle_sql,
+    fake_thumb_sql,
+    hamming_pairs,
+    thumbnails,
+)
 from ..sources.multimodal import decode_media, extract_kv_metadata
 from ..tables import load_table
 
@@ -26,25 +32,70 @@ from ..tables import load_table
 # value-pinned against planted resized/re-encoded duplicates in
 # tests/test_phash.py.
 _DHASH_ORACLE = dhash_oracle_sql(lambda i: fake_thumb_sql("text", i))
+# the planted near-dup twin: the SAME thumbnail with cell 0 bumped by 1
+# — its dHash differs in at most one bit, so every doc has >=1 neighbor
+# inside the d<=4 Hamming ball and the banding leg is non-trivially
+# oracle-checked (DuckDB counts the ball by brute xor/bit_count; the
+# Spark side must reproduce it through band-split + equi-join + verify)
+_DHASH_TWIN = dhash_oracle_sql(
+    lambda i: (
+        f"({fake_thumb_sql('text', i)} + 1)" if i == 0 else fake_thumb_sql("text", i)
+    )
+)
+# second twin (the doc_id % 7 stratum, cell 1 bumped): n_near then
+# varies 1 vs 2 across the corpus — an implementation that hardcodes
+# "every doc has its twin" cannot fake the stratum
+_DHASH_TWIN2 = dhash_oracle_sql(
+    lambda i: (
+        f"({fake_thumb_sql('text', i)} + 1)" if i == 1 else fake_thumb_sql("text", i)
+    )
+)
+_TWIN_OFFSET = 10_000_000
 
 
 @query(
     "q_multimodal_decode",
     oracle=f"""
-    SELECT doc_id,
+    WITH h AS (
+      SELECT doc_id, {_DHASH_ORACLE} AS h FROM documents),
+    twins AS (
+      SELECT doc_id + {_TWIN_OFFSET} AS doc_id, {_DHASH_TWIN} AS h
+      FROM documents),
+    twins2 AS (
+      SELECT doc_id + {2 * _TWIN_OFFSET} AS doc_id, {_DHASH_TWIN2} AS h
+      FROM documents WHERE doc_id % 7 = 0),
+    u AS (SELECT * FROM h UNION ALL SELECT * FROM twins
+          UNION ALL SELECT * FROM twins2),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM u a JOIN u b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 4),
+    near AS (
+      SELECT id, COUNT(*) AS n FROM (
+        SELECT da AS id FROM pairs UNION ALL SELECT db FROM pairs)
+      GROUP BY id)
+    SELECT d.doc_id,
            64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS width,
            64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) AS height,
            1 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) % 8 AS n_frames,
-           {_DHASH_ORACLE} AS dhash
-    FROM documents
+           h.h AS dhash,
+           COALESCE(near.n, 0) AS n_near
+    FROM documents d
+    JOIN h ON d.doc_id = h.doc_id
+    LEFT JOIN near ON d.doc_id = near.id
     """,
     doc="C5+C56 (folded r7): multimodal decode plumbing — binary column → "
     "mapInPandas decoder → typed struct — plus the perceptual-hash leg: "
     "thumbnail extraction (mapInPandas) → 64-bit dHash as one JVM "
-    "projection (operators/phash.py). Both stubs derive from "
-    "sha256(content), so DuckDB recomputes the exact integers: the Arrow "
-    "batch path AND the 64-term hash assembly (incl. the bit-63 min-long "
-    "special case) are value-verified, not just row-counted.",
+    "projection → n_near, the doc's d<=4 Hamming-ball neighbor count over "
+    "the corpus UNION a planted one-bit twin per doc (operators/phash.py "
+    "hamming_pairs: band-split → equi-join → bit_count verify — the "
+    "banding leg itself is oracle-checked against DuckDB's brute-force "
+    "ball, non-trivially: every doc has at least its twin). Both stubs "
+    "derive from sha256(content), so DuckDB recomputes the exact "
+    "integers: the Arrow batch path AND the 64-term hash assembly (incl. "
+    "the bit-63 min-long special case) are value-verified, not just "
+    "row-counted.",
     tags=("multimodal", "closure"),
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,14 +103,63 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("content")
     )
     decoded = decode_media(docs)
-    hashed = thumbnails(decoded, kind="image").select(
-        "doc_id",
-        F.col("decoded.width").alias("width"),
-        F.col("decoded.height").alias("height"),
-        F.col("decoded.n_frames").alias("n_frames"),
-        dhash_col("thumb").alias("dhash"),
+    hashed = (
+        thumbnails(decoded, kind="image")
+        # materialize the twin thumb as a column first: dhash_col
+        # interpolates its input 128× into the bit terms, so it must be
+        # a column reference, not a transform expression
+        .withColumn(
+            "pthumb",
+            F.expr("transform(thumb, (v, i) -> IF(i = 0, v + 1.0D, v))"),
+        )
+        .withColumn(
+            "pthumb2",
+            F.expr("transform(thumb, (v, i) -> IF(i = 1, v + 1.0D, v))"),
+        )
+        .select(
+            "doc_id",
+            F.col("decoded.width").alias("width"),
+            F.col("decoded.height").alias("height"),
+            F.col("decoded.n_frames").alias("n_frames"),
+            dhash_col("thumb").alias("dhash"),
+            dhash_col("pthumb").alias("twin_hash"),
+            dhash_col("pthumb2").alias("twin2_hash"),
+        )
     )
-    return hashed
+    # one evaluation of the Python decode/thumbnail pass: corpus, twins,
+    # and the output leg all fan out from the cut, not from the plan
+    from ..session import cut_lineage
+
+    hashed = cut_lineage(hashed)
+    corpus = hashed.select(F.col("doc_id").alias("id"), F.col("dhash").alias("h"))
+    twins = hashed.select(
+        (F.col("doc_id") + _TWIN_OFFSET).alias("id"),
+        F.col("twin_hash").alias("h"),
+    )
+    twins2 = hashed.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2 * _TWIN_OFFSET).alias("id"),
+        F.col("twin2_hash").alias("h"),
+    )
+    near = (
+        hamming_pairs(
+            corpus.unionByName(twins).unionByName(twins2),
+            "id", "h", max_distance=4,
+        )
+        .select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        hashed.join(near, hashed.doc_id == near.id, "left")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "n_frames",
+            "dhash",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_near"),
+        )
+    )
 
 
 @query(
