@@ -367,20 +367,30 @@ def cmd_compact(args: argparse.Namespace) -> int:
 def cmd_gc(args: argparse.Namespace) -> int:
     """Retention maintenance for a versioned-snapshot root (the commit
     protocol's v=<n> layout): drop all but the newest ``--keep-last``
-    committed snapshots, then reap ``_staging`` orphans older than
+    committed snapshots, reap ``_staging`` orphans older than
     ``--staging-horizon`` seconds (a writer SIGKILL'd between its
     staging write and the commit CAS leaks the staged copy with no
     in-process cleanup; the horizon must exceed the longest snapshot
-    write — see commit.gc_staging)."""
-    from .commit import committed_versions, gc_staging, prune_snapshots
+    write — see commit.gc_staging), and prune dangling commit-log
+    records past the same horizon (r7: without record pruning the log
+    grows one file per commit forever — O(N) per resolve)."""
+    from .commit import (
+        committed_versions,
+        gc_staging,
+        prune_commit_records,
+        prune_snapshots,
+    )
 
     spark = _session("dbbspark-gc")
     dropped = prune_snapshots(spark, args.root, keep_last=args.keep_last)
     reaped = gc_staging(spark, args.root, older_than_sec=args.staging_horizon)
+    records = prune_commit_records(
+        spark, args.root, older_than_sec=args.staging_horizon
+    )
     live = committed_versions(spark, args.root)
     print(
         f"pruned versions: {dropped}; staging orphans reaped: {len(reaped)}; "
-        f"live versions: {live}"
+        f"commit records pruned: {len(records)}; live versions: {live}"
     )
     return 0
 

@@ -339,9 +339,10 @@ def test_read_snapshot_time_travel_and_refusals(spark, tmp_path):
 
 
 def test_cli_gc_prunes_and_reaps(spark, tmp_path, capsys):
-    """`cli gc` composes prune_snapshots + gc_staging: old versions and
-    dead-writer staging go, the newest snapshots and the commit log
-    stay."""
+    """`cli gc` composes prune_snapshots + gc_staging +
+    prune_commit_records: old versions, dead-writer staging, and the
+    pruned versions' now-dangling commit records all go; the newest
+    snapshots and their records stay."""
     from dbbspark import cli
 
     root = str(tmp_path / "cliroot")
@@ -356,6 +357,8 @@ def test_cli_gc_prunes_and_reaps(spark, tmp_path, capsys):
     fs, _, jvm = _fs_and_path(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
     assert not fs.exists(Path(f"{root}/_staging/dead"))
+    # the pruned version's record went with it (r7 bounded commit log)
+    assert not fs.exists(Path(f"{root}/_commits/0"))
     # version counter stays monotonic: next commit takes slot 3
     v, _p = commit_snapshot(spark, root, _write_payload(spark, 3))
     assert v == 3
