@@ -85,7 +85,17 @@ def _snapshot_batches(
     Path = jvm.org.apache.hadoop.fs.Path
     out: list[tuple[int, int]] = []
     for v in vs:
-        for st in fs.listStatus(Path(f"{root.rstrip('/')}/v={v}")):
+        try:
+            entries = fs.listStatus(Path(f"{root.rstrip('/')}/v={v}"))
+        except Exception as e:
+            # a concurrent prune deleted this version between the commit
+            # listing and here — it is simply no longer committed; skip
+            # it. ONLY that: any other FS error still propagates (the
+            # whole point of the r6 fix).
+            if "FileNotFoundException" in str(e):
+                continue
+            raise
+        for st in entries:
             name = st.getPath().getName()
             if st.isDirectory() and name.startswith("batch="):
                 try:
