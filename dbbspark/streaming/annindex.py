@@ -422,7 +422,7 @@ def save_quantizer(
 
     import numpy as np
 
-    from ..commit import commit_snapshot, prune_snapshots
+    from ..commit import commit_snapshot, prune_commit_records, prune_snapshots
 
     cent_rows = centroids.collect()
     row = (
@@ -446,6 +446,10 @@ def save_quantizer(
         prune_snapshots(spark, root, keep_last=2)
     else:
         prune_quantizers(spark, index_dir, min_live_gen)
+    # bounded commit log (r7): saves are rare (retrain/baseline change),
+    # but a year of them still accumulates records; the day horizon
+    # protects any live concurrent saver between its CAS and rename
+    prune_commit_records(spark, root)
 
 
 def prune_quantizers(
