@@ -527,6 +527,67 @@ def _bpe_scale(spark, sf_dir: str) -> None:
     assert merges[: len(seq)] == seq  # regimes agree on the shared prefix
 
 
+def _phash_bench(spark, n_families: int = 5000) -> None:
+    """C56 scale point: synthetic PGM corpus of ``n_families`` smooth
+    images × 3 variants each (original + two resizes) → thumbnail
+    decode (the one Python pass) → dHash (JVM) → Hamming-banded pairs.
+    Timed separately so the decode cost and the pair cost read
+    independently; the reported pair count sanity-checks recall (every
+    family contributes its 3 within-family pairs)."""
+    import time as _t
+
+    import numpy as np
+    import pandas as pd
+
+    from dbbspark.operators.phash import dhash_col, hamming_pairs, thumbnails
+    from dbbspark.session import cut_lineage
+
+    def gen(batches):
+        from dbbspark.sources.codecs import encode_pgm, resize_netpbm
+
+        for pdf in batches:
+            rows = []
+            for fam in pdf["id"]:
+                fam = int(fam)
+                rng = np.random.default_rng(fam)
+                y, x = np.mgrid[0:64, 0:64]
+                img = np.zeros((64, 64))
+                for _ in range(3):
+                    fy, fx = rng.uniform(0.5, 2.5, 2)
+                    img += np.sin(2 * np.pi * fy * y / 64) * np.cos(
+                        2 * np.pi * fx * x / 64 + fam
+                    )
+                img = ((img - img.min()) / (img.max() - img.min() + 1e-9) * 255).astype(
+                    np.uint8
+                )
+                raw = encode_pgm(img)
+                rows.append((fam * 4, bytearray(raw)))
+                rows.append((fam * 4 + 1, bytearray(resize_netpbm(raw, 48, 48))))
+                rows.append((fam * 4 + 2, bytearray(resize_netpbm(raw, 80, 80))))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = (
+        spark.range(n_families)
+        .repartition(32)
+        .mapInPandas(gen, "id long, content binary")
+    )
+    t0 = _t.time()
+    hashed = cut_lineage(
+        thumbnails(corpus, kind="pgm").select("id", dhash_col("thumb").alias("h")),
+        eager=True,
+    )
+    n = hashed.count()
+    t_hash = _t.time() - t0
+    t0 = _t.time()
+    pairs = hamming_pairs(hashed, "id", "h", max_distance=8).count()
+    t_pairs = _t.time() - t0
+    print(json.dumps({
+        "op": "phash_corpus", "images": n,
+        "decode_hash_sec": round(t_hash, 2), "pairs_sec": round(t_pairs, 2),
+        "pairs": pairs, "min_expected_pairs": n_families * 3,
+    }))
+
+
 def _du(path: str) -> tuple[int, float]:
     """(file_count, megabytes) of a local dataset dir — the bounded-
     growth telemetry the soak curves report."""
@@ -945,6 +1006,9 @@ def main() -> None:
 
     if wanted and "gate_soak" in wanted:
         _gate_soak(spark, args.sf_dir, n_batches=args.soak_batches)
+
+    if wanted and "phash_corpus" in wanted:
+        _phash_bench(spark)
 
     if wanted and not wanted & {
         "pca_project",
