@@ -25,6 +25,13 @@ def spark():
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="dbbspark-wh-"))
+        # one JVM hosts the whole 500+-test suite: localCheckpoint
+        # blocks, broadcasts, and codegen compilation accumulate for
+        # ~30 min — the default 1g driver heap OOM'd once (r7, a
+        # block-manager cleanup thread died mid-suite). 4g + a tighter
+        # ContextCleaner GC cadence keeps reclamation ahead of growth.
+        .config("spark.driver.memory", "4g")
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .getOrCreate()
     )
     apply_runtime_confs(s)
