@@ -306,14 +306,15 @@ def _band_cols(hash_col: str, bands: int) -> list[Column]:
     for b in range(bands):
         lo = b * width
         w = (64 - lo) if b == bands - 1 else width
-        mask = (1 << w) - 1
+        shifted = F.shiftrightunsigned(F.col(hash_col), lo)
+        if w >= 64:
+            # bands=1 (the d=0 exact-match case): the band IS the hash —
+            # a (1<<64)-1 mask would overflow the long literal
+            val = shifted
+        else:
+            val = shifted.bitwiseAND(F.lit((1 << w) - 1))
         out.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(hash_col), lo)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
+            F.struct(F.lit(b).alias("band"), val.alias("val"))
         )
     return out
 

@@ -198,3 +198,18 @@ def test_end_to_end_near_dup_and_clusters(spark):
     )
     groups = {r["node"]: r["component"] for r in comp.collect()}
     assert groups[0] == groups[1] == groups[2]
+
+
+def test_distance_zero_exact_match_band(spark):
+    """max_distance=0 → a single band spanning all 64 bits (the mask
+    would overflow a long literal; the band is the hash itself):
+    exact-hash pairs only."""
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, -9223372036854775808), (4, -9223372036854775808), (5, 9)],
+        "id long, phash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs(df, "id", "phash", max_distance=0).collect()
+    }
+    assert got == {(1, 2), (3, 4)}
