@@ -121,9 +121,11 @@ def q_reconcile_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of three, and ONE lineage cut feeds the fuzzy pairing and both
     # output legs. The failures exclusion stays a broadcast anti-join
     # (map-side). missing_df/extra_df keep the standalone anti-join
-    # forms for the monitor pages; values are identical (both sides key
-    # on unique expnums, so full-outer presence flags = anti-join
-    # membership).
+    # forms for the monitor pages; values are identical REGARDLESS of
+    # key duplication: a residual row is by definition one that matched
+    # ZERO rows on the other side, and full-outer emits unmatched rows
+    # exactly once — duplicate keys can only fan out MATCHED rows,
+    # which both residual filters discard.
     s = sispi(spark, sf_dir).select(
         "expnum", "nite", "propid", "obstype", "delivered",
         F.lit(True).alias("_s"),
