@@ -400,6 +400,60 @@ def hamming_pairs_brute(
     )
 
 
+def hamming_groups(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int = 6,
+    bands: int | None = None,
+) -> DataFrame:
+    """(id, group): near-dup GROUPS under Hamming distance — the shape a
+    100 TB dedup actually needs. `hamming_pairs`' all-pairs contract is
+    inherently quadratic inside an identical-hash bucket (a million
+    copies of the same solid frame = 5·10¹¹ pairs that all say the same
+    thing); grouping only ever needs a spanning structure, so this runs
+    the banding over DISTINCT hashes (one representative per value — the
+    min id), takes connected components of the representative pair
+    graph, and broadcasts the group labels back to every row by hash —
+    identical-hash members join their representative's group without a
+    single intra-bucket pair materializing. Row ids must be non-null and
+    unique; NULL hashes get no group row (undecodable media is
+    quarantine's concern, same stance as `hamming_pairs`).
+
+    Semantics: identical to connected components over the full
+    `hamming_pairs` graph (pinned in tests) — within an identical-hash
+    bucket every member is distance 0 from the representative, and
+    cross-bucket edges survive because representative hashes are the
+    bucket hashes. Note the usual CC caveat: components chain, so two
+    members of one group can exceed ``max_distance`` from each other
+    (use `audit_clusters`/`cluster_purity` to verify before deleting,
+    exactly as for text LSH clusters)."""
+    hashes = df.select(
+        F.col(id_col).alias("_mid"), F.col(hash_col).alias("_ph")
+    ).where(F.col(hash_col).isNotNull())
+    reps = hashes.groupBy("_ph").agg(F.min("_mid").alias("_rep"))
+    pairs = hamming_pairs(
+        reps.select(F.col("_rep").alias("id"), F.col("_ph").alias("h")),
+        "id",
+        "h",
+        max_distance=max_distance,
+        bands=bands,
+    )
+    from .dedup import connected_components_adaptive
+
+    comps = connected_components_adaptive(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    rep_groups = reps.join(
+        comps, reps._rep == comps.node, "left"
+    ).select(
+        "_ph", F.coalesce("component", "_rep").alias("group")
+    )
+    return hashes.join(rep_groups, "_ph").select(
+        F.col("_mid").alias(id_col), "group"
+    )
+
+
 def phash_near_dup(
     df: DataFrame,
     kind: str = "pgm",

@@ -213,3 +213,42 @@ def test_distance_zero_exact_match_band(spark):
         for r in hamming_pairs(df, "id", "phash", max_distance=0).collect()
     }
     assert got == {(1, 2), (3, 4)}
+
+
+def test_hamming_groups_equals_cc_over_full_pairs(spark):
+    """hamming_groups (distinct-hash representatives + CC + label
+    broadcast) must produce the SAME partition of ids as connected
+    components over the full all-pairs graph — without materializing
+    intra-bucket pairs. Duplicate-heavy corpus: three identical-hash
+    buckets, one chained across buckets, singletons, and NULLs."""
+    from dbbspark.operators.dedup import connected_components_adaptive
+    from dbbspark.operators.phash import hamming_groups
+
+    rows = (
+        [(i, 100) for i in range(10)]            # bucket A: 10 copies
+        + [(i, 101) for i in range(20, 25)]      # bucket B: d(A,B)=1 -> chained
+        + [(i, 1 << 40) for i in range(30, 34)]  # bucket C: far away
+        + [(40, 7), (41, None)]                  # singleton + null
+    )
+    df = spark.createDataFrame(rows, "id long, phash long")
+    got = {
+        r["id"]: r["group"]
+        for r in hamming_groups(df, "id", "phash", max_distance=2).collect()
+    }
+    # reference: CC over the full pair graph + singleton self-groups
+    pairs = hamming_pairs_brute(df, "id", "phash", max_distance=2)
+    comps = {
+        r["node"]: r["component"]
+        for r in connected_components_adaptive(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        ).collect()
+    }
+    expect = {
+        i: comps.get(i, i) for i, h in rows if h is not None
+    }
+    # same PARTITION (labels may differ only if representatives differ —
+    # both use min-id, so compare directly)
+    assert got == expect
+    assert 41 not in got  # null hash: no group row
+    # A and B chained into one group; C separate; singleton alone
+    assert got[0] == got[24] and got[0] != got[30] and got[40] == 40
