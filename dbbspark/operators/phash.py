@@ -449,6 +449,11 @@ def hamming_groups(
     ).select(
         "_ph", F.coalesce("component", "_rep").alias("group")
     )
+    # the label join-back is hub-keyed BY DESIGN (an identical-hash
+    # bucket sends every member to one hash key) — safe because it is a
+    # JOIN with a 1-row build side per key, the AQE-skew-splittable
+    # shape (operators/lines.py device), never a window or groupBy on
+    # the hub key
     return hashes.join(rep_groups, "_ph").select(
         F.col("_mid").alias(id_col), "group"
     )
