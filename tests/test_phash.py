@@ -252,3 +252,19 @@ def test_hamming_groups_equals_cc_over_full_pairs(spark):
     assert 41 not in got  # null hash: no group row
     # A and B chained into one group; C separate; singleton alone
     assert got[0] == got[24] and got[0] != got[30] and got[40] == 40
+
+
+def test_hash_and_banding_plans_are_jvm_only(spark):
+    """After the one Arrow decode pass, everything is JVM: the dHash
+    projection and the banded pair join must compile to plans with no
+    Python evaluation nodes (the hash terms live in whole-stage
+    codegen)."""
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(81)])], "id long, thumb array<double>"
+    )
+    hashed = df.select("id", dhash_col("thumb").alias("h"))
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    pairs = hamming_pairs(hashed, "id", "h", max_distance=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
