@@ -268,3 +268,27 @@ def test_hash_and_banding_plans_are_jvm_only(spark):
     pairs = hamming_pairs(hashed, "id", "h", max_distance=4)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_audio_near_dup_end_to_end(spark):
+    """phash_near_dup on the wav modality: an amplitude-scaled re-master
+    pairs with its original through the full decode → energy-hash →
+    banding chain; unrelated audio does not."""
+    t = np.linspace(0, 1, 16000)
+    sig_a = (0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 3 * t))) * np.sin(
+        2 * np.pi * 440 * t
+    )
+    sig_b = (0.2 + 0.8 * np.abs(np.cos(2 * np.pi * 7 * t))) * np.sin(
+        2 * np.pi * 330 * t
+    )
+    rows = [
+        (1, bytearray(encode_wav(sig_a))),
+        (2, bytearray(encode_wav(sig_a * 0.4))),
+        (3, bytearray(encode_wav(sig_b))),
+    ]
+    df = spark.createDataFrame(rows, "path long, content binary")
+    pairs = phash_near_dup(
+        df, kind="wav", max_distance=4, hash_kind="audio"
+    )
+    got = {(r["id_a"], r["id_b"], r["distance"]) for r in pairs.collect()}
+    assert got == {(1, 2, 0)}
