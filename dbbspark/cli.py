@@ -423,6 +423,11 @@ def cmd_scrub(args: argparse.Namespace) -> int:
     if args.findings_out:
         findings.write.mode("overwrite").parquet(args.findings_out)
         findings = spark.read.parquet(args.findings_out)  # reuse, don't recompute
+    else:
+        # two actions follow (count-by-kind + capped sample); without a
+        # sink each would recompute the full archive checksum scan —
+        # pin the findings once instead (ADVICE r7)
+        findings = findings.localCheckpoint(eager=True)
     by_kind = {
         r["finding"]: r["n"]
         for r in findings.groupBy("finding").agg(F.count("*").alias("n")).collect()

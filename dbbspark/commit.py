@@ -191,11 +191,24 @@ def commit_snapshot(
                     # a corrupt slot materialized between the list and
                     # the CAS — remove the record we just created (it
                     # must not legitimize data we never wrote) and take
-                    # the next slot
+                    # the next slot. The delete is VERIFIED (ADVICE r7):
+                    # if it fails and the record survives, a foreign
+                    # v=<n>/_SUCCESS would make committed_versions
+                    # report data the protocol never wrote as committed
+                    # — refuse rather than leak the record.
+                    rec = Path(f"{_commits_dir(root)}/{n}")
                     try:
-                        fs.delete(Path(f"{_commits_dir(root)}/{n}"), False)
+                        fs.delete(rec, False)
                     except Exception:
                         pass
+                    if fs.exists(rec):
+                        raise IOError(
+                            f"commit_snapshot: slot {n} under {root} is "
+                            f"occupied by a foreign v={n} dir and the "
+                            "reserved commit record could not be removed "
+                            "— refusing to leave a record that would "
+                            "legitimize data the protocol never wrote"
+                        )
                     continue
                 if not fs.rename(Path(staging), dest):
                     raise IOError(

@@ -228,6 +228,13 @@ def dhash_col(thumb_col: str = "thumb", grid: int = GRID) -> Column:
     sign of the horizontal gradient thumb[r][c] > thumb[r][c+1], over
     the first (g-1) rows × (g-1) gradients — with the default 9×9 grid
     exactly 8×8 = 64 bits. One codegen'd projection."""
+    if grid < 2 or (grid - 1) ** 2 > 64:
+        # shiftleft(1L, b) wraps mod 64 in the JVM for b > 63, silently
+        # folding distinct gradients onto the same bits (ADVICE r7)
+        raise ValueError(
+            f"dhash_col: grid={grid} needs (grid-1)^2 <= 64 bits "
+            "(a 64-bit hash holds at most a 9x9 thumbnail's gradients)"
+        )
     terms = []
     for r in range(grid - 1):
         for c in range(grid - 1):
@@ -245,6 +252,11 @@ def dhash_col(thumb_col: str = "thumb", grid: int = GRID) -> Column:
 def ahash_col(thumb_col: str = "thumb", grid: int = GRID) -> Column:
     """64-bit aHash: bit per cell of the top-left 8×8 subgrid, set when
     the cell exceeds the subgrid mean (strict — ties clear)."""
+    if grid < 8:
+        raise ValueError(
+            f"ahash_col: grid={grid} < 8 — the top-left 8x8 subgrid "
+            "would index past the thumbnail"
+        )
     cells = [
         f"element_at({thumb_col}, {r * grid + c + 1})"
         for r in range(8)

@@ -63,7 +63,12 @@ from __future__ import annotations
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..commit import commit_snapshot, committed_versions, prune_commit_records
+from ..commit import (
+    _commits_dir,
+    commit_snapshot,
+    committed_versions,
+    prune_commit_records,
+)
 from ..maintenance import _fs_and_path
 from ..operators.bloom import split_by_bloom
 from ..operators.lines import line_mentions
@@ -123,6 +128,67 @@ def _has_protocol_state(spark: SparkSession, root: str) -> bool:
     return False
 
 
+def _legacy_versions(spark: SparkSession, root: str) -> list[int]:
+    """``v=<n>`` dirs carrying ``_SUCCESS`` under a root with NO
+    ``_commits`` log — the pre-protocol (r6-era) layout, where the
+    version number WAS the batch id and the data sat directly inside.
+    Empty once the commit protocol has ever touched the root (a ``v=``
+    dir without a record under a live ``_commits`` log is the
+    foreign/corrupt-slot case, which resolution already skips — never
+    a migration candidate)."""
+    fs, hroot, jvm = _fs_and_path(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(hroot) or fs.exists(Path(_commits_dir(root))):
+        return []
+    out = []
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v=")):
+            continue
+        try:
+            n = int(name[2:])
+        except ValueError:
+            continue
+        if fs.exists(Path(st.getPath(), "_SUCCESS")):
+            out.append(n)
+    return sorted(out)
+
+
+def migrate_legacy_index(spark: SparkSession, index_dir: str) -> list[int]:
+    """In-place upgrade of a pre-protocol gate dir (ADVICE r7, medium):
+    re-commit the newest TWO legacy ``v=<batch_id>`` snapshots through
+    the commit protocol (two, not one — the retry-predecessor invariant
+    must survive migration: a stream resuming on a crashed checkpoint
+    re-runs its last batch id and resolves the snapshot BEFORE it), then
+    delete the legacy dirs. The ``<index>.bloom`` sibling migrates too
+    when it has legacy state. Idempotent: once the protocol log exists
+    the dir is no longer legacy and this is a no-op. Returns the legacy
+    batch ids migrated.
+
+    Crash-safe ordering: commits land before any legacy dir is deleted,
+    so a crash mid-migration leaves a resolvable protocol snapshot plus
+    orphan legacy dirs (invisible to resolution — harmless leftovers a
+    re-run cannot confuse for live state)."""
+    migrated = []
+    for root in (index_dir, _bloom_root(index_dir)):
+        legacy = _legacy_versions(spark, root)
+        if not legacy:
+            continue
+        keep = legacy[-2:]
+        for n in keep:
+            df = spark.read.parquet(f"{root.rstrip('/')}/v={n}")
+            if "batch" in df.columns:  # defensive: never double-tag
+                df = df.drop("batch")
+            _commit_for_batch(spark, root, df, n)
+        fs, _, jvm = _fs_and_path(spark, root)
+        Path = jvm.org.apache.hadoop.fs.Path
+        for n in legacy:
+            fs.delete(Path(f"{root.rstrip('/')}/v={n}"), True)
+        if root == index_dir:
+            migrated = keep
+    return migrated
+
+
 def _resolve_snapshot(
     spark: SparkSession, root: str, before: int | None
 ) -> str | None:
@@ -155,6 +221,18 @@ def index_df(
     an empty index."""
     path = _resolve_snapshot(spark, index_dir, before)
     if path is None:
+        if _legacy_versions(spark, index_dir):
+            # pre-protocol v=<batch_id>+_SUCCESS layout (ADVICE r7,
+            # medium): _has_protocol_state sees the v= dirs but the
+            # protocol resolves no snapshot — silently returning an
+            # empty index here would vanish the accumulated df counts
+            # and re-admit known boilerplate. Refuse instead.
+            raise RuntimeError(
+                f"{index_dir}: legacy pre-protocol index layout "
+                "(v=<batch> dirs with _SUCCESS but no _commits log). "
+                "Run dbbspark.streaming.linededup.migrate_legacy_index("
+                "spark, index_dir) once before resuming the stream."
+            )
         if not _has_protocol_state(spark, index_dir):
             try:  # pre-versioning flat layout, or first run (missing dir)
                 return spark.read.parquet(index_dir).select("h", "df")

@@ -451,3 +451,87 @@ def test_prune_commit_records_bounds_the_log(spark, tmp_path):
     # the counter never regresses: next commit reserves past 5
     v, p = commit_snapshot(spark, root, _write_payload(spark, 9))
     assert v == 6 and committed_versions(spark, root) == [3, 4, 6]
+
+
+class _RaceFS:
+    """Proxy fs that simulates a foreign v=<n> dir materializing between
+    the slot listing and the CAS (the corrupt-slot race), by CREATING it
+    for real the first time the winner checks its rename destination.
+    Optionally also fails the commit-record delete (the ADVICE r7
+    double-fault)."""
+
+    def __init__(self, inner, fail_record_delete: bool = False):
+        self._inner = inner
+        self._fail_record_delete = fail_record_delete
+        self._fired = False
+
+    def exists(self, p):
+        import re
+
+        s = p.toString()
+        if (
+            not self._fired
+            and re.search(r"/v=\d+$", s)
+            and not self._inner.exists(p)
+        ):
+            self._fired = True
+            self._inner.mkdirs(p)  # the foreign dir lands mid-race
+            return True
+        return self._inner.exists(p)
+
+    def delete(self, p, recursive=False):
+        if self._fail_record_delete and "_commits/" in p.toString():
+            raise IOError("injected record-delete failure")
+        return self._inner.delete(p, recursive)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def _race_fs(monkeypatch, fail_record_delete: bool):
+    import dbbspark.commit as commit_mod
+
+    real = _fs_and_path
+
+    def patched(sp, path):
+        fs, hpath, jvm = real(sp, path)
+        return _RaceFS(fs, fail_record_delete), hpath, jvm
+
+    # one proxy instance per call is fine: _fired only matters for the
+    # commit_snapshot-internal fs, which is created once per commit
+    monkeypatch.setattr(commit_mod, "_fs_and_path", patched)
+
+
+def test_corrupt_slot_mid_race_burns_record_and_moves_on(
+    spark, tmp_path, monkeypatch
+):
+    """A foreign v=<n> dir appearing between the list and the CAS: the
+    winner deletes its own just-created record (never legitimizing data
+    the protocol didn't write) and commits on the next slot."""
+    from dbbspark.commit import _reserved_versions
+
+    root = str(tmp_path / "race")
+    _race_fs(monkeypatch, fail_record_delete=False)
+    n, path = commit_snapshot(spark, root, _write_payload(spark, 5))
+    monkeypatch.undo()
+    assert n == 1 and path.endswith("v=1")
+    assert committed_versions(spark, root) == [1]
+    # slot 0's record was removed — only the real commit's record stays
+    assert _reserved_versions(spark, root) == [1]
+
+
+def test_corrupt_slot_record_delete_failure_refuses(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7 double-fault: when the corrupt-slot cleanup CANNOT
+    remove the freshly-created record, commit_snapshot must refuse —
+    continuing would leave a record paired with a foreign v=<n> dir,
+    and committed_versions would report data the protocol never wrote
+    as committed."""
+    root = str(tmp_path / "race2")
+    _race_fs(monkeypatch, fail_record_delete=True)
+    with pytest.raises(IOError, match="legitimize"):
+        commit_snapshot(spark, root, _write_payload(spark, 5))
+    monkeypatch.undo()
+    # the foreign dir carries no _SUCCESS: nothing reads as committed
+    assert committed_versions(spark, root) == []

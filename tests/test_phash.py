@@ -292,3 +292,19 @@ def test_audio_near_dup_end_to_end(spark):
     )
     got = {(r["id_a"], r["id_b"], r["distance"]) for r in pairs.collect()}
     assert got == {(1, 2, 0)}
+
+
+def test_grid_bounds_validated():
+    """ADVICE r7: grid>9 would push bit indices past 63, where the JVM's
+    shiftleft wraps mod 64 and silently folds distinct gradients onto
+    the same bits; ahash indexes an 8x8 subgrid that must exist."""
+    from dbbspark.operators.phash import ahash_col, dhash_col
+
+    with pytest.raises(ValueError, match="grid"):
+        dhash_col("thumb", grid=10)
+    with pytest.raises(ValueError, match="grid"):
+        dhash_col("thumb", grid=1)
+    with pytest.raises(ValueError, match="8x8"):
+        ahash_col("thumb", grid=7)
+    dhash_col("thumb", grid=9)  # boundary: (9-1)^2 == 64 is legal
+    ahash_col("thumb", grid=8)

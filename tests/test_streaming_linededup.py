@@ -332,3 +332,68 @@ def test_soak_state_stays_bounded(spark, tmp_path):
     # the rolling index still carries the TOTAL df across all batches
     dfs = {r["df"] for r in index_df(spark, idx).collect()}
     assert n_batches * 4 in dfs  # the boiler line: every doc, every batch
+
+
+def test_legacy_layout_raises_then_migrates(spark, tmp_path):
+    """ADVICE r8 (medium): a pre-protocol v=<batch>+_SUCCESS index dir
+    must never silently resolve as EMPTY on in-place upgrade — index_df
+    refuses until migrate_legacy_index backfills the commit protocol,
+    after which the gate resumes with its accumulated counts."""
+    import shutil
+
+    from dbbspark.streaming.linededup import (
+        migrate_legacy_index,
+        process_batch,
+    )
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    # build a REAL index state, then rewrite it in the legacy layout:
+    # (h, df) rows directly under v=<batch_id> (Spark leaves _SUCCESS),
+    # no _commits log
+    b1 = spark.createDataFrame(
+        [(1, f"{BOILER}\n{BODY1}"), (2, f"{BOILER}\n{BODY2}")],
+        "doc_id long, text string",
+    )
+    process_batch(b1, 0, idx, out)
+    state = [(r["h"], r["df"]) for r in index_df(spark, idx).collect()]
+    shutil.rmtree(idx)
+    spark.createDataFrame(state, "h long, df long").write.parquet(f"{idx}/v=0")
+    with pytest.raises(RuntimeError, match="legacy"):
+        index_df(spark, idx)
+    assert migrate_legacy_index(spark, idx) == [0]
+    assert migrate_legacy_index(spark, idx) == []  # idempotent: no-op
+    got = {r["h"]: r["df"] for r in index_df(spark, idx).collect()}
+    assert got == dict(state)
+    # the gate continues counting on top of the migrated index: the
+    # boiler line sits at df=2 already, so the next batch cuts it
+    b2 = spark.createDataFrame(
+        [(3, f"{BOILER}\n{BODY3}")], "doc_id long, text string"
+    )
+    process_batch(b2, 1, idx, out)
+    texts = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    assert texts[3] == BODY3
+
+
+def test_legacy_migration_preserves_retry_predecessor(spark, tmp_path):
+    """Migration re-commits the newest TWO legacy snapshots: a stream
+    resuming on a crashed checkpoint re-runs its last batch id and must
+    resolve the snapshot BEFORE it, exactly as under the protocol."""
+    from dbbspark.streaming.linededup import migrate_legacy_index
+
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(11, 1)], "h long, df long"
+    ).write.parquet(f"{idx}/v=3")
+    spark.createDataFrame(
+        [(11, 2), (22, 1)], "h long, df long"
+    ).write.parquet(f"{idx}/v=4")
+    assert migrate_legacy_index(spark, idx) == [3, 4]
+    # newest resolves batch 4; the retry of batch 4 resolves batch 3
+    assert {
+        r["h"]: r["df"] for r in index_df(spark, idx).collect()
+    } == {11: 2, 22: 1}
+    assert {
+        r["h"]: r["df"] for r in index_df(spark, idx, before=4).collect()
+    } == {11: 1}
