@@ -331,6 +331,24 @@ def _band_cols(hash_col: str, bands: int) -> list[Column]:
     return out
 
 
+def _first_clean_band(xor: Column, bands: int) -> Column:
+    """Index of the FIRST band (ascending) whose bit range of ``xor`` is
+    all-zero. On a band-join candidate row some band is clean by
+    construction, so the nested CASE's fallback (the last band) is only
+    reached when it is itself the first clean one."""
+    width = 64 // bands
+    expr: Column = F.lit(bands - 1)
+    for b in range(bands - 2, -1, -1):
+        clean = (
+            F.shiftrightunsigned(xor, b * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            == 0
+        )
+        expr = F.when(clean, F.lit(b)).otherwise(expr)
+    return expr
+
+
 def hamming_pairs(
     df: DataFrame,
     id_col: str,
@@ -355,7 +373,15 @@ def hamming_pairs(
     Σ bucket² over (band, value) buckets, never |corpus|². Constant or
     near-constant media (solid frames) pile into hot buckets — the
     groupBy is partial-aggregated and the verify join is
-    AQE-skew-splittable, the lines.py device."""
+    AQE-skew-splittable, the lines.py device.
+
+    Each pair is emitted EXACTLY ONCE without a distinct pass (VERDICT
+    r7): a pair sharing k clean bands would surface from all k joins,
+    so the verify keeps only the row whose join band is the FIRST clean
+    band of the pair — computable from the two hashes already on the
+    row, deleting the pair-relation exchange the old ``.distinct()``
+    paid (its cost grew with pair count × band multiplicity; identical
+    hashes share ALL d+1 bands)."""
     if bands is None:
         bands = max_distance + 1
     if bands < max_distance + 1:
@@ -373,21 +399,20 @@ def hamming_pairs(
     ).select("_pid", "_ph", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
     a = banded.alias("a")
     b = banded.alias("b")
-    dist = F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a._pid") < F.col("b._pid")),
-        )
-        .where(dist <= max_distance)
-        .select(
-            F.col("a._pid").alias("id_a"),
-            F.col("b._pid").alias("id_b"),
-            dist.alias("distance"),
-        )
-        .distinct()
+    xor = F.col("a._ph").bitwiseXOR(F.col("b._ph"))
+    dist = F.bit_count(xor)
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a._pid") < F.col("b._pid")),
+    ).where(dist <= max_distance)
+    if bands > 1:  # canonical emission: only the first clean band's row
+        joined = joined.where(F.col("a.band") == _first_clean_band(xor, bands))
+    return joined.select(
+        F.col("a._pid").alias("id_a"),
+        F.col("b._pid").alias("id_b"),
+        dist.alias("distance"),
     )
 
 
