@@ -116,9 +116,13 @@ def _image_thumb(gray_fn: Callable[[bytes], np.ndarray], grid: int):
 
 def _wav_energies(raw: bytes, windows: int = AUDIO_WINDOWS) -> list[float]:
     """RMS energy of ``windows`` contiguous equal spans covering the
-    whole sample stream (channel-mixed). Sign-of-delta over these is
-    invariant under amplitude scaling — the audio analogue of dHash's
-    gradient signs."""
+    sample stream (channel-mixed) after leading/trailing silence is
+    trimmed. Sign-of-delta over these is invariant under amplitude
+    scaling — the audio analogue of dHash's gradient signs — and the
+    trim (samples below 1% of peak at either end) makes it robust to
+    the other common re-encode artifact, pad/append silence, which
+    would otherwise shift every duration-relative window (VERDICT r7).
+    Relative threshold, so trim and amplitude invariance compose."""
     from ..sources.codecs import _wav_layout
 
     off, nbytes, nch, width, _rate = _wav_layout(raw)
@@ -127,6 +131,11 @@ def _wav_energies(raw: bytes, windows: int = AUDIO_WINDOWS) -> list[float]:
     a = ((a.astype(np.float64) - 128.0) / 128.0) if width == 1 else a / 32768.0
     if nch > 1:
         a = a[: (a.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+    if a.size:
+        peak = float(np.max(np.abs(a)))
+        if peak > 0.0:
+            live = np.flatnonzero(np.abs(a) > 0.01 * peak)
+            a = a[live[0] : live[-1] + 1] if live.size else a
     if a.size == 0:
         return [0.0] * windows
     bounds = np.linspace(0, a.size, windows + 1).astype(np.int64)
@@ -171,17 +180,63 @@ def _load_default_thumbnailers() -> None:
     register_thumbnailer("wav", _wav_energies)
 
 
+_WARNED_FAKE_KINDS: set[str] = set()
+
+
 def thumbnails(
-    df: DataFrame, kind: str = "pgm", content_col: str = "content"
+    df: DataFrame,
+    kind: str = "pgm",
+    content_col: str = "content",
+    on_unregistered: str | None = None,
 ) -> DataFrame:
     """Attach a ``thumb`` array<double> column: 81 block means (images),
-    65 window energies (wav), or the deterministic fake for unregistered
-    kinds. Arrow-batched mapInPandas, map-only — fuses with the
-    binaryFile scan; drop ``content`` right after so the bytes never
-    shuffle. Malformed media → thumb NULL (quarantine's concern, same
-    stance as decode_media)."""
+    65 window energies (wav). Arrow-batched mapInPandas, map-only —
+    fuses with the binaryFile scan; drop ``content`` right after so the
+    bytes never shuffle. Malformed media → thumb NULL (quarantine's
+    concern, same stance as decode_media).
+
+    ``on_unregistered`` controls the seam for kinds with no registered
+    thumbnailer (VERDICT r7 — a typo'd kind must not silently yield
+    signal-free fingerprints):
+
+    - ``'fake'`` — the deterministic sha256 stand-in (the oracle fold's
+      documented decode-leg contract; SQL-derivable);
+    - ``'null'`` — thumb NULL, matching nothing (the refusal stance of
+      the resize/frame legs);
+    - ``'error'`` — raise at plan time;
+    - ``None`` (default) — ``'fake'`` plus a once-per-kind warning, so
+      legacy callers keep today's behavior but a typo is visible."""
     _load_default_thumbnailers()
-    fn = _THUMBNAILERS.get(kind, _fake_thumb)
+    if on_unregistered not in (None, "fake", "null", "error"):
+        raise ValueError(
+            "on_unregistered must be one of 'fake'|'null'|'error' (or "
+            "None for fake-with-warning)"
+        )
+    fn = _THUMBNAILERS.get(kind)
+    if fn is None:
+        if on_unregistered == "error":
+            raise ValueError(
+                f"thumbnails: no registered thumbnailer for kind={kind!r} "
+                f"(registered: {sorted(_THUMBNAILERS)}); pass "
+                "on_unregistered='fake'|'null' or register one"
+            )
+        if on_unregistered == "null":
+            return df.withColumn(
+                "thumb", F.lit(None).cast(T.ArrayType(T.DoubleType()))
+            )
+        if on_unregistered is None and kind not in _WARNED_FAKE_KINDS:
+            import warnings
+
+            _WARNED_FAKE_KINDS.add(kind)
+            warnings.warn(
+                f"thumbnails: kind={kind!r} has no registered thumbnailer"
+                " — using the deterministic sha256 FAKE (content-equality"
+                " fingerprints only, no perceptual signal). Pass "
+                "on_unregistered='fake' to silence, 'null'/'error' to "
+                "refuse.",
+                stacklevel=2,
+            )
+        fn = _fake_thumb
     out_schema = T.StructType(
         df.schema.fields
         + [T.StructField("thumb", T.ArrayType(T.DoubleType()), True)]

@@ -104,7 +104,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = decode_media(docs)
     hashed = (
-        thumbnails(decoded, kind="image")
+        thumbnails(decoded, kind="image", on_unregistered="fake")
         # materialize the twin thumb as a column first: dhash_col
         # interpolates its input 128× into the bit terms, so it must be
         # a column reference, not a transform expression

@@ -299,17 +299,22 @@ def test_audio_near_dup_end_to_end(spark):
     sig_b = (0.2 + 0.8 * np.abs(np.cos(2 * np.pi * 7 * t))) * np.sin(
         2 * np.pi * 330 * t
     )
+    padded = np.concatenate(
+        [np.zeros(2000), sig_a, np.zeros(3500)]
+    )  # pad/trim re-encode artifact: silence-trim makes it a dup too
     rows = [
         (1, bytearray(encode_wav(sig_a))),
         (2, bytearray(encode_wav(sig_a * 0.4))),
         (3, bytearray(encode_wav(sig_b))),
+        (4, bytearray(encode_wav(padded))),
     ]
     df = spark.createDataFrame(rows, "path long, content binary")
     pairs = phash_near_dup(
         df, kind="wav", max_distance=4, hash_kind="audio"
     )
-    got = {(r["id_a"], r["id_b"], r["distance"]) for r in pairs.collect()}
-    assert got == {(1, 2, 0)}
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in pairs.collect()}
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    assert got[(1, 2)] == 0 and got[(1, 4)] == 0
 
 
 def test_grid_bounds_validated():
@@ -326,3 +331,39 @@ def test_grid_bounds_validated():
         ahash_col("thumb", grid=7)
     dhash_col("thumb", grid=9)  # boundary: (9-1)^2 == 64 is legal
     ahash_col("thumb", grid=8)
+
+
+def test_thumbnails_unregistered_kind_seam(spark):
+    """VERDICT r7: a typo'd kind must not silently yield signal-free
+    fingerprints — the fake fallback warns once by default, and the
+    'null'/'error' modes align the seam with the resize/frame legs'
+    refusal stance."""
+    import warnings
+
+    import dbbspark.operators.phash as ph
+    from dbbspark.operators.phash import thumbnails
+
+    df = spark.createDataFrame([(1, bytearray(b"abc"))], "id long, content binary")
+    ph._WARNED_FAKE_KINDS.discard("jgp")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fake = thumbnails(df, kind="jgp").collect()  # typo'd kind
+        assert any("sha256 FAKE" in str(x.message) for x in w)
+    assert len(fake[0]["thumb"]) == 81  # deterministic stand-in
+    # explicit 'fake' is the documented oracle contract: no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        explicit = thumbnails(df, kind="jgp", on_unregistered="fake").collect()
+        assert not any("sha256 FAKE" in str(x.message) for x in w)
+    assert explicit[0]["thumb"] == fake[0]["thumb"]
+    # 'null': matches nothing downstream (hash guard maps NULL → NULL)
+    nulled = thumbnails(df, kind="jgp", on_unregistered="null")
+    assert nulled.collect()[0]["thumb"] is None
+    assert nulled.schema["thumb"].dataType.simpleString() == "array<double>"
+    # 'error': refuse at plan time
+    with pytest.raises(ValueError, match="no registered thumbnailer"):
+        thumbnails(df, kind="jgp", on_unregistered="error")
+    with pytest.raises(ValueError, match="on_unregistered"):
+        thumbnails(df, kind="jgp", on_unregistered="bogus")
+    # registered kinds never consult the seam
+    assert thumbnails(df, kind="pgm", on_unregistered="error").count() == 1
