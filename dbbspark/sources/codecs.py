@@ -155,6 +155,98 @@ def encode_ppm(arr: np.ndarray, maxval: int = 255) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Concatenated binary netpbm — the multi-frame (video) container.
+#
+# The netpbm spec explicitly allows a file to hold a SEQUENCE of images
+# back to back (each restarting at its magic number); for the binary
+# forms (P5/P6) every frame's byte length is computable from its header
+# alone, so a reader can COUNT frames and SEEK to any frame without
+# decoding the others — exactly the seekable-container property
+# sample-before-decode needs. This is the engine's raw-video
+# interchange format (frame-accurate, no codec library).
+
+def _pnm_walk(raw: bytes):
+    """Yield (raster_offset, width, height, channels, maxval, next_pos)
+    per frame of a concatenated binary netpbm stream — header parsing
+    only; raster bytes are SKIPPED by computed length, never read."""
+    pos = 0
+    while pos < len(raw):
+        if raw[pos : pos + 1] != b"P" or raw[pos + 1 : pos + 2] not in b"56":
+            raise ValueError(
+                f"not a binary netpbm frame header at offset {pos}"
+            )
+        channels = 3 if raw[pos + 1 : pos + 2] == b"6" else 1
+        tokens: list[int] = []
+        i = pos + 2
+        while len(tokens) < 3 and i < len(raw):
+            c = raw[i : i + 1]
+            if c == b"#":
+                i = raw.find(b"\n", i)
+                if i < 0:
+                    raise ValueError("truncated netpbm header")
+                i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(raw) and not raw[j : j + 1].isspace():
+                    j += 1
+                tokens.append(int(raw[i:j]))
+                i = j
+        if len(tokens) < 3:
+            raise ValueError("truncated netpbm header")
+        width, height, maxval = tokens
+        if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+            raise ValueError("bad netpbm dimensions")
+        i += 1  # the single whitespace byte after maxval
+        nbytes = width * height * channels * (2 if maxval > 255 else 1)
+        if i + nbytes > len(raw):
+            raise ValueError("truncated netpbm raster")
+        yield i, width, height, channels, maxval, i + nbytes
+        pos = i + nbytes
+
+
+def pnm_seq_frame_count(raw: bytes) -> int:
+    """Frame count of a concatenated-netpbm stream — header walk only."""
+    n = 0
+    for _ in _pnm_walk(raw):
+        n += 1
+    if n == 0:
+        raise ValueError("empty netpbm sequence")
+    return n
+
+
+def pnm_seq_extract_gray(raw: bytes, idxs: list[int]) -> list["np.ndarray"]:
+    """Grayscale (h, w) float arrays for exactly the requested frame
+    indices — decodes ONLY those frames' rasters (color frames by
+    channel mean), seeking past the rest by computed length."""
+    want = set(idxs)
+    got: dict[int, np.ndarray] = {}
+    for k, (off, w, h, ch, maxval, _end) in enumerate(_pnm_walk(raw)):
+        if k not in want:
+            continue
+        dtype = ">u2" if maxval > 255 else "u1"
+        a = np.frombuffer(raw, dtype=dtype, count=w * h * ch, offset=off)
+        a = a.astype(np.float64)
+        got[k] = a.reshape(h, w, 3).mean(axis=2) if ch == 3 else a.reshape(h, w)
+    missing = want - set(got)
+    if missing:
+        raise ValueError(f"frame indices out of range: {sorted(missing)}")
+    return [got[k] for k in idxs]
+
+
+def encode_pnm_seq(frames: list["np.ndarray"], maxval: int = 255) -> bytes:
+    """Concatenate frames (2-D gray → P5, (h,w,3) color → P6) into one
+    multi-image netpbm stream — the test/ingest-side encoder."""
+    out = []
+    for f in frames:
+        out.append(
+            encode_ppm(f, maxval) if f.ndim == 3 else encode_pgm(f, maxval)
+        )
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
 # FITS primary-HDU image (header parse shared with the metadata seam)
 
 _BITPIX_DTYPE = {
