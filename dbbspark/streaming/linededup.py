@@ -128,17 +128,18 @@ def _has_protocol_state(spark: SparkSession, root: str) -> bool:
     return False
 
 
-def _legacy_versions(spark: SparkSession, root: str) -> list[int]:
-    """``v=<n>`` dirs carrying ``_SUCCESS`` under a root with NO
-    ``_commits`` log — the pre-protocol (r6-era) layout, where the
-    version number WAS the batch id and the data sat directly inside.
-    Empty once the commit protocol has ever touched the root (a ``v=``
-    dir without a record under a live ``_commits`` log is the
-    foreign/corrupt-slot case, which resolution already skips — never
-    a migration candidate)."""
+def _legacy_style_dirs(spark: SparkSession, root: str) -> list[int]:
+    """``v=<n>`` dirs in the pre-protocol (r6-era) SHAPE: ``_SUCCESS``
+    plus data files directly inside, NO ``batch=<id>`` partition subdir.
+    A protocol snapshot always nests its rows under a single
+    ``batch=<id>`` dir (`_commit_for_batch` partitions by it), so the
+    shape distinguishes legacy dirs even once a partially-completed
+    migration has created the ``_commits`` log (ADVICE r8, medium —
+    the old no-log test read a half-migrated dir as "not legacy" and
+    silently dropped the unmigrated tail)."""
     fs, hroot, jvm = _fs_and_path(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
-    if not fs.exists(hroot) or fs.exists(Path(_commits_dir(root))):
+    if not fs.exists(hroot):
         return []
     out = []
     for st in fs.listStatus(hroot):
@@ -149,33 +150,69 @@ def _legacy_versions(spark: SparkSession, root: str) -> list[int]:
             n = int(name[2:])
         except ValueError:
             continue
-        if fs.exists(Path(st.getPath(), "_SUCCESS")):
-            out.append(n)
+        if not fs.exists(Path(st.getPath(), "_SUCCESS")):
+            continue
+        if any(
+            e.isDirectory() and e.getPath().getName().startswith("batch=")
+            for e in fs.listStatus(st.getPath())
+        ):
+            continue  # protocol snapshot (or foreign copy of one)
+        out.append(n)
     return sorted(out)
 
 
-def migrate_legacy_index(spark: SparkSession, index_dir: str) -> list[int]:
+def _unmigrated_legacy(spark: SparkSession, root: str) -> list[int]:
+    """Legacy-style snapshot ids whose counts the commit protocol has
+    NOT yet adopted: all of them when nothing is committed, else those
+    EXCEEDING the max committed batch id — the missing tail of a
+    migration that crashed between its two commits (ADVICE r8, medium).
+    Legacy ids at or below the max committed batch are already-migrated
+    (or superseded) orphans; they read as [] here and are swept by the
+    next `migrate_legacy_index` call."""
+    legacy = _legacy_style_dirs(spark, root)
+    if not legacy:
+        return []
+    committed = [b for _, b in _snapshot_batches(spark, root)]
+    if not committed:
+        return legacy
+    mx = max(committed)
+    return [n for n in legacy if n > mx]
+
+
+def migrate_legacy_index(spark: SparkSession, index_dir: str) -> dict[str, list[int]]:
     """In-place upgrade of a pre-protocol gate dir (ADVICE r7, medium):
     re-commit the newest TWO legacy ``v=<batch_id>`` snapshots through
     the commit protocol (two, not one — the retry-predecessor invariant
     must survive migration: a stream resuming on a crashed checkpoint
     re-runs its last batch id and resolves the snapshot BEFORE it), then
     delete the legacy dirs. The ``<index>.bloom`` sibling migrates too
-    when it has legacy state. Idempotent: once the protocol log exists
-    the dir is no longer legacy and this is a no-op. Returns the legacy
-    batch ids migrated.
+    when it has legacy state. Returns ``{root: [batch ids committed by
+    THIS call]}`` per root that had legacy dirs (ADVICE r8, low — the
+    bloom sibling's migration is reported, not folded into the index
+    root's); idempotent: a fully-migrated dir returns ``{}``.
 
-    Crash-safe ordering: commits land before any legacy dir is deleted,
-    so a crash mid-migration leaves a resolvable protocol snapshot plus
-    orphan legacy dirs (invisible to resolution — harmless leftovers a
-    re-run cannot confuse for live state)."""
-    migrated = []
+    Crash-safe and RESUMABLE (ADVICE r8, medium): commits land in
+    ascending batch order before any legacy dir is deleted, and a re-run
+    detects legacy-style dirs by SHAPE (`_legacy_style_dirs`) rather
+    than by the absence of a ``_commits`` log — so a crash between the
+    two commits leaves a dir the re-run finishes (it commits exactly the
+    legacy ids above the max committed batch, preserving version/batch
+    monotonicity for resolution) instead of a half-migrated index whose
+    newest counts are silently lost. A crash after the commits but
+    before the deletes leaves orphan legacy dirs that resolution ignores
+    and the re-run sweeps."""
+    migrated: dict[str, list[int]] = {}
     for root in (index_dir, _bloom_root(index_dir)):
-        legacy = _legacy_versions(spark, root)
+        legacy = _legacy_style_dirs(spark, root)
         if not legacy:
             continue
-        keep = legacy[-2:]
-        for n in keep:
+        pending = _unmigrated_legacy(spark, root)
+        # fresh migration: the newest two carry the invariant; a resumed
+        # one commits only the missing tail (ascending — slot order must
+        # follow batch order or `_resolve_snapshot`'s (version, batch)
+        # max would prefer the older batch)
+        todo = sorted(set(legacy[-2:]) & set(pending))
+        for n in todo:
             df = spark.read.parquet(f"{root.rstrip('/')}/v={n}")
             if "batch" in df.columns:  # defensive: never double-tag
                 df = df.drop("batch")
@@ -184,8 +221,7 @@ def migrate_legacy_index(spark: SparkSession, index_dir: str) -> list[int]:
         Path = jvm.org.apache.hadoop.fs.Path
         for n in legacy:
             fs.delete(Path(f"{root.rstrip('/')}/v={n}"), True)
-        if root == index_dir:
-            migrated = keep
+        migrated[root] = todo
     return migrated
 
 
@@ -219,20 +255,22 @@ def index_df(
     pre-versioning layout (data files, no ``v=`` dirs, no commit log).
     Filesystem errors propagate — an unreachable index is an error, not
     an empty index."""
+    if _unmigrated_legacy(spark, index_dir):
+        # pre-protocol v=<batch_id>+_SUCCESS snapshots the commit
+        # protocol has not adopted (ADVICE r7/r8, medium): either a
+        # never-migrated dir, or a migration that crashed between its
+        # two commits (the committed prefix WOULD resolve below, and
+        # the newest legacy counts would silently vanish — the gate
+        # would re-admit known boilerplate). Refuse either way;
+        # migrate_legacy_index finishes the job idempotently.
+        raise RuntimeError(
+            f"{index_dir}: legacy pre-protocol index snapshots present "
+            "(v=<batch> dirs with _SUCCESS, not adopted by the _commits "
+            "log). Run dbbspark.streaming.linededup.migrate_legacy_index("
+            "spark, index_dir) once before resuming the stream."
+        )
     path = _resolve_snapshot(spark, index_dir, before)
     if path is None:
-        if _legacy_versions(spark, index_dir):
-            # pre-protocol v=<batch_id>+_SUCCESS layout (ADVICE r7,
-            # medium): _has_protocol_state sees the v= dirs but the
-            # protocol resolves no snapshot — silently returning an
-            # empty index here would vanish the accumulated df counts
-            # and re-admit known boilerplate. Refuse instead.
-            raise RuntimeError(
-                f"{index_dir}: legacy pre-protocol index layout "
-                "(v=<batch> dirs with _SUCCESS but no _commits log). "
-                "Run dbbspark.streaming.linededup.migrate_legacy_index("
-                "spark, index_dir) once before resuming the stream."
-            )
         if not _has_protocol_state(spark, index_dir):
             try:  # pre-versioning flat layout, or first run (missing dir)
                 return spark.read.parquet(index_dir).select("h", "df")

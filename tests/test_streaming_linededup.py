@@ -360,8 +360,8 @@ def test_legacy_layout_raises_then_migrates(spark, tmp_path):
     spark.createDataFrame(state, "h long, df long").write.parquet(f"{idx}/v=0")
     with pytest.raises(RuntimeError, match="legacy"):
         index_df(spark, idx)
-    assert migrate_legacy_index(spark, idx) == [0]
-    assert migrate_legacy_index(spark, idx) == []  # idempotent: no-op
+    assert migrate_legacy_index(spark, idx) == {idx: [0]}
+    assert migrate_legacy_index(spark, idx) == {}  # idempotent: no-op
     got = {r["h"]: r["df"] for r in index_df(spark, idx).collect()}
     assert got == dict(state)
     # the gate continues counting on top of the migrated index: the
@@ -389,7 +389,7 @@ def test_legacy_migration_preserves_retry_predecessor(spark, tmp_path):
     spark.createDataFrame(
         [(11, 2), (22, 1)], "h long, df long"
     ).write.parquet(f"{idx}/v=4")
-    assert migrate_legacy_index(spark, idx) == [3, 4]
+    assert migrate_legacy_index(spark, idx) == {idx: [3, 4]}
     # newest resolves batch 4; the retry of batch 4 resolves batch 3
     assert {
         r["h"]: r["df"] for r in index_df(spark, idx).collect()
@@ -397,3 +397,96 @@ def test_legacy_migration_preserves_retry_predecessor(spark, tmp_path):
     assert {
         r["h"]: r["df"] for r in index_df(spark, idx, before=4).collect()
     } == {11: 1}
+
+
+def test_legacy_migration_resumes_after_crash_between_commits(spark, tmp_path):
+    """ADVICE r8 (medium): a migration that crashed after committing the
+    older of its two snapshots must not read as "done" on re-run — the
+    _commits log exists, but the newest legacy counts are still only in
+    the legacy dir. index_df refuses, and migrate_legacy_index commits
+    exactly the missing tail (preserving version/batch monotonicity)."""
+    from dbbspark.streaming.linededup import (
+        _commit_for_batch,
+        migrate_legacy_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame([(11, 1)], "h long, df long").write.parquet(
+        f"{idx}/v=3"
+    )
+    spark.createDataFrame(
+        [(11, 2), (22, 1)], "h long, df long"
+    ).write.parquet(f"{idx}/v=4")
+    # simulate the crash state: batch 3 committed, batch 4 not, legacy
+    # dirs still present (deletes only happen after all commits)
+    _commit_for_batch(
+        spark, idx, spark.createDataFrame([(11, 1)], "h long, df long"), 3
+    )
+    with pytest.raises(RuntimeError, match="legacy"):
+        index_df(spark, idx)  # would otherwise resolve batch 3 and lose 4
+    assert migrate_legacy_index(spark, idx) == {idx: [4]}
+    assert {
+        r["h"]: r["df"] for r in index_df(spark, idx).collect()
+    } == {11: 2, 22: 1}
+    assert {
+        r["h"]: r["df"] for r in index_df(spark, idx, before=4).collect()
+    } == {11: 1}
+
+
+def test_legacy_migration_sweeps_orphans_after_crash_before_delete(
+    spark, tmp_path
+):
+    """A crash after both commits but before the legacy-dir deletes
+    leaves orphans resolution ignores; the re-run deletes them and
+    commits nothing new."""
+    import os
+
+    from dbbspark.streaming.linededup import (
+        _commit_for_batch,
+        migrate_legacy_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame([(11, 1)], "h long, df long").write.parquet(
+        f"{idx}/v=3"
+    )
+    spark.createDataFrame([(11, 2)], "h long, df long").write.parquet(
+        f"{idx}/v=4"
+    )
+    _commit_for_batch(
+        spark, idx, spark.createDataFrame([(11, 1)], "h long, df long"), 3
+    )
+    _commit_for_batch(
+        spark, idx, spark.createDataFrame([(11, 2)], "h long, df long"), 4
+    )
+    # both committed: the index resolves without refusal, orphans or not
+    assert {r["h"]: r["df"] for r in index_df(spark, idx).collect()} == {11: 2}
+    assert migrate_legacy_index(spark, idx) == {idx: []}
+    legacy_left = [
+        d
+        for d in os.listdir(idx)
+        if d.startswith("v=")
+        and os.path.exists(os.path.join(idx, d, "_SUCCESS"))
+        and not any(
+            e.startswith("batch=") for e in os.listdir(os.path.join(idx, d))
+        )
+    ]
+    assert legacy_left == []
+    assert {r["h"]: r["df"] for r in index_df(spark, idx).collect()} == {11: 2}
+
+
+def test_legacy_migration_reports_bloom_sibling(spark, tmp_path):
+    """ADVICE r8 (low): a bloom-sibling-only migration is visible in the
+    return value — per-root ids, not [] pretending nothing happened."""
+    from dbbspark.streaming.linededup import (
+        _bloom_root,
+        migrate_legacy_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    bloom = _bloom_root(idx)
+    spark.createDataFrame(
+        [(7, 1)], "h long, df long"
+    ).write.parquet(f"{bloom}/v=2")
+    assert migrate_legacy_index(spark, idx) == {bloom: [2]}
+    assert migrate_legacy_index(spark, idx) == {}
