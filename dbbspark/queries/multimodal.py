@@ -105,25 +105,44 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_media(docs)
     hashed = (
         thumbnails(decoded, kind="image", on_unregistered="fake")
-        # materialize the twin thumb as a column first: dhash_col
-        # interpolates its input 128× into the bit terms, so it must be
-        # a column reference, not a transform expression
-        .withColumn(
-            "pthumb",
-            F.expr("transform(thumb, (v, i) -> IF(i = 0, v + 1.0D, v))"),
-        )
-        .withColumn(
-            "pthumb2",
-            F.expr("transform(thumb, (v, i) -> IF(i = 1, v + 1.0D, v))"),
-        )
         .select(
             "doc_id",
             F.col("decoded.width").alias("width"),
             F.col("decoded.height").alias("height"),
             F.col("decoded.n_frames").alias("n_frames"),
             dhash_col("thumb").alias("dhash"),
-            dhash_col("pthumb").alias("twin_hash"),
-            dhash_col("pthumb2").alias("twin2_hash"),
+            "thumb",
+        )
+        # Twin hashes by BIT SURGERY over the corpus dhash, not two more
+        # 64-term CASE chains: the dHash reads cell 0 (element 1) only
+        # in bit 0's gradient (thumb[1] > thumb[2]) and cell 1 (element
+        # 2) only in bits 0 and 1, so "thumb with cell k bumped by 1"
+        # differs from dhash in exactly those recomputed bits. The old
+        # three-chain projection (192 terms, 384 element_at calls) blew
+        # janino's 64 KB method limit — whole-stage codegen FAILED at
+        # runtime and the stage silently ran interpreted (VERDICT r8
+        # what's-wrong #2; pinned by the codegen.fallback=false test in
+        # tests/test_phash.py). The two Projects stay separate
+        # (CollapseProject refuses: `dhash` is non-cheap and referenced
+        # twice), so the 64-term chain is generated ONCE. NULL thumb →
+        # dhash NULL → surgery NULL, matching dhash_col's guard.
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "n_frames",
+            "dhash",
+            F.expr(
+                "(dhash & -2) | (CASE WHEN element_at(thumb, 1) + 1.0D >"
+                " element_at(thumb, 2) THEN 1L ELSE 0L END)"
+            ).alias("twin_hash"),
+            F.expr(
+                "(dhash & -4)"
+                " | (CASE WHEN element_at(thumb, 1) >"
+                " element_at(thumb, 2) + 1.0D THEN 1L ELSE 0L END)"
+                " | (CASE WHEN element_at(thumb, 2) + 1.0D >"
+                " element_at(thumb, 3) THEN 2L ELSE 0L END)"
+            ).alias("twin2_hash"),
         )
     )
     # one evaluation of the Python decode/thumbnail pass: corpus, twins,

@@ -367,3 +367,21 @@ def test_thumbnails_unregistered_kind_seam(spark):
         thumbnails(df, kind="jgp", on_unregistered="bogus")
     # registered kinds never consult the seam
     assert thumbnails(df, kind="pgm", on_unregistered="error").count() == 1
+
+
+def test_multimodal_hash_stage_compiles(spark, sf_dir):
+    """VERDICT r8 (what's-wrong #2): the composed q_multimodal_decode
+    hash projection must COMPILE under whole-stage codegen — the r7
+    three-chain form (192 CASE terms) blew janino's 64 KB method limit
+    and silently ran interpreted, which the plan-string pins cannot see
+    (the plan still says WholeStageCodegen). Disabling the fallback
+    turns a runtime compile failure into a query error this test
+    catches; the bit-surgery twins keep the generated method small."""
+    from dbbspark.queries.multimodal import q_multimodal_decode
+
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert q_multimodal_decode(spark, sf_dir).count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
