@@ -588,6 +588,83 @@ def _phash_bench(spark, n_families: int = 5000) -> None:
     }))
 
 
+def _video_bench(spark, n_families: int = 1000) -> None:
+    """Video near-dup scale point (operators/video.py): ``n_families``
+    synthetic 24-frame pnmseq clips × 3 variants each (original +
+    frame-dropped + head-trimmed) → one decode/fingerprint pass (8
+    sampled frames per clip) → frame-level Hamming banding → clip-pair
+    scoring. Reported separately: fingerprint cost (the Python
+    crossing) vs pair cost (pure JVM); the pair count sanity-checks
+    recall (every family should contribute its 3 within-family clip
+    pairs)."""
+    import time as _t
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        from dbbspark.sources.codecs import encode_pnm_seq
+
+        for pdf in batches:
+            rows = []
+            for fam in pdf["id"]:
+                fam = int(fam)
+                rng = np.random.default_rng(fam)
+                y, x = np.mgrid[0:48, 0:64]
+                comps = [
+                    (rng.uniform(0.5, 2.5, 2), rng.uniform(0, 2 * np.pi))
+                    for _ in range(3)
+                ]
+                frames = []
+                for t in range(24):
+                    f = np.zeros((48, 64))
+                    for (fy, fx), ph in comps:
+                        f += np.sin(
+                            2 * np.pi * fx * x / 64 + 0.12 * t + ph
+                        ) * np.cos(2 * np.pi * fy * y / 48 - 0.08 * t)
+                    f = 128 + 40 * f
+                    frames.append(np.clip(f, 0, 255).astype(np.uint8))
+                rows.append((fam * 4, bytearray(encode_pnm_seq(frames))))
+                rows.append(
+                    (
+                        fam * 4 + 1,
+                        bytearray(
+                            encode_pnm_seq(
+                                [f for i, f in enumerate(frames) if i % 3 != 2]
+                            )
+                        ),
+                    )
+                )
+                rows.append((fam * 4 + 2, bytearray(encode_pnm_seq(frames[3:]))))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    from dbbspark.operators.video import clip_fingerprints, score_clip_pairs
+    from dbbspark.session import cut_lineage
+
+    corpus = (
+        spark.range(n_families)
+        .repartition(32)
+        .mapInPandas(gen, "id long, content binary")
+    )
+    t0 = _t.time()
+    frames = cut_lineage(
+        clip_fingerprints(corpus, id_col="id", n_samples=8), eager=True
+    )
+    n_frames = frames.count()
+    t_fp = _t.time() - t0
+    t0 = _t.time()
+    n_pairs = score_clip_pairs(
+        frames, id_col="id", max_distance=6, min_frac=0.5
+    ).count()
+    t_pairs = _t.time() - t0
+    print(json.dumps({
+        "op": "video_corpus", "clips": 3 * n_families,
+        "frame_rows": n_frames, "fingerprint_sec": round(t_fp, 2),
+        "pairs_sec": round(t_pairs, 2), "clip_pairs": n_pairs,
+        "min_expected_pairs": n_families * 3,
+    }))
+
+
 def _du(path: str) -> tuple[int, float]:
     """(file_count, megabytes) of a local dataset dir — the bounded-
     growth telemetry the soak curves report."""
@@ -1009,6 +1086,9 @@ def main() -> None:
 
     if wanted and "phash_corpus" in wanted:
         _phash_bench(spark)
+
+    if wanted and "video_corpus" in wanted:
+        _video_bench(spark)
 
     if wanted and not wanted & {
         "pca_project",

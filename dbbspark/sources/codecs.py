@@ -246,6 +246,35 @@ def encode_pnm_seq(frames: list["np.ndarray"], maxval: int = 255) -> bytes:
     return b"".join(out)
 
 
+def decode_pnm_seq(raw: bytes) -> dict:
+    """decode_media-shaped summary of a concatenated-netpbm clip:
+    dimensions of the FIRST frame, n_frames by header walk, feature
+    from the first frame only — a whole-clip feature would decode every
+    raster, which is exactly what sample-before-decode exists to avoid
+    (per-frame features are `sample_frames`' job via the registered
+    pnmseq extractor)."""
+    walk = _pnm_walk(raw)
+    off, w, h, ch, maxval, _end = next(walk)
+    n = 1
+    for _ in walk:
+        n += 1
+    dtype = ">u2" if maxval > 255 else "u1"
+    first = np.frombuffer(raw, dtype=dtype, count=w * h * ch, offset=off)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": n,
+        "feature": _feature(first),
+    }
+
+
+def pnm_seq_extract_features(raw: bytes, idxs: list[int]) -> list[list[float]]:
+    """FRAME_SCHEMA-shaped 8-dim features for exactly the requested
+    frame indices of a concatenated-netpbm clip — the `sample_frames`
+    extractor leg (decodes only those rasters, like wav_extract_frames)."""
+    return [_feature(g) for g in pnm_seq_extract_gray(raw, idxs)]
+
+
 # ---------------------------------------------------------------------------
 # FITS primary-HDU image (header parse shared with the metadata seam)
 
@@ -475,7 +504,11 @@ def register_default_codecs() -> None:
     register_decoder("ppm", decode_netpbm)
     register_decoder("fits", decode_fits_image)
     register_decoder("wav", wav_decode)
+    register_decoder("pnmseq", decode_pnm_seq)
     register_frame_extractor("wav", wav_frame_count, wav_extract_frames)
+    register_frame_extractor(
+        "pnmseq", pnm_seq_frame_count, pnm_seq_extract_features
+    )
     register_resizer("pgm", resize_netpbm)
     register_resizer("ppm", resize_netpbm)
     register_resizer("fits", resize_fits)

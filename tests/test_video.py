@@ -1,0 +1,270 @@
+"""Video / frame-sequence perceptual near-dup (operators/video.py) and
+the concatenated-netpbm container codecs it rides on
+(sources/codecs.py pnm_seq_*): a re-encoded / resized / frame-dropped /
+trimmed copy of a clip must pair with its original through the full
+count → sample → decode-only-sampled → dHash → banding → clip-score
+chain; disjoint clips must not."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dbbspark.sources.codecs import (
+    decode_pnm_seq,
+    encode_pgm,
+    encode_pnm_seq,
+    pnm_seq_extract_features,
+    pnm_seq_extract_gray,
+    pnm_seq_frame_count,
+)
+
+
+def _clip(n=24, h=48, w=64, phase=0.0, fx=2.0, fy=1.5, seed=None):
+    """Smooth space-time field: gradient-rich per frame, slowly varying
+    across frames (so temporally-adjacent frames hash close — what real
+    video looks like between cuts). seed→pure-noise frames instead
+    (matches nothing)."""
+    if seed is not None:
+        rng = np.random.default_rng(seed)
+        return [
+            rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+            for _ in range(n)
+        ]
+    y, x = np.mgrid[0:h, 0:w]
+    out = []
+    for t in range(n):
+        f = 128 + 80 * np.sin(
+            2 * np.pi * fx * x / w + 0.12 * t + phase
+        ) * np.cos(2 * np.pi * fy * y / h - 0.08 * t)
+        out.append(np.clip(f, 0, 255).astype(np.uint8))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# container codec (ADVICE r8: the pnm_seq_* trio must earn its place)
+
+
+def test_frame_count_and_selective_extract():
+    frames = _clip(n=7)
+    raw = encode_pnm_seq(frames)
+    assert pnm_seq_frame_count(raw) == 7
+    got = pnm_seq_extract_gray(raw, [0, 3, 6])
+    for g, idx in zip(got, [0, 3, 6]):
+        np.testing.assert_array_equal(g, frames[idx].astype(np.float64))
+    # request order is preserved, duplicates allowed
+    got = pnm_seq_extract_gray(raw, [6, 0, 6])
+    np.testing.assert_array_equal(got[0], frames[6].astype(np.float64))
+    np.testing.assert_array_equal(got[1], frames[0].astype(np.float64))
+    np.testing.assert_array_equal(got[2], frames[6].astype(np.float64))
+
+
+def test_16bit_and_color_frames():
+    gray16 = [(f.astype(np.uint16) * 257) for f in _clip(n=3)]
+    raw = encode_pnm_seq(gray16, maxval=65535)
+    assert pnm_seq_frame_count(raw) == 3
+    got = pnm_seq_extract_gray(raw, [1])
+    np.testing.assert_array_equal(got[0], gray16[1].astype(np.float64))
+    # color frames decode to their channel mean
+    rgb = np.stack(
+        [_clip(n=1)[0], _clip(n=1, phase=1.0)[0], _clip(n=1, phase=2.0)[0]],
+        axis=2,
+    )
+    raw = encode_pnm_seq([rgb])
+    got = pnm_seq_extract_gray(raw, [0])
+    np.testing.assert_allclose(got[0], rgb.astype(np.float64).mean(axis=2))
+
+
+def test_mixed_sequence_and_comment_headers():
+    """Frames of different sizes walk correctly (each header re-read),
+    and '#' comments inside a frame header are skipped."""
+    a = _clip(n=1, h=16, w=20)[0]
+    b = _clip(n=1, h=32, w=8)[0]
+    raw = encode_pnm_seq([a]) + encode_pgm(b) + encode_pnm_seq([a])
+    assert pnm_seq_frame_count(raw) == 3
+    got = pnm_seq_extract_gray(raw, [1])
+    np.testing.assert_array_equal(got[0], b.astype(np.float64))
+    # encode_pgm writes a comment line — splice an extra one mid-stream
+    commented = b"P5\n# a comment\n# another\n2 2\n255\n" + bytes(
+        [1, 2, 3, 4]
+    )
+    raw2 = commented + encode_pgm(a)
+    assert pnm_seq_frame_count(raw2) == 2
+    np.testing.assert_array_equal(
+        pnm_seq_extract_gray(raw2, [0])[0], [[1.0, 2.0], [3.0, 4.0]]
+    )
+
+
+def test_malformed_sequences_raise():
+    frames = _clip(n=3)
+    raw = encode_pnm_seq(frames)
+    with pytest.raises(ValueError, match="truncated"):
+        pnm_seq_frame_count(raw[:-10])  # truncated raster
+    with pytest.raises(ValueError, match="netpbm"):
+        pnm_seq_frame_count(b"RIFF not pnm")
+    with pytest.raises(ValueError, match="netpbm"):
+        pnm_seq_frame_count(raw + b"garbage trailing bytes")
+    with pytest.raises(ValueError, match="empty"):
+        pnm_seq_frame_count(b"")
+    with pytest.raises(ValueError, match="out of range"):
+        pnm_seq_extract_gray(raw, [0, 3])
+    # ascii (P2) frames are not a seekable container — refused
+    with pytest.raises(ValueError, match="netpbm"):
+        pnm_seq_frame_count(b"P2\n2 1\n255\n1 2\n")
+
+
+def test_decode_and_sample_seam_registration(spark):
+    """pnmseq flows through the C5 seams: decode_media reads header-walk
+    n_frames + first-frame stats; sample_frames uses the registered
+    extractor (features for exactly the sampled indices)."""
+    from dbbspark.sources.multimodal import decode_media, sample_frames
+
+    frames = _clip(n=10, h=12, w=16)
+    raw = encode_pnm_seq(frames)
+    d = decode_pnm_seq(raw)
+    assert (d["width"], d["height"], d["n_frames"]) == (16, 12, 10)
+    first = frames[0].astype(np.float64)
+    assert d["feature"][0] == pytest.approx(first.mean())
+    feats = pnm_seq_extract_features(raw, [2, 9])
+    assert feats[0][0] == pytest.approx(frames[2].astype(np.float64).mean())
+
+    df = spark.createDataFrame(
+        [("clip1", bytearray(raw))], "path string, content binary"
+    )
+    dec = decode_media(df, kind="pnmseq").select("decoded.*").first()
+    assert (dec["width"], dec["height"], dec["n_frames"]) == (16, 12, 10)
+    rows = sample_frames(df, k=4, kind="pnmseq").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 3, 6, 9]
+    assert all(r["n_frames"] == 10 for r in rows)
+    assert rows[1]["feature"][0] == pytest.approx(
+        frames[3].astype(np.float64).mean()
+    )
+
+
+# ---------------------------------------------------------------------------
+# clip fingerprints
+
+
+def test_clip_fingerprints_shape_and_determinism(spark):
+    from dbbspark.operators.video import clip_fingerprints
+
+    raw = encode_pnm_seq(_clip(n=24))
+    short = encode_pnm_seq(_clip(n=3, phase=2.0))
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(raw)),
+            ("s", bytearray(short)),
+            ("bad", bytearray(b"not a clip")),
+            ("nul", None),
+        ],
+        "path string, content binary",
+    )
+    rows = clip_fingerprints(df, n_samples=8).collect()
+    by_clip: dict[str, list] = {}
+    for r in rows:
+        by_clip.setdefault(r["path"], []).append(r)
+    assert set(by_clip) == {"a", "s"}  # malformed + null → no rows
+    assert len(by_clip["a"]) == 8 and len(by_clip["s"]) == 3
+    assert all(r["n_frames"] == 24 and r["n_sampled"] == 8 for r in by_clip["a"])
+    assert sorted(r["fidx"] for r in by_clip["s"]) == [0, 1, 2]
+    assert all(r["fhash"] is not None for r in rows)
+    again = {
+        (r["path"], r["fidx"]): r["fhash"]
+        for r in clip_fingerprints(df, n_samples=8).collect()
+    }
+    assert again == {(r["path"], r["fidx"]): r["fhash"] for r in rows}
+
+
+def test_clip_fingerprints_unregistered_kind_raises(spark):
+    from dbbspark.operators.video import clip_fingerprints
+
+    df = spark.createDataFrame([("a", None)], "path string, content binary")
+    with pytest.raises(ValueError, match="no registered clip extractor"):
+        clip_fingerprints(df, kind="mp4")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end near-dup
+
+
+def _variants():
+    base = _clip(n=24)
+    reenc16 = [(f.astype(np.uint16) * 257) for f in base]
+    from dbbspark.sources.codecs import _nn_resize
+
+    resized = [_nn_resize(f, 72, 96) for f in base]
+    dropped = [f for i, f in enumerate(base) if i % 3 != 2]  # 1/3 dropped
+    offset = base[3:]  # trimmed head
+    noise = _clip(n=24, seed=7)
+    return {
+        "base": encode_pnm_seq(base),
+        "reenc16": encode_pnm_seq(reenc16, maxval=65535),
+        "resized": encode_pnm_seq(resized),
+        "dropped": encode_pnm_seq(dropped),
+        "offset": encode_pnm_seq(offset),
+        "noise": encode_pnm_seq(noise),
+    }
+
+
+def test_video_near_dup_end_to_end(spark):
+    from dbbspark.operators.video import video_near_dup
+
+    clips = _variants()
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in clips.items()],
+        "path string, content binary",
+    )
+    pairs = video_near_dup(df, n_samples=8, max_distance=6, min_frac=0.5)
+    got = {(r["id_a"], r["id_b"]): r for r in pairs.collect()}
+    for variant in ("reenc16", "resized", "dropped", "offset"):
+        key = tuple(sorted(("base", variant)))
+        assert key in got, f"base↔{variant} not found: {sorted(got)}"
+        assert got[key]["frac_a"] >= 0.5 and got[key]["frac_b"] >= 0.5
+    assert not any("noise" in k for k in got), sorted(got)
+    # the 16-bit re-encode is pixel-faithful: every sampled frame matches
+    # at distance 0
+    key = tuple(sorted(("base", "reenc16")))
+    assert got[key]["min_distance"] == 0
+    assert got[key]["frac_a"] == 1.0 and got[key]["frac_b"] == 1.0
+
+
+def test_video_banding_equals_brute(spark):
+    """The banded frame-pair join reproduces the brute-force frame ball
+    exactly (the hamming_pairs pigeonhole contract, re-pinned on the
+    composite (clip, frame) id shape)."""
+    from dbbspark.operators.phash import hamming_pairs_brute
+    from dbbspark.operators.video import clip_fingerprints
+    from pyspark.sql import functions as F
+
+    clips = _variants()
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in clips.items()],
+        "path string, content binary",
+    )
+    frames = clip_fingerprints(df, n_samples=6).select(
+        F.struct(
+            F.col("path").alias("cid"), F.col("fidx").alias("fidx")
+        ).alias("_fid"),
+        "fhash",
+    ).localCheckpoint()
+    from dbbspark.operators.phash import hamming_pairs
+
+    banded = {
+        ((r["id_a"]["cid"], r["id_a"]["fidx"]), (r["id_b"]["cid"], r["id_b"]["fidx"])): r["distance"]
+        for r in hamming_pairs(frames, "_fid", "fhash", max_distance=5).collect()
+    }
+    brute = {
+        ((r["id_a"]["cid"], r["id_a"]["fidx"]), (r["id_b"]["cid"], r["id_b"]["fidx"])): r["distance"]
+        for r in hamming_pairs_brute(frames, "_fid", "fhash", max_distance=5).collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_video_min_frac_validation(spark):
+    from dbbspark.operators.video import video_near_dup
+
+    df = spark.createDataFrame([("a", None)], "path string, content binary")
+    with pytest.raises(ValueError, match="min_frac"):
+        video_near_dup(df, min_frac=0.0)
+    with pytest.raises(ValueError, match="n_samples"):
+        video_near_dup(df, n_samples=0)
