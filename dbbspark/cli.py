@@ -312,6 +312,118 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_media_dedup(args: argparse.Namespace) -> int:
+    """Perceptual near-dup keep-one over a directory of media files —
+    the operational wiring for C56/video (VERDICT r8 item 4): stills
+    and audio run thumbnails → 64-bit hash → Hamming groups; clips
+    (--kind pnmseq) run the frame-sequence operator → connected
+    components. In both paths the kept representative is the min path
+    per group and a member is dropped only on DIRECT evidence against
+    it (a hash-distance re-check, or a scored clip pair) — the C50
+    verify-before-delete stance: connected components weld
+    transitively, deletion must not. Undecodable files hash NULL, join
+    no group, and are always kept (quarantine's concern, not dedup's)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import connected_components_adaptive
+    from .session import cut_lineage
+    from .sources.multimodal import read_binary_docs
+
+    spark = _session("dbbspark-media-dedup")
+    media = read_binary_docs(
+        spark, args.src, glob=args.glob, recursive=True
+    ).select("path", "content")
+    n_files = media.count()
+    verify_d = (
+        args.verify_distance if args.verify_distance is not None else args.max_distance
+    )
+    if args.kind == "pnmseq":
+        from .operators.video import video_near_dup
+
+        pairs = cut_lineage(
+            video_near_dup(
+                media,
+                n_samples=args.n_samples,
+                max_distance=args.max_distance,
+                min_frac=args.min_frac,
+            ).select("id_a", "id_b")
+        )
+        comps = connected_components_adaptive(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+        groups = comps.select(
+            F.col("node").alias("path"), F.col("component").alias("group")
+        )
+        keeps = groups.groupBy("group").agg(F.min("path").alias("keep"))
+        direct = pairs.select(
+            F.col("id_a").alias("keep"), F.col("id_b").alias("path")
+        ).unionByName(
+            pairs.select(F.col("id_b").alias("keep"), F.col("id_a").alias("path"))
+        )
+        drops = (
+            groups.join(keeps, "group")
+            .where(F.col("path") != F.col("keep"))
+            .join(direct, ["keep", "path"], "left_semi")
+            .select("path")
+        )
+    else:
+        from .operators.phash import (
+            ahash_col,
+            audio_hash_col,
+            dhash_col,
+            hamming_groups,
+            thumbnails,
+        )
+
+        hash_kind = args.hash_kind or ("audio" if args.kind == "wav" else "dhash")
+        hash_fn = {"dhash": dhash_col, "ahash": ahash_col, "audio": audio_hash_col}[
+            hash_kind
+        ]
+        hashed = cut_lineage(
+            thumbnails(media, kind=args.kind, on_unregistered="error").select(
+                "path", hash_fn("thumb").alias("phash")
+            )
+        )
+        groups = hamming_groups(
+            hashed, "path", "phash", max_distance=args.max_distance
+        )
+        keeps = groups.groupBy("group").agg(F.min("path").alias("keep"))
+        drops = (
+            groups.join(keeps, "group")
+            .where(F.col("path") != F.col("keep"))
+            .join(hashed, "path")
+            .join(
+                hashed.select(
+                    F.col("path").alias("keep"), F.col("phash").alias("keep_hash")
+                ),
+                "keep",
+            )
+            .where(
+                F.bit_count(F.col("phash").bitwiseXOR(F.col("keep_hash")))
+                <= F.lit(verify_d)
+            )
+            .select("path")
+        )
+    kept = media.select("path").join(drops, "path", "left_anti")
+    if args.out:
+        kept.write.mode("overwrite").parquet(args.out)
+        kept = spark.read.parquet(args.out)
+    n_kept = kept.count()
+    print(
+        json.dumps(
+            {
+                "files": n_files,
+                "kept": n_kept,
+                "dropped": n_files - n_kept,
+                "kind": args.kind,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Small-file maintenance for a partitioned parquet dataset (archive
     sink, streaming-gate state): audit first, rewrite only when the
@@ -616,6 +728,35 @@ def main(argv: list[str] | None = None) -> int:
         help="payload-byte budget per tar shard (default 64 MiB)",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    md = sub.add_parser(
+        "media-dedup",
+        help="perceptual near-dup keep-one over a media directory",
+    )
+    md.add_argument("--src", required=True, help="media directory (binaryFile scan)")
+    md.add_argument("--glob", default=None, help="pathGlobFilter, e.g. '*.pgm'")
+    md.add_argument(
+        "--kind",
+        default="pgm",
+        help="registered media kind: pgm|ppm|fits|wav (stills/audio) or pnmseq (clips)",
+    )
+    md.add_argument(
+        "--hash-kind",
+        default=None,
+        choices=("dhash", "ahash", "audio"),
+        help="still/audio hash (default: audio for wav, else dhash)",
+    )
+    md.add_argument("--max-distance", type=int, default=6)
+    md.add_argument(
+        "--verify-distance",
+        type=int,
+        default=None,
+        help="direct member-to-keep re-check bound (default: --max-distance)",
+    )
+    md.add_argument("--n-samples", type=int, default=8, help="sampled frames per clip")
+    md.add_argument("--min-frac", type=float, default=0.5, help="clip frame-match fraction")
+    md.add_argument("--out", default=None, help="write the kept file list (parquet)")
+    md.set_defaults(fn=cmd_media_dedup)
 
     co = sub.add_parser(
         "compact", help="audit + rewrite small-file partitions (archive/gate state)"

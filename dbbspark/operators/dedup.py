@@ -678,7 +678,15 @@ def connected_components_adaptive(
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     rows = [(node, find(node)) for node in parent]
-    return e.sparkSession.createDataFrame(rows, "node long, component long")
+    # schema follows the edge id type — node ids are longs for doc
+    # corpora but PATHS (strings) for the media keep-one chains
+    from pyspark.sql import types as T
+
+    ntype = e.schema["u"].dataType
+    schema = T.StructType(
+        [T.StructField("node", ntype), T.StructField("component", ntype)]
+    )
+    return e.sparkSession.createDataFrame(rows, schema)
 
 
 def connected_components_star(

@@ -38,15 +38,25 @@ from dbbspark.streaming.annindex import _index_codes, gate_batch
 
 
 def _image(seed: int, dup_of: int | None = None) -> bytes:
-    """A 16x16 PGM whose intensity DISTRIBUTION is keyed to the seed
-    (base level + contrast vary), so distinct seeds are semantically
-    distinct under the decode feature (mean/std/range/histogram);
-    dup_of makes a byte-identical copy of another seed's image."""
+    """A 36x36 PGM whose intensity DISTRIBUTION (base level + contrast)
+    AND spatial pattern (two seed-keyed sinusoid components) vary with
+    the seed, so distinct seeds are semantically distinct under the
+    decode feature (mean/std/range/histogram) and perceptually distinct
+    under the block-mean dHash (cross-seed Hamming distance ≥ 14
+    measured — a modular-sawtooth pattern here would give every seed
+    the SAME gradient signs and collapse the perceptual stage); dup_of
+    makes a byte-identical copy of another seed's image."""
     s = dup_of if dup_of is not None else seed
-    y, x = np.mgrid[0:16, 0:16]
-    base = (s * 37) % 180
+    rng = np.random.default_rng(s)
+    y, x = np.mgrid[0:36, 0:36]
+    base = (s * 37) % 150
     contrast = 1 + (s % 4)
-    arr = np.clip(base + ((x + 2 * y) % 16) * contrast, 0, 255).astype(np.uint8)
+    f = np.zeros((36, 36))
+    for _ in range(2):
+        fy, fx = rng.uniform(0.5, 2.5, 2)
+        ph = rng.uniform(0, 2 * np.pi)
+        f += np.sin(2 * np.pi * fx * x / 36 + ph) * np.cos(2 * np.pi * fy * y / 36)
+    arr = np.clip(base + contrast * 12 * (2 + f), 0, 255).astype(np.uint8)
     return encode_pgm(arr)
 
 
@@ -64,15 +74,56 @@ def run(spark) -> dict[str, int]:
         return df
 
     # 0. synthesize a mixed-media corpus: 30 distinct images + 5 exact
-    # dups of earlier ones + 12 audio clips over 6 frequencies (so each
-    # frequency appears twice — 6 semantic dup pairs)
+    # dups of earlier ones + 4 RESIZED (2×) copies of earlier ones —
+    # perceptual dups sharing no bytes — + 12 audio clips over 6
+    # frequencies (so each frequency appears twice — 6 semantic dup
+    # pairs)
+    from dbbspark.sources.codecs import resize_netpbm
+
     rows = [(i, _image(i), "pgm") for i in range(30)]
     rows += [(100 + i, _image(100 + i, dup_of=i), "pgm") for i in range(5)]
+    rows += [
+        (300 + i, resize_netpbm(_image(i), 72, 72), "pgm") for i in range(4)
+    ]
     rows += [(200 + i, _audio(i), "wav") for i in range(12)]
     media = spark.createDataFrame(
         rows, "item_id long, content binary, kind string"
     ).cache()
     stage("input", media)
+
+    # 0a. PERCEPTUAL near-dup keep-one over the image bytes (C56 → C12,
+    # the cli media-dedup chain): resized/re-encoded copies share no
+    # bytes, so the exact-identity gate downstream can't see them — the
+    # block-mean dHash can. Keep the min item_id per Hamming group and
+    # drop a member only on DIRECT distance evidence against its kept
+    # representative (the C50 verify-before-delete stance — CC welds
+    # transitively, deletion must not).
+    from dbbspark.operators.phash import dhash_col, hamming_groups, thumbnails
+    from dbbspark.session import cut_lineage
+
+    hashed = cut_lineage(
+        thumbnails(
+            media.where(F.col("kind") == "pgm").select("item_id", "content"),
+            kind="pgm",
+        ).select("item_id", dhash_col("thumb").alias("phash"))
+    )
+    groups = hamming_groups(hashed, "item_id", "phash", max_distance=6)
+    keeps = groups.groupBy("group").agg(F.min("item_id").alias("keep"))
+    drops = (
+        groups.join(keeps, "group")
+        .where(F.col("item_id") != F.col("keep"))
+        .join(hashed, "item_id")
+        .join(
+            hashed.select(
+                F.col("item_id").alias("keep"), F.col("phash").alias("keep_hash")
+            ),
+            "keep",
+        )
+        .where(F.bit_count(F.col("phash").bitwiseXOR(F.col("keep_hash"))) <= 6)
+        .select("item_id")
+    )
+    media = media.join(drops, "item_id", "left_anti").cache()
+    stage("phash_dedup", media)
 
     # 0b. input normalization: resize every image to a fixed 16×16
     # through the resize leg (decode → nearest-neighbor → re-encode as

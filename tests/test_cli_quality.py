@@ -373,3 +373,75 @@ def test_scrub_cli_bounded_driver_output(spark, tmp_path, capsys):
     assert len(out_lines) <= 21
     # the full detail is in the sink
     assert spark.read.parquet(sink).count() == head["findings"]
+
+
+def test_media_dedup_cli_stills(spark, tmp_path, capsys):
+    """cli media-dedup (VERDICT r8 item 4): resized/re-encoded image
+    copies are dropped on direct hash evidence; distinct images and
+    undecodable files are kept."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pgm, resize_netpbm
+
+    src = tmp_path / "media"
+    src.mkdir()
+    y, x = np.mgrid[0:36, 0:36]
+    for s in range(3):
+        rng = np.random.default_rng(s)
+        f = np.zeros((36, 36))
+        for _ in range(2):
+            fy, fx = rng.uniform(0.5, 2.5, 2)
+            ph = rng.uniform(0, 2 * np.pi)
+            f += np.sin(2 * np.pi * fx * x / 36 + ph) * np.cos(
+                2 * np.pi * fy * y / 36
+            )
+        raw = encode_pgm(
+            np.clip(100 + 30 * (2 + f), 0, 255).astype(np.uint8)
+        )
+        (src / f"img{s}.pgm").write_bytes(raw)
+        if s == 0:  # one 2x resize + one byte copy of image 0
+            (src / "img0_2x.pgm").write_bytes(resize_netpbm(raw, 72, 72))
+            (src / "img0_copy.pgm").write_bytes(raw)
+    (src / "broken.pgm").write_bytes(b"P5 garbage")
+    out = str(tmp_path / "kept")
+    rc = cli.main(
+        ["media-dedup", "--src", str(src), "--kind", "pgm", "--out", out]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"files": 6, "kept": 4, "dropped": 2, "kind": "pgm"}
+    kept = {r["path"].rsplit("/", 1)[-1] for r in spark.read.parquet(out).collect()}
+    # min-path keep: img0.pgm < img0_2x.pgm < img0_copy.pgm
+    assert kept == {"img0.pgm", "img1.pgm", "img2.pgm", "broken.pgm"}
+
+
+def test_media_dedup_cli_clips(spark, tmp_path, capsys):
+    """The pnmseq leg: a frame-dropped re-cut pairs with its original
+    and is dropped; a disjoint clip is kept."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pnm_seq
+
+    src = tmp_path / "clips"
+    src.mkdir()
+    y, x = np.mgrid[0:48, 0:64]
+    frames = []
+    for t in range(24):
+        f = 128 + 80 * np.sin(2 * np.pi * 2 * x / 64 + 0.12 * t) * np.cos(
+            2 * np.pi * 1.5 * y / 48 - 0.08 * t
+        )
+        frames.append(np.clip(f, 0, 255).astype(np.uint8))
+    (src / "a_base.pnms").write_bytes(encode_pnm_seq(frames))
+    (src / "b_recut.pnms").write_bytes(
+        encode_pnm_seq([f for i, f in enumerate(frames) if i % 3 != 2])
+    )
+    rng = np.random.default_rng(5)
+    (src / "c_other.pnms").write_bytes(
+        encode_pnm_seq(
+            [rng.integers(0, 256, (48, 64)).astype(np.uint8) for _ in range(24)]
+        )
+    )
+    rc = cli.main(["media-dedup", "--src", str(src), "--kind", "pnmseq"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"files": 3, "kept": 2, "dropped": 1, "kind": "pnmseq"}
