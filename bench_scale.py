@@ -801,6 +801,119 @@ def _gate_soak(spark, sf_dir: str, n_batches: int = 50) -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
+def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
+    """VERDICT r8 item 6 (r7 item 8): the nightly_ops composition as ONE
+    loop — every trigger drives ALL THREE gates (line-dedup commit-
+    protocol index, near-dedup signature index, ANN code index) plus an
+    append-only archive write, with maintenance interleaved in the same
+    loop: compaction on the append-shaped indexes, gc_staging +
+    prune_commit_records on the commit-protocol root, and a rotating
+    sampled integrity scrub over the growing archive. `_gate_soak`
+    proves each gate alone holds a flat cadence; THIS proves they hold
+    it simultaneously — no cross-gate interference through commit-log
+    pruning, lock files, or block-manager pressure, and the scrub stays
+    clean while the writers run. Reports per-gate flatness, all three
+    index sizes AT ONCE, scrub findings (must be 0), and accepted
+    rows."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from dbbspark.commit import gc_staging, prune_commit_records
+    from dbbspark.maintenance import compact_gate_index, verify_archive
+    from dbbspark.operators.pq import train_ivfpq
+    from dbbspark.operators.similarity import train_centroids
+    from dbbspark.streaming import annindex, linededup, neardedup
+
+    root = tempfile.mkdtemp(prefix="dbbspark-csoak-")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    cents = train_centroids(vecs, k=16).localCheckpoint(eager=True)
+    books = train_ivfpq(vecs, cents, m=4, k=16)
+
+    def doc_batch(i: int):
+        fresh = docs.where((F.col("doc_id") % n_batches) == i)
+        rep = docs.where((F.col("doc_id") % n_batches) == max(0, i - 1)).select(
+            (F.col("doc_id") + (i + 1) * 1_000_000).alias("doc_id"), "text"
+        )
+        return fresh.unionByName(rep)
+
+    line_idx, line_out = f"{root}/line_idx", f"{root}/line_out"
+    near_idx, near_out = f"{root}/near_idx", f"{root}/near_out"
+    ann_idx, ann_out = f"{root}/ann_idx", f"{root}/ann_out"
+    arch = f"{root}/archive"
+    maint_every, scrub_every = 10, 25
+    walls = {"line": [], "near": [], "ann": []}
+    scrub_findings = 0
+    for i in range(n_batches):
+        b = doc_batch(i).localCheckpoint(eager=True)
+        t = _t.time()
+        linededup.process_batch(b, i, line_idx, line_out, min_df=2)
+        walls["line"].append(_t.time() - t)
+        t = _t.time()
+        neardedup.process_batch(b, i, near_idx, near_out)
+        walls["near"].append(_t.time() - t)
+        vfresh = vecs.where((F.col("vec_id") % n_batches) == i)
+        vrep = vecs.where((F.col("vec_id") % n_batches) == max(0, i - 1)).select(
+            (F.col("vec_id") + (i + 1) * 1_000_000).alias("vec_id"), "embedding"
+        )
+        t = _t.time()
+        annindex.process_batch(
+            vfresh.unionByName(vrep), i, ann_idx, ann_out, cents, books, eps=0.02
+        )
+        walls["ann"].append(_t.time() - t)
+        # archive leg: checksum-at-ingest rows the scrub re-verifies later
+        content = F.encode("text", "utf-8")
+        b.select(
+            F.col("doc_id").cast("string").alias("filename"),
+            F.md5(content).alias("md5sum"),
+            F.length(content).cast("long").alias("filesize"),
+            content.alias("content"),
+        ).write.mode("append").parquet(arch)
+        if (i + 1) % maint_every == 0:
+            # quiesced single-writer gates between triggers: horizon 0
+            # safe — and the POINT is that pruning line_idx's commit log
+            # while near/ann indexes sit adjacent touches only its root
+            gc_staging(spark, line_idx, older_than_sec=0.0)
+            prune_commit_records(spark, line_idx, older_than_sec=0.0)
+            if i + 1 < n_batches:
+                for idx in (near_idx, ann_idx):
+                    backup = compact_gate_index(spark, idx)
+                    shutil.rmtree(backup, ignore_errors=True)
+        if (i + 1) % scrub_every == 0:
+            # rotating slice (C10 gate, salt = scrub epoch): different
+            # sample each epoch, deterministic, over the LIVE archive
+            scrub_findings += verify_archive(
+                spark, arch, sample_fraction=0.2,
+                sample_salt=(i + 1) // scrub_every,
+            ).count()
+    extra = {"scrub_findings": scrub_findings}
+    for name, idx, out in (
+        ("line", line_idx, line_out),
+        ("near", near_idx, near_out),
+        ("ann", ann_idx, ann_out),
+    ):
+        files, mb = _du(idx)
+        k = max(1, n_batches // 5)
+        extra[f"{name}_flatness"] = round(
+            (sum(walls[name][-k:]) / k) / (sum(walls[name][:k]) / k), 2
+        )
+        extra[f"{name}_index_files"] = files
+        extra[f"{name}_index_mb"] = round(mb, 2)
+        extra[f"{name}_accepted_rows"] = spark.read.parquet(out).count()
+    total = [sum(t) for t in zip(*walls.values())]
+    _soak_report("composed", total, root, extra)
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def _ann_drift_lazy(spark) -> None:
     """VERDICT r5 item 5's amortization point: same drifted stream as
     _ann_drift, but rekey is LAZY — the retrain batch pays quantizer
@@ -1083,6 +1196,9 @@ def main() -> None:
 
     if wanted and "gate_soak" in wanted:
         _gate_soak(spark, args.sf_dir, n_batches=args.soak_batches)
+
+    if wanted and "gate_soak_composed" in wanted:
+        _composed_soak(spark, args.sf_dir, n_batches=args.soak_batches)
 
     if wanted and "phash_corpus" in wanted:
         _phash_bench(spark)

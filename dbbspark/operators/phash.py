@@ -520,17 +520,7 @@ def hamming_groups(
     members of one group can exceed ``max_distance`` from each other
     (use `audit_clusters`/`cluster_purity` to verify before deleting,
     exactly as for text LSH clusters)."""
-    hashes = df.select(
-        F.col(id_col).alias("_mid"), F.col(hash_col).alias("_ph")
-    ).where(F.col(hash_col).isNotNull())
-    reps = hashes.groupBy("_ph").agg(F.min("_mid").alias("_rep"))
-    pairs = hamming_pairs(
-        reps.select(F.col("_rep").alias("id"), F.col("_ph").alias("h")),
-        "id",
-        "h",
-        max_distance=max_distance,
-        bands=bands,
-    )
+    hashes, reps, pairs = _rep_graph(df, id_col, hash_col, max_distance, bands)
     from .dedup import connected_components_adaptive
 
     comps = connected_components_adaptive(
@@ -548,6 +538,254 @@ def hamming_groups(
     # the hub key
     return hashes.join(rep_groups, "_ph").select(
         F.col("_mid").alias(id_col), "group"
+    )
+
+
+def _rep_graph(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int,
+    bands: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared representative-graph core for `hamming_groups` /
+    `hamming_ball_stats`: (hashes, reps, pairs) where ``hashes`` is the
+    non-null (_mid, _ph) projection, ``reps`` one row per DISTINCT hash
+    (_ph, _rep=min id, _cnt=bucket size), and ``pairs`` the banding
+    pair graph over the representatives. ``reps`` is lineage-pinned:
+    it feeds both the pair graph (materialized eagerly inside CC) and
+    the per-row join-back, so the distinct-hash groupBy and the
+    upstream hash evaluation run once, not once per consumer. Bounded
+    by the corpus's distinct hashes, the same size class CC
+    checkpoints."""
+    from ..session import cut_lineage
+
+    hashes = df.select(
+        F.col(id_col).alias("_mid"), F.col(hash_col).alias("_ph")
+    ).where(F.col(hash_col).isNotNull())
+    reps = cut_lineage(
+        hashes.groupBy("_ph").agg(
+            F.min("_mid").alias("_rep"), F.count("*").alias("_cnt")
+        )
+    )
+    pairs = hamming_pairs(
+        reps.select(F.col("_rep").alias("id"), F.col("_ph").alias("h")),
+        "id",
+        "h",
+        max_distance=max_distance,
+        bands=bands,
+    )
+    return hashes, reps, pairs
+
+
+def hamming_ball_stats(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int = 6,
+    bands: int | None = None,
+    driver_rep_threshold: int = 2_000_000,
+) -> DataFrame:
+    """(id, group, n_near, n_group): near-dup group label, Hamming-ball
+    neighbor count, and group size per row — from ONE banding over
+    DISTINCT hashes. The naive n_near (explode `hamming_pairs` over all
+    rows, count per id) is quadratic inside an identical-hash bucket —
+    a million copies of one solid frame materialize 5·10¹¹ pairs that
+    each add 1 to a counter. Bucket counts make that sum closed-form:
+
+        n_near(i) = (cnt(h_i) - 1)                      # same-hash rows
+                  + Σ cnt(B) over buckets B ≠ h_i with dist(h_i, B) ≤ d
+
+    so only representative pairs (distinct-hash ball edges) ever
+    materialize, and every member of a bucket inherits its
+    representative's stats through the same hub-safe hash join
+    `hamming_groups` uses for labels. ``group`` matches
+    `hamming_groups` exactly (same rep graph, same CC); ``n_group``
+    counts members (Σ bucket sizes over the component). NULL hashes get
+    no row, same stance as `hamming_pairs`. All reduce steps run on
+    rep-sized relations (distinct hashes), never on the row corpus.
+
+    Size-adaptive like `connected_components_adaptive`: when the rep
+    graph fits the driver bound (``driver_rep_threshold`` reps, with a
+    hot-bucket guard on the candidate volume), one O(R·bands + E α)
+    dict-banding + union-find + weight pass over the collected reps
+    replaces the distributed banding join, CC, and three rep-level
+    joins — at small scale those are pure scheduler floor (~15 extra
+    jobs), measured 3.3 s → ~2.2 s on the sf0.1 bench query. Past the
+    bound (or on a pathological band distribution) the distributed
+    plan runs unchanged, so the 100 TB shape is exactly the rep-graph
+    algebra above; both regimes are pinned equivalent (and ≡ brute
+    force) in tests."""
+    hashes, reps, pairs = _rep_graph(df, id_col, hash_col, max_distance, bands)
+    from ..session import cut_lineage
+
+    rep_rows = reps.take(driver_rep_threshold + 1)
+    if len(rep_rows) <= driver_rep_threshold:
+        res = _ball_stats_driver(hashes, reps, rep_rows, max_distance, bands, id_col)
+        if res is not None:
+            return res
+    # pairs feeds CC AND the weight computation — pin so the banding
+    # runs once (CC's own eager cut then materializes from this pin)
+    return _ball_stats_distributed(hashes, reps, cut_lineage(pairs), id_col)
+
+
+def _driver_ball_pairs(hs, max_distance: int, bands: int | None):
+    """Distinct-hash ball pairs on the driver: the same d+1-band
+    pigeonhole `hamming_pairs` proves (d dirty bits dirty ≤ d bands →
+    some band is identical), as a dict of (band, value) buckets over
+    64-bit ints. Returns None when a hot bucket / candidate blow-up
+    says the distributed banding should handle it instead. Output pins
+    ≡ `hamming_pairs` in tests."""
+    if bands is None:
+        bands = max_distance + 1
+    if bands < max_distance + 1 or bands > 64:
+        raise ValueError(f"bands={bands} invalid for max_distance={max_distance}")
+    base, extra = divmod(64, bands)
+    cuts = []
+    lo = 0
+    for i in range(bands):
+        w = base + (1 if i < extra else 0)
+        cuts.append((lo, (1 << w) - 1))
+        lo += w
+    buckets: dict = {}
+    for h in hs:
+        for k, (shift, mask) in enumerate(cuts):
+            buckets.setdefault((k, (h >> shift) & mask), []).append(h)
+    # Σ bucket² candidate budget — a pathological band distribution
+    # (many similar hashes) is the distributed plan's job
+    if sum(len(v) * (len(v) - 1) // 2 for v in buckets.values() if len(v) > 1) > 20_000_000:
+        return None
+    pairs = set()
+    for vs in buckets.values():
+        for i in range(len(vs) - 1):
+            a = vs[i]
+            for b in vs[i + 1 :]:
+                # mask to unsigned 64-bit BEFORE bit_count: hashes are
+                # signed longs and Python's bit_count is |x|'s popcount,
+                # not two's-complement — a mixed-sign xor would diverge
+                # from the JVM's Long.bitCount
+                if ((a ^ b) & 0xFFFFFFFFFFFFFFFF).bit_count() <= max_distance:
+                    pairs.add((a, b) if a < b else (b, a))
+    return pairs
+
+
+def _ball_stats_driver(hashes, reps, rep_rows, max_distance, bands, id_col):
+    """Driver regime of `hamming_ball_stats`: dict banding over the
+    collected distinct hashes, then union-find (min-id root, path
+    compression — the `connected_components_adaptive` contract) plus
+    weight/size accumulation in one pass, shipped back as one
+    broadcastable local relation keyed by hash. Returns None when the
+    candidate volume guard trips (caller falls back to the distributed
+    regime)."""
+    from pyspark.sql import types as T
+
+    rep_of = {r["_ph"]: r["_rep"] for r in rep_rows}
+    cnt = {r["_rep"]: r["_cnt"] for r in rep_rows}
+    hash_pairs = _driver_ball_pairs(list(rep_of), max_distance, bands)
+    if hash_pairs is None:
+        return None
+    parent = {r: r for r in cnt}
+    weight = dict.fromkeys(parent, 0)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for ha, hb in hash_pairs:
+        a, b = rep_of[ha], rep_of[hb]
+        weight[a] += cnt[b]
+        weight[b] += cnt[a]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    gsize: dict = {}
+    for rep in parent:
+        root = find(rep)
+        gsize[root] = gsize.get(root, 0) + cnt[rep]
+    out = [
+        (r["_ph"], find(r["_rep"]), weight[r["_rep"]] + cnt[r["_rep"]] - 1,
+         gsize[find(r["_rep"])])
+        for r in rep_rows
+    ]
+    schema = T.StructType([
+        T.StructField("_ph", reps.schema["_ph"].dataType),
+        T.StructField("group", reps.schema["_rep"].dataType),
+        T.StructField("n_near", T.LongType()),
+        T.StructField("n_group", T.LongType()),
+    ])
+    labeled = hashes.sparkSession.createDataFrame(out, schema)
+    return hashes.join(labeled, "_ph").select(
+        F.col("_mid").alias(id_col), "group", "n_near", "n_group"
+    )
+
+
+def _ball_stats_distributed(hashes, reps, pairs, id_col):
+    """Distributed regime of `hamming_ball_stats` — rep-level joins and
+    aggregations only; the plan at 100 TB."""
+    from ..session import cut_lineage
+    from .dedup import connected_components_adaptive
+
+    comps = connected_components_adaptive(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    by_rep = reps.select("_rep", "_ph", "_cnt")
+    pr = (
+        pairs.select("id_a", "id_b")
+        .join(
+            by_rep.select(
+                F.col("_rep").alias("id_a"),
+                F.col("_ph").alias("ph_a"),
+                F.col("_cnt").alias("cnt_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            by_rep.select(
+                F.col("_rep").alias("id_b"),
+                F.col("_ph").alias("ph_b"),
+                F.col("_cnt").alias("cnt_b"),
+            ),
+            "id_b",
+        )
+    )
+    # each ball edge contributes the OTHER bucket's member count to
+    # both endpoint hashes; rep-sized aggregation, never corpus-sized
+    contrib = (
+        pr.select(F.col("ph_a").alias("_ph"), F.col("cnt_b").alias("w"))
+        .unionByName(
+            pr.select(F.col("ph_b").alias("_ph"), F.col("cnt_a").alias("w"))
+        )
+        .groupBy("_ph")
+        .agg(F.sum("w").alias("_w"))
+    )
+    rep_stats = (
+        reps.join(comps, reps._rep == comps.node, "left")
+        .join(contrib, "_ph", "left")
+        .select(
+            "_ph",
+            "_cnt",
+            F.coalesce("component", "_rep").alias("group"),
+            (
+                F.coalesce(F.col("_w"), F.lit(0)) + F.col("_cnt") - 1
+            ).cast("long").alias("n_near"),
+        )
+    )
+    # group size by groupBy + join on the rep-sized frame (not a window:
+    # a mega-component would make the window key a hub; the join is the
+    # AQE-splittable shape). rep_stats is rep-sized — pin it so the
+    # sizes aggregation and the join-back share one evaluation.
+    rep_stats = cut_lineage(rep_stats)
+    sizes = rep_stats.groupBy("group").agg(F.sum("_cnt").alias("n_group"))
+    labeled = rep_stats.join(sizes, "group").select(
+        "_ph", "group", "n_near", F.col("n_group").cast("long").alias("n_group")
+    )
+    return hashes.join(labeled, "_ph").select(
+        F.col("_mid").alias(id_col), "group", "n_near", "n_group"
     )
 
 

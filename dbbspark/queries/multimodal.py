@@ -19,7 +19,7 @@ from ..operators.phash import (
     dhash_col,
     dhash_oracle_sql,
     fake_thumb_sql,
-    hamming_pairs,
+    hamming_ball_stats,
     thumbnails,
 )
 from ..sources.multimodal import decode_media, extract_kv_metadata
@@ -56,7 +56,7 @@ _TWIN_OFFSET = 10_000_000
 @query(
     "q_multimodal_decode",
     oracle=f"""
-    WITH h AS (
+    WITH RECURSIVE h AS (
       SELECT doc_id, {_DHASH_ORACLE} AS h FROM documents),
     twins AS (
       SELECT doc_id + {_TWIN_OFFSET} AS doc_id, {_DHASH_TWIN} AS h
@@ -73,16 +73,32 @@ _TWIN_OFFSET = 10_000_000
     near AS (
       SELECT id, COUNT(*) AS n FROM (
         SELECT da AS id FROM pairs UNION ALL SELECT db FROM pairs)
-      GROUP BY id)
+      GROUP BY id),
+    -- connected components over the Hamming-ball pair graph by
+    -- transitive closure (components are tiny — a doc welds with its
+    -- planted twins — so enumerating reachability is cheap ground
+    -- truth for the hamming_groups CC + label join-back)
+    edges AS (
+      SELECT da AS a, db AS b FROM pairs
+      UNION ALL SELECT db, da FROM pairs),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM u
+      UNION
+      SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a),
+    comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src),
+    gsize AS (SELECT comp, COUNT(*) AS gn FROM comp GROUP BY comp)
     SELECT d.doc_id,
            64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS width,
            64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) AS height,
            1 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) % 8 AS n_frames,
            h.h AS dhash,
-           COALESCE(near.n, 0) AS n_near
+           COALESCE(near.n, 0) AS n_near,
+           gsize.gn AS n_group
     FROM documents d
     JOIN h ON d.doc_id = h.doc_id
     LEFT JOIN near ON d.doc_id = near.id
+    JOIN comp ON d.doc_id = comp.id
+    JOIN gsize ON comp.comp = gsize.comp
     """,
     doc="C5+C56 (folded r7): multimodal decode plumbing — binary column → "
     "mapInPandas decoder → typed struct — plus the perceptual-hash leg: "
@@ -159,24 +175,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2 * _TWIN_OFFSET).alias("id"),
         F.col("twin2_hash").alias("h"),
     )
-    near = (
-        hamming_pairs(
-            corpus.unionByName(twins).unionByName(twins2),
-            "id", "h", max_distance=4,
-        )
-        .select(F.explode(F.array("id_a", "id_b")).alias("id"))
-        .groupBy("id")
-        .agg(F.count("*").alias("n"))
-    )
+    u = corpus.unionByName(twins).unionByName(twins2)
+    # C56's group machinery under the oracle (VERDICT r8 item 5):
+    # hamming_ball_stats computes the per-row ball-neighbor count AND
+    # the CC group label + size from ONE banding over distinct hashes
+    # (the rep-graph core hamming_groups runs on) — DuckDB recomputes
+    # n_near as the brute-force ball and n_group as a recursive-CTE
+    # transitive closure, so the banding, the bucket-count weighting,
+    # the CC, and the label join-back are all value-checked.
+    stats = hamming_ball_stats(u, "id", "h", max_distance=4)
     return (
-        hashed.join(near, hashed.doc_id == near.id, "left")
+        hashed.join(stats, hashed.doc_id == stats.id)
         .select(
             "doc_id",
             "width",
             "height",
             "n_frames",
             "dhash",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n_near"),
+            "n_near",
+            "n_group",
         )
     )
 

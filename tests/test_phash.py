@@ -385,3 +385,74 @@ def test_multimodal_hash_stage_compiles(spark, sf_dir):
         assert q_multimodal_decode(spark, sf_dir).count() > 0
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_hamming_ball_stats_regimes_equal_brute(spark):
+    """hamming_ball_stats must equal the brute-force ball count and the
+    hamming_groups partition in BOTH regimes: the driver union-find fast
+    path (default threshold) and the distributed rep-graph plan (forced
+    via driver_rep_threshold=0). Duplicate-heavy corpus — identical-hash
+    buckets, a chained bucket, far bucket, singleton, NULL, sign-bit
+    hash — so the closed-form bucket-count weighting is actually
+    exercised (n_near inside a 10-copy bucket is 9+|chained|, never a
+    materialized 45-pair explosion)."""
+    from collections import Counter
+
+    from dbbspark.operators.phash import hamming_ball_stats, hamming_groups
+
+    rows = (
+        [(i, 100) for i in range(10)]            # bucket A: 10 copies
+        + [(i, 101) for i in range(20, 25)]      # bucket B: d(A,B)=1 -> chained
+        + [(i, 1 << 40) for i in range(30, 34)]  # bucket C: far away
+        + [(40, 7), (41, None), (50, -42)]       # singleton, null, sign bit
+    )
+    df = spark.createDataFrame(rows, "id long, phash long")
+    live = [(i, h) for i, h in rows if h is not None]
+
+    def dist(a, b):
+        return ((a ^ b) & 0xFFFFFFFFFFFFFFFF).bit_count()
+
+    brute_near = {
+        i: sum(1 for j, g in live if j != i and dist(h, g) <= 2)
+        for i, h in live
+    }
+    groups = {
+        r["id"]: r["group"]
+        for r in hamming_groups(df, "id", "phash", max_distance=2).collect()
+    }
+    gsize = Counter(groups.values())
+    expect = {
+        i: (groups[i], brute_near[i], gsize[groups[i]]) for i, _ in live
+    }
+    for thr in (2_000_000, 0):  # driver regime, then forced distributed
+        got = {
+            r["id"]: (r["group"], r["n_near"], r["n_group"])
+            for r in hamming_ball_stats(
+                df, "id", "phash", max_distance=2, driver_rep_threshold=thr
+            ).collect()
+        }
+        assert got == expect, f"regime threshold={thr}"
+        assert 41 not in got  # null hash: no row, same stance as pairs
+    # sanity on the closed form itself: every member of bucket A sees
+    # its 9 siblings plus all 5 of chained bucket B
+    assert expect[0][1] == 14 and expect[20][1] == 10 + 4
+
+
+def test_driver_ball_pairs_equals_hamming_pairs(spark):
+    """The driver-regime dict banding must produce EXACTLY the pair set
+    of the distributed hamming_pairs banding over the same distinct
+    hashes — including sign-bit hashes, where Python's bit_count on a
+    raw (negative) xor would diverge from the JVM's Long.bitCount."""
+    from dbbspark.operators.phash import _driver_ball_pairs
+
+    hs = [0, 1, 3, 7, -1, -42, 1 << 62, (1 << 63) - 1, -(1 << 63), 100, 101]
+    got = _driver_ball_pairs(hs, 4, None)
+    df = spark.createDataFrame([(h, h) for h in hs], "id long, h long")
+    exp = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in hamming_pairs(df, "id", "h", max_distance=4).collect()
+    }
+    assert {tuple(sorted(p)) for p in got} == exp
+    assert exp  # -1 vs (1<<63)-1 differ only in the sign bit: d=1
+    with pytest.raises(ValueError, match="bands"):
+        _driver_ball_pairs(hs, 4, 3)
