@@ -492,6 +492,99 @@ def hamming_pairs_brute(
     )
 
 
+def hamming_incremental_pairs(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int = 6,
+    bands: int | None = None,
+    corpus_band_bloom: list[int] | None = None,
+) -> DataFrame:
+    """(id_a, id_b, distance, against): Hamming-ball pairs of NEW rows
+    against a persisted corpus hash index plus within the batch itself —
+    never corpus×corpus. The rolling-crawl shape for perceptual media,
+    exactly `lsh_incremental_pairs`' contract for text: ``against`` ∈
+    {'corpus', 'new'}; id_a is always the new-batch id; for 'new' pairs
+    id_a < id_b. EXACT under the same d+1-band pigeonhole as
+    `hamming_pairs` (verify ``bit_count(xor) <= d`` prunes to the true
+    ball), and each pair is emitted exactly once via the same
+    first-clean-band canonical emission — no distinct pass on either
+    leg.
+
+    Scale: the band join touches only buckets a NEW hash lands in —
+    cost scales with |new| + collided corpus postings, never |corpus|².
+    At billions of accepted media the persisted index should store the
+    banded form bucketed by (band, val) (`operators.bucketing`) so the
+    join co-locates without shuffling the corpus side.
+
+    ``corpus_band_bloom`` (an operators.bloom word table over the
+    corpus's xxhash64(band, val) bucket keys) drops new-side band rows
+    the filter proves collide with nothing before the join — identical
+    pair set either way (false positives just take the join and find
+    nothing; false negatives can't happen)."""
+    if bands is None:
+        bands = max_distance + 1
+    if bands < max_distance + 1:
+        raise ValueError(
+            f"bands={bands} < max_distance+1={max_distance + 1} would miss "
+            "true pairs (pigeonhole needs one clean band)"
+        )
+    if bands > 64:
+        raise ValueError("bands > 64: a 64-bit hash has at most 64 bands")
+
+    def banded(df: DataFrame) -> DataFrame:
+        hashes = df.select(
+            F.col(id_col).alias("_pid"), F.col(hash_col).alias("_ph")
+        ).where(F.col(hash_col).isNotNull())
+        return hashes.select(
+            "_pid",
+            "_ph",
+            F.explode(F.array(*_band_cols("_ph", bands))).alias("bv"),
+        ).select(
+            "_pid", "_ph",
+            F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
+        )
+
+    new_b = banded(new)
+    if corpus_band_bloom is not None:
+        from .bloom import might_contain
+
+        new_b = (
+            might_contain(
+                new_b.withColumn("__bk", F.xxhash64("band", "val")),
+                corpus_band_bloom,
+                "__bk",
+            )
+            .where(F.col("maybe_known"))
+            .drop("maybe_known", "__bk")
+        )
+    a, b = new_b.alias("a"), banded(corpus).alias("b")
+    xor = F.col("a._ph").bitwiseXOR(F.col("b._ph"))
+    dist = F.bit_count(xor)
+    vs_corpus = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val")),
+        )
+        .where(dist <= max_distance)
+        .where(
+            F.lit(bands == 1) | (F.col("a.band") == _first_clean_band(xor, bands))
+        )
+        .select(
+            F.col("a._pid").alias("id_a"),
+            F.col("b._pid").alias("id_b"),
+            dist.alias("distance"),
+            F.lit("corpus").alias("against"),
+        )
+    )
+    vs_new = hamming_pairs(new, id_col, hash_col, max_distance, bands).withColumn(
+        "against", F.lit("new")
+    )
+    return vs_corpus.unionByName(vs_new)
+
+
 def hamming_groups(
     df: DataFrame,
     id_col: str,

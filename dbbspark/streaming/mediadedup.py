@@ -1,0 +1,250 @@
+"""Streaming perceptual media-dedup gate — rolling ingestion of media
+files with a persisted 64-bit hash index (completes the gate family:
+linededup for boilerplate lines, neardedup for text LSH, annindex for
+embeddings, THIS for image/audio perceptual fingerprints — the C56
+operators under the same operational contract; the reference's
+checksum dup-gate `bin/save_DBB_stagein_to_DBB.py:100-109` generalized
+to content that re-encodes).
+
+A media crawl never arrives at once: each micro-batch must be gated
+against every previously ACCEPTED file without re-pairing the corpus
+with itself — and md5 can't do it, because a resized or re-encoded
+copy shares no bytes with its original. The gate keeps a persisted
+(id, phash) index — EIGHT BYTES of dedup state per accepted file; the
+media bytes are never re-read — and, per micro-batch:
+
+1. decodes + hashes the batch (`thumbnails` → dHash/aHash/audio hash —
+   the ONE Python crossing, map-only, fused with the scan);
+2. pairs it against the index + itself (`hamming_incremental_pairs`:
+   new×corpus and new×new band collisions, never corpus×corpus, exact
+   under the d+1-band pigeonhole);
+3. rejects batch files within ``max_distance`` of an accepted corpus
+   hash, and — within the batch — any file with a smaller-id colliding
+   neighbor (greedy keep-lowest, the neardedup convergence contract);
+4. appends accepted files to the output, THEN their hashes to the
+   index — registry-last crash ordering: a crash between the writes
+   can re-admit a duplicate on retry, never lose an accepted file.
+
+Undecodable media hashes NULL, collides with nothing, and is ACCEPTED
+un-indexed (quarantine's concern, not dedup's — the thumbnails()
+stance).
+
+Crash/retry semantics are neardedup's exactly: both sinks write
+``batch=<batch_id>`` dynamic-partition overwrites (a retry replaces its
+own partitions), the index read excludes partitions >= batch_id (the
+retry must not collide the batch with its own crashed attempt's
+hashes), and ``maintenance.compact_gate_index`` bounds file counts.
+
+Scale: per-trigger join cost is |batch| + collided corpus postings —
+the optional broadcast Bloom filter over the corpus's (band, val)
+bucket keys (``use_bloom``) lets the band join skip new-side rows that
+provably collide with nothing, with byte-identical decisions. At
+billions of accepted files, store the banded index bucketed by
+(band, val) (`operators.bucketing`) so the join co-locates without
+shuffling the corpus side.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.phash import (
+    ahash_col,
+    audio_hash_col,
+    dhash_col,
+    hamming_incremental_pairs,
+    thumbnails,
+)
+
+_HASHES = {"dhash": dhash_col, "ahash": ahash_col, "audio": audio_hash_col}
+
+
+def _index_hashes(
+    spark: SparkSession,
+    index_dir: str,
+    before: int | None = None,
+    id_type: str = "string",
+) -> DataFrame:
+    """The persisted (mid, phash) index; empty on first run. ``before``
+    excludes batch partitions >= before — the retry rule (see module
+    doc). Spark-FS probe, not os.path.exists (object stores).
+    ``id_type`` shapes the first-run empty relation only — callers pass
+    the batch id column's own type so the pair union never sees a
+    string/long conflict on the very first batch."""
+    try:
+        idx = spark.read.parquet(index_dir)
+        if before is not None and "batch" in idx.columns:
+            idx = idx.where(F.col("batch") < before)
+        return idx.select("mid", "phash")
+    except AnalysisException:
+        return spark.createDataFrame([], f"mid {id_type}, phash long")
+
+
+def gate_batch(
+    batch_hashes: DataFrame,
+    index_hashes: DataFrame,
+    id_col: str = "path",
+    hash_col: str = "phash",
+    max_distance: int = 4,
+    bands: int | None = None,
+    index_bloom: list[int] | None = None,
+) -> DataFrame:
+    """Accepted rows of ``batch_hashes`` (all its columns) against an
+    index of prior hashes. Pure DataFrame logic — shared by the
+    streaming foreachBatch and direct batch callers (which is what pins
+    streaming == batch in tests). NULL-hash rows are accepted: they
+    match nothing by the hamming_pairs contract."""
+    pairs = hamming_incremental_pairs(
+        batch_hashes,
+        index_hashes.select(
+            F.col("mid").alias(id_col), F.col("phash").alias(hash_col)
+        ),
+        id_col,
+        hash_col,
+        max_distance=max_distance,
+        bands=bands,
+        corpus_band_bloom=index_bloom,
+    )
+    # vs corpus: id_a is always the new-batch id. Within batch:
+    # id_a < id_b, reject the larger id (greedy keep-lowest).
+    rejected = (
+        pairs.where(F.col("against") == "corpus")
+        .select("id_a")
+        .unionByName(
+            pairs.where(F.col("against") == "new")
+            .select(F.col("id_b").alias("id_a"))
+        )
+        .distinct()
+        .withColumnRenamed("id_a", id_col)
+    )
+    return batch_hashes.join(rejected, id_col, "left_anti")
+
+
+def process_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    accepted_dir: str,
+    kind: str = "pgm",
+    id_col: str = "path",
+    content_col: str = "content",
+    hash_kind: str | None = None,
+    max_distance: int = 4,
+    bands: int | None = None,
+    use_bloom: bool = False,
+) -> None:
+    """One micro-batch's side effects, idempotent under foreachBatch
+    retry (module-level so the retry contract is directly testable).
+    Files first, index last; both sinks are batch=<id> dynamic-partition
+    overwrites; the index read excludes partitions >= batch_id.
+
+    ``hash_kind`` defaults by media kind ('audio' for wav, else
+    'dhash'), matching `cli media-dedup`. ``use_bloom`` maintains a
+    broadcast Bloom filter over the index's (band, val) bucket keys
+    next to the index (linededup's versioned snapshot layout and
+    predecessor rule), updated by UNIONING in the accepted batch's own
+    bucket keys — one batch-sized aggregation, the corpus never
+    rescanned. Missing filter self-heals to the plain join."""
+    from ..operators.bloom import build_bloom
+    from ..operators.phash import _band_cols
+    from .linededup import _save_bloom, load_bloom
+
+    spark = batch.sparkSession
+    bid = int(batch_id)
+    hk = hash_kind or ("audio" if kind == "wav" else "dhash")
+    if hk not in _HASHES:
+        raise ValueError(f"hash_kind={hk!r} not in {sorted(_HASHES)}")
+    if bands is None:
+        bands = max_distance + 1
+    # on_unregistered='error': a gate hashing sha256 fakes would dedup
+    # garbage silently — refuse at plan time, the cli media-dedup stance
+    hashed = thumbnails(
+        batch, kind=kind, content_col=content_col, on_unregistered="error"
+    ).select(*batch.columns, _HASHES[hk]("thumb").alias("phash"))
+    prior_bloom = load_bloom(spark, index_dir, before=bid) if use_bloom else None
+    accepted = gate_batch(
+        hashed,
+        _index_hashes(
+            spark,
+            index_dir,
+            before=bid,
+            id_type=batch.schema[id_col].dataType.simpleString(),
+        ),
+        id_col,
+        "phash",
+        max_distance,
+        bands,
+        index_bloom=prior_bloom,
+    )
+    accepted_hashes = accepted.where(F.col("phash").isNotNull()).select(
+        F.col(id_col).alias("mid"), "phash"
+    )
+    for df, sink in (
+        (accepted.drop("phash"), accepted_dir),
+        (accepted_hashes, index_dir),
+    ):
+        (
+            df.withColumn("batch", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(sink)
+        )
+    if use_bloom:
+        batch_words = build_bloom(
+            spark.read.parquet(index_dir)
+            .where(F.col("batch") == bid)
+            .select(
+                F.explode(F.array(*_band_cols("phash", bands))).alias("bv")
+            )
+            .select(
+                F.xxhash64(F.col("bv.band"), F.col("bv.val")).alias("__bk")
+            )
+            .distinct(),
+            "__bk",
+            num_bits=(len(prior_bloom) * 64) if prior_bloom else 1 << 24,
+        )
+        if prior_bloom is not None:
+            batch_words = [a | b for a, b in zip(prior_bloom, batch_words)]
+        _save_bloom(spark, index_dir, bid, batch_words)
+
+
+def streaming_media_dedup(
+    media: DataFrame,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    kind: str = "pgm",
+    id_col: str = "path",
+    content_col: str = "content",
+    hash_kind: str | None = None,
+    max_distance: int = 4,
+    bands: int | None = None,
+    use_bloom: bool = False,
+):
+    """Run the gate over a streaming DataFrame of media files; returns
+    the started StreamingQuery (caller awaits termination — availableNow
+    in tests, continuous in production)."""
+
+    def _one_batch(batch: DataFrame, batch_id: int) -> None:
+        process_batch(
+            batch,
+            batch_id,
+            index_dir,
+            accepted_dir,
+            kind=kind,
+            id_col=id_col,
+            content_col=content_col,
+            hash_kind=hash_kind,
+            max_distance=max_distance,
+            bands=bands,
+            use_bloom=use_bloom,
+        )
+
+    return (
+        media.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -70,6 +70,7 @@ SMOKE = {
     "test_streaming_annindex.py": "test_gate_rejects_cross_batch_and_within_batch_dups",
     "test_streaming_batch.py": "test_session_window_matches_native",
     "test_streaming_linededup.py": "test_gate_within_and_across_batches",
+    "test_streaming_mediadedup.py": "test_gate_batch_greedy_keep_lowest_chain",
     "test_streaming_neardedup.py": "test_gate_across_micro_batches",
     "test_streaming_stateful.py": "test_windowed_counts_stream_equals_batch",
     "test_textcorpus.py": "test_jsonl_corrupt_routing",

@@ -1,0 +1,196 @@
+"""Streaming perceptual media-dedup gate (streaming/mediadedup.py): a
+rolling media crawl ingested in micro-batches must accept each
+perceptual family's first arrival and reject later re-encodes/resizes —
+across batch boundaries via the persisted 8-byte-per-file hash index —
+while undecodable bytes pass through unindexed."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from dbbspark.sources.codecs import encode_pgm, resize_netpbm
+from dbbspark.streaming.mediadedup import (
+    gate_batch,
+    process_batch,
+    streaming_media_dedup,
+)
+from test_phash import _smooth_image
+
+
+def _img(seed: int) -> bytes:
+    return encode_pgm(_smooth_image(seed))
+
+
+def _resized(seed: int, size: int = 32) -> bytes:
+    return resize_netpbm(encode_pgm(_smooth_image(seed)), size, size)
+
+
+def _drop(spark, src, rows, name):
+    """Land one parquet FILE in the stream root (the file source does
+    not recurse into the directory a DataFrame write would create)."""
+    stage = f"{src}_{name}_stage"
+    spark.createDataFrame(rows, "path string, content binary").coalesce(
+        1
+    ).write.parquet(stage)
+    os.makedirs(src, exist_ok=True)
+    shutil.move(
+        glob.glob(f"{stage}/part-*.parquet")[0],
+        os.path.join(str(src), f"{name}.parquet"),
+    )
+    shutil.rmtree(stage)
+
+
+def _run(spark, src, tmp, **kw):
+    q = streaming_media_dedup(
+        spark.readStream.schema("path string, content binary").parquet(str(src)),
+        str(tmp / "idx"),
+        str(tmp / "accepted"),
+        str(tmp / "ck"),
+        **kw,
+    )
+    q.awaitTermination()
+
+
+def _accepted(spark, tmp):
+    return {
+        r["path"]
+        for r in spark.read.parquet(str(tmp / "accepted")).collect()
+    }
+
+
+def test_gate_across_micro_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 1: a2 is a resized re-encode of a1 → keep a1 (min id); b1 distinct
+    _drop(
+        spark, src,
+        [("a1", _img(1)), ("a2", _resized(1)), ("b1", _img(2))],
+        "b1",
+    )
+    _run(spark, src, tmp_path)
+    assert _accepted(spark, tmp_path) == {"a1", "b1"}
+
+    # batch 2: a3 collides with the INDEXED a1 → rejected; c1 fresh
+    _drop(spark, src, [("a3", _resized(1, 48)), ("c1", _img(3))], "b2")
+    _run(spark, src, tmp_path)
+    assert _accepted(spark, tmp_path) == {"a1", "b1", "c1"}
+
+    # index holds one 64-bit hash per accepted file, nothing else
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert {r["mid"] for r in idx.collect()} == {"a1", "b1", "c1"}
+
+
+def test_retry_is_idempotent(spark, tmp_path):
+    """Re-running the same batch_id (foreachBatch at-least-once retry)
+    must neither duplicate accepted files/hashes nor reject the batch
+    against its own crashed attempt's index rows."""
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    b1 = spark.createDataFrame(
+        [("a1", _img(1)), ("a2", _resized(1)), ("b1", _img(2))],
+        "path string, content binary",
+    )
+    process_batch(b1, 0, idx, acc)
+    first = {r["path"] for r in spark.read.parquet(acc).collect()}
+    process_batch(b1, 0, idx, acc)  # retry
+    again = {r["path"] for r in spark.read.parquet(acc).collect()}
+    assert first == again == {"a1", "b1"}
+    assert spark.read.parquet(idx).count() == 2
+
+
+def test_bloom_decisions_identical_and_undecodable_accepted(spark, tmp_path):
+    """use_bloom must change join volume only, never decisions; garbage
+    bytes hash NULL, pass the gate, and are NOT indexed."""
+    rows1 = [("a1", _img(1)), ("junk", b"\x00not media")]
+    rows2 = [("a2", _resized(1)), ("b1", _img(5)), ("junk2", b"P5 garbage")]
+    out = {}
+    for tag, bloom in (("plain", False), ("bloom", True)):
+        idx = str(tmp_path / f"idx_{tag}")
+        acc = str(tmp_path / f"acc_{tag}")
+        b1 = spark.createDataFrame(rows1, "path string, content binary")
+        b2 = spark.createDataFrame(rows2, "path string, content binary")
+        process_batch(b1, 0, idx, acc, use_bloom=bloom)
+        process_batch(b2, 1, idx, acc, use_bloom=bloom)
+        out[tag] = {r["path"] for r in spark.read.parquet(acc).collect()}
+        # undecodable rows accepted but never indexed
+        assert {r["mid"] for r in spark.read.parquet(idx).collect()} == {
+            "a1", "b1",
+        }
+    assert out["plain"] == out["bloom"] == {"a1", "junk", "b1", "junk2"}
+
+
+def test_incremental_pairs_equal_full_banding(spark):
+    """hamming_incremental_pairs must equal hamming_pairs over
+    (new ∪ corpus) restricted to pairs touching a new id — with each
+    pair emitted exactly once (canonical first-clean-band emission on
+    BOTH legs, no distinct) — on a corpus with identical hashes,
+    chained buckets, and sign-bit values."""
+    from dbbspark.operators.phash import hamming_incremental_pairs, hamming_pairs
+
+    corpus_rows = [(100, 7), (101, 7), (102, 1 << 40), (103, -42)]
+    new_rows = [(1, 7), (2, 6), (3, -42), (4, 1 << 20), (5, 6)]
+    corpus = spark.createDataFrame(corpus_rows, "id long, h long")
+    new = spark.createDataFrame(new_rows, "id long, h long")
+    got = hamming_incremental_pairs(new, corpus, "id", "h", max_distance=4).collect()
+    keys = [(r["id_a"], r["id_b"], r["against"]) for r in got]
+    assert len(keys) == len(set(keys))  # exactly-once emission
+    full = hamming_pairs(
+        new.unionByName(corpus), "id", "h", max_distance=4
+    ).collect()
+    new_ids = {i for i, _ in new_rows}
+    expect = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if a in new_ids and b in new_ids:
+            expect.add((a, b, "new"))
+        elif a in new_ids or b in new_ids:
+            n, c = (a, b) if a in new_ids else (b, a)
+            expect.add((n, c, "corpus"))
+    assert set(keys) == expect
+    # distances carried through correctly on both legs
+    h = dict(corpus_rows + new_rows)
+    assert all(
+        r["distance"]
+        == ((h[r["id_a"]] ^ h[r["id_b"]]) & 0xFFFFFFFFFFFFFFFF).bit_count()
+        for r in got
+    )
+
+
+def test_stream_equals_batch_caller(spark, tmp_path):
+    """The availableNow streaming wrapper and direct process_batch calls
+    over the same arrival order produce identical accepted sets."""
+    rows1 = [("a1", _img(11)), ("b1", _img(12))]
+    rows2 = [("a2", _resized(11)), ("c1", _img(13))]
+    src = str(tmp_path / "src")
+    _drop(spark, src, rows1, "b1")
+    _run(spark, src, tmp_path)
+    _drop(spark, src, rows2, "b2")
+    _run(spark, src, tmp_path)
+    sidx, sacc = str(tmp_path / "midx"), str(tmp_path / "macc")
+    process_batch(
+        spark.createDataFrame(rows1, "path string, content binary"), 0, sidx, sacc
+    )
+    process_batch(
+        spark.createDataFrame(rows2, "path string, content binary"), 1, sidx, sacc
+    )
+    assert _accepted(spark, tmp_path) == {
+        r["path"] for r in spark.read.parquet(sacc).collect()
+    } == {"a1", "b1", "c1"}
+
+
+def test_gate_batch_greedy_keep_lowest_chain(spark):
+    """Within one batch, a collision chain a<b<c keeps only a (greedy
+    keep-lowest — the batch-LSH convergence contract shared with
+    neardedup)."""
+    hashes = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("c", 3), ("z", -1)],  # -1: all 64 bits set
+        "path string, phash long",
+    )
+    empty = spark.createDataFrame([], "mid string, phash long")
+    got = {
+        r["path"]
+        for r in gate_batch(hashes, empty, max_distance=2).collect()
+    }
+    assert got == {"a", "z"}
