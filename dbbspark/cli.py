@@ -336,6 +336,55 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
         spark, args.src, glob=args.glob, recursive=True
     ).select("path", "content")
     n_files = media.count()
+    if args.index is not None:
+        # incremental mode: one micro-batch through the C58 streaming
+        # media gate — dedup against everything previously ACCEPTED
+        # (8-byte hash index), not just within this directory
+        if args.kind == "pnmseq":
+            raise SystemExit("media-dedup --index: clips (pnmseq) not supported")
+        if not args.out:
+            raise SystemExit("media-dedup --index requires --out (accepted sink)")
+        from pyspark.errors import AnalysisException
+
+        from .streaming.mediadedup import process_batch as gate_media_batch
+
+        bid = args.batch_id
+        if bid is None:
+            bid = 0
+            for d in (args.index, args.out):
+                try:
+                    prior = spark.read.parquet(d)
+                    if "batch" in prior.columns:
+                        mx = prior.agg(F.max("batch")).first()[0]
+                        bid = max(bid, (mx if mx is not None else -1) + 1)
+                except AnalysisException:
+                    pass
+        gate_media_batch(
+            media,
+            bid,
+            args.index,
+            args.out,
+            kind=args.kind,
+            hash_kind=args.hash_kind,
+            max_distance=args.max_distance,
+        )
+        n_acc = (
+            spark.read.parquet(args.out)
+            .where(F.col("batch") == bid)
+            .count()
+        )
+        print(
+            json.dumps(
+                {
+                    "files": n_files,
+                    "accepted": n_acc,
+                    "rejected": n_files - n_acc,
+                    "batch": bid,
+                    "kind": args.kind,
+                }
+            )
+        )
+        return 0
     verify_d = (
         args.verify_distance if args.verify_distance is not None else args.max_distance
     )
@@ -756,6 +805,21 @@ def main(argv: list[str] | None = None) -> int:
     md.add_argument("--n-samples", type=int, default=8, help="sampled frames per clip")
     md.add_argument("--min-frac", type=float, default=0.5, help="clip frame-match fraction")
     md.add_argument("--out", default=None, help="write the kept file list (parquet)")
+    md.add_argument(
+        "--index",
+        default=None,
+        help="INCREMENTAL mode: gate --src against this persisted hash "
+        "index (streaming media gate, C58) instead of self-grouping — "
+        "each invocation is one micro-batch (the cron shape); accepted "
+        "files land in --out, their hashes in the index",
+    )
+    md.add_argument(
+        "--batch-id",
+        type=int,
+        default=None,
+        help="incremental mode: explicit batch id (re-run = idempotent "
+        "retry of that batch; default: max committed batch + 1)",
+    )
     md.set_defaults(fn=cmd_media_dedup)
 
     co = sub.add_parser(

@@ -445,3 +445,57 @@ def test_media_dedup_cli_clips(spark, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary == {"files": 3, "kept": 2, "dropped": 1, "kind": "pnmseq"}
+
+
+def test_media_dedup_cli_incremental(spark, tmp_path, capsys):
+    """--index mode (C58, the cron shape): each invocation is one
+    micro-batch through the streaming media gate — day 2's resized
+    re-encode of a day-1 original is rejected against the PERSISTED
+    index, not just within its own directory; explicit --batch-id
+    re-run is an idempotent retry."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pgm, resize_netpbm
+
+    def img(seed):
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:36, 0:36]
+        f = np.zeros((36, 36))
+        for _ in range(2):
+            fy, fx = rng.uniform(0.5, 2.5, 2)
+            ph = rng.uniform(0, 2 * np.pi)
+            f += np.sin(2 * np.pi * fx * x / 36 + ph) * np.cos(
+                2 * np.pi * fy * y / 36
+            )
+        return encode_pgm(np.clip(100 + 30 * (2 + f), 0, 255).astype(np.uint8))
+
+    day1, day2 = tmp_path / "day1", tmp_path / "day2"
+    day1.mkdir(); day2.mkdir()
+    (day1 / "a.pgm").write_bytes(img(1))
+    (day1 / "b.pgm").write_bytes(img(2))
+    (day2 / "a_2x.pgm").write_bytes(resize_netpbm(img(1), 72, 72))
+    (day2 / "c.pgm").write_bytes(img(3))
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "accepted")
+
+    base = ["media-dedup", "--kind", "pgm", "--index", idx, "--out", out]
+    assert cli.main(base + ["--src", str(day1)]) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1 == {"files": 2, "accepted": 2, "rejected": 0, "batch": 0,
+                  "kind": "pgm"}
+
+    assert cli.main(base + ["--src", str(day2)]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2 == {"files": 2, "accepted": 1, "rejected": 1, "batch": 1,
+                  "kind": "pgm"}
+    names = {
+        r["path"].rsplit("/", 1)[-1]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert names == {"a.pgm", "b.pgm", "c.pgm"}
+
+    # retry of batch 1 (explicit --batch-id): identical state after
+    assert cli.main(base + ["--src", str(day2), "--batch-id", "1"]) == 0
+    s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s3 == s2
+    assert spark.read.parquet(out).count() == 3
+    assert spark.read.parquet(idx).count() == 3
