@@ -801,10 +801,74 @@ def _gate_soak(spark, sf_dir: str, n_batches: int = 50) -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
+def _soak_img(seed: int) -> bytes:
+    """Deterministic seed-keyed PGM (two sinusoid components — distinct
+    seeds land far apart under the block-mean dHash; the
+    multimodal-example fixture shape) for the media-gate soaks."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pgm
+
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:36, 0:36]
+    f = np.zeros((36, 36))
+    for _ in range(2):
+        fy, fx = rng.uniform(0.5, 2.5, 2)
+        ph = rng.uniform(0, 2 * np.pi)
+        f += np.sin(2 * np.pi * fx * x / 36 + ph) * np.cos(
+            2 * np.pi * fy * y / 36
+        )
+    return encode_pgm(np.clip(100 + 30 * (2 + f), 0, 255).astype("uint8"))
+
+
+def _media_gate_soak(spark, n_batches: int = 50, per_batch: int = 200) -> None:
+    """C58 cadence-stability evidence, same discipline as _gate_soak:
+    N micro-batches of synthetic PGM images through the streaming media
+    gate — half fresh, half RESIZED re-encodes of the previous stratum
+    (sharing no bytes with their originals, so the gate does real
+    perceptual rejection work every trigger) — with compact_gate_index
+    every 10 batches. Reports per-trigger flatness and index
+    files/bytes; the index is 8 bytes of state per accepted file, so
+    bytes must stay ~flat × acceptance, never × batch count."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from dbbspark.maintenance import compact_gate_index
+    from dbbspark.sources.codecs import resize_netpbm
+    from dbbspark.streaming import mediadedup
+
+    img = _soak_img
+    root = tempfile.mkdtemp(prefix="dbbspark-msoak-")
+    idx, out = f"{root}/idx", f"{root}/accepted"
+    half = per_batch // 2
+    walls = []
+    for i in range(n_batches):
+        rows = [(f"b{i}/f{j}.pgm", img(i * half + j)) for j in range(half)]
+        rows += [
+            (f"b{i}/r{j}.pgm", resize_netpbm(img(max(0, i - 1) * half + j), 72, 72))
+            for j in range(half)
+        ]
+        batch = spark.createDataFrame(rows, "path string, content binary")
+        t = _t.time()
+        mediadedup.process_batch(batch, i, idx, out, kind="pgm")
+        walls.append(_t.time() - t)
+        if (i + 1) % 10 == 0 and i + 1 < n_batches:
+            backup = compact_gate_index(spark, idx)
+            shutil.rmtree(backup, ignore_errors=True)
+    _soak_report("media", walls, idx, {
+        "accepted_rows": spark.read.parquet(out).count(),
+        "files_per_batch": per_batch,
+    })
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
     """VERDICT r8 item 6 (r7 item 8): the nightly_ops composition as ONE
-    loop — every trigger drives ALL THREE gates (line-dedup commit-
-    protocol index, near-dedup signature index, ANN code index) plus an
+    loop — every trigger drives ALL FOUR gates (line-dedup commit-
+    protocol index, near-dedup signature index, ANN code index, and the
+    C58 perceptual media gate over synthetic PGM batches: half fresh,
+    half resized re-encodes of the previous stratum) plus an
     append-only archive write, with maintenance interleaved in the same
     loop: compaction on the append-shaped indexes, gc_staging +
     prune_commit_records on the commit-protocol root, and a rotating
@@ -812,7 +876,7 @@ def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
     proves each gate alone holds a flat cadence; THIS proves they hold
     it simultaneously — no cross-gate interference through commit-log
     pruning, lock files, or block-manager pressure, and the scrub stays
-    clean while the writers run. Reports per-gate flatness, all three
+    clean while the writers run. Reports per-gate flatness, all four
     index sizes AT ONCE, scrub findings (must be 0), and accepted
     rows."""
     import shutil
@@ -823,7 +887,8 @@ def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
     from dbbspark.maintenance import compact_gate_index, verify_archive
     from dbbspark.operators.pq import train_ivfpq
     from dbbspark.operators.similarity import train_centroids
-    from dbbspark.streaming import annindex, linededup, neardedup
+    from dbbspark.sources.codecs import resize_netpbm
+    from dbbspark.streaming import annindex, linededup, mediadedup, neardedup
 
     root = tempfile.mkdtemp(prefix="dbbspark-csoak-")
     docs = (
@@ -849,9 +914,10 @@ def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
     line_idx, line_out = f"{root}/line_idx", f"{root}/line_out"
     near_idx, near_out = f"{root}/near_idx", f"{root}/near_out"
     ann_idx, ann_out = f"{root}/ann_idx", f"{root}/ann_out"
+    media_idx, media_out = f"{root}/media_idx", f"{root}/media_out"
     arch = f"{root}/archive"
     maint_every, scrub_every = 10, 25
-    walls = {"line": [], "near": [], "ann": []}
+    walls = {"line": [], "near": [], "ann": [], "media": []}
     scrub_findings = 0
     for i in range(n_batches):
         b = doc_batch(i).localCheckpoint(eager=True)
@@ -870,6 +936,20 @@ def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
             vfresh.unionByName(vrep), i, ann_idx, ann_out, cents, books, eps=0.02
         )
         walls["ann"].append(_t.time() - t)
+        m = 20  # media files per trigger: 10 fresh + 10 resized re-encodes
+        media_rows = [
+            (f"b{i}/f{j}.pgm", _soak_img(i * (m // 2) + j)) for j in range(m // 2)
+        ] + [
+            (
+                f"b{i}/r{j}.pgm",
+                resize_netpbm(_soak_img(max(0, i - 1) * (m // 2) + j), 72, 72),
+            )
+            for j in range(m // 2)
+        ]
+        mb = spark.createDataFrame(media_rows, "path string, content binary")
+        t = _t.time()
+        mediadedup.process_batch(mb, i, media_idx, media_out, kind="pgm")
+        walls["media"].append(_t.time() - t)
         # archive leg: checksum-at-ingest rows the scrub re-verifies later
         content = F.encode("text", "utf-8")
         b.select(
@@ -885,7 +965,7 @@ def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
             gc_staging(spark, line_idx, older_than_sec=0.0)
             prune_commit_records(spark, line_idx, older_than_sec=0.0)
             if i + 1 < n_batches:
-                for idx in (near_idx, ann_idx):
+                for idx in (near_idx, ann_idx, media_idx):
                     backup = compact_gate_index(spark, idx)
                     shutil.rmtree(backup, ignore_errors=True)
         if (i + 1) % scrub_every == 0:
@@ -900,6 +980,7 @@ def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
         ("line", line_idx, line_out),
         ("near", near_idx, near_out),
         ("ann", ann_idx, ann_out),
+        ("media", media_idx, media_out),
     ):
         files, mb = _du(idx)
         k = max(1, n_batches // 5)
@@ -1199,6 +1280,9 @@ def main() -> None:
 
     if wanted and "gate_soak_composed" in wanted:
         _composed_soak(spark, args.sf_dir, n_batches=args.soak_batches)
+
+    if wanted and "media_gate_soak" in wanted:
+        _media_gate_soak(spark, n_batches=args.soak_batches)
 
     if wanted and "phash_corpus" in wanted:
         _phash_bench(spark)

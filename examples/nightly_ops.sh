@@ -26,6 +26,12 @@
 #                 indexes, quantizer stores) to retention-gc — skip
 #                 if unset; the 24 h staging horizon assumes nightly
 #                 cadence (must exceed the longest snapshot write)
+#   MEDIA_DROP    tonight's media drop dir — skip the perceptual gate
+#                 if unset (C58: each night is one micro-batch gated
+#                 against every previously accepted file's hash)
+#   MEDIA_INDEX   persisted perceptual hash index   (required w/ drop)
+#   MEDIA_OUT     accepted-media parquet sink       (required w/ drop)
+#   MEDIA_KIND    media kind for the drop (default pgm)
 #   PYTHON        interpreter (default: python)
 set -u
 
@@ -39,6 +45,15 @@ rc=0
 # 1. drain the stage-in area into the archive (reference: cron_save)
 if [ -n "${INGEST_CONFIG:-}" ]; then
   $PY -m dbbspark.cli ingest --config "$INGEST_CONFIG" --stream || rc=$?
+fi
+
+# 1b. gate tonight's media drop against the accepted-media hash index
+#     (C58 incremental perceptual dedup — a resized re-encode of a file
+#     accepted LAST month still rejects; md5 cannot see it)
+if [ -n "${MEDIA_DROP:-}" ]; then
+  $PY -m dbbspark.cli media-dedup --src "$MEDIA_DROP" \
+    --kind "${MEDIA_KIND:-pgm}" \
+    --index "$MEDIA_INDEX" --out "$MEDIA_OUT" || rc=$?
 fi
 
 # 2. reconciliation report + fuzzy rename pairing (reference: cron_monitor)

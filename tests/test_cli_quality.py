@@ -300,6 +300,25 @@ checkpoint_dir = {tmp_path / 'ing_ckpt'}
     with open(gc_root + "/_staging/young/part", "w") as fh:
         fh.write("x")
 
+    # a media drop for the C58 perceptual-gate leg: two distinct images.
+    # MEDIA_DROP stays the same dir across both nightly runs, so night 2
+    # re-submits night 1's files — all rejected against the persisted
+    # hash index (the gate remembers ACCEPTED content, not directories).
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pgm
+
+    drop = tmp_path / "media_drop"
+    drop.mkdir()
+    y, x = np.mgrid[0:36, 0:36]
+    for s in (1, 2):
+        arr = np.clip(
+            100 + 60 * np.sin(2 * np.pi * (s + 1) * x / 36)
+            * np.cos(2 * np.pi * s * y / 36),
+            0, 255,
+        ).astype(np.uint8)
+        (drop / f"m{s}.pgm").write_bytes(encode_pgm(arr))
+
     env = dict(
         os.environ,
         SF_DIR=sf_dir,
@@ -312,6 +331,10 @@ checkpoint_dir = {tmp_path / 'ing_ckpt'}
         SCRUB_SALT="7",
         INGEST_CONFIG=str(ingest_cfg),
         GC_ROOTS=gc_root,
+        MEDIA_DROP=str(drop),
+        MEDIA_INDEX=str(tmp_path / "media_idx"),
+        MEDIA_OUT=str(tmp_path / "media_out"),
+        MEDIA_KIND="pgm",
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = os.path.join(repo, "examples", "nightly_ops.sh")
@@ -326,6 +349,7 @@ checkpoint_dir = {tmp_path / 'ing_ckpt'}
     report_files = os.listdir(str(tmp_path / "report"))
     assert any(f.endswith(".html") for f in report_files), report_files
     assert "renamed_matches" in r1.stdout  # fuzzy pairing ran
+    assert '"accepted": 2' in r1.stdout  # media gate: both images new
     # gc leg: v0 pruned, newest two kept, young staging untouched
     assert committed_versions(spark, gc_root) == [1, 2]
     assert os.path.exists(gc_root + "/_staging/young/part")
@@ -337,6 +361,10 @@ checkpoint_dir = {tmp_path / 'ing_ckpt'}
     assert r2.returncode == 0, r2.stdout + r2.stderr
     assert '"drift"' in r2.stdout  # baseline branch taken
     assert os.path.exists(str(tmp_path / "report" / "drift.html"))
+    # night 2 re-submitted night 1's drop: the persisted hash index
+    # rejects every file, nothing new accepted
+    assert '"accepted": 0' in r2.stdout
+    assert spark.read.parquet(str(tmp_path / "media_out")).count() == 2
 
 
 def test_scrub_cli_bounded_driver_output(spark, tmp_path, capsys):

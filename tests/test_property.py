@@ -380,3 +380,95 @@ def test_pack_sequences_matches_reference_any_bucketing(
         ).collect()
     }
     assert got == expected
+
+
+# Hash strategy biased toward COLLIDING shapes: small ints (dense low
+# bits), their complements (sign-bit territory), and a few wild 64-bit
+# values — random uniform 64-bit hashes almost never land within d of
+# each other, which would test nothing.
+_hash_st = st.one_of(
+    st.integers(min_value=0, max_value=15),
+    st.integers(min_value=-16, max_value=-1),
+    st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+)
+
+
+@given(
+    hs=st.lists(_hash_st, min_size=1, max_size=12),
+    d=st.integers(min_value=0, max_value=6),
+)
+@settings(**SETTINGS)
+def test_hamming_ball_stats_matches_brute_on_random_hashes(spark, hs, d):
+    """For ANY hash multiset (duplicates likely by construction) and any
+    max_distance, hamming_ball_stats' n_near must equal the brute count
+    of other rows within the ball, and n_group must sum the true
+    connected component — in BOTH regimes."""
+    from dbbspark.operators.phash import hamming_ball_stats
+
+    rows = [(i, h) for i, h in enumerate(hs)]
+    df = spark.createDataFrame(rows, "id long, phash long")
+
+    def dist(a, b):
+        return ((a ^ b) & 0xFFFFFFFFFFFFFFFF).bit_count()
+
+    brute = {
+        i: sum(1 for j, g in rows if j != i and dist(h, g) <= d)
+        for i, h in rows
+    }
+    # ground-truth components by repeated expansion over the ball graph
+    comp = {i: i for i, _ in rows}
+    changed = True
+    while changed:
+        changed = False
+        for i, h in rows:
+            for j, g in rows:
+                if dist(h, g) <= d and comp[j] < comp[i]:
+                    comp[i] = comp[j]
+                    changed = True
+    gsize: dict[int, int] = {}
+    for i in comp:
+        gsize[comp[i]] = gsize.get(comp[i], 0) + 1
+    expect = {i: (comp[i], brute[i], gsize[comp[i]]) for i, _ in rows}
+    for thr in (2_000_000, 0):
+        got = {
+            r["id"]: (r["group"], r["n_near"], r["n_group"])
+            for r in hamming_ball_stats(
+                df, "id", "phash", max_distance=d, driver_rep_threshold=thr
+            ).collect()
+        }
+        assert got == expect
+
+
+@given(
+    new_hs=st.lists(_hash_st, min_size=1, max_size=8),
+    corpus_hs=st.lists(_hash_st, min_size=0, max_size=8),
+    d=st.integers(min_value=0, max_value=6),
+)
+@settings(**SETTINGS)
+def test_hamming_incremental_equals_full_on_random_hashes(spark, new_hs, corpus_hs, d):
+    """hamming_incremental_pairs ≡ hamming_pairs over new ∪ corpus
+    restricted to pairs touching a new id, each pair exactly once —
+    for any hash multisets and any max_distance (incl. an empty
+    corpus, the gate's first batch)."""
+    from dbbspark.operators.phash import hamming_incremental_pairs, hamming_pairs
+
+    new_rows = [(i, h) for i, h in enumerate(new_hs)]
+    corpus_rows = [(100 + i, h) for i, h in enumerate(corpus_hs)]
+    new = spark.createDataFrame(new_rows, "id long, h long")
+    corpus = spark.createDataFrame(corpus_rows, "id long, h long")
+    got = hamming_incremental_pairs(new, corpus, "id", "h", max_distance=d).collect()
+    keys = [(r["id_a"], r["id_b"], r["against"]) for r in got]
+    assert len(keys) == len(set(keys))
+    full = hamming_pairs(
+        new.unionByName(corpus), "id", "h", max_distance=d
+    ).collect()
+    new_ids = {i for i, _ in new_rows}
+    expect = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if a in new_ids and b in new_ids:
+            expect.add((a, b, "new"))
+        elif a in new_ids or b in new_ids:
+            n, c = (a, b) if a in new_ids else (b, a)
+            expect.add((n, c, "corpus"))
+    assert set(keys) == expect
