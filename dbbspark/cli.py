@@ -350,15 +350,29 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
 
         bid = args.batch_id
         if bid is None:
-            bid = 0
+            mxs = {}
             for d in (args.index, args.out):
                 try:
                     prior = spark.read.parquet(d)
                     if "batch" in prior.columns:
                         mx = prior.agg(F.max("batch")).first()[0]
-                        bid = max(bid, (mx if mx is not None else -1) + 1)
+                        mxs[d] = -1 if mx is None else int(mx)
                 except AnalysisException:
-                    pass
+                    mxs[d] = -1
+            # files-first/index-last crash ordering: accepted ahead of
+            # the index means a crashed run — auto-advancing would
+            # permanently orphan that batch's hashes (its dups admitted
+            # forever). Refuse; the retry of the SAME batch id over the
+            # SAME drop is idempotent and heals it.
+            if mxs[args.out] > mxs[args.index]:
+                raise SystemExit(
+                    f"media-dedup --index: accepted sink is at batch "
+                    f"{mxs[args.out]} but the index is at {mxs[args.index]} "
+                    f"— a prior run crashed between its two writes. Re-run "
+                    f"that batch's original --src with --batch-id "
+                    f"{mxs[args.out]} before gating new drops."
+                )
+            bid = max(mxs.values()) + 1
         gate_media_batch(
             media,
             bid,

@@ -527,3 +527,50 @@ def test_media_dedup_cli_incremental(spark, tmp_path, capsys):
     assert s3 == s2
     assert spark.read.parquet(out).count() == 3
     assert spark.read.parquet(idx).count() == 3
+
+
+def test_media_dedup_incremental_refuses_index_lag(spark, tmp_path, capsys):
+    """Files-first/index-last: a run that crashed between its two writes
+    leaves the accepted sink ahead of the index. Auto batch-id must
+    REFUSE (advancing would orphan that batch's hashes — its dups would
+    be admitted forever); the pointed-at --batch-id retry heals, after
+    which auto mode resumes."""
+    import shutil
+
+    import numpy as np
+    import pytest
+
+    from dbbspark.sources.codecs import encode_pgm
+
+    def img(seed):
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:36, 0:36]
+        f = np.zeros((36, 36))
+        for _ in range(2):
+            fy, fx = rng.uniform(0.5, 2.5, 2)
+            ph = rng.uniform(0, 2 * np.pi)
+            f += np.sin(2 * np.pi * fx * x / 36 + ph) * np.cos(
+                2 * np.pi * fy * y / 36
+            )
+        return encode_pgm(np.clip(100 + 30 * (2 + f), 0, 255).astype(np.uint8))
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.pgm").write_bytes(img(21))
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "acc")
+    base = ["media-dedup", "--kind", "pgm", "--index", idx, "--out", out,
+            "--src", str(drop)]
+    assert cli.main(base) == 0
+    capsys.readouterr()
+    # simulate the crash: the index write never happened
+    shutil.rmtree(idx)
+    with pytest.raises(SystemExit, match="--batch-id 0"):
+        cli.main(base)
+    # the prescribed retry heals...
+    assert cli.main(base + ["--batch-id", "0"]) == 0
+    capsys.readouterr()
+    # ...and auto mode resumes at the next batch
+    assert cli.main(base) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["batch"] == 1 and s["accepted"] == 0  # same drop: all dups
+    assert spark.read.parquet(idx).count() == 1
