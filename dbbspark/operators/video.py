@@ -239,7 +239,18 @@ def score_clip_pairs(
     pipeline fingerprint once and score under several thresholds, and
     keeps the decode cost and the pair cost separately measurable.
     ``frames`` is traversed twice (band join + size lookup); pass it
-    lineage-cut or cached."""
+    lineage-cut or cached.
+
+    Hub hazard (the `hamming_pairs` constant-media note, one level
+    down): DEGENERATE frames — solid black, fades, test cards — share
+    one hash across the whole corpus, so M clips containing one emit
+    O(M²) frame pairs before the clip-pair groupBy collapses them
+    (partial aggregation and AQE skew-splitting keep the join itself
+    balanced; the pair VOLUME is inherent). They cannot simply be
+    dropped — two all-black clips ARE near-dups — so at corpus scale
+    pre-filter frames by thumb variance under a policy threshold, or
+    route hot buckets through `hamming_groups`' rep-graph form and
+    treat membership in a degenerate-frame group as its own signal."""
     if not 0.0 < min_frac <= 1.0:
         raise ValueError("min_frac must be in (0, 1]")
     # composite (clip, frame) id: struct comparison is lexicographic, so
