@@ -339,9 +339,8 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
     if args.index is not None:
         # incremental mode: one micro-batch through the C58 streaming
         # media gate — dedup against everything previously ACCEPTED
-        # (8-byte hash index), not just within this directory
-        if args.kind == "pnmseq":
-            raise SystemExit("media-dedup --index: clips (pnmseq) not supported")
+        # (8-byte hash index; clips: n_samples frame hashes per clip),
+        # not just within this directory
         if not args.out:
             raise SystemExit("media-dedup --index requires --out (accepted sink)")
         from pyspark.errors import AnalysisException
@@ -373,15 +372,29 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
                     f"{mxs[args.out]} before gating new drops."
                 )
             bid = max(mxs.values()) + 1
-        gate_media_batch(
-            media,
-            bid,
-            args.index,
-            args.out,
-            kind=args.kind,
-            hash_kind=args.hash_kind,
-            max_distance=args.max_distance,
-        )
+        if args.kind == "pnmseq":
+            from .streaming.mediadedup import process_clip_batch
+
+            process_clip_batch(
+                media,
+                bid,
+                args.index,
+                args.out,
+                kind=args.kind,
+                n_samples=args.n_samples,
+                max_distance=args.max_distance,
+                min_frac=args.min_frac,
+            )
+        else:
+            gate_media_batch(
+                media,
+                bid,
+                args.index,
+                args.out,
+                kind=args.kind,
+                hash_kind=args.hash_kind,
+                max_distance=args.max_distance,
+            )
         n_acc = (
             spark.read.parquet(args.out)
             .where(F.col("batch") == bid)

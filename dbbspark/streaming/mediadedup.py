@@ -248,3 +248,169 @@ def streaming_media_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _index_frames(
+    spark: SparkSession,
+    index_dir: str,
+    before: int | None = None,
+    id_type: str = "string",
+) -> DataFrame:
+    """The persisted clip-frame index (mid, fidx, fhash, n_sampled) —
+    n_samples rows of 8-byte hashes per accepted clip; empty on first
+    run. Same ``before`` retry rule as `_index_hashes`."""
+    try:
+        idx = spark.read.parquet(index_dir)
+        if before is not None and "batch" in idx.columns:
+            idx = idx.where(F.col("batch") < before)
+        return idx.select("mid", "fidx", "fhash", "n_sampled")
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], f"mid {id_type}, fidx int, fhash long, n_sampled int"
+        )
+
+
+def gate_clip_batch(
+    batch_frames: DataFrame,
+    index_frames: DataFrame,
+    id_col: str = "path",
+    max_distance: int = 6,
+    min_frac: float = 0.5,
+    bands: int | None = None,
+) -> DataFrame:
+    """Rejected clip ids of a `clip_fingerprints` batch against a clip
+    index — the frame-sequence form of `gate_batch`: frame-level
+    Hamming-ball pairing (new×corpus + new×new, never corpus×corpus via
+    `hamming_incremental_pairs` over composite (clip, frame) ids), then
+    `score_clip_pairs`' fraction-of-frames-matched rule on each leg. A
+    batch clip is rejected when it scores against an ACCEPTED corpus
+    clip, or — within the batch — against a smaller-id batch clip
+    (greedy keep-lowest, the gate family's convergence contract).
+    Temporal offsets and frame drops are tolerated exactly as in
+    `video_near_dup`: frames match regardless of index."""
+    from ..operators.phash import hamming_incremental_pairs
+
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError("min_frac must be in (0, 1]")
+    new_f = batch_frames.select(
+        F.struct(F.col(id_col).alias("cid"), F.col("fidx").alias("fidx")).alias(
+            "_fid"
+        ),
+        F.col("fhash").alias("_fh"),
+    )
+    corp_f = index_frames.select(
+        F.struct(F.col("mid").alias("cid"), F.col("fidx").alias("fidx")).alias(
+            "_fid"
+        ),
+        F.col("fhash").alias("_fh"),
+    )
+    pairs = hamming_incremental_pairs(
+        new_f, corp_f, "_fid", "_fh", max_distance=max_distance, bands=bands
+    ).where(F.col("id_a.cid") != F.col("id_b.cid"))
+    new_sizes = batch_frames.groupBy(id_col).agg(
+        F.max("n_sampled").alias("_n")
+    )
+    corp_sizes = index_frames.groupBy("mid").agg(
+        F.max("n_sampled").alias("_n")
+    )
+
+    def scored(leg: DataFrame, b_sizes: DataFrame) -> DataFrame:
+        """Clip pairs of one leg passing BOTH fraction thresholds;
+        id_a is always the new-batch clip."""
+        g = leg.groupBy(
+            F.col("id_a.cid").alias("_ca"), F.col("id_b.cid").alias("_cb")
+        ).agg(
+            F.countDistinct("id_a.fidx").alias("_m_a"),
+            F.countDistinct("id_b.fidx").alias("_m_b"),
+        )
+        return (
+            g.join(
+                new_sizes.select(
+                    F.col(id_col).alias("_ca"), F.col("_n").alias("_n_a")
+                ),
+                "_ca",
+            )
+            .join(
+                b_sizes.select(F.col("_cb"), F.col("_n").alias("_n_b")), "_cb"
+            )
+            .where(
+                (F.col("_m_a") / F.col("_n_a") >= min_frac)
+                & (F.col("_m_b") / F.col("_n_b") >= min_frac)
+            )
+        )
+
+    vs_corpus = scored(
+        pairs.where(F.col("against") == "corpus"),
+        corp_sizes.select(F.col("mid").alias("_cb"), "_n"),
+    ).select(F.col("_ca").alias(id_col))
+    # within batch: composite-struct ordering is clip-major, so _ca is
+    # the smaller clip id — reject _cb (greedy keep-lowest)
+    vs_new = scored(
+        pairs.where(F.col("against") == "new"),
+        new_sizes.select(F.col(id_col).alias("_cb"), "_n"),
+    ).select(F.col("_cb").alias(id_col))
+    return vs_corpus.unionByName(vs_new).distinct()
+
+
+def process_clip_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    accepted_dir: str,
+    kind: str = "pnmseq",
+    id_col: str = "path",
+    content_col: str = "content",
+    n_samples: int = 8,
+    max_distance: int = 6,
+    min_frac: float = 0.5,
+    bands: int | None = None,
+) -> None:
+    """One micro-batch of CLIPS through the perceptual gate — the
+    frame-sequence counterpart of `process_batch`, same crash/retry
+    contract (files first, index last; batch=<id> dynamic-partition
+    overwrites; index read excludes partitions >= batch_id). The index
+    holds n_samples (fidx, fhash) rows per accepted clip — 8 bytes per
+    sampled frame of dedup state; the clip bytes are never re-read.
+    Undecodable clips yield no fingerprint rows, pass the gate, and are
+    never indexed (the `clip_fingerprints` malformed-clip stance)."""
+    from ..operators.video import clip_fingerprints
+    from ..session import cut_lineage
+
+    spark = batch.sparkSession
+    bid = int(batch_id)
+    frames = cut_lineage(
+        clip_fingerprints(
+            batch,
+            kind=kind,
+            id_col=id_col,
+            content_col=content_col,
+            n_samples=n_samples,
+        )
+    )
+    rejected = gate_clip_batch(
+        frames,
+        _index_frames(
+            spark,
+            index_dir,
+            before=bid,
+            id_type=batch.schema[id_col].dataType.simpleString(),
+        ),
+        id_col,
+        max_distance,
+        min_frac,
+        bands,
+    )
+    accepted = batch.join(rejected, id_col, "left_anti")
+    accepted_frames = frames.join(
+        rejected, id_col, "left_anti"
+    ).select(
+        F.col(id_col).alias("mid"), "fidx", "fhash", "n_sampled"
+    )
+    for df, sink in ((accepted, accepted_dir), (accepted_frames, index_dir)):
+        (
+            df.withColumn("batch", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(sink)
+        )

@@ -574,3 +574,51 @@ def test_media_dedup_incremental_refuses_index_lag(spark, tmp_path, capsys):
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s["batch"] == 1 and s["accepted"] == 0  # same drop: all dups
     assert spark.read.parquet(idx).count() == 1
+
+
+def test_media_dedup_cli_incremental_clips(spark, tmp_path, capsys):
+    """--index with --kind pnmseq: day 2's frame-dropped re-cut of a
+    day-1 accepted clip rejects against the persisted frame index."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pnm_seq
+
+    def clip(phase=0.0, drop=False, seed=None):
+        h, w = 48, 64
+        if seed is not None:
+            rng = np.random.default_rng(seed)
+            frames = [
+                rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(24)
+            ]
+        else:
+            y, x = np.mgrid[0:h, 0:w]
+            frames = [
+                np.clip(
+                    128 + 80 * np.sin(2 * np.pi * 2 * x / w + 0.12 * t + phase)
+                    * np.cos(2 * np.pi * 1.5 * y / h - 0.08 * t),
+                    0, 255,
+                ).astype(np.uint8)
+                for t in range(24)
+            ]
+        if drop:
+            frames = [f for i, f in enumerate(frames) if i % 3 != 2]
+        return encode_pnm_seq(frames)
+
+    day1, day2 = tmp_path / "d1", tmp_path / "d2"
+    day1.mkdir(); day2.mkdir()
+    (day1 / "a.pnms").write_bytes(clip())
+    (day2 / "a_recut.pnms").write_bytes(clip(drop=True))
+    (day2 / "b.pnms").write_bytes(clip(seed=5))
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "acc")
+    base = ["media-dedup", "--kind", "pnmseq", "--index", idx, "--out", out]
+    assert cli.main(base + ["--src", str(day1)]) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (s1["accepted"], s1["batch"]) == (1, 0)
+    assert cli.main(base + ["--src", str(day2)]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (s2["accepted"], s2["rejected"], s2["batch"]) == (1, 1, 1)
+    names = {
+        r["path"].rsplit("/", 1)[-1]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert names == {"a.pnms", "b.pnms"}

@@ -194,3 +194,93 @@ def test_gate_batch_greedy_keep_lowest_chain(spark):
         for r in gate_batch(hashes, empty, max_distance=2).collect()
     }
     assert got == {"a", "z"}
+
+
+# --- clip gate (frame-sequence form) ---------------------------------------
+
+
+def _clip_bytes(n=24, phase=0.0, seed=None, drop=None, trim=0):
+    """Smooth space-time field clip as pnmseq bytes (the test_video
+    fixture shape); drop='1/3' drops every third frame, trim cuts the
+    head, seed -> pure noise (matches nothing)."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pnm_seq
+
+    h, w = 48, 64
+    if seed is not None:
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, size=(h, w)).astype(np.uint8) for _ in range(n)
+        ]
+    else:
+        y, x = np.mgrid[0:h, 0:w]
+        frames = []
+        for t in range(n):
+            f = 128 + 80 * np.sin(
+                2 * np.pi * 2.0 * x / w + 0.12 * t + phase
+            ) * np.cos(2 * np.pi * 1.5 * y / h - 0.08 * t)
+            frames.append(np.clip(f, 0, 255).astype(np.uint8))
+    if drop:
+        frames = [f for i, f in enumerate(frames) if i % 3 != 2]
+    if trim:
+        frames = frames[trim:]
+    return encode_pnm_seq(frames)
+
+
+def test_clip_gate_across_micro_batches(spark, tmp_path):
+    """Batch 2's re-cut (frame-dropped) and trimmed copies of a batch-1
+    accepted clip must reject against the PERSISTED frame index; a
+    disjoint clip and an undecodable blob pass (the blob unindexed)."""
+    from dbbspark.streaming.mediadedup import process_clip_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    b1 = spark.createDataFrame(
+        [("a1", _clip_bytes()), ("z1", _clip_bytes(seed=7))],
+        "path string, content binary",
+    )
+    process_clip_batch(b1, 0, idx, acc)
+    assert {
+        r["path"] for r in spark.read.parquet(acc).collect()
+    } == {"a1", "z1"}
+
+    b2 = spark.createDataFrame(
+        [
+            ("a2", _clip_bytes(drop="1/3")),
+            ("a3", _clip_bytes(trim=3)),
+            ("q1", _clip_bytes(phase=2.0)),
+            ("junk", b"\x00not a clip"),
+        ],
+        "path string, content binary",
+    )
+    process_clip_batch(b2, 1, idx, acc)
+    got = {r["path"] for r in spark.read.parquet(acc).collect()}
+    assert got == {"a1", "z1", "q1", "junk"}
+    # index: n_samples frame rows per accepted DECODABLE clip only
+    rows = spark.read.parquet(idx).groupBy("mid").count().collect()
+    assert {r["mid"]: r["count"] for r in rows} == {
+        "a1": 8, "z1": 8, "q1": 8,
+    }
+
+
+def test_clip_gate_retry_and_within_batch(spark, tmp_path):
+    """Retry of the same batch_id is idempotent, and within one batch a
+    re-encode chain keeps only the smallest id."""
+    from dbbspark.streaming.mediadedup import process_clip_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    b = spark.createDataFrame(
+        [
+            ("a1", _clip_bytes()),
+            ("a2", _clip_bytes(drop="1/3")),
+            ("a3", _clip_bytes(trim=3)),
+            ("z1", _clip_bytes(seed=11)),
+        ],
+        "path string, content binary",
+    )
+    for _ in range(2):  # second run = foreachBatch retry
+        process_clip_batch(b, 0, idx, acc)
+        assert {
+            r["path"] for r in spark.read.parquet(acc).collect()
+        } == {"a1", "z1"}
+        assert spark.read.parquet(idx).count() == 2 * 8
