@@ -304,9 +304,17 @@ def gate_clip_batch(
         ),
         F.col("fhash").alias("_fh"),
     )
+    # the same-cid filter applies ONLY within the batch (a clip's own
+    # temporally-adjacent frames hash close — that is not duplication).
+    # On the corpus leg a same-cid pair is the batch clip vs the INDEXED
+    # version of itself — a re-submitted path must reject, exactly as a
+    # re-submitted still does (its hash pairs with its indexed self).
     pairs = hamming_incremental_pairs(
         new_f, corp_f, "_fid", "_fh", max_distance=max_distance, bands=bands
-    ).where(F.col("id_a.cid") != F.col("id_b.cid"))
+    ).where(
+        (F.col("against") == "corpus")
+        | (F.col("id_a.cid") != F.col("id_b.cid"))
+    )
     new_sizes = batch_frames.groupBy(id_col).agg(
         F.max("n_sampled").alias("_n")
     )

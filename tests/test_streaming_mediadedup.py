@@ -284,3 +284,22 @@ def test_clip_gate_retry_and_within_batch(spark, tmp_path):
             r["path"] for r in spark.read.parquet(acc).collect()
         } == {"a1", "z1"}
         assert spark.read.parquet(idx).count() == 2 * 8
+
+
+def test_clip_resubmitted_path_rejects_against_its_indexed_self(spark, tmp_path):
+    """Regression: the intra-clip same-cid filter must not suppress
+    corpus evidence — a clip path re-submitted in a LATER batch pairs
+    with its own indexed frames (distance 0, frac 1.0) and rejects,
+    exactly as a re-submitted still does. (A retry of the SAME batch id
+    is different: before=bid hides the crashed attempt's rows.)"""
+    from dbbspark.streaming.mediadedup import process_clip_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    b = spark.createDataFrame(
+        [("a1", _clip_bytes())], "path string, content binary"
+    )
+    process_clip_batch(b, 0, idx, acc)
+    process_clip_batch(b, 1, idx, acc)  # re-SUBMISSION, not a retry
+    rows = spark.read.parquet(acc).collect()
+    assert [(r["path"], r["batch"]) for r in rows] == [("a1", 0)]
+    assert spark.read.parquet(idx).count() == 8
