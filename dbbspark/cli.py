@@ -349,29 +349,36 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
 
         bid = args.batch_id
         if bid is None:
-            mxs = {}
-            for d in (args.index, args.out):
-                try:
-                    prior = spark.read.parquet(d)
-                    if "batch" in prior.columns:
-                        mx = prior.agg(F.max("batch")).first()[0]
-                        mxs[d] = -1 if mx is None else int(mx)
-                except AnalysisException:
-                    mxs[d] = -1
+            from .streaming.mediadedup import last_completed_batch
+
+            try:
+                prior = spark.read.parquet(args.out)
+                mx = (
+                    prior.agg(F.max("batch")).first()[0]
+                    if "batch" in prior.columns
+                    else None
+                )
+                out_mx = -1 if mx is None else int(mx)
+            except AnalysisException:
+                out_mx = -1
             # files-first/index-last crash ordering: accepted ahead of
             # the index means a crashed run — auto-advancing would
             # permanently orphan that batch's hashes (its dups admitted
             # forever). Refuse; the retry of the SAME batch id over the
-            # SAME drop is idempotent and heals it.
-            if mxs[args.out] > mxs[args.index]:
+            # SAME drop is idempotent and heals it. Completion is read
+            # from hash partitions OR the per-batch markers — a batch
+            # whose accepted files were all undecodable indexes nothing
+            # by design and must not read as a crash (ADVICE r9).
+            idx_mx = last_completed_batch(spark, args.index)
+            if out_mx > idx_mx:
                 raise SystemExit(
                     f"media-dedup --index: accepted sink is at batch "
-                    f"{mxs[args.out]} but the index is at {mxs[args.index]} "
+                    f"{out_mx} but the index is at {idx_mx} "
                     f"— a prior run crashed between its two writes. Re-run "
                     f"that batch's original --src with --batch-id "
-                    f"{mxs[args.out]} before gating new drops."
+                    f"{out_mx} before gating new drops."
                 )
-            bid = max(mxs.values()) + 1
+            bid = max(out_mx, idx_mx) + 1
         if args.kind == "pnmseq":
             from .streaming.mediadedup import process_clip_batch
 

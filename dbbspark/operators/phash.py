@@ -712,9 +712,17 @@ def hamming_ball_stats(
     hashes, reps, pairs = _rep_graph(df, id_col, hash_col, max_distance, bands)
     from ..session import cut_lineage
 
-    rep_rows = reps.take(driver_rep_threshold + 1)
-    if len(rep_rows) <= driver_rep_threshold:
-        res = _ball_stats_driver(hashes, reps, rep_rows, max_distance, bands, id_col)
+    # Gate on a count of the lineage-cut reps BEFORE collecting: an
+    # unconditional take(threshold+1) ships up to threshold+1 rows to
+    # the driver even when the rep graph exceeds the bound and the
+    # distributed regime runs anyway (ADVICE r9). The count materializes
+    # the localCheckpoint once; the collect then reads cached blocks —
+    # and it only happens when the driver regime is actually selected
+    # (the connected_components_adaptive pattern).
+    if reps.count() <= driver_rep_threshold:
+        res = _ball_stats_driver(
+            hashes, reps, reps.collect(), max_distance, bands, id_col
+        )
         if res is not None:
             return res
     # pairs feeds CC AND the weight computation — pin so the banding

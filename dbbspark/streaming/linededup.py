@@ -513,11 +513,20 @@ def process_batch(
     # partial snapshot.
     _commit_for_batch(spark, index_dir, updated, bid)
     if use_bloom:
-        batch_words = build_bloom(
+        # No prior filter but the index may hold pre-flag history (flag
+        # enabled mid-stream, or a snapshot healed to None): build from
+        # the full updated index, not the batch alone — a batch-only
+        # filter saved as corpus coverage makes every later batch
+        # silently skip joins against the older corpus (ADVICE r9).
+        src = (
             line_mentions(batch, id_col, text_col)
             .where(F.col("h").isNotNull())
             .select("h")
-            .distinct(),
+            if prior_bloom is not None
+            else updated.select("h")
+        )
+        batch_words = build_bloom(
+            src.distinct(),
             "h",
             # Union compatibility: a filter is only OR-able with one of
             # the same geometry, so inherit the prior's size.

@@ -60,6 +60,51 @@ from ..operators.phash import (
 _HASHES = {"dhash": dhash_col, "ahash": ahash_col, "audio": audio_hash_col}
 
 
+def _batches_root(index_dir: str) -> str:
+    # Sibling dir (the linededup `.bloom` device): the index root is read
+    # with partition discovery, which a foreign subdirectory would break.
+    return f"{index_dir.rstrip('/')}.batches"
+
+
+def _mark_batch_done(spark: SparkSession, index_dir: str, bid: int) -> None:
+    """Record batch completion INDEPENDENTLY of hash rows: a batch whose
+    accepted files were all NULL-hash/undecodable writes zero index rows
+    (accepted un-indexed by design), so the index's max batch partition
+    alone cannot distinguish 'completed with nothing to index' from
+    'crashed between the accepted and index writes' — the crash detector
+    would refuse forever (ADVICE r9). One tiny batch=<id> partition,
+    dynamic-overwrite idempotent under retry; written LAST, so a marker
+    at batch N proves every write of batch N landed."""
+    (
+        spark.createDataFrame([(1,)], "done int")
+        .withColumn("batch", F.lit(int(bid)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(_batches_root(index_dir))
+    )
+
+
+def last_completed_batch(spark: SparkSession, index_dir: str) -> int:
+    """Highest batch id known complete on the index side: the max over
+    hash partitions AND completion markers (-1 when neither exists).
+    Hash partitions count because pre-marker indexes (and crash windows
+    between the index write and the marker write) still prove the index
+    write itself landed — the only write whose loss orphans dedup
+    state."""
+    mx = -1
+    for d in (index_dir, _batches_root(index_dir)):
+        try:
+            df = spark.read.parquet(d)
+            if "batch" in df.columns:
+                v = df.agg(F.max("batch")).first()[0]
+                if v is not None:
+                    mx = max(mx, int(v))
+        except AnalysisException:
+            continue
+    return mx
+
+
 def _index_hashes(
     spark: SparkSession,
     index_dir: str,
@@ -192,22 +237,40 @@ def process_batch(
             .parquet(sink)
         )
     if use_bloom:
-        batch_words = build_bloom(
-            spark.read.parquet(index_dir)
-            .where(F.col("batch") == bid)
-            .select(
-                F.explode(F.array(*_band_cols("phash", bands))).alias("bv")
+        # No prior filter (first run, flag enabled mid-stream on an
+        # existing index, or a snapshot that healed to None): build from
+        # the FULL index, not the batch alone — a batch-only filter
+        # would be saved as if it covered the corpus and every later
+        # batch would silently accept near-dups of the pre-flag corpus
+        # (ADVICE r9). One scan of the 8-byte hash index, paid once.
+        try:
+            src = (
+                spark.read.parquet(index_dir)
+                .where(F.col("batch") == bid)
+                if prior_bloom is not None
+                else spark.read.parquet(index_dir).where(F.col("batch") <= bid)
             )
-            .select(
-                F.xxhash64(F.col("bv.band"), F.col("bv.val")).alias("__bk")
+        except AnalysisException:
+            # no index rows exist at all (an all-undecodable first
+            # batch): nothing to cover — skip saving; the next batch
+            # loads None and stays on the plain-join path
+            src = None
+        if src is not None:
+            batch_words = build_bloom(
+                src.select(
+                    F.explode(F.array(*_band_cols("phash", bands))).alias("bv")
+                )
+                .select(
+                    F.xxhash64(F.col("bv.band"), F.col("bv.val")).alias("__bk")
+                )
+                .distinct(),
+                "__bk",
+                num_bits=(len(prior_bloom) * 64) if prior_bloom else 1 << 24,
             )
-            .distinct(),
-            "__bk",
-            num_bits=(len(prior_bloom) * 64) if prior_bloom else 1 << 24,
-        )
-        if prior_bloom is not None:
-            batch_words = [a | b for a, b in zip(prior_bloom, batch_words)]
-        _save_bloom(spark, index_dir, bid, batch_words)
+            if prior_bloom is not None:
+                batch_words = [a | b for a, b in zip(prior_bloom, batch_words)]
+            _save_bloom(spark, index_dir, bid, batch_words)
+    _mark_batch_done(spark, index_dir, bid)
 
 
 def streaming_media_dedup(
@@ -422,3 +485,4 @@ def process_clip_batch(
             .partitionBy("batch")
             .parquet(sink)
         )
+    _mark_batch_done(spark, index_dir, bid)

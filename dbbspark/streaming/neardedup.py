@@ -161,11 +161,18 @@ def process_batch(
             .parquet(sink)
         )
     if use_bloom:
+        # No prior filter but the index may hold pre-flag batches: build
+        # from the FULL index, not the batch alone — a batch-only filter
+        # saved as corpus coverage silently accepts near-dups of the
+        # older corpus on every later batch (ADVICE r9).
+        src = (
+            spark.read.parquet(index_dir).where(F.col("batch") == bid)
+            if prior_bloom is not None
+            else spark.read.parquet(index_dir).where(F.col("batch") <= bid)
+        )
         batch_words = build_bloom(
             _band_signatures(
-                spark.read.parquet(index_dir)
-                .where(F.col("batch") == bid)
-                .select("doc", "perm", "minhash"),
+                src.select("doc", "perm", "minhash"),
                 bands,
                 rows_per_band,
             )

@@ -562,8 +562,10 @@ def test_media_dedup_incremental_refuses_index_lag(spark, tmp_path, capsys):
             "--src", str(drop)]
     assert cli.main(base) == 0
     capsys.readouterr()
-    # simulate the crash: the index write never happened
+    # simulate the crash: neither the index write nor the (later)
+    # completion marker happened — both are after the accepted write
     shutil.rmtree(idx)
+    shutil.rmtree(f"{idx}.batches")
     with pytest.raises(SystemExit, match="--batch-id 0"):
         cli.main(base)
     # the prescribed retry heals...
@@ -622,3 +624,30 @@ def test_media_dedup_cli_incremental_clips(spark, tmp_path, capsys):
         for r in spark.read.parquet(out).collect()
     }
     assert names == {"a.pnms", "b.pnms"}
+
+
+def test_media_dedup_auto_batch_id_zero_hash_batch(spark, tmp_path, capsys):
+    """ADVICE r9: a batch whose accepted files were all undecodable
+    indexes nothing by design — auto batch-id must NOT read that as a
+    crash (the old detector refused forever, and the prescribed
+    --batch-id retry indexed nothing again)."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pgm
+
+    day1, day2 = tmp_path / "junk_day", tmp_path / "real_day"
+    day1.mkdir(); day2.mkdir()
+    (day1 / "broken.pgm").write_bytes(b"P5 not really a pgm")
+    rng = np.random.default_rng(3)
+    (day2 / "a.pgm").write_bytes(
+        encode_pgm(rng.integers(0, 256, (24, 24)).astype(np.uint8))
+    )
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "acc")
+    base = ["media-dedup", "--kind", "pgm", "--index", idx, "--out", out]
+    assert cli.main(base + ["--src", str(day1)]) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["batch"] == 0 and s1["accepted"] == 1  # accepted un-indexed
+    # auto mode must advance to batch 1, not refuse
+    assert cli.main(base + ["--src", str(day2)]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["batch"] == 1 and s2["accepted"] == 1

@@ -490,3 +490,40 @@ def test_legacy_migration_reports_bloom_sibling(spark, tmp_path):
     ).write.parquet(f"{bloom}/v=2")
     assert migrate_legacy_index(spark, idx) == {bloom: [2]}
     assert migrate_legacy_index(spark, idx) == {}
+
+
+def test_bloom_enabled_mid_stream_covers_prior_corpus(spark, tmp_path):
+    """ADVICE r9: turning use_bloom on over an index with pre-flag
+    history must save a filter covering the FULL index, not the enabling
+    batch — else later batches skip joins against the older corpus and
+    boilerplate lines sail through."""
+    from dbbspark.streaming.linededup import process_batch
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    # batch 0 (bloom off): BOILER reaches df=2 — at min_df=2 any later
+    # occurrence must be cut
+    process_batch(
+        spark.createDataFrame(
+            [(1, f"{BOILER}\n{BODY1}"), (2, f"{BOILER}\n{BODY2}")],
+            "doc_id long, text string",
+        ),
+        0, idx, out,
+    )
+    # batch 1: bloom turns ON with a doc that shares nothing with the
+    # pre-flag corpus; the saved filter must cover BOILER anyway
+    process_batch(
+        spark.createDataFrame([(3, BODY3)], "doc_id long, text string"),
+        1, idx, out, use_bloom=True,
+    )
+    # batch 2: BOILER again — a batch-only filter from batch 1 would
+    # prove its hash absent, skip the join, and keep the line (bug)
+    process_batch(
+        spark.createDataFrame(
+            [(4, f"{BOILER}\n{BODY4}")], "doc_id long, text string"
+        ),
+        2, idx, out, use_bloom=True,
+    )
+    texts = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    assert texts[4] == BODY4  # boilerplate cut against pre-flag corpus

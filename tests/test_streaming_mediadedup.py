@@ -303,3 +303,77 @@ def test_clip_resubmitted_path_rejects_against_its_indexed_self(spark, tmp_path)
     rows = spark.read.parquet(acc).collect()
     assert [(r["path"], r["batch"]) for r in rows] == [("a1", 0)]
     assert spark.read.parquet(idx).count() == 8
+
+
+def test_bloom_enabled_mid_stream_covers_prior_corpus(spark, tmp_path):
+    """ADVICE r9: when use_bloom turns on over an index that already
+    holds pre-flag batches, the first saved filter must cover the FULL
+    index, not the enabling batch alone — otherwise every later batch
+    silently accepts near-dups of the pre-flag corpus."""
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    # batch 0: bloom OFF — a1 accepted, indexed, no filter saved
+    process_batch(
+        spark.createDataFrame([("a1", _img(1))], "path string, content binary"),
+        0, idx, acc, use_bloom=False,
+    )
+    # batch 1: bloom turns ON with an unrelated fresh image; prior filter
+    # is None — the saved filter must be rebuilt from the whole index
+    process_batch(
+        spark.createDataFrame([("b1", _img(2))], "path string, content binary"),
+        1, idx, acc, use_bloom=True,
+    )
+    # batch 2: a resized re-encode of the PRE-FLAG a1 — a batch-only
+    # filter from batch 1 would prove its band keys absent and skip the
+    # join (silent accept); full-index coverage rejects it
+    process_batch(
+        spark.createDataFrame(
+            [("a2", _resized(1))], "path string, content binary"
+        ),
+        2, idx, acc, use_bloom=True,
+    )
+    assert {r["path"] for r in spark.read.parquet(acc).collect()} == {
+        "a1", "b1",
+    }
+
+
+def test_zero_hash_batch_marks_completion(spark, tmp_path):
+    """ADVICE r9: a batch whose accepted files were all undecodable
+    writes zero index rows by design — the completion marker must still
+    advance so the crash detector does not read it as a crashed run,
+    while a true crash (neither hashes nor marker) still reads behind."""
+    import shutil
+
+    from dbbspark.streaming.mediadedup import last_completed_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    assert last_completed_batch(spark, idx) == -1
+    process_batch(
+        spark.createDataFrame(
+            [("junk", b"\x00not media")], "path string, content binary"
+        ),
+        0, idx, acc,
+    )
+    # accepted but nothing indexable — completion still recorded
+    assert {r["path"] for r in spark.read.parquet(acc).collect()} == {"junk"}
+    assert last_completed_batch(spark, idx) == 0
+    # a real batch advances both hash partitions and markers
+    process_batch(
+        spark.createDataFrame([("a1", _img(1))], "path string, content binary"),
+        1, idx, acc,
+    )
+    assert last_completed_batch(spark, idx) == 1
+    # simulate a crash of batch 2 between the accepted and index writes:
+    # accepted advances, hashes and marker do not → detector reads 1
+    (
+        spark.createDataFrame([("x", b"")], "path string, content binary")
+        .withColumn("batch", F.lit(2))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(acc)
+    )
+    assert last_completed_batch(spark, idx) == 1
+    # markers survive an index-dir rebuild only if untouched; a clip
+    # gate writes them too (shared helper) — covered by the cli tests
+    shutil.rmtree(idx)
+    assert last_completed_batch(spark, idx) == 1  # markers alone still count

@@ -158,3 +158,31 @@ def test_streaming_equals_direct_batch(spark, tmp_path):
     accepted, sigs = gate_batch(batch, empty_idx)
     assert {r["doc_id"] for r in accepted.collect()} == {1, 3}
     assert sigs.count() == 2 * 16
+
+
+def test_bloom_enabled_mid_stream_covers_prior_corpus(spark, tmp_path):
+    """ADVICE r9: turning use_bloom on over an index with pre-flag
+    batches must save a filter covering the FULL signature index, not
+    the enabling batch — else later batches silently accept near-dups
+    of the pre-flag corpus."""
+    from dbbspark.streaming.neardedup import process_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    # batch 0 (bloom off): BANK accepted and indexed
+    process_batch(
+        spark.createDataFrame([(1, BANK)], ["doc_id", "text"]),
+        0, idx, acc, use_bloom=False,
+    )
+    # batch 1: bloom turns ON with an unrelated doc (prior filter None)
+    process_batch(
+        spark.createDataFrame([(2, SPARK)], ["doc_id", "text"]),
+        1, idx, acc, use_bloom=True,
+    )
+    # batch 2: a near-dup of the PRE-FLAG doc 1 — must reject
+    process_batch(
+        spark.createDataFrame([(3, BEND)], ["doc_id", "text"]),
+        2, idx, acc, use_bloom=True,
+    )
+    assert {
+        r["doc_id"] for r in spark.read.parquet(acc).collect()
+    } == {1, 2}
