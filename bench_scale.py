@@ -596,7 +596,16 @@ def _video_bench(spark, n_families: int = 1000) -> None:
     scoring. Reported separately: fingerprint cost (the Python
     crossing) vs pair cost (pure JVM); the pair count sanity-checks
     recall (every family should contribute its 3 within-family clip
-    pairs)."""
+    pairs).
+
+    DEGENERATE STRATUM (VERDICT r9 item 1): every clip carries one
+    planted solid-black frame — the real-crawl pathology where 3N clips
+    share a hash. The run scores twice: with ``min_thumb_variance`` (the
+    production setting — candidate volume linear, asserted against a
+    linear bound) and without (the unmitigated control at the SAME
+    corpus, reported so the blow-up is a recorded number). Recall is
+    asserted on the policy run: planted black frames must not cost the
+    within-family pairs."""
     import time as _t
 
     import numpy as np
@@ -624,6 +633,10 @@ def _video_bench(spark, n_families: int = 1000) -> None:
                         ) * np.cos(2 * np.pi * fy * y / 48 - 0.08 * t)
                     f = 128 + 40 * f
                     frames.append(np.clip(f, 0, 255).astype(np.uint8))
+                # the degenerate stratum: a black frame in EVERY clip,
+                # at an index the 8-of-24 sampler picks (13) so the base
+                # and frame-dropped variants both fingerprint it
+                frames[13] = np.zeros((48, 64), dtype=np.uint8)
                 rows.append((fam * 4, bytearray(encode_pnm_seq(frames))))
                 rows.append(
                     (
@@ -653,15 +666,33 @@ def _video_bench(spark, n_families: int = 1000) -> None:
     n_frames = frames.count()
     t_fp = _t.time() - t0
     t0 = _t.time()
+    tel = {}
     n_pairs = score_clip_pairs(
-        frames, id_col="id", max_distance=6, min_frac=0.5
+        frames, id_col="id", max_distance=6, min_frac=0.5,
+        min_thumb_variance=25.0, telemetry=tel,
     ).count()
     t_pairs = _t.time() - t0
+    n_clips = 3 * n_families
+    assert tel["n_candidates"] <= 40 * n_clips, (
+        f"degenerate stratum must stay linear: {tel['n_candidates']} "
+        f"candidates for {n_clips} clips"
+    )
+    t0 = _t.time()
+    tel_off = {}
+    n_pairs_off = score_clip_pairs(
+        frames, id_col="id", max_distance=6, min_frac=0.5,
+        telemetry=tel_off,
+    ).count()
+    t_off = _t.time() - t0
     print(json.dumps({
-        "op": "video_corpus", "clips": 3 * n_families,
+        "op": "video_corpus", "clips": n_clips,
         "frame_rows": n_frames, "fingerprint_sec": round(t_fp, 2),
         "pairs_sec": round(t_pairs, 2), "clip_pairs": n_pairs,
         "min_expected_pairs": n_families * 3,
+        "candidates_policy": tel["n_candidates"],
+        "unmitigated_sec": round(t_off, 2),
+        "clip_pairs_unmitigated": n_pairs_off,
+        "candidates_unmitigated": tel_off["n_candidates"],
     }))
 
 

@@ -391,6 +391,7 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
                 n_samples=args.n_samples,
                 max_distance=args.max_distance,
                 min_frac=args.min_frac,
+                min_thumb_variance=args.min_thumb_variance,
             )
         else:
             gate_media_batch(
@@ -401,6 +402,7 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
                 kind=args.kind,
                 hash_kind=args.hash_kind,
                 max_distance=args.max_distance,
+                min_thumb_variance=args.min_thumb_variance,
             )
         n_acc = (
             spark.read.parquet(args.out)
@@ -431,6 +433,7 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
                 n_samples=args.n_samples,
                 max_distance=args.max_distance,
                 min_frac=args.min_frac,
+                min_thumb_variance=args.min_thumb_variance,
             ).select("id_a", "id_b")
         )
         comps = connected_components_adaptive(
@@ -465,9 +468,12 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
             hash_kind
         ]
         hashed = cut_lineage(
-            thumbnails(media, kind=args.kind, on_unregistered="error").select(
-                "path", hash_fn("thumb").alias("phash")
-            )
+            thumbnails(
+                media,
+                kind=args.kind,
+                on_unregistered="error",
+                min_variance=args.min_thumb_variance,
+            ).select("path", hash_fn("thumb").alias("phash"))
         )
         groups = hamming_groups(
             hashed, "path", "phash", max_distance=args.max_distance
@@ -838,6 +844,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     md.add_argument("--n-samples", type=int, default=8, help="sampled frames per clip")
     md.add_argument("--min-frac", type=float, default=0.5, help="clip frame-match fraction")
+    md.add_argument(
+        "--min-thumb-variance",
+        type=float,
+        default=None,
+        help="degenerate-media policy: frames/stills whose thumbnail "
+        "variance falls below this (solid black/white, fades, title "
+        "cards) are excluded from perceptual pairing — set on real "
+        "crawls so M clips sharing a black frame cost O(M), not O(M²)",
+    )
     md.add_argument("--out", default=None, help="write the kept file list (parquet)")
     md.add_argument(
         "--index",

@@ -188,6 +188,7 @@ def thumbnails(
     kind: str = "pgm",
     content_col: str = "content",
     on_unregistered: str | None = None,
+    min_variance: float | None = None,
 ) -> DataFrame:
     """Attach a ``thumb`` array<double> column: 81 block means (images),
     65 window energies (wav). Arrow-batched mapInPandas, map-only —
@@ -205,7 +206,18 @@ def thumbnails(
       the resize/frame legs);
     - ``'error'`` — raise at plan time;
     - ``None`` (default) — ``'fake'`` plus a once-per-kind warning, so
-      legacy callers keep today's behavior but a typo is visible."""
+      legacy callers keep today's behavior but a typo is visible.
+
+    ``min_variance`` is the degenerate-media policy knob (VERDICT r9
+    item 1): a thumbnail whose value variance falls below it — solid
+    black/white frames, test cards, silence — is NULLed, so the file
+    hashes NULL and MATCHES NOTHING. Rationale: a corpus's degenerate
+    stratum piles one identical hash into every band bucket, making
+    all-pairs emission O(M²) in the stratum size; flat media carries no
+    perceptual identity worth pairing on, and a gate accepts it
+    un-indexed (the undecodable-media stance). Callers who DO want
+    flat-media grouping use `hamming_groups`' representative form,
+    which is linear by construction."""
     _load_default_thumbnailers()
     if on_unregistered not in (None, "fake", "null", "error"):
         raise ValueError(
@@ -246,9 +258,16 @@ def thumbnails(
         if raw is None:
             return None
         try:
-            return fn(bytes(raw))
+            vals = fn(bytes(raw))
         except Exception:  # malformed media → NULL, row survives
             return None
+        if (
+            min_variance is not None
+            and vals is not None
+            and float(np.var(np.asarray(vals, dtype=np.float64))) < min_variance
+        ):
+            return None  # degenerate (flat) media → NULL, matches nothing
+        return vals
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -337,6 +356,76 @@ def audio_hash_col(
     return _assemble(energies_col, terms)
 
 
+def thumb_variance_col(thumb_col: str = "thumb") -> Column:
+    """Population variance of the thumbnail values — the degenerate-media
+    detector (VERDICT r9 item 1): a solid/black/fade frame or a silent
+    audio span has near-zero block-mean variance, while any real scene
+    structure clears single-digit thresholds on the 0-255 scale. Pure
+    JVM (higher-order aggregate over the array), NULL for NULL thumbs —
+    one projection, codegen territory, no Python."""
+    s1 = f"aggregate({thumb_col}, 0D, (a, x) -> a + x)"
+    s2 = f"aggregate({thumb_col}, 0D, (a, x) -> a + x * x)"
+    n = f"cast(size({thumb_col}) as double)"
+    return F.expr(
+        f"CASE WHEN {thumb_col} IS NULL THEN NULL "
+        f"ELSE {s2} / {n} - pow({s1} / {n}, 2) END"
+    )
+
+
+def _fill_band_telemetry(
+    banded: DataFrame, telemetry: dict, corpus_banded: DataFrame | None = None
+) -> None:
+    """Aggregate the banded relation's bucket histogram into ``telemetry``
+    (the no-silent-caps stance jaccard's max_df cap takes for drops,
+    VERDICT r9 item 6): a degenerate-stratum blow-up should be a visible
+    number BEFORE it is a hung job. ``sum_bucket_sq`` bounds the
+    self-join candidate volume (Σ n·(n−1)/2 ≤ Σ n²); with
+    ``corpus_banded`` the candidate volume is the cross form
+    Σ new·corpus over shared buckets. One eager aggregate, only when the
+    caller opts in."""
+    counts = banded.groupBy("band", "val").agg(F.count("*").alias("_n"))
+    if corpus_banded is None:
+        row = counts.agg(
+            F.count("*").alias("n_buckets"),
+            F.coalesce(F.max("_n"), F.lit(0)).alias("max_bucket"),
+            F.coalesce(F.sum(F.col("_n") * F.col("_n")), F.lit(0)).alias(
+                "sum_bucket_sq"
+            ),
+        ).first()
+        telemetry.update(
+            n_buckets=int(row["n_buckets"]),
+            max_bucket=int(row["max_bucket"]),
+            sum_bucket_sq=int(row["sum_bucket_sq"]),
+        )
+    else:
+        corp = corpus_banded.groupBy("band", "val").agg(
+            F.count("*").alias("_c")
+        )
+        row = (
+            counts.join(corp, ["band", "val"])
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.coalesce(
+                    F.max(F.col("_n") * F.col("_c")), F.lit(0)
+                ).alias("max_bucket"),
+                F.coalesce(
+                    F.sum(F.col("_n") * F.col("_c")), F.lit(0)
+                ).alias("sum_bucket_sq"),
+            )
+            .first()
+        )
+        telemetry.update(
+            n_buckets=int(row["n_buckets"]),
+            max_bucket=int(row["max_bucket"]),
+            sum_bucket_sq=int(row["sum_bucket_sq"]),
+        )
+    import logging
+
+    logging.getLogger(__name__).info(
+        "hamming banding telemetry: %s", telemetry
+    )
+
+
 def dhash_oracle_sql(thumb_sql: Callable[[int], str], grid: int = GRID) -> str:
     """The DuckDB form of `dhash_col` for oracle folds: ``thumb_sql(i)``
     renders the SQL for 0-based thumbnail element i (e.g. the sha256
@@ -410,6 +499,7 @@ def hamming_pairs(
     hash_col: str,
     max_distance: int = 6,
     bands: int | None = None,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b, distance): all pairs within Hamming distance
     ``max_distance`` of each other's 64-bit perceptual hash, id_a <
@@ -452,6 +542,11 @@ def hamming_pairs(
     banded = hashes.select(
         "_pid", "_ph", F.explode(F.array(*_band_cols("_ph", bands))).alias("bv")
     ).select("_pid", "_ph", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    if telemetry is not None:
+        # opt-in bucket histogram (Σ bucket², max bucket) — an eager
+        # aggregate that re-evaluates the hash projection once; pass a
+        # lineage-cut relation if that matters
+        _fill_band_telemetry(banded.select("band", "val"), telemetry)
     a = banded.alias("a")
     b = banded.alias("b")
     xor = F.col("a._ph").bitwiseXOR(F.col("b._ph"))
@@ -500,6 +595,7 @@ def hamming_incremental_pairs(
     max_distance: int = 6,
     bands: int | None = None,
     corpus_band_bloom: list[int] | None = None,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b, distance, against): Hamming-ball pairs of NEW rows
     against a persisted corpus hash index plus within the batch itself —
@@ -559,7 +655,16 @@ def hamming_incremental_pairs(
             .where(F.col("maybe_known"))
             .drop("maybe_known", "__bk")
         )
-    a, b = new_b.alias("a"), banded(corpus).alias("b")
+    corpus_b = banded(corpus)
+    if telemetry is not None:
+        # cross-form candidate volume: Σ new·corpus over shared buckets
+        # (post-bloom new side — the filter's savings are visible here)
+        _fill_band_telemetry(
+            new_b.select("band", "val"),
+            telemetry,
+            corpus_banded=corpus_b.select("band", "val"),
+        )
+    a, b = new_b.alias("a"), corpus_b.alias("b")
     xor = F.col("a._ph").bitwiseXOR(F.col("b._ph"))
     dist = F.bit_count(xor)
     vs_corpus = (

@@ -178,6 +178,7 @@ def process_batch(
     max_distance: int = 4,
     bands: int | None = None,
     use_bloom: bool = False,
+    min_thumb_variance: float | None = None,
 ) -> None:
     """One micro-batch's side effects, idempotent under foreachBatch
     retry (module-level so the retry contract is directly testable).
@@ -190,7 +191,11 @@ def process_batch(
     next to the index (linededup's versioned snapshot layout and
     predecessor rule), updated by UNIONING in the accepted batch's own
     bucket keys — one batch-sized aggregation, the corpus never
-    rescanned. Missing filter self-heals to the plain join."""
+    rescanned. Missing filter self-heals to the plain join.
+    ``min_thumb_variance`` NULLs degenerate (flat) media's thumbnails —
+    solid frames hash NULL, match nothing, and are accepted un-indexed
+    (the `thumbnails` policy; M black stills then cost O(M), not
+    O(M²) band-bucket pairs)."""
     from ..operators.bloom import build_bloom
     from ..operators.phash import _band_cols
     from .linededup import _save_bloom, load_bloom
@@ -205,7 +210,11 @@ def process_batch(
     # on_unregistered='error': a gate hashing sha256 fakes would dedup
     # garbage silently — refuse at plan time, the cli media-dedup stance
     hashed = thumbnails(
-        batch, kind=kind, content_col=content_col, on_unregistered="error"
+        batch,
+        kind=kind,
+        content_col=content_col,
+        on_unregistered="error",
+        min_variance=min_thumb_variance,
     ).select(*batch.columns, _HASHES[hk]("thumb").alias("phash"))
     prior_bloom = load_bloom(spark, index_dir, before=bid) if use_bloom else None
     accepted = gate_batch(
@@ -285,6 +294,7 @@ def streaming_media_dedup(
     max_distance: int = 4,
     bands: int | None = None,
     use_bloom: bool = False,
+    min_thumb_variance: float | None = None,
 ):
     """Run the gate over a streaming DataFrame of media files; returns
     the started StreamingQuery (caller awaits termination — availableNow
@@ -303,6 +313,7 @@ def streaming_media_dedup(
             max_distance=max_distance,
             bands=bands,
             use_bloom=use_bloom,
+            min_thumb_variance=min_thumb_variance,
         )
 
     return (
@@ -319,17 +330,22 @@ def _index_frames(
     before: int | None = None,
     id_type: str = "string",
 ) -> DataFrame:
-    """The persisted clip-frame index (mid, fidx, fhash, n_sampled) —
-    n_samples rows of 8-byte hashes per accepted clip; empty on first
-    run. Same ``before`` retry rule as `_index_hashes`."""
+    """The persisted clip-frame index (mid, fidx, fhash, n_sampled,
+    fvar) — n_samples rows of hashes (+ one double of thumb variance,
+    the degenerate-frame policy input) per accepted clip; empty on
+    first run. A legacy index predating the fvar column reads it NULL,
+    which the policy treats as live (today's behavior, never silent
+    dropping). Same ``before`` retry rule as `_index_hashes`."""
     try:
-        idx = spark.read.parquet(index_dir)
+        idx = spark.read.option("mergeSchema", "true").parquet(index_dir)
         if before is not None and "batch" in idx.columns:
             idx = idx.where(F.col("batch") < before)
-        return idx.select("mid", "fidx", "fhash", "n_sampled")
+        if "fvar" not in idx.columns:
+            idx = idx.withColumn("fvar", F.lit(None).cast("double"))
+        return idx.select("mid", "fidx", "fhash", "n_sampled", "fvar")
     except AnalysisException:
         return spark.createDataFrame(
-            [], f"mid {id_type}, fidx int, fhash long, n_sampled int"
+            [], f"mid {id_type}, fidx int, fhash long, n_sampled int, fvar double"
         )
 
 
@@ -340,69 +356,77 @@ def gate_clip_batch(
     max_distance: int = 6,
     min_frac: float = 0.5,
     bands: int | None = None,
+    min_thumb_variance: float | None = None,
 ) -> DataFrame:
     """Rejected clip ids of a `clip_fingerprints` batch against a clip
-    index — the frame-sequence form of `gate_batch`: frame-level
-    Hamming-ball pairing (new×corpus + new×new, never corpus×corpus via
-    `hamming_incremental_pairs` over composite (clip, frame) ids), then
-    `score_clip_pairs`' fraction-of-frames-matched rule on each leg. A
-    batch clip is rejected when it scores against an ACCEPTED corpus
-    clip, or — within the batch — against a smaller-id batch clip
-    (greedy keep-lowest, the gate family's convergence contract).
-    Temporal offsets and frame drops are tolerated exactly as in
-    `video_near_dup`: frames match regardless of index."""
+    index — the frame-sequence form of `gate_batch`: Hamming-ball
+    pairing over DISTINCT frame hashes (new×corpus + new×new, never
+    corpus×corpus, with per-(clip, hash) multiplicities carried as
+    counts — `score_clip_pairs`' representative routing, so an
+    identical frame shared by M corpus clips costs one representative
+    in the band join, never M posting rows per band), then the
+    fraction-of-frames-matched rule on each leg. A batch clip is
+    rejected when it scores against an ACCEPTED corpus clip, or —
+    within the batch — against a smaller-id batch clip (greedy
+    keep-lowest, the gate family's convergence contract). Temporal
+    offsets and frame drops are tolerated exactly as in
+    `video_near_dup`: frames match regardless of index. On the corpus
+    leg same-id pairs are KEPT — a re-submitted path must reject
+    against its indexed self, exactly as a re-submitted still does.
+
+    ``min_thumb_variance`` (VERDICT r9 item 1): degenerate frames —
+    solid black/white, fades, title cards — are excluded from pairing
+    AND from the fraction denominators on both legs, so a shared title
+    card neither welds unrelated clips nor (at corpus scale) emits a
+    candidate row per (batch black frame × corpus black frame). Batch
+    clips with NO live frames take a separate linear leg: their
+    signature (min frame hash) rejects against an accepted
+    all-degenerate corpus clip's signature within ``max_distance``, or
+    a smaller-id all-degenerate batch clip's — two all-black clips
+    still dedup, via bucket-min arithmetic instead of pair emission. A
+    legacy index without the fvar column reads all-live (no degenerate
+    corpus stratum) until re-indexed."""
     from ..operators.phash import hamming_incremental_pairs
+    from ..operators.video import _clip_hash_counts, _hash_ball, _live_frames
+    from ..session import cut_lineage
 
     if not 0.0 < min_frac <= 1.0:
         raise ValueError("min_frac must be in (0, 1]")
-    new_f = batch_frames.select(
-        F.struct(F.col(id_col).alias("cid"), F.col("fidx").alias("fidx")).alias(
-            "_fid"
-        ),
-        F.col("fhash").alias("_fh"),
+    new_ch = cut_lineage(
+        _clip_hash_counts(_live_frames(batch_frames, min_thumb_variance), id_col)
     )
-    corp_f = index_frames.select(
-        F.struct(F.col("mid").alias("cid"), F.col("fidx").alias("fidx")).alias(
-            "_fid"
-        ),
-        F.col("fhash").alias("_fh"),
+    corp_ch = _clip_hash_counts(
+        _live_frames(index_frames, min_thumb_variance), "mid"
     )
-    # the same-cid filter applies ONLY within the batch (a clip's own
-    # temporally-adjacent frames hash close — that is not duplication).
-    # On the corpus leg a same-cid pair is the batch clip vs the INDEXED
-    # version of itself — a re-submitted path must reject, exactly as a
-    # re-submitted still does (its hash pairs with its indexed self).
-    pairs = hamming_incremental_pairs(
-        new_f, corp_f, "_fid", "_fh", max_distance=max_distance, bands=bands
-    ).where(
-        (F.col("against") == "corpus")
-        | (F.col("id_a.cid") != F.col("id_b.cid"))
-    )
-    new_sizes = batch_frames.groupBy(id_col).agg(
-        F.max("n_sampled").alias("_n")
-    )
-    corp_sizes = index_frames.groupBy("mid").agg(
-        F.max("n_sampled").alias("_n")
-    )
+    new_sizes = new_ch.groupBy("_cid").agg(F.sum("_nf").alias("_n"))
+    corp_sizes = corp_ch.groupBy("_cid").agg(F.sum("_nf").alias("_n"))
 
-    def scored(leg: DataFrame, b_sizes: DataFrame) -> DataFrame:
-        """Clip pairs of one leg passing BOTH fraction thresholds;
-        id_a is always the new-batch clip."""
-        g = leg.groupBy(
-            F.col("id_a.cid").alias("_ca"), F.col("id_b.cid").alias("_cb")
-        ).agg(
-            F.countDistinct("id_a.fidx").alias("_m_a"),
-            F.countDistinct("id_b.fidx").alias("_m_b"),
+    def _passing(cand: DataFrame, a_sizes: DataFrame, b_sizes: DataFrame):
+        """Clip pairs passing BOTH fraction thresholds over a candidate
+        relation (_ca, _ha, _nfa, _hb, _nfb): a frame matches the other
+        side iff its hash has >= 1 ball edge there, so each side's
+        matched count folds through its distinct-hash level."""
+        ma = (
+            cand.groupBy("_ca", "_cb", "_ha")
+            .agg(F.max("_nfa").alias("_nfa"))
+            .groupBy("_ca", "_cb")
+            .agg(F.sum("_nfa").alias("_m_a"))
+        )
+        mb = (
+            cand.groupBy("_ca", "_cb", "_hb")
+            .agg(F.max("_nfb").alias("_nfb"))
+            .groupBy("_ca", "_cb")
+            .agg(F.sum("_nfb").alias("_m_b"))
         )
         return (
-            g.join(
-                new_sizes.select(
-                    F.col(id_col).alias("_ca"), F.col("_n").alias("_n_a")
-                ),
+            ma.join(mb, ["_ca", "_cb"])
+            .join(
+                a_sizes.select(F.col("_cid").alias("_ca"), F.col("_n").alias("_n_a")),
                 "_ca",
             )
             .join(
-                b_sizes.select(F.col("_cb"), F.col("_n").alias("_n_b")), "_cb"
+                b_sizes.select(F.col("_cid").alias("_cb"), F.col("_n").alias("_n_b")),
+                "_cb",
             )
             .where(
                 (F.col("_m_a") / F.col("_n_a") >= min_frac)
@@ -410,17 +434,151 @@ def gate_clip_batch(
             )
         )
 
-    vs_corpus = scored(
-        pairs.where(F.col("against") == "corpus"),
-        corp_sizes.select(F.col("mid").alias("_cb"), "_n"),
+    def _expand(a_ch: DataFrame, ball: DataFrame, b_ch: DataFrame) -> DataFrame:
+        return (
+            a_ch.select(
+                F.col("_cid").alias("_ca"),
+                F.col("_h").alias("_ha"),
+                F.col("_nf").alias("_nfa"),
+            )
+            .join(ball, "_ha")
+            .join(
+                b_ch.select(
+                    F.col("_cid").alias("_cb"),
+                    F.col("_h").alias("_hb"),
+                    F.col("_nf").alias("_nfb"),
+                ),
+                "_hb",
+            )
+        )
+
+    # corpus leg: directed new-hash → corpus-hash ball via the
+    # incremental banding (identical hashes collide in every band and
+    # emit once at distance 0; never corpus×corpus)
+    ball_corp = hamming_incremental_pairs(
+        new_ch.select("_h").distinct().select(
+            F.col("_h").alias("id"), F.col("_h").alias("h")
+        ),
+        corp_ch.select("_h").distinct().select(
+            F.col("_h").alias("id"), F.col("_h").alias("h")
+        ),
+        "id",
+        "h",
+        max_distance=max_distance,
+        bands=bands,
+    ).where(F.col("against") == "corpus").select(
+        F.col("id_a").alias("_ha"), F.col("id_b").alias("_hb")
+    )
+    vs_corpus = _passing(
+        cut_lineage(_expand(new_ch, ball_corp, corp_ch)),
+        new_sizes,
+        corp_sizes,
     ).select(F.col("_ca").alias(id_col))
-    # within batch: composite-struct ordering is clip-major, so _ca is
-    # the smaller clip id — reject _cb (greedy keep-lowest)
-    vs_new = scored(
-        pairs.where(F.col("against") == "new"),
-        new_sizes.select(F.col(id_col).alias("_cb"), "_n"),
+
+    # within batch: full directed ball over the batch's distinct hashes
+    # (self-loops included — two batch clips sharing a frame), canonical
+    # _ca < _cb so rejecting _cb is greedy keep-lowest
+    ball_new = _hash_ball(new_ch.select("_h").distinct(), max_distance, bands)
+    vs_new = _passing(
+        cut_lineage(
+            _expand(new_ch, ball_new, new_ch).where(F.col("_ca") < F.col("_cb"))
+        ),
+        new_sizes,
+        new_sizes,
     ).select(F.col("_cb").alias(id_col))
-    return vs_corpus.unionByName(vs_new).distinct()
+
+    rejected = vs_corpus.unionByName(vs_new)
+
+    if min_thumb_variance is not None:
+        rejected = rejected.unionByName(
+            _degenerate_clip_rejections(
+                batch_frames,
+                index_frames,
+                id_col,
+                max_distance,
+                bands,
+                min_thumb_variance,
+            )
+        )
+    return rejected.distinct()
+
+
+def _degenerate_clip_rejections(
+    batch_frames: DataFrame,
+    index_frames: DataFrame,
+    id_col: str,
+    max_distance: int,
+    bands: int | None,
+    min_thumb_variance: float,
+) -> DataFrame:
+    """Rejected ids among the batch's ALL-degenerate clips (no frame
+    clearing the variance threshold): signature = min frame hash; reject
+    when an accepted all-degenerate corpus clip's signature is within
+    the ball, or a smaller-id all-degenerate batch clip's is. Linear by
+    construction: corpus signatures dedup to DISTINCT values before the
+    incremental banding, and the within-batch keep-lowest rule is
+    bucket-min arithmetic (a clip has a smaller-id colliding neighbor
+    iff it is not its own signature bucket's min, or an adjacent
+    bucket's min id is smaller) — no pair of degenerate clips is ever
+    materialized."""
+    from ..operators.phash import hamming_incremental_pairs
+    from ..operators.video import _hash_ball
+    from ..session import cut_lineage
+
+    live = F.col("fvar").isNull() | (F.col("fvar") >= min_thumb_variance)
+
+    def _degen(frames: DataFrame, cid: str) -> DataFrame:
+        per = frames.groupBy(F.col(cid).alias("_cid")).agg(
+            F.sum(F.when(live, 1).otherwise(0)).alias("_nl"),
+            F.min("fhash").alias("_sig"),
+        )
+        return per.where((F.col("_nl") == 0) & F.col("_sig").isNotNull())
+
+    new_dg = cut_lineage(_degen(batch_frames, id_col))
+    corp_sigs = _degen(index_frames, "mid").select("_sig").distinct()
+    hit = (
+        hamming_incremental_pairs(
+            new_dg.select("_sig").distinct().select(
+                F.col("_sig").alias("id"), F.col("_sig").alias("h")
+            ),
+            corp_sigs.select(F.col("_sig").alias("id"), F.col("_sig").alias("h")),
+            "id",
+            "h",
+            max_distance=max_distance,
+            bands=bands,
+        )
+        .where(F.col("against") == "corpus")
+        .select(F.col("id_a").alias("_sig"))
+        .distinct()
+    )
+    rej_corp = new_dg.join(hit, "_sig").select(F.col("_cid").alias(id_col))
+    sig_min = cut_lineage(
+        new_dg.groupBy("_sig").agg(F.min("_cid").alias("_bmin"))
+    )
+    adj = (
+        _hash_ball(
+            sig_min.select(F.col("_sig").alias("_h")), max_distance, bands
+        )
+        .where(F.col("_ha") != F.col("_hb"))
+        .join(
+            sig_min.select(
+                F.col("_sig").alias("_hb"), F.col("_bmin").alias("_omin")
+            ),
+            "_hb",
+        )
+        .groupBy(F.col("_ha").alias("_sig"))
+        .agg(F.min("_omin").alias("_adjmin"))
+    )
+    rej_new = (
+        new_dg.join(sig_min, "_sig")
+        .join(adj, "_sig", "left")
+        .where(
+            (F.col("_cid") > F.col("_bmin"))
+            | (F.col("_cid") > F.coalesce(F.col("_adjmin"), F.col("_cid")))
+        )
+        .select(F.col("_cid").alias(id_col))
+    )
+    return rej_corp.unionByName(rej_new)
 
 
 def process_clip_batch(
@@ -435,15 +593,19 @@ def process_clip_batch(
     max_distance: int = 6,
     min_frac: float = 0.5,
     bands: int | None = None,
+    min_thumb_variance: float | None = None,
 ) -> None:
     """One micro-batch of CLIPS through the perceptual gate — the
     frame-sequence counterpart of `process_batch`, same crash/retry
     contract (files first, index last; batch=<id> dynamic-partition
     overwrites; index read excludes partitions >= batch_id). The index
-    holds n_samples (fidx, fhash) rows per accepted clip — 8 bytes per
-    sampled frame of dedup state; the clip bytes are never re-read.
-    Undecodable clips yield no fingerprint rows, pass the gate, and are
-    never indexed (the `clip_fingerprints` malformed-clip stance)."""
+    holds n_samples (fidx, fhash, fvar) rows per accepted clip — 8
+    bytes of hash plus the thumb variance per sampled frame of dedup
+    state; the clip bytes are never re-read. Undecodable clips yield no
+    fingerprint rows, pass the gate, and are never indexed (the
+    `clip_fingerprints` malformed-clip stance). ``min_thumb_variance``
+    is the degenerate-frame policy (see `gate_clip_batch`) — set it on
+    real crawls, where black/fade/title frames dominate."""
     from ..operators.video import clip_fingerprints
     from ..session import cut_lineage
 
@@ -470,12 +632,13 @@ def process_clip_batch(
         max_distance,
         min_frac,
         bands,
+        min_thumb_variance=min_thumb_variance,
     )
     accepted = batch.join(rejected, id_col, "left_anti")
     accepted_frames = frames.join(
         rejected, id_col, "left_anti"
     ).select(
-        F.col(id_col).alias("mid"), "fidx", "fhash", "n_sampled"
+        F.col(id_col).alias("mid"), "fidx", "fhash", "n_sampled", "fvar"
     )
     for df, sink in ((accepted, accepted_dir), (accepted_frames, index_dir)):
         (

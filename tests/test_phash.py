@@ -456,3 +456,78 @@ def test_driver_ball_pairs_equals_hamming_pairs(spark):
     assert exp  # -1 vs (1<<63)-1 differ only in the sign bit: d=1
     with pytest.raises(ValueError, match="bands"):
         _driver_ball_pairs(hs, 4, 3)
+
+
+def test_banding_telemetry_pinned_counts(spark):
+    """telemetry= (VERDICT r9 item 6): the bucket histogram of the
+    banded relation, pinned by hand — sum_bucket_sq bounds the self-join
+    candidate volume; the cross form is Σ new·corpus over shared
+    buckets. Decisions are identical with or without the flag."""
+    from dbbspark.operators.phash import hamming_incremental_pairs, hamming_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1)], "id long, h long"
+    )
+    t = {}
+    with_t = hamming_pairs(df, "id", "h", max_distance=1, telemetry=t).collect()
+    plain = hamming_pairs(df, "id", "h", max_distance=1).collect()
+    assert sorted(map(tuple, with_t)) == sorted(map(tuple, plain))
+    # bands=2 (width 32): h=0 → (0,0),(1,0); h=1 → (0,1),(1,0)
+    # buckets: (0,0)=3 rows, (0,1)=1, (1,0)=4
+    assert t == {"n_buckets": 3, "max_bucket": 4, "sum_bucket_sq": 26}
+
+    new = spark.createDataFrame([(10, 0), (11, 1)], "id long, h long")
+    corp = spark.createDataFrame(
+        [(20, 0), (21, 0), (22, 3)], "id long, h long"
+    )
+    t2 = {}
+    got = hamming_incremental_pairs(
+        new, corp, "id", "h", max_distance=1, telemetry=t2
+    ).collect()
+    base = hamming_incremental_pairs(new, corp, "id", "h", max_distance=1).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, base))
+    # shared buckets: (0,0) 1·2=2 and (1,0) 2·3=6
+    assert t2 == {"n_buckets": 2, "max_bucket": 6, "sum_bucket_sq": 8}
+
+
+def test_thumbnails_min_variance_nulls_flat_media(spark):
+    """min_variance NULLs degenerate thumbs (solid stills) so they hash
+    NULL and match nothing; textured media is untouched."""
+    import numpy as np
+
+    from dbbspark.operators.phash import dhash_col, thumbnails
+    from dbbspark.sources.codecs import encode_pgm
+
+    flat = encode_pgm(np.full((24, 24), 9, dtype=np.uint8))
+    real = encode_pgm(_smooth_image(3))
+    df = spark.createDataFrame(
+        [("flat", flat), ("real", real)], "path string, content binary"
+    )
+    got = {
+        r["path"]: r["phash"]
+        for r in thumbnails(df, kind="pgm", min_variance=25.0)
+        .select("path", dhash_col("thumb").alias("phash"))
+        .collect()
+    }
+    assert got["flat"] is None and got["real"] is not None
+
+
+def test_thumb_variance_col_matches_numpy(spark):
+    """The JVM variance projection equals numpy's population variance on
+    the same thumbnails (the policy threshold means the same thing in
+    both the clip path and any offline calibration)."""
+    import numpy as np
+
+    from dbbspark.operators.phash import thumb_variance_col
+
+    rng = np.random.default_rng(11)
+    thumbs = [
+        [float(x) for x in rng.integers(0, 256, 81)],
+        [5.0] * 81,
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in thumbs], "thumb array<double>")
+    got = [r["v"] for r in df.select(thumb_variance_col("thumb").alias("v")).collect()]
+    assert got[2] is None
+    assert abs(got[0] - float(np.var(np.asarray(thumbs[0])))) < 1e-6
+    assert got[1] == 0.0

@@ -377,3 +377,126 @@ def test_zero_hash_batch_marks_completion(spark, tmp_path):
     # gate writes them too (shared helper) — covered by the cli tests
     shutil.rmtree(idx)
     assert last_completed_batch(spark, idx) == 1  # markers alone still count
+
+
+def _degen_clip(kind="black", n=6):
+    """All-degenerate clip bytes: solid black, or a near-flat decreasing
+    ramp (variance ~8, dHash far from the solid hash)."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pnm_seq
+
+    if kind == "black":
+        f = np.zeros((24, 32), dtype=np.uint8)
+    else:
+        f = np.tile(np.linspace(110, 100, 32).astype(np.uint8), (24, 1))
+    return encode_pnm_seq([f] * n)
+
+
+def test_clip_gate_degenerate_policy(spark, tmp_path):
+    """With min_thumb_variance: (a) a title-card frame shared with an
+    accepted corpus clip must NOT weld an unrelated batch clip; (b) an
+    all-black batch clip rejects against an accepted all-black CORPUS
+    clip via the linear signature leg; (c) within one batch two
+    all-black clips keep the lowest id; (d) a near-flat ramp clip is a
+    DIFFERENT degenerate signature and passes."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pnm_seq
+    from dbbspark.streaming.mediadedup import process_clip_batch
+
+    title = np.full((24, 32), 128, dtype=np.uint8)
+
+    def card_clip(seed):
+        rng = np.random.default_rng(seed)
+        return encode_pnm_seq(
+            [title, title]
+            + [rng.integers(0, 256, (24, 32)).astype(np.uint8) for _ in range(6)]
+        )
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    kw = dict(n_samples=8, min_frac=0.25, min_thumb_variance=25.0)
+    b1 = spark.createDataFrame(
+        [
+            ("t1", bytearray(card_clip(1))),
+            ("v1", bytearray(_degen_clip("black"))),
+            ("v2", bytearray(_degen_clip("black"))),  # within-batch dup of v1
+        ],
+        "path string, content binary",
+    )
+    process_clip_batch(b1, 0, idx, acc, **kw)
+    assert {
+        r["path"] for r in spark.read.parquet(acc).collect()
+    } == {"t1", "v1"}  # keep-lowest among the black pair
+
+    b2 = spark.createDataFrame(
+        [
+            ("t2", bytearray(card_clip(2))),      # shares ONLY title cards
+            ("v3", bytearray(_degen_clip("black"))),  # dup of corpus v1
+            ("r1", bytearray(_degen_clip("ramp"))),   # different flat signature
+        ],
+        "path string, content binary",
+    )
+    process_clip_batch(b2, 1, idx, acc, **kw)
+    got = {r["path"] for r in spark.read.parquet(acc).collect()}
+    assert got == {"t1", "v1", "t2", "r1"}
+    # the index stores fvar alongside each frame hash
+    assert "fvar" in spark.read.parquet(idx).columns
+
+
+def test_clip_gate_policy_keeps_live_path_verdicts(spark, tmp_path):
+    """The variance policy must not change verdicts on ordinary content:
+    the frame-dropped re-cut still rejects against the index, the
+    disjoint clip still passes (same corpus as the un-gated test)."""
+    from dbbspark.streaming.mediadedup import process_clip_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    kw = dict(min_thumb_variance=25.0)
+    b1 = spark.createDataFrame(
+        [("a1", _clip_bytes()), ("z1", _clip_bytes(seed=7))],
+        "path string, content binary",
+    )
+    process_clip_batch(b1, 0, idx, acc, **kw)
+    b2 = spark.createDataFrame(
+        [
+            ("a2", _clip_bytes(drop="1/3")),
+            ("a3", _clip_bytes(trim=3)),
+            ("q1", _clip_bytes(phase=2.0)),
+        ],
+        "path string, content binary",
+    )
+    process_clip_batch(b2, 1, idx, acc, **kw)
+    assert {
+        r["path"] for r in spark.read.parquet(acc).collect()
+    } == {"a1", "z1", "q1"}
+
+
+def test_still_gate_min_variance_accepts_flat_unindexed(spark, tmp_path):
+    """Stills: with min_thumb_variance, solid frames hash NULL — they
+    are accepted UN-indexed (M black stills cost O(M), never O(M²) band
+    pairs) while real content still dedups across batches."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pgm
+
+    flat1 = encode_pgm(np.zeros((24, 24), dtype=np.uint8))
+    flat2 = encode_pgm(np.full((24, 24), 7, dtype=np.uint8))
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    kw = dict(min_thumb_variance=25.0)
+    process_batch(
+        spark.createDataFrame(
+            [("a1", _img(1)), ("f1", flat1)], "path string, content binary"
+        ),
+        0, idx, acc, **kw,
+    )
+    process_batch(
+        spark.createDataFrame(
+            [("a2", _resized(1)), ("f2", flat2)],
+            "path string, content binary",
+        ),
+        1, idx, acc, **kw,
+    )
+    assert {r["path"] for r in spark.read.parquet(acc).collect()} == {
+        "a1", "f1", "f2",
+    }
+    assert {r["mid"] for r in spark.read.parquet(idx).collect()} == {"a1"}

@@ -268,3 +268,157 @@ def test_video_min_frac_validation(spark):
         video_near_dup(df, min_frac=0.0)
     with pytest.raises(ValueError, match="n_samples"):
         video_near_dup(df, n_samples=0)
+
+
+# --- degenerate-frame policy (VERDICT r9 item 1) ----------------------------
+
+
+def _degen_corpus(spark, m, black_frames=1, n_noise=7, seed0=100):
+    """m clips of unique noise frames plus ``black_frames`` planted
+    solid-black frames each — the real-crawl pathology (every clip has
+    a black frame; nothing else is shared)."""
+    from dbbspark.sources.codecs import encode_pnm_seq
+
+    rows = []
+    for i in range(m):
+        rng = np.random.default_rng(seed0 + i)
+        frames = [
+            rng.integers(0, 256, (24, 32)).astype(np.uint8)
+            for _ in range(n_noise)
+        ]
+        frames += [np.zeros((24, 32), dtype=np.uint8)] * black_frames
+        rows.append((f"c{i:03d}", bytearray(encode_pnm_seq(frames))))
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+def test_degenerate_stratum_candidate_volume_linear(spark):
+    """M clips sharing ONE black frame: banding cost is linear always
+    (representative routing — the black hash is one rep), and the
+    candidate expansion is quadratic WITHOUT the variance policy but
+    collapses to ~zero WITH it. This is the r9 'weak' flag pinned in
+    numbers, not prose."""
+    from dbbspark.operators.video import clip_fingerprints, score_clip_pairs
+    from dbbspark.session import cut_lineage
+
+    vols = {}
+    for m in (8, 16):
+        frames = cut_lineage(
+            clip_fingerprints(_degen_corpus(spark, m), n_samples=8)
+        )
+        t_off, t_on = {}, {}
+        score_clip_pairs(frames, telemetry=t_off).count()
+        score_clip_pairs(
+            frames, min_thumb_variance=25.0, telemetry=t_on
+        ).count()
+        # rep routing: distinct-hash banding never sees the stratum as a
+        # hot bucket (the black hash is ONE rep row per band either way;
+        # small constant buckets are chance 9-bit band collisions among
+        # the unique noise hashes — what matters is no bucket ~ M)
+        assert t_off["max_bucket"] <= 8
+        # without the policy the shared black hash expands quadratically
+        assert t_off["n_candidates"] >= m * (m - 1) // 2
+        # with it the stratum contributes nothing (noise frames are
+        # unique; allow a little slack for chance hash coincidences)
+        assert t_on["n_candidates"] <= 3 * m
+        vols[m] = (t_off["n_candidates"], t_on["n_candidates"])
+    # doubling M quadruples the unmitigated volume but not the policy's
+    off8, on8 = vols[8]
+    off16, on16 = vols[16]
+    assert off16 >= 3 * off8
+    assert on16 <= 2 * on8 + 32
+
+
+def test_degenerate_policy_unwelds_title_cards_keeps_true_dups(spark):
+    """Two unrelated clips sharing two solid title cards weld at
+    min_frac=0.25 without the policy and must NOT with it; a true
+    re-encode (16-bit, pixel-faithful) still pairs at full fraction
+    because the DENOMINATOR also drops the degenerate frames."""
+    from dbbspark.operators.video import video_near_dup
+    from dbbspark.sources.codecs import encode_pnm_seq
+
+    title = np.full((24, 32), 128, dtype=np.uint8)
+
+    def clip(seed):
+        rng = np.random.default_rng(seed)
+        return [title, title] + [
+            rng.integers(0, 256, (24, 32)).astype(np.uint8) for _ in range(6)
+        ]
+
+    base = clip(1)
+    df = spark.createDataFrame(
+        [
+            ("x", bytearray(encode_pnm_seq(base))),
+            ("y", bytearray(encode_pnm_seq(clip(2)))),
+            (
+                "x16",
+                bytearray(
+                    encode_pnm_seq(
+                        [(f.astype(np.uint16) * 257) for f in base],
+                        maxval=65535,
+                    )
+                ),
+            ),
+        ],
+        "path string, content binary",
+    )
+    welded = {
+        (r["id_a"], r["id_b"])
+        for r in video_near_dup(
+            df, n_samples=8, min_frac=0.25
+        ).collect()
+    }
+    assert ("x", "y") in welded  # the unmitigated title-card weld
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in video_near_dup(
+            df, n_samples=8, min_frac=0.25, min_thumb_variance=25.0
+        ).collect()
+    }
+    assert ("x", "y") not in got and ("x16", "y") not in got
+    # true re-encode: 6 live frames all match → frac 1.0 of the LIVE count
+    assert ("x", "x16") in got
+    assert got[("x", "x16")]["frac_a"] == 1.0
+    assert got[("x", "x16")]["frac_b"] == 1.0
+    assert got[("x", "x16")]["min_distance"] == 0
+
+
+def test_degenerate_clip_groups(spark):
+    """All-degenerate clips (no frame above the variance threshold) get
+    GROUP labels — all-black clips together, near-flat-gradient clips
+    in their own group — while clips with any live frame get no row."""
+    from dbbspark.operators.video import clip_fingerprints, degenerate_clip_groups
+    from dbbspark.sources.codecs import encode_pnm_seq
+
+    black = np.zeros((24, 32), dtype=np.uint8)
+    # decreasing ramp: variance ~8 (degenerate) but a dHash far from 0
+    ramp = np.tile(
+        np.linspace(110, 100, 32).astype(np.uint8), (24, 1)
+    )
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    rows = [
+        ("b1", [black] * 6),
+        ("b2", [black] * 6),
+        ("b3", [black] * 6),
+        ("r1", [ramp] * 6),
+        ("r2", [ramp] * 6),
+        ("live", [noise] * 6),
+    ]
+    df = spark.createDataFrame(
+        [(k, bytearray(encode_pnm_seq(fs))) for k, fs in rows],
+        "path string, content binary",
+    )
+    frames = clip_fingerprints(df, n_samples=8).localCheckpoint()
+    groups = {
+        r["path"]: r["group"]
+        for r in degenerate_clip_groups(
+            frames, min_thumb_variance=25.0
+        ).collect()
+    }
+    assert set(groups) == {"b1", "b2", "b3", "r1", "r2"}  # 'live' absent
+    assert groups["b1"] == groups["b2"] == groups["b3"]
+    assert groups["r1"] == groups["r2"]
+    assert groups["b1"] != groups["r1"]
+    # legacy relations without fvar refuse rather than silently no-op
+    with pytest.raises(ValueError, match="fvar"):
+        degenerate_clip_groups(frames.drop("fvar"), min_thumb_variance=25.0)
