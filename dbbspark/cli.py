@@ -513,6 +513,42 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_index_remove(args: argparse.Namespace) -> int:
+    """Delete ids from a streaming-gate dedup index (retention /
+    takedown / quarantine-after-the-fact): batch-partitioned indexes
+    (near/media/clip/ANN) rewrite only the affected partitions; with
+    --line-index the (h, df) frequency snapshot is decremented by the
+    removed docs' recomputed line hashes instead. Run against a
+    QUIESCED gate (see maintenance.remove_from_index). After this, a
+    re-submission of the removed content is judged fresh."""
+    import json
+
+    spark = _session("dbbspark-index-remove")
+    if args.line_index:
+        from .maintenance import remove_docs_from_line_index
+
+        if not args.docs:
+            raise SystemExit("index-remove --line-index requires --docs")
+        docs = spark.read.parquet(args.docs)
+        out = remove_docs_from_line_index(
+            spark, args.index, docs, id_col=args.id_col, text_col=args.text_col
+        )
+        print(json.dumps(out))
+        return 0
+    from .maintenance import remove_from_index
+
+    if args.ids:
+        ids = [s for s in args.ids.split(",") if s]
+    elif args.docs:
+        df = spark.read.parquet(args.docs)
+        ids = df.select(args.id_col) if args.id_col in df.columns else df
+    else:
+        raise SystemExit("index-remove requires --ids or --docs")
+    out = remove_from_index(spark, args.index, ids, id_col=args.id_col)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Small-file maintenance for a partitioned parquet dataset (archive
     sink, streaming-gate state): audit first, rewrite only when the
@@ -870,6 +906,33 @@ def main(argv: list[str] | None = None) -> int:
         "retry of that batch; default: max committed batch + 1)",
     )
     md.set_defaults(fn=cmd_media_dedup)
+
+    ir = sub.add_parser(
+        "index-remove",
+        help="delete ids from a streaming-gate dedup index (retention/"
+        "takedown); re-submission of removed content is then accepted",
+    )
+    ir.add_argument("--index", required=True, help="gate index directory")
+    ir.add_argument(
+        "--id-col",
+        default="mid",
+        help="index id column: mid (media/clips), doc (near-dedup), "
+        "vec_id (ANN), or the doc id column with --line-index",
+    )
+    ir.add_argument("--ids", default=None, help="comma-separated ids")
+    ir.add_argument(
+        "--docs",
+        default=None,
+        help="parquet with the ids (or, with --line-index, the removed "
+        "docs' id+text — line hashes are recomputed to decrement)",
+    )
+    ir.add_argument(
+        "--line-index",
+        action="store_true",
+        help="the index is linededup's (h, df) frequency snapshot",
+    )
+    ir.add_argument("--text-col", default="text")
+    ir.set_defaults(fn=cmd_index_remove)
 
     co = sub.add_parser(
         "compact", help="audit + rewrite small-file partitions (archive/gate state)"

@@ -354,3 +354,192 @@ def verify_archive_frames(
             )
         )
     return out
+
+
+def remove_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    id_col: str = "mid",
+) -> dict:
+    """Delete all index rows of the given ids from a ``batch=<id>``
+    streaming-gate index (neardedup signatures ``doc``, media hashes /
+    clip frames ``mid``, ANN codes ``vec_id``) — the retention /
+    takedown / quarantine-after-the-fact path (VERDICT r9 item 2; the
+    reference's own quarantine moves files OUT of the archive,
+    bin/save_DBB_stagein_to_DBB.py:244-267, and an append-only index
+    would reject their legitimate re-submission forever).
+
+    ``ids`` is a one-column DataFrame or a Python sequence. Only the
+    batch partitions actually holding matching rows are rewritten —
+    each via stage-write + two-rename swap (the compact_partitioned
+    device; readers see old or new, never a mix), under
+    ``commit.exclusive_lock``; a partition left EMPTY by the deletion
+    is removed outright (a dynamic overwrite cannot replace a partition
+    with nothing). Run against a quiesced gate — a retry of the LAST
+    batch re-reads its predecessor state by design and would re-admit
+    rows a concurrent delete removed.
+
+    Semantics after deletion: the gate no longer holds the ids' dedup
+    state, so a re-submission is judged fresh (accepted unless it
+    collides with something still indexed). Stale broadcast-bloom
+    snapshots stay valid: a filter only ever ADDS candidate joins
+    (false positives probe the index and find nothing), never decisions.
+    Idempotent — a re-run after a mid-swap crash finds the remaining
+    matches and finishes the job. Returns {"removed_rows",
+    "affected_batches", "emptied_batches", "backup"}; the caller
+    deletes the backup after verifying."""
+    from .commit import exclusive_lock
+
+    with exclusive_lock(spark, index_dir, purpose="remove_from_index"):
+        return _remove_from_index_locked(spark, index_dir, ids, id_col)
+
+
+def _remove_from_index_locked(
+    spark: SparkSession, index_dir: str, ids, id_col: str
+) -> dict:
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias("_rm_id")).distinct()
+    else:
+        ids = list(ids)
+        if not ids:
+            return {
+                "removed_rows": 0,
+                "affected_batches": [],
+                "emptied_batches": [],
+                "backup": None,
+            }
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], ["_rm_id"]
+        ).distinct()
+    idx = spark.read.option("mergeSchema", "true").parquet(index_dir)
+    if id_col not in idx.columns:
+        raise ValueError(
+            f"remove_from_index: {index_dir} has no column {id_col!r} "
+            f"(columns: {idx.columns})"
+        )
+    if "batch" not in idx.columns:
+        raise ValueError(
+            f"remove_from_index: {index_dir} is not a batch=<id> gate "
+            "index; for linededup's v=<N> frequency snapshots use "
+            "remove_docs_from_line_index"
+        )
+    affected = sorted(
+        r["batch"]
+        for r in idx.join(
+            ids_df, idx[id_col] == ids_df["_rm_id"], "left_semi"
+        )
+        .select("batch")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return {
+            "removed_rows": 0,
+            "affected_batches": [],
+            "emptied_batches": [],
+            "backup": None,
+        }
+    fs, _, jvm = _fs_and_path(spark, index_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    backup_root = index_dir.rstrip("/") + ".pre-remove"
+    staging_root = index_dir.rstrip("/") + ".rm-staging"
+    removed = 0
+    emptied = []
+    for b in affected:
+        part = f"{index_dir.rstrip('/')}/batch={b}"
+        pdf = spark.read.parquet(part)
+        remaining = pdf.join(
+            ids_df, pdf[id_col] == ids_df["_rm_id"], "left_anti"
+        )
+        n_before = pdf.count()
+        n_after = remaining.count()
+        removed += n_before - n_after
+        backup = Path(f"{backup_root}/batch={b}")
+        fs.mkdirs(Path(backup_root))
+        if n_after == 0:
+            # emptied: move the partition to the backup, write nothing
+            fs.delete(backup, True)
+            if not fs.rename(Path(part), backup):
+                raise IOError(f"remove_from_index: rename {part} failed")
+            emptied.append(b)
+            continue
+        staging = f"{staging_root}/batch={b}"
+        fs.delete(Path(staging), True)
+        remaining.write.mode("errorifexists").parquet(staging)
+        fs.delete(backup, True)
+        if not fs.rename(Path(part), backup):
+            raise IOError(f"remove_from_index: rename {part} failed")
+        if not fs.rename(Path(staging), Path(part)):
+            raise IOError(
+                f"remove_from_index: swap-in for {part} failed; data is "
+                f"in {backup}"
+            )
+    fs.delete(Path(staging_root), True)
+    return {
+        "removed_rows": removed,
+        "affected_batches": [int(b) for b in affected],
+        "emptied_batches": [int(b) for b in emptied],
+        "backup": backup_root,
+    }
+
+
+def remove_docs_from_line_index(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """The linededup counterpart of `remove_from_index`: the line-dedup
+    gate's state is a (h, df) FREQUENCY snapshot, so deleting accepted
+    documents means recomputing their line hashes from the removed
+    docs' text and DECREMENTING df — after which a line whose count
+    falls back below min_df flows again (the reference's quarantine
+    semantics: what left the archive stops counting against new
+    arrivals). Commits a fresh snapshot tagged with the index's current
+    max batch id (latest version of a batch wins on resolve); run
+    against a QUIESCED gate — a crash-retry of that same batch resolves
+    its predecessor by design and would recompute pre-deletion state.
+    Returns {"lines_decremented", "lines_dropped"}."""
+    from .streaming.linededup import (
+        _commit_for_batch,
+        _snapshot_batches,
+        index_df,
+        line_mentions,
+    )
+
+    pairs = _snapshot_batches(spark, index_dir)
+    if not pairs:
+        return {"lines_decremented": 0, "lines_dropped": 0}
+    cur_batch = max(b for _, b in pairs)
+    prior = index_df(spark, index_dir, before=cur_batch + 1)
+    dec = (
+        line_mentions(docs, id_col, text_col)
+        .where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count("*").alias("_dec"))
+    )
+    merged = prior.withColumnRenamed("df", "_df_prior").join(
+        dec, "h", "left"
+    ).select(
+        "h",
+        (
+            F.col("_df_prior") - F.coalesce(F.col("_dec"), F.lit(0))
+        ).alias("df"),
+        F.col("_dec"),
+    )
+    stats = merged.agg(
+        F.sum(F.when(F.col("df") <= 0, 1).otherwise(0)).alias("dropped"),
+        F.sum(
+            F.when(F.col("_dec").isNotNull() & (F.col("df") > 0), 1).otherwise(0)
+        ).alias("decremented"),
+    ).first()
+    _commit_for_batch(
+        spark, index_dir, merged.where(F.col("df") > 0).select("h", "df"),
+        cur_batch,
+    )
+    return {
+        "lines_decremented": int(stats["decremented"] or 0),
+        "lines_dropped": int(stats["dropped"] or 0),
+    }

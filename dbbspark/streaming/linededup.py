@@ -393,6 +393,20 @@ def _commit_for_batch(
 
     def write_fn(path: str) -> None:
         tagged.write.partitionBy("batch").parquet(path)
+        # an EMPTY snapshot (legitimate: remove_docs_from_line_index can
+        # zero the whole index) writes no batch=<id> dir — partition
+        # dirs come from rows — leaving an unpairable version that the
+        # legacy-layout detector would refuse. Materialize the batch dir
+        # with a schema'd empty parquet so resolve/read work unchanged.
+        fs, hpath, _jvm = _fs_and_path(spark, path)
+        has_batch = fs.exists(hpath) and any(
+            st.getPath().getName().startswith("batch=")
+            for st in fs.listStatus(hpath)
+        )
+        if not has_batch:
+            df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+                f"{path.rstrip('/')}/batch={int(batch_id)}"
+            )
 
     commit_snapshot(spark, root, write_fn)
     try:  # prune is best-effort: a missed pass costs space, retried next batch

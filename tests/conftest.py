@@ -38,6 +38,7 @@ SMOKE = {
     "test_funnel.py": "test_first_drop_attribution",
     "test_fuzzy.py": "test_matches_brute_force",
     "test_graph.py": "test_matches_dense_power_iteration",
+    "test_index_remove.py": "test_remove_empties_partition_and_is_idempotent",
     "test_ingest.py": "test_batch_ingest_routing",
     "test_jdbc.py": "test_jdbc_whole_table",
     "test_jdbc_sink.py": "test_key_validation",
