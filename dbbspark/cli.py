@@ -379,7 +379,7 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
                     f"{out_mx} before gating new drops."
                 )
             bid = max(out_mx, idx_mx) + 1
-        if args.kind == "pnmseq":
+        if args.kind in ("pnmseq", "y4m"):
             from .streaming.mediadedup import process_clip_batch
 
             process_clip_batch(
@@ -424,12 +424,13 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
     verify_d = (
         args.verify_distance if args.verify_distance is not None else args.max_distance
     )
-    if args.kind == "pnmseq":
+    if args.kind in ("pnmseq", "y4m"):
         from .operators.video import video_near_dup
 
         pairs = cut_lineage(
             video_near_dup(
                 media,
+                kind=args.kind,
                 n_samples=args.n_samples,
                 max_distance=args.max_distance,
                 min_frac=args.min_frac,
@@ -863,7 +864,7 @@ def main(argv: list[str] | None = None) -> int:
     md.add_argument(
         "--kind",
         default="pgm",
-        help="registered media kind: pgm|ppm|fits|wav (stills/audio) or pnmseq (clips)",
+        help="registered media kind: pgm|ppm|fits|wav (stills/audio) or pnmseq|y4m (clips)",
     )
     md.add_argument(
         "--hash-kind",

@@ -80,9 +80,15 @@ def register_clip_extractor(
 def _load_default_extractors() -> None:
     if "pnmseq" in _CLIP_EXTRACTORS:
         return
-    from ..sources.codecs import pnm_seq_extract_gray, pnm_seq_frame_count
+    from ..sources.codecs import (
+        pnm_seq_extract_gray,
+        pnm_seq_frame_count,
+        y4m_extract_gray,
+        y4m_frame_count,
+    )
 
     register_clip_extractor("pnmseq", pnm_seq_frame_count, pnm_seq_extract_gray)
+    register_clip_extractor("y4m", y4m_frame_count, y4m_extract_gray)
 
 
 def _sample_idxs(n: int, k: int) -> list[int]:

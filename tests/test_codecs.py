@@ -203,3 +203,100 @@ print("LAZY_OK")
         cwd=str(tmp_path),
     )
     assert "LAZY_OK" in out.stdout, out.stderr[-2000:]
+
+
+# --- YUV4MPEG2 clip stream (the second registered clip codec) ---------------
+
+
+def _y4m_frames(n=5, h=24, w=32, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(n)]
+
+
+def test_y4m_count_without_decoding_rasters():
+    """Frame count is pure header arithmetic: corrupting every raster
+    byte (keeping the FRAME lines and sizes) must not change it."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_y4m, y4m_frame_count
+
+    frames = _y4m_frames(7)
+    raw = bytearray(encode_y4m(frames))
+    assert y4m_frame_count(bytes(raw)) == 7
+    # smash raster bytes only: walk the same arithmetic the codec uses
+    hdr_end = raw.index(b"\n") + 1
+    fb = 32 * 24 * 3 // 2
+    pos = hdr_end
+    for _ in range(7):
+        nl = raw.index(b"\n", pos)
+        raw[nl + 1 : nl + 1 + fb] = b"\xff" * fb
+        pos = nl + 1 + fb
+    assert y4m_frame_count(bytes(raw)) == 7
+
+
+def test_y4m_selective_extract_equals_full():
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_y4m, y4m_extract_gray
+
+    frames = _y4m_frames(6)
+    for cs in ("420jpeg", "420", "422", "444", "mono"):
+        raw = encode_y4m(frames, colorspace=cs)
+        got = y4m_extract_gray(raw, [1, 4])
+        assert np.array_equal(got[0], frames[1].astype(np.float64))
+        assert np.array_equal(got[1], frames[4].astype(np.float64))
+    # duplicate + unordered requests honor the request order
+    raw = encode_y4m(frames)
+    got = y4m_extract_gray(raw, [4, 0, 4])
+    assert np.array_equal(got[0], got[2])
+    assert np.array_equal(got[1], frames[0].astype(np.float64))
+
+
+def test_y4m_frame_params_and_defaults():
+    """FRAME lines may carry parameters; a stream header without C
+    defaults to 420jpeg — both per the public spec."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import y4m_extract_gray, y4m_frame_count
+
+    f = np.arange(24 * 32, dtype=np.uint8).reshape(24, 32)
+    chroma = bytes([128]) * (2 * (16 * 12))
+    raw = (
+        b"YUV4MPEG2 W32 H24 F30000:1001 Ip A128:117\n"
+        + b"FRAME Xcustom\n" + f.tobytes() + chroma
+        + b"FRAME\n" + f.tobytes() + chroma
+    )
+    assert y4m_frame_count(raw) == 2
+    assert np.array_equal(
+        y4m_extract_gray(raw, [1])[0], f.astype(np.float64)
+    )
+
+
+def test_y4m_malformed_raise():
+    import numpy as np
+    import pytest
+
+    from dbbspark.sources.codecs import (
+        encode_y4m,
+        y4m_extract_gray,
+        y4m_frame_count,
+    )
+
+    frames = _y4m_frames(3)
+    good = encode_y4m(frames)
+    with pytest.raises(ValueError, match="magic"):
+        y4m_frame_count(b"JUNK" + good)
+    with pytest.raises(ValueError, match="W/H"):
+        y4m_frame_count(b"YUV4MPEG2 F25:1\nFRAME\n")
+    with pytest.raises(ValueError, match="colorspace"):
+        y4m_frame_count(b"YUV4MPEG2 W2 H2 C999\nFRAME\n" + b"\0" * 16)
+    with pytest.raises(ValueError, match="truncated"):
+        y4m_frame_count(good[:-5])
+    with pytest.raises(ValueError, match="FRAME"):
+        y4m_frame_count(good[: good.index(b"\n") + 1] + b"XRAME\n")
+    with pytest.raises(IndexError, match="out of range"):
+        y4m_extract_gray(good, [99])
+    with pytest.raises(ValueError, match="empty"):
+        y4m_frame_count(b"YUV4MPEG2 W32 H24\n")

