@@ -35,13 +35,17 @@ own partitions), the index read excludes partitions >= batch_id (the
 retry must not collide the batch with its own crashed attempt's
 hashes), and ``maintenance.compact_gate_index`` bounds file counts.
 
-Scale: per-trigger join cost is |batch| + collided corpus postings —
-the optional broadcast Bloom filter over the corpus's (band, val)
-bucket keys (``use_bloom``) lets the band join skip new-side rows that
-provably collide with nothing, with byte-identical decisions. At
-billions of accepted files, store the banded index bucketed by
-(band, val) (`operators.bucketing`) so the join co-locates without
-shuffling the corpus side.
+Scale: per-trigger join cost is |batch| + collided corpus postings.
+The optional broadcast Bloom filter over the corpus's (band, val)
+bucket keys (``use_bloom``) keeps contract parity with the text gates
+(byte-identical decisions, tested) but DOES NOT PAY here and should
+stay off: a 64-bit hash at d+1 bands gives each band a ~2^13-value key
+space, which even a few thousand accepted files saturate, so the
+filter stops proving absence almost immediately (measured —
+BASELINE.md r10 backfill regime: zero candidates removed, 2.2× gate
+wall). The real scale lever at billions of accepted files is storing
+the banded index bucketed by (band, val) (`operators.bucketing`) so
+the join co-locates without shuffling the corpus side.
 """
 
 from __future__ import annotations
