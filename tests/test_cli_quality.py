@@ -651,3 +651,34 @@ def test_media_dedup_auto_batch_id_zero_hash_batch(spark, tmp_path, capsys):
     assert cli.main(base + ["--src", str(day2)]) == 0
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["batch"] == 1 and s2["accepted"] == 1
+
+
+def test_index_remove_cli(spark, tmp_path, capsys):
+    """cli index-remove: the takedown path end-to-end — remove an
+    accepted file's hash, re-submit a re-encode, accepted."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pgm, resize_netpbm
+    from test_phash import _smooth_image
+
+    day1, day2 = tmp_path / "d1", tmp_path / "d2"
+    day1.mkdir(); day2.mkdir()
+    (day1 / "a.pgm").write_bytes(encode_pgm(_smooth_image(41)))
+    (day2 / "a2.pgm").write_bytes(
+        resize_netpbm(encode_pgm(_smooth_image(41)), 72, 72)
+    )
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "acc")
+    base = ["media-dedup", "--kind", "pgm", "--index", idx, "--out", out]
+    assert cli.main(base + ["--src", str(day1)]) == 0
+    capsys.readouterr()
+    removed_path = (
+        spark.read.parquet(idx).select("mid").first()[0]
+    )
+    assert cli.main(
+        ["index-remove", "--index", idx, "--ids", removed_path]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["removed_rows"] == 1
+    assert cli.main(base + ["--src", str(day2)]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["accepted"] == 1  # re-encode judged fresh after removal

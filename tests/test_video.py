@@ -482,3 +482,19 @@ def test_cross_container_near_dup(spark):
     }
     assert ("clip.pnms", "clip.y4m") in got
     assert got[("clip.pnms", "clip.y4m")]["min_distance"] == 0
+
+
+def test_score_clip_pairs_plan_is_pure_jvm(spark):
+    """Past the fingerprint crossing, scoring is DataFrame algebra only:
+    no Python eval node anywhere in the plan (the rep-routed rewrite
+    must not have smuggled a UDF in)."""
+    frames = spark.createDataFrame(
+        [("a", 8, 0, 1, 100.0), ("b", 8, 0, 1, 100.0)],
+        "path string, n_sampled int, fidx int, fhash long, fvar double",
+    )
+    from dbbspark.operators.video import score_clip_pairs
+
+    plan = score_clip_pairs(
+        frames, min_thumb_variance=25.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
