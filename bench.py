@@ -89,19 +89,21 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-N per query ACROSS TWO FULL SUITE PASSES (VERDICT r9 item
-    # 3): this box shows sporadic multi-second external interference
-    # (noisy neighbor) that can degrade a whole multi-minute window —
-    # back-to-back runs of one query land in the same window and both
-    # inflate, which is how BENCH_r09 recorded 44 s for a 32 s engine.
-    # Interleaving the passes separates a query's two runs by a full
-    # suite length, so the per-query min dodges any one bad window, and
-    # the per-pass totals let the artifact adjudicate ITSELF: when the
-    # passes agree, the window was clean; when they diverge, `value`
-    # (the minima sum) is the defensible number and the spread is
-    # recorded next to it. Queries whose two runs still disagree >30%
-    # get a third arbitration run. Plans are rebuilt per run, so
-    # plan+exec are both inside the timing.
+    # TWO FULL SUITE PASSES of best-of-back-to-back per query (VERDICT
+    # r9 item 3). Two distinct noise sources get two distinct defenses:
+    # (1) per-QUERY cold-start (JIT/code-cache churn from the 49 other
+    # queries in between) — measured ~35% inflation when a query's runs
+    # are separated by a whole pass — is dodged by keeping each query's
+    # runs BACK-TO-BACK inside a pass and taking their min (the hot-
+    # query engine measure every prior round's anchor used); (2) multi-
+    # minute host-interference windows (how BENCH_r09 recorded 44 s for
+    # a 32 s engine) are dodged by repeating the whole pass and taking
+    # per-query minima ACROSS passes, with each pass's min-sum recorded
+    # so the artifact adjudicates ITSELF: pass_spread ~1.0 = clean
+    # window, >>1 = one pass degraded and `value` already dodged it.
+    # Back-to-back pairs disagreeing >30% get a third arbitration run.
+    # Plans are rebuilt per run, so plan+exec are both inside the
+    # timing.
 
     def _run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -114,12 +116,14 @@ def main() -> None:
     runs: dict[str, list[float]] = {n: [] for n in names}
     pass_totals: list[float] = []
     for _pass in range(2):
+        pass_mins: list[float] = []
         for name in names:
-            runs[name].append(_run_once(name))
-        pass_totals.append(round(sum(r[-1] for r in runs.values()), 3))
-    for name in names:
-        if max(runs[name]) > 1.3 * min(runs[name]):
-            runs[name].append(_run_once(name))
+            pair = [_run_once(name), _run_once(name)]
+            if max(pair) > 1.3 * min(pair):
+                pair.append(_run_once(name))
+            runs[name].extend(pair)
+            pass_mins.append(min(pair))
+        pass_totals.append(round(sum(pass_mins), 3))
     timings = {n: round(min(runs[n]), 3) for n in names}
 
     # Fold budget (BASELINE.md): no catalog row over ~2.5 s at sf0.1 in
