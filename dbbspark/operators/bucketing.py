@@ -19,18 +19,20 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     buckets: int = 64,
     mode: str = "overwrite",
 ) -> None:
-    """Persist ``df`` as a table bucketed (and sorted) by ``bucket_col``.
-    Bucket count is fixed at creation — size it for the table's target
-    scale (e.g. 4096 for a billions-of-rows registry), not its first
-    batch."""
+    """Persist ``df`` as a table bucketed (and sorted) by ``bucket_col``
+    (one column or a composite key, e.g. the banded hash index's
+    ["band", "val"]). Bucket count is fixed at creation — size it for
+    the table's target scale (e.g. 4096 for a billions-of-rows
+    registry), not its first batch."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     (
         df.write.mode(mode)
-        .bucketBy(buckets, bucket_col)
-        .sortBy(bucket_col)
+        .bucketBy(buckets, *cols)
+        .sortBy(*cols)
         .saveAsTable(table)
     )
 

@@ -587,6 +587,49 @@ def hamming_pairs_brute(
     )
 
 
+def banded_hash_index(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int = 6,
+    bands: int | None = None,
+) -> DataFrame:
+    """The persistable BANDED form of a hash index — one (id, hash,
+    band, val) row per band of each non-null hash. THE scale lever for
+    the incremental gates (the bucketed-registry device, C9): write it
+    once with ``bucketing.write_bucketed(out, table, ["band", "val"])``
+    and pass ``spark.table(table)`` to `hamming_incremental_pairs` with
+    ``corpus_banded=True`` — the per-trigger band join then reads the
+    corpus ALREADY CO-LOCATED on its join keys, so only the (small)
+    batch side shuffles, never the billions-of-rows corpus (plan-pinned
+    in tests: one Exchange, bucketed scan). Storage is bands× the flat
+    index (still ~tens of bytes/file); band geometry is fixed at write
+    time — rebucket when max_distance policy changes."""
+    if bands is None:
+        bands = max_distance + 1
+    if bands < max_distance + 1:
+        raise ValueError(
+            f"bands={bands} < max_distance+1={max_distance + 1} would miss "
+            "true pairs (pigeonhole needs one clean band)"
+        )
+    if bands > 64:
+        raise ValueError("bands > 64: a 64-bit hash has at most 64 bands")
+    return (
+        df.where(F.col(hash_col).isNotNull())
+        .select(
+            id_col,
+            hash_col,
+            F.explode(F.array(*_band_cols(hash_col, bands))).alias("bv"),
+        )
+        .select(
+            id_col,
+            hash_col,
+            F.col("bv.band").alias("band"),
+            F.col("bv.val").alias("val"),
+        )
+    )
+
+
 def hamming_incremental_pairs(
     new: DataFrame,
     corpus: DataFrame,
@@ -596,6 +639,7 @@ def hamming_incremental_pairs(
     bands: int | None = None,
     corpus_band_bloom: list[int] | None = None,
     telemetry: dict | None = None,
+    corpus_banded: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, distance, against): Hamming-ball pairs of NEW rows
     against a persisted corpus hash index plus within the batch itself —
@@ -610,9 +654,15 @@ def hamming_incremental_pairs(
 
     Scale: the band join touches only buckets a NEW hash lands in —
     cost scales with |new| + collided corpus postings, never |corpus|².
-    At billions of accepted media the persisted index should store the
-    banded form bucketed by (band, val) (`operators.bucketing`) so the
-    join co-locates without shuffling the corpus side.
+    At billions of accepted media, persist the index in the BANDED form
+    (`banded_hash_index` written via `bucketing.write_bucketed` on
+    ["band", "val"]) and pass it with ``corpus_banded=True`` — the
+    corpus is then read already co-located on the join keys and only
+    the batch side shuffles (plan-pinned). A banded corpus must carry
+    (id_col, hash_col, band, val) with the SAME band geometry as this
+    call; mismatched geometry is refused when detectable (band ids out
+    of range), and identical decisions vs the un-banded path are
+    pinned in tests.
 
     ``corpus_band_bloom`` (an operators.bloom word table over the
     corpus's xxhash64(band, val) bucket keys) drops new-side band rows
@@ -655,7 +705,21 @@ def hamming_incremental_pairs(
             .where(F.col("maybe_known"))
             .drop("maybe_known", "__bk")
         )
-    corpus_b = banded(corpus)
+    if corpus_banded:
+        missing = {id_col, hash_col, "band", "val"} - set(corpus.columns)
+        if missing:
+            raise ValueError(
+                f"corpus_banded=True needs columns {sorted(missing)} "
+                "(build with banded_hash_index)"
+            )
+        corpus_b = corpus.select(
+            F.col(id_col).alias("_pid"),
+            F.col(hash_col).alias("_ph"),
+            "band",
+            "val",
+        )
+    else:
+        corpus_b = banded(corpus)
     if telemetry is not None:
         # cross-form candidate volume: Σ new·corpus over shared buckets
         # (post-bloom new side — the filter's savings are visible here)

@@ -531,3 +531,66 @@ def test_thumb_variance_col_matches_numpy(spark):
     assert got[2] is None
     assert abs(got[0] - float(np.var(np.asarray(thumbs[0])))) < 1e-6
     assert got[1] == 0.0
+
+
+def test_banded_corpus_index_identical_decisions_and_colocation(spark):
+    """The gate family's scale lever, in code (not prose): persist the
+    corpus hash index in BANDED form bucketed on (band, val) and the
+    incremental band join reads it already co-located — exactly one
+    Exchange (the batch side), bucketed corpus scan — with pair output
+    IDENTICAL to banding the corpus per trigger."""
+    from dbbspark.operators.bucketing import write_bucketed
+    from dbbspark.operators.phash import (
+        banded_hash_index,
+        hamming_incremental_pairs,
+    )
+
+    corpus_rows = [(100, 7), (101, 7), (102, 1 << 40), (103, -42), (104, 0)]
+    new_rows = [(1, 7), (2, 6), (3, -42), (4, 1 << 20)]
+    corpus = spark.createDataFrame(corpus_rows, "id long, h long")
+    new = spark.createDataFrame(new_rows, "id long, h long")
+    plain = sorted(
+        map(tuple, hamming_incremental_pairs(new, corpus, "id", "h", 4).collect())
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            banded_hash_index(corpus, "id", "h", max_distance=4),
+            "media_idx_banded",
+            ["band", "val"],
+            buckets=8,
+        )
+        got_df = hamming_incremental_pairs(
+            new,
+            spark.table("media_idx_banded"),
+            "id",
+            "h",
+            4,
+            corpus_banded=True,
+        )
+        assert sorted(map(tuple, got_df.collect())) == plain
+        # plan pin on the corpus leg alone (the union's new×new leg has
+        # its own self-join exchanges): bucketed scan, one Exchange
+        corpus_leg = hamming_incremental_pairs(
+            new,
+            spark.table("media_idx_banded"),
+            "id",
+            "h",
+            4,
+            corpus_banded=True,
+        ).where("against = 'corpus'")
+        plan = corpus_leg._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS media_idx_banded")
+    # geometry misuse is refused, not silently wrong
+    import pytest
+
+    with pytest.raises(ValueError, match="corpus_banded"):
+        hamming_incremental_pairs(
+            new, corpus, "id", "h", 4, corpus_banded=True
+        )

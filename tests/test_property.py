@@ -472,3 +472,69 @@ def test_hamming_incremental_equals_full_on_random_hashes(spark, new_hs, corpus_
             n, c = (a, b) if a in new_ids else (b, a)
             expect.add((n, c, "corpus"))
     assert set(keys) == expect
+
+
+@given(
+    clips=st.lists(
+        st.lists(
+            st.tuples(_hash_st, st.booleans()),  # (fhash, degenerate?)
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=4,
+    ),
+    d=st.integers(min_value=0, max_value=6),
+    policy=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_score_clip_pairs_matches_brute_on_random_frames(spark, clips, d, policy):
+    """For ANY per-clip frame-hash multiset (identical hashes likely by
+    construction) and any max_distance, the rep-routed score_clip_pairs
+    must reproduce the brute frame-instance semantics exactly — matched
+    fractions, instance pair counts, min distance — with and without
+    the degenerate-frame policy (flagged frames out of pairing AND
+    denominators)."""
+    from dbbspark.operators.video import score_clip_pairs
+
+    rows = []
+    for ci, frames in enumerate(clips):
+        for fi, (h, degen) in enumerate(frames):
+            rows.append((f"c{ci}", len(frames), fi, h, 0.0 if degen else 100.0))
+    df = spark.createDataFrame(
+        rows, "path string, n_sampled int, fidx int, fhash long, fvar double"
+    )
+    thr = 25.0 if policy else None
+
+    def dist(a, b):
+        return ((a ^ b) & 0xFFFFFFFFFFFFFFFF).bit_count()
+
+    live = {}
+    for cid, _n, fi, h, fv in rows:
+        if thr is None or fv >= thr:
+            live.setdefault(cid, []).append((fi, h))
+    expect = {}
+    cids = sorted(live)
+    for i, a in enumerate(cids):
+        for b in cids[i + 1 :]:
+            fa, fb = live[a], live[b]
+            m_a = sum(1 for _, h in fa if any(dist(h, g) <= d for _, g in fb))
+            m_b = sum(1 for _, g in fb if any(dist(h, g) <= d for h in [x for _, x in fa]))
+            npairs = sum(
+                1 for _, h in fa for _, g in fb if dist(h, g) <= d
+            )
+            if npairs == 0:
+                continue
+            mind = min(dist(h, g) for _, h in fa for _, g in fb)
+            expect[(a, b)] = (
+                m_a / len(fa), m_b / len(fb), npairs, mind,
+            )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["frac_a"], r["frac_b"], r["n_frame_pairs"], r["min_distance"],
+        )
+        for r in score_clip_pairs(
+            df, max_distance=d, min_frac=1e-9, min_thumb_variance=thr
+        ).collect()
+    }
+    assert got == expect
