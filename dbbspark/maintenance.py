@@ -543,3 +543,37 @@ def remove_docs_from_line_index(
         "lines_decremented": int(stats["decremented"] or 0),
         "lines_dropped": int(stats["dropped"] or 0),
     }
+
+
+def materialize_banded_index(
+    spark: SparkSession,
+    index_dir: str,
+    table: str,
+    max_distance: int = 4,
+    bands: int | None = None,
+    buckets: int = 64,
+    id_col: str = "mid",
+    hash_col: str = "phash",
+) -> int:
+    """Materialize a gate hash index as a BANDED, (band, val)-bucketed
+    table — the corpus-scale read layout for the incremental band join
+    (`operators.phash.banded_hash_index`; the C9 bucketed-registry
+    device): `gate_batch(..., index_banded=True)` over
+    ``spark.table(table)`` then shuffles only the batch side. Run it
+    between triggers (same quiesced-gate stance as compact_gate_index)
+    or nightly — the flat batch=<id> index stays the gate's system of
+    record; this is a derived layout, rebuilt idempotently (overwrite).
+    Band geometry must match the gate's max_distance policy. Returns
+    the banded row count."""
+    from .operators.bucketing import write_bucketed
+    from .operators.phash import banded_hash_index
+
+    banded = banded_hash_index(
+        spark.read.parquet(index_dir).select(id_col, hash_col),
+        id_col,
+        hash_col,
+        max_distance=max_distance,
+        bands=bands,
+    )
+    write_bucketed(banded, table, ["band", "val"], buckets=buckets)
+    return spark.table(table).count()

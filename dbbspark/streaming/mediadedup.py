@@ -138,22 +138,31 @@ def gate_batch(
     max_distance: int = 4,
     bands: int | None = None,
     index_bloom: list[int] | None = None,
+    index_banded: bool = False,
 ) -> DataFrame:
     """Accepted rows of ``batch_hashes`` (all its columns) against an
     index of prior hashes. Pure DataFrame logic — shared by the
     streaming foreachBatch and direct batch callers (which is what pins
     streaming == batch in tests). NULL-hash rows are accepted: they
-    match nothing by the hamming_pairs contract."""
+    match nothing by the hamming_pairs contract.
+
+    ``index_banded``: ``index_hashes`` is the PRE-BANDED (mid, phash,
+    band, val) form — at corpus scale a bucketed table built by
+    `maintenance.materialize_banded_index`, which the band join reads
+    already co-located so only the batch side shuffles (the
+    `banded_hash_index` contract; decisions identical, pinned)."""
+    sel = [F.col("mid").alias(id_col), F.col("phash").alias(hash_col)]
+    if index_banded:
+        sel += [F.col("band"), F.col("val")]
     pairs = hamming_incremental_pairs(
         batch_hashes,
-        index_hashes.select(
-            F.col("mid").alias(id_col), F.col("phash").alias(hash_col)
-        ),
+        index_hashes.select(*sel),
         id_col,
         hash_col,
         max_distance=max_distance,
         bands=bands,
         corpus_band_bloom=index_bloom,
+        corpus_banded=index_banded,
     )
     # vs corpus: id_a is always the new-batch id. Within batch:
     # id_a < id_b, reject the larger id (greedy keep-lowest).

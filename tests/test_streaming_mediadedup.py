@@ -500,3 +500,43 @@ def test_still_gate_min_variance_accepts_flat_unindexed(spark, tmp_path):
         "a1", "f1", "f2",
     }
     assert {r["mid"] for r in spark.read.parquet(idx).collect()} == {"a1"}
+
+
+def test_gate_batch_banded_index_identical(spark, tmp_path):
+    """gate_batch over the materialized banded bucketed index must
+    decide exactly as over the flat index (the corpus-scale read
+    layout, maintenance.materialize_banded_index)."""
+    from dbbspark.maintenance import materialize_banded_index
+    from dbbspark.streaming.mediadedup import _index_hashes
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    process_batch(
+        spark.createDataFrame(
+            [("a1", _img(1)), ("b1", _img(2))], "path string, content binary"
+        ),
+        0, idx, acc,
+    )
+    from dbbspark.operators.phash import dhash_col, thumbnails
+
+    batch = spark.createDataFrame(
+        [("a2", _resized(1)), ("c1", _img(3))], "path string, content binary"
+    )
+    hashed = thumbnails(batch, kind="pgm").select(
+        "path", dhash_col("thumb").alias("phash")
+    ).localCheckpoint()
+    flat = {
+        r["path"]
+        for r in gate_batch(hashed, _index_hashes(spark, idx)).collect()
+    }
+    try:
+        n = materialize_banded_index(spark, idx, "t_media_banded")
+        assert n == 2 * 5  # 2 hashes x (d+1 = 5) bands
+        banded = {
+            r["path"]
+            for r in gate_batch(
+                hashed, spark.table("t_media_banded"), index_banded=True
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_media_banded")
+    assert flat == banded == {"c1"}
