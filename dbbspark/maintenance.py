@@ -577,3 +577,30 @@ def materialize_banded_index(
     )
     write_bucketed(banded, table, ["band", "val"], buckets=buckets)
     return spark.table(table).count()
+
+
+def materialize_banded_sig_index(
+    spark: SparkSession,
+    index_dir: str,
+    table: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    buckets: int = 64,
+) -> int:
+    """The near-dedup counterpart of `materialize_banded_index`: band
+    the persisted (doc, perm, minhash) signature index once and write it
+    bucketed on (band, sig), so `gate_batch(..., index_banded=True)`
+    over ``spark.table(table)`` skips the per-trigger corpus banding
+    groupBy AND its join shuffle. Derived layout, rebuilt idempotently;
+    band geometry must match the gate's (bands, rows_per_band) policy.
+    Returns the banded row count."""
+    from .operators.bucketing import write_bucketed
+    from .operators.dedup import _band_signatures
+
+    banded = _band_signatures(
+        spark.read.parquet(index_dir).select("doc", "perm", "minhash"),
+        bands,
+        rows_per_band,
+    )
+    write_bucketed(banded, table, ["band", "sig"], buckets=buckets)
+    return spark.table(table).count()

@@ -266,6 +266,7 @@ def lsh_incremental_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     corpus_band_bloom: list[int] | None = None,
+    corpus_banded: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs for an INCREMENTAL batch against an
     existing corpus — the rolling-crawl shape: a new batch must be
@@ -281,9 +282,13 @@ def lsh_incremental_pairs(
 
     Scale: the band join touches only buckets a NEW doc lands in — cost
     scales with |new| + collided corpus postings, not |corpus|². At
-    billions of corpus docs, bucket the persisted signature table by
-    (band, sig) (`operators.bucketing`) so the join co-locates without
-    shuffling the corpus side at all.
+    billions of corpus docs, persist the BANDED form — (doc, band, sig),
+    built once by `_band_signatures`/`minhash_band_signatures` and
+    written via `bucketing.write_bucketed` on ["band", "sig"] — and pass
+    it with ``corpus_banded=True``: the per-trigger join then skips the
+    corpus-side banding groupBy entirely AND reads the corpus already
+    co-located on its join keys, so only the batch side shuffles
+    (identical candidates, pinned).
 
     ``corpus_band_bloom`` (an operators.bloom word table over the
     corpus's xxhash64(band, sig) bucket keys) drops new-side band rows
@@ -304,7 +309,16 @@ def lsh_incremental_pairs(
             .where(F.col("maybe_known"))
             .drop("maybe_known", "__bk")
         )
-    corp_b = _band_signatures(corpus_sigs, bands, rows_per_band)
+    if corpus_banded:
+        missing = {"doc", "band", "sig"} - set(corpus_sigs.columns)
+        if missing:
+            raise ValueError(
+                f"corpus_banded=True needs columns {sorted(missing)} "
+                "(build with _band_signatures / minhash_band_signatures)"
+            )
+        corp_b = corpus_sigs.select("doc", "band", "sig")
+    else:
+        corp_b = _band_signatures(corpus_sigs, bands, rows_per_band)
     vs_corpus = (
         new_b.alias("a")
         .join(

@@ -77,6 +77,7 @@ def gate_batch(
     rows_per_band: int = 4,
     shingle_n: int = 3,
     index_bloom: list[int] | None = None,
+    index_banded: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(accepted_docs, accepted_signatures) for one batch against an
     index. Pure DataFrame logic — shared by the streaming foreachBatch
@@ -86,10 +87,18 @@ def gate_batch(
     ``index_bloom`` (operators.bloom word table over the corpus's
     xxhash64(band, sig) bucket keys) lets the candidate join skip
     new-side band rows that provably collide with nothing — identical
-    accept/reject decisions either way (pinned in tests)."""
+    accept/reject decisions either way (pinned in tests).
+
+    ``index_banded``: ``index_sigs`` is the PRE-BANDED (doc, band, sig)
+    form — at corpus scale a bucketed table built by
+    `maintenance.materialize_banded_sig_index`, which skips the
+    per-trigger corpus banding groupBy and reads the corpus already
+    co-located (the lsh_incremental_pairs corpus_banded contract;
+    decisions identical, pinned)."""
     sigs = minhash_signatures(batch, id_col, text_col, num_perm, shingle_n)
     pairs = lsh_incremental_pairs(
-        sigs, index_sigs, bands, rows_per_band, corpus_band_bloom=index_bloom
+        sigs, index_sigs, bands, rows_per_band, corpus_band_bloom=index_bloom,
+        corpus_banded=index_banded,
     )
     # vs corpus: doc_a is always the new-batch doc. Within batch:
     # doc_a < doc_b, reject the larger id (greedy keep-lowest).

@@ -186,3 +186,31 @@ def test_bloom_enabled_mid_stream_covers_prior_corpus(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(acc).collect()
     } == {1, 2}
+
+
+def test_gate_batch_banded_index_identical(spark, tmp_path):
+    """gate_batch over the materialized banded bucketed signature index
+    must decide exactly as over the flat (doc, perm, minhash) index —
+    the corpus-scale read layout that skips the per-trigger corpus
+    banding groupBy."""
+    from dbbspark.maintenance import materialize_banded_sig_index
+    from dbbspark.streaming.neardedup import _index_signatures, process_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    process_batch(
+        spark.createDataFrame([(1, BANK), (3, SPARK)], ["doc_id", "text"]),
+        0, idx, acc,
+    )
+    batch = spark.createDataFrame([(4, BARN), (5, PARQUET)], ["doc_id", "text"])
+    flat, _ = gate_batch(batch, _index_signatures(spark, idx))
+    flat_ids = {r["doc_id"] for r in flat.collect()}
+    try:
+        n = materialize_banded_sig_index(spark, idx, "t_sig_banded")
+        assert n == 2 * 4  # 2 docs x 4 bands
+        banded, _ = gate_batch(
+            batch, spark.table("t_sig_banded"), index_banded=True
+        )
+        banded_ids = {r["doc_id"] for r in banded.collect()}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sig_banded")
+    assert flat_ids == banded_ids == {5}  # BARN rejects vs indexed BANK
