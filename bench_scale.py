@@ -894,6 +894,90 @@ def _media_gate_soak(spark, n_batches: int = 50, per_batch: int = 200) -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
+def _clip_gate_soak(spark, n_batches: int = 15, fresh_per_batch: int = 4) -> None:
+    """C58-clips cadence evidence (the one gate family member without a
+    solo soak): per trigger, ``fresh_per_batch`` new clips + frame-
+    dropped re-cuts of the PREVIOUS trigger's clips (must reject against
+    the persisted frame index) + one all-black clip every trigger (must
+    accept once, then reject forever via the degenerate signature leg —
+    min_thumb_variance on, the production setting). Reports per-trigger
+    walls, flatness, and the frame-index row accounting (n_samples rows
+    per accepted decodable clip, black clip included exactly once)."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pnm_seq
+    from dbbspark.streaming.mediadedup import process_clip_batch
+
+    h, w, nfr = 48, 64, 24
+
+    def clip(seed, drop=False):
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        comps = [
+            (rng.uniform(0.5, 2.5, 2), rng.uniform(0, 2 * np.pi))
+            for _ in range(3)
+        ]
+        frames = []
+        for t in range(nfr):
+            f = np.zeros((h, w))
+            for (fy, fx), ph in comps:
+                f += np.sin(2 * np.pi * fx * x / w + 0.12 * t + ph) * np.cos(
+                    2 * np.pi * fy * y / h - 0.08 * t
+                )
+            frames.append(np.clip(128 + 40 * f, 0, 255).astype(np.uint8))
+        if drop:
+            frames = [f for i, f in enumerate(frames) if i % 3 != 2]
+        return encode_pnm_seq(frames)
+
+    black = encode_pnm_seq([np.zeros((h, w), dtype=np.uint8)] * nfr)
+    root = tempfile.mkdtemp(prefix="dbbspark-clipsoak-")
+    idx, acc = f"{root}/idx", f"{root}/acc"
+    walls = []
+    for i in range(n_batches):
+        rows = [
+            (f"b{i}/f{j}", bytearray(clip(i * fresh_per_batch + j)))
+            for j in range(fresh_per_batch)
+        ]
+        if i > 0:  # re-cuts of the previous trigger's fresh clips
+            rows += [
+                (
+                    f"b{i}/r{j}",
+                    bytearray(clip((i - 1) * fresh_per_batch + j, drop=True)),
+                )
+                for j in range(2)
+            ]
+        rows.append((f"b{i}/black", bytearray(black)))
+        b = spark.createDataFrame(rows, "path string, content binary")
+        t = _t.time()
+        process_clip_batch(
+            b, i, idx, acc, min_frac=0.5, min_thumb_variance=25.0
+        )
+        walls.append(_t.time() - t)
+    accepted = spark.read.parquet(acc)
+    n_acc = accepted.count()
+    n_black = accepted.where(F.col("path").endswith("black")).count()
+    idx_rows = spark.read.parquet(idx).count()
+    k = max(1, n_batches // 5)
+    print(json.dumps({
+        "op": "clip_gate_soak",
+        "batches": n_batches,
+        "wall_first_mean": round(sum(walls[:k]) / k, 3),
+        "wall_last_mean": round(sum(walls[-k:]) / k, 3),
+        "flatness": round((sum(walls[-k:]) / k) / (sum(walls[:k]) / k), 2),
+        "accepted": n_acc,
+        "black_accepted": n_black,  # must be exactly 1
+        "index_frame_rows": idx_rows,  # 8 per accepted decodable clip
+        "rejected_recuts": 2 * (n_batches - 1),
+    }))
+    assert n_black == 1, "degenerate signature leg must gate the black clip"
+    assert idx_rows == 8 * n_acc
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def _media_gate_backfill(
     spark, n_corpus: int = 4000, n_batch: int = 2000
 ) -> None:
@@ -1406,6 +1490,9 @@ def main() -> None:
 
     if wanted and "media_gate_backfill" in wanted:
         _media_gate_backfill(spark)
+
+    if wanted and "clip_gate_soak" in wanted:
+        _clip_gate_soak(spark, n_batches=min(15, args.soak_batches))
 
     if wanted and "phash_corpus" in wanted:
         _phash_bench(spark)
