@@ -20,6 +20,7 @@ from ..operators.phash import (
     dhash_oracle_sql,
     fake_thumb_sql,
     hamming_ball_stats,
+    thumb_variance_col,
     thumbnails,
 )
 from ..sources.multimodal import decode_media, extract_kv_metadata
@@ -51,6 +52,15 @@ _DHASH_TWIN2 = dhash_oracle_sql(
     )
 )
 _TWIN_OFFSET = 10_000_000
+# left-to-right sums matching Spark's sequential aggregate fold: exact
+# integers (bytes / squares of bytes), so addition order only matters
+# for paranoia, not correctness
+_S1_ORACLE = "(" + " + ".join(
+    f"CAST({fake_thumb_sql('text', i)} AS DOUBLE)" for i in range(81)
+) + ")"
+_S2_ORACLE = "(" + " + ".join(
+    f"pow(CAST({fake_thumb_sql('text', i)} AS DOUBLE), 2)" for i in range(81)
+) + ")"
 
 
 @query(
@@ -92,6 +102,12 @@ _TWIN_OFFSET = 10_000_000
            64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) AS height,
            1 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) % 8 AS n_frames,
            h.h AS dhash,
+           -- thumb_variance_col under the value oracle (r10): var*81^2 =
+           -- 81*SUM(x^2) - SUM(x)^2 is INTEGER-EXACT (bytes, sums <
+           -- 2^53), so round() of the float pipeline recovers the same
+           -- bigint in both engines regardless of last-ulp drift
+           CAST(round(({_S2_ORACLE} / 81.0 - pow({_S1_ORACLE} / 81.0, 2)) * 6561) AS BIGINT)
+             AS thumb_var_x6561,
            COALESCE(near.n, 0) AS n_near,
            gsize.gn AS n_group
     FROM documents d
@@ -111,7 +127,10 @@ _TWIN_OFFSET = 10_000_000
     "derive from sha256(content), so DuckDB recomputes the exact "
     "integers: the Arrow batch path AND the 64-term hash assembly (incl. "
     "the bit-63 min-long special case) are value-verified, not just "
-    "row-counted.",
+    "row-counted. r10 folds thumb_variance_col (the degenerate-media "
+    "policy input) as round(var*81^2) — integer-exact on byte "
+    "thumbnails, so DuckDB recomputes it from its own sha256 "
+    "elements with zero float-drift risk.",
     tags=("multimodal", "closure"),
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,6 +146,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("decoded.height").alias("height"),
             F.col("decoded.n_frames").alias("n_frames"),
             dhash_col("thumb").alias("dhash"),
+            F.round(thumb_variance_col("thumb") * 6561)
+            .cast("bigint")
+            .alias("thumb_var_x6561"),
             "thumb",
         )
         # Twin hashes by BIT SURGERY over the corpus dhash, not two more
@@ -148,6 +170,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "height",
             "n_frames",
             "dhash",
+            "thumb_var_x6561",
             F.expr(
                 "(dhash & -2) | (CASE WHEN element_at(thumb, 1) + 1.0D >"
                 " element_at(thumb, 2) THEN 1L ELSE 0L END)"
@@ -192,6 +215,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "height",
             "n_frames",
             "dhash",
+            "thumb_var_x6561",
             "n_near",
             "n_group",
         )
