@@ -22,12 +22,21 @@ registry anti-join making re-runs no-ops for already-ingested names, and
 (c) the streaming checkpoint ensuring each notify file is processed by at
 most one micro-batch. The notify-delete ack (`:198,293`) is subsumed by
 (b)+(c) — re-presenting an ingested file classifies it as a duplicate.
-Caveat: the multi-sink batch is not atomic — a crash after the archive
-write but before the (deliberately last) registry append can, on replay,
-append the same archive rows twice. The registry itself stays
-exactly-once; archive readers wanting hard exactly-once should read via
-the registry (anti-join) or use a transactional table format for the
-archive sink in production.
+The multi-sink batch is not atomic, but the DATA-PLANE sinks are
+crash-replay idempotent: the archive write is partitioned by a
+deterministic per-batch token (`batch=<token>` — the streaming epoch id
+under foreachBatch; an order-independent content hash of the batch's
+data names in cron/replay mode) and written with dynamic-partition
+OVERWRITE, so a replay after a crash between the archive write and the
+(deliberately last) registry append replaces its own crashed attempt's
+rows instead of appending them twice — the same files-first/index-last
+discipline the dedup gate family uses (streaming/mediadedup.py,
+streaming/linededup.py). The registry stays exactly-once via the
+duplicate gate + append-last ordering. The quarantine sink alone stays
+append-mode: it is an audit LOG whose replays must add rows, never
+rewrite history — a crash replay may leave a duplicate failure row
+(distinct uniq name/timestamp), benign under its keep-last read
+pattern.
 
 Scale notes (100 TB, 1000 executors):
 - data-file bytes never shuffle: pairing broadcasts the (tiny) notify
@@ -213,20 +222,50 @@ def classify_pairs(
     return df.withColumn("reject_reason", reason).drop("_registered")
 
 
+def _batch_token(classified: DataFrame) -> str:
+    """Deterministic, order/partition-independent token for a batch:
+    a commutative hash-sum over the batch's data names (+ row count), so
+    a crash replay of the SAME batch derives the SAME token and its
+    dynamic-partition overwrite replaces the crashed attempt's rows.
+    Shuffle-free (one partial-aggregated sum — no collect_list row that
+    would grow with batch size)."""
+    from ..operators.dedup import md5_int_col
+
+    row = classified.agg(
+        F.sum(md5_int_col(F.col("data_name")) % F.lit(1_000_000_007)).alias("s"),
+        F.count("*").alias("n"),
+    ).first()
+    return f"c{(row['s'] or 0) % (1 << 60):x}n{row['n']}"
+
+
 def _write_sinks(
-    classified: DataFrame, cfg: IngestConfig, task_id: str | None
+    classified: DataFrame,
+    cfg: IngestConfig,
+    task_id: str | None,
+    batch_token: str | None = None,
 ) -> IngestResult:
-    """Fan the classified batch into archive + registry + quarantine."""
+    """Fan the classified batch into archive + registry + quarantine.
+
+    ``batch_token`` keys the archive/quarantine dynamic-partition
+    overwrite (crash-replay idempotence, module docstring); streaming
+    passes the epoch id, cron/replay callers derive a content token."""
     classified = classified.withColumn(
         "task_id", F.lit(task_id).cast("string")
     ).persist()
     try:
+        if batch_token is None:
+            batch_token = _batch_token(classified)
         valid = classified.where(F.col("reject_reason").isNull())
         rejected = classified.where(F.col("reject_reason").isNotNull())
 
         # S9: archive placement — partitioned layout replaces the
         # reference's per-file templated copy (+retry+verify: Spark's file
         # committer makes verify-after-copy unnecessary, SURVEY.md §4).
+        # The trailing batch=<token> partition + dynamic overwrite makes a
+        # crash replay REPLACE its own prior attempt (exactly-once archive
+        # under the crash window between this write and the registry
+        # append); (filetype, nite) stay leading partition columns, so
+        # downstream pruning is unchanged.
         (
             valid.select(
                 F.col("data_name").alias("filename"),
@@ -238,8 +277,10 @@ def _write_sinks(
                 "task_id",
                 "filetype",
                 "nite",
-            ).write.partitionBy("filetype", "nite")
-            .mode("append")
+                F.lit(batch_token).alias("batch"),
+            ).write.partitionBy("filetype", "nite", "batch")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .parquet(cfg.archive_root)
         )
 
@@ -274,6 +315,15 @@ def _write_sinks(
             "reject_year",
             "reject_month",
         )
+        # Quarantine stays APPEND on purpose: it is an append-only failure
+        # LOG (re-replays must add rows, never rewrite history — a
+        # batch-token overwrite would erase the previous attempt's row
+        # when the same all-failed name set fails again). A crash replay
+        # can therefore add a second, later-timestamped row for the same
+        # failure — benign in a log whose current-state queries already
+        # take the latest row per filename (keep-last, q_window_dedup
+        # shape). The DATA-PLANE sinks (archive, registry) are the
+        # exactly-once ones.
         bad.write.partitionBy("reject_year", "reject_month").mode(
             "append"
         ).parquet(cfg.quarantine_path)
@@ -318,11 +368,16 @@ def ingest_batch(
     cfg: IngestConfig,
     task_id: str | None = None,
     notify_df: DataFrame | None = None,
+    batch_token: str | None = None,
 ) -> IngestResult:
     """One ingest pass over the stage-in area (the cron-invoked batch,
-    ST1). Idempotent: a second run with the same stage-in contents
-    quarantines everything as duplicates and appends nothing to archive or
-    registry (tested in tests/test_ingest.py)."""
+    ST1). Idempotent two ways: a second run after SUCCESS classifies
+    everything as duplicates and appends nothing to archive or registry;
+    a replay after a CRASH between the archive write and the registry
+    append derives the same content-hash ``batch_token`` and its dynamic
+    overwrite replaces the crashed attempt's archive rows (both tested
+    in tests/test_ingest.py). Streaming passes the epoch id as the
+    token."""
     # Persist the paired batch: the valid/missing union and the
     # per-filetype metadata branches each re-derive from it, and without a
     # cache every branch re-reads the stage-in files (measured 3× file
@@ -333,7 +388,7 @@ def ingest_batch(
     ).persist()
     try:
         classified = classify_pairs(spark, cfg, pairs)
-        return _write_sinks(classified, cfg, task_id)
+        return _write_sinks(classified, cfg, task_id, batch_token=batch_token)
     finally:
         pairs.unpersist()
 
@@ -369,7 +424,10 @@ def start_ingest_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         notify = parse_notify_binary(batch_df)
-        ingest_batch(spark, cfg, task_id=task_id, notify_df=notify)
+        ingest_batch(
+            spark, cfg, task_id=task_id, notify_df=notify,
+            batch_token=f"b{batch_id}",
+        )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

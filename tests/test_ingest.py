@@ -134,6 +134,52 @@ def test_reingest_is_idempotent(spark, area):
     assert arch.count() == 2
 
 
+def test_archive_exactly_once_on_crash_replay(spark, area):
+    """ST4 hardening: a crash AFTER the archive write but BEFORE the
+    (deliberately last) registry append used to double-append the archive
+    on replay. The batch-token dynamic overwrite makes the replay REPLACE
+    its own crashed attempt's rows: archive count unchanged, one batch
+    partition per file, registry exactly-once."""
+    import shutil
+
+    cfg = _cfg(area)
+    first = ingest_batch(spark, cfg)
+    assert first.archived == 2
+    arch1 = spark.read.parquet(cfg.archive_root)
+    assert arch1.count() == 2
+    tok1 = {r["batch"] for r in arch1.select("batch").distinct().collect()}
+    assert len(tok1) == 1
+
+    # simulate the crash window: archive write landed, registry append
+    # did not — replay sees an unregistered batch and re-ingests it.
+    shutil.rmtree(cfg.registry_path)
+    replay = ingest_batch(spark, cfg)
+    assert replay.archived == 2
+    arch2 = spark.read.parquet(cfg.archive_root)
+    assert arch2.count() == 2, "replay must overwrite, not append"
+    # same stage-in contents => same content-derived token
+    assert {
+        r["batch"] for r in arch2.select("batch").distinct().collect()
+    } == tok1
+    assert spark.read.parquet(cfg.registry_path).count() == 2
+
+    # a later, DIFFERENT batch appends under its own token (no cross-batch
+    # clobber): re-present only new files by clearing the registry gate
+    # for them is not possible here, so assert the token derivation
+    # directly instead.
+    from dbbspark.streaming.ingest import _batch_token
+
+    other = spark.createDataFrame(
+        [("zzz.fits",), ("aaa.fits",)], "data_name string"
+    )
+    t_other = _batch_token(other)
+    t_same_reordered = _batch_token(
+        spark.createDataFrame([("aaa.fits",), ("zzz.fits",)], "data_name string")
+    )
+    assert t_other == t_same_reordered, "token must be order-independent"
+    assert t_other not in tok1
+
+
 def test_streaming_checkpoint_no_reprocess(spark, area):
     cfg = _cfg(area)
     ckpt = os.path.join(area, "ckpt", "ingest")
