@@ -26,6 +26,7 @@ equivalence test checks against a dense numpy power iteration.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from dbbspark.session import cut_lineage
 
@@ -37,20 +38,51 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 30,
     tol: float = 1e-6,
+    assume_no_dangling: bool = False,
+    driver_edge_bound: int = 0,
+    assume_distinct: bool = False,
+    scaled: bool = False,
 ) -> DataFrame:
     """(node, rank) for every node appearing in ``edges`` (either end).
 
     Standard PageRank: rank = (1-d)/N + d·(Σ_in rank/outdeg + dangling
     mass/N). Duplicate (src, dst) rows count once (a page linking twice
-    confers no extra endorsement — the usual host-graph convention)."""
+    confers no extra endorsement — the usual host-graph convention).
+
+    Two driver-action eliders for the fixed-iteration regime:
+    ``assume_no_dangling=True`` skips the per-round dangling-mass
+    aggregate — ONLY correct when every node has an out-edge (always
+    true for a symmetrized/undirected graph, e.g. a dedup pair graph);
+    ``tol <= 0`` skips the per-round L1-delta aggregate and runs exactly
+    ``max_iter`` rounds — the replayable mode an oracle can re-derive
+    (early exit would make the result depend on float convergence
+    order). Together they cut 2 driver round-trips per iteration.
+
+    ``driver_edge_bound > 0`` turns on the size-adaptive regime
+    (connected_components_adaptive's discipline, operators/dedup.py):
+    if the distinct edge relation's COUNTED size fits the bound, the
+    whole iteration runs as one numpy power iteration on the driver —
+    identical arithmetic, no per-round shuffles (a dedup pair graph is
+    kilobytes; 30 Spark jobs for it is pure overhead) — while larger
+    graphs take the distributed plan unchanged. Driver ≡ distributed is
+    pinned in tests/test_graph.py.
+
+    ``assume_distinct=True`` skips the de-duplicating exchange when the
+    caller's edge list is unique by construction (e.g. both directions
+    of a canonical a<b pair relation). ``scaled=True`` returns
+    rank × N (mean 1.0 — the comparable-across-graph-sizes form) using
+    the N both regimes already hold, sparing callers a second node
+    count."""
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
-        .distinct()
-        .transform(cut_lineage, eager=True)
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col("s").isNotNull() & F.col("d").isNotNull()
     )
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.transform(cut_lineage, eager=True)
+    if driver_edge_bound and e.count() <= driver_edge_bound:
+        return _pagerank_driver(e, damping, max_iter, tol, scaled)
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
@@ -60,6 +92,7 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    rank_out = (F.col("rank") * F.lit(float(n))).alias("rank") if scaled else F.col("rank")
     outdeg = e.groupBy("s").agg(F.count("*").alias("deg"))
     # contribution edges: each (s, d) carries rank(s)/deg(s); built once
     contrib_edges = e.join(outdeg, "s").transform(cut_lineage, eager=True)
@@ -71,12 +104,15 @@ def pagerank(
     base = (1.0 - damping) / n
     for _ in range(max_iter):
         # dangling mass: rank parked on nodes with no outlinks
-        dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.s, "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
-        )
+        if assume_no_dangling:
+            dangling = 0.0
+        else:
+            dangling = (
+                ranks.join(outdeg, ranks.node == outdeg.s, "left_anti")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
         inflow = (
             contrib_edges.join(ranks, contrib_edges.s == ranks.node)
             .groupBy("d")
@@ -94,16 +130,74 @@ def pagerank(
             )
             .transform(cut_lineage, eager=False)
         )
-        delta = (
-            ranks.select("node", F.col("rank").alias("old"))
-            .join(new_ranks, "node")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-            .first()[0]
+        if tol > 0:
+            delta = (
+                ranks.select("node", F.col("rank").alias("old"))
+                .join(new_ranks, "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks.select("node", rank_out)
+
+
+def _pagerank_driver(
+    e: DataFrame, damping: float, max_iter: int, tol: float,
+    scaled: bool = False,
+) -> DataFrame:
+    """Counted-bound fast path: the SAME power iteration as the
+    distributed loop, on collected edges (``e`` is already distinct and
+    lineage-cut, so the collect re-reads a local checkpoint, not the
+    upstream DAG). Dangling mass and the tol early-exit follow the
+    distributed semantics exactly; summation order differs only at
+    float ulps (callers that value-compare round, as q_dedup_clusters
+    does)."""
+    import numpy as np
+
+    rows = e.collect()
+    node_type = e.schema["s"].dataType
+    spark = e.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], T.StructType([
+                T.StructField("node", node_type),
+                T.StructField("rank", T.DoubleType()),
+            ])
         )
-        ranks = new_ranks
-        if delta is not None and delta < tol:
-            break
-    return ranks
+    nodes_l = sorted({r["s"] for r in rows} | {r["d"] for r in rows})
+    idx = {v: i for i, v in enumerate(nodes_l)}
+    n = len(nodes_l)
+    srcs = np.fromiter((idx[r["s"]] for r in rows), dtype=np.int64, count=len(rows))
+    dsts = np.fromiter((idx[r["d"]] for r in rows), dtype=np.int64, count=len(rows))
+    deg = np.bincount(srcs, minlength=n).astype(np.float64)
+    has_out = deg > 0
+    ranks = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        dangling = float(ranks[~has_out].sum())
+        contrib = ranks[srcs] / deg[srcs]
+        inflow = np.bincount(dsts, weights=contrib, minlength=n)
+        new = base + damping * (inflow + dangling / n)
+        if tol > 0:
+            delta = float(np.abs(new - ranks).sum())
+            ranks = new
+            if delta < tol:
+                break
+        else:
+            ranks = new
+    if scaled:
+        ranks = ranks * float(n)
+    return spark.createDataFrame(
+        [(nodes_l[i], float(ranks[i])) for i in range(n)],
+        T.StructType([
+            T.StructField("node", node_type),
+            T.StructField("rank", T.DoubleType()),
+        ]),
+    )
 
 
 def domain_rank_prior(

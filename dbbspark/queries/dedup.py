@@ -199,9 +199,40 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach(src, dst) AS (
       SELECT a, b FROM edges
       UNION
-      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-    SELECT src AS doc, least(src, min(dst)) AS component
-    FROM reach GROUP BY src
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (
+      SELECT src AS doc, least(src, min(dst)) AS component
+      FROM reach GROUP BY src),
+    -- C38 fold: 3 unrolled PageRank power iterations over the SAME
+    -- symmetric pair graph (no dangling nodes by symmetry)
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS dg FROM edges GROUP BY a),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+    r1 AS (SELECT n2.node,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(i.inflow, 0) AS pr
+           FROM nodes n2 LEFT JOIN (
+             SELECT e.b AS nd, SUM(r.pr / d.dg) AS inflow
+             FROM edges e JOIN r0 r ON e.a = r.node JOIN deg d ON e.a = d.a
+             GROUP BY e.b) i ON n2.node = i.nd),
+    r2 AS (SELECT n2.node,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(i.inflow, 0) AS pr
+           FROM nodes n2 LEFT JOIN (
+             SELECT e.b AS nd, SUM(r.pr / d.dg) AS inflow
+             FROM edges e JOIN r1 r ON e.a = r.node JOIN deg d ON e.a = d.a
+             GROUP BY e.b) i ON n2.node = i.nd),
+    r3 AS (SELECT n2.node,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(i.inflow, 0) AS pr
+           FROM nodes n2 LEFT JOIN (
+             SELECT e.b AS nd, SUM(r.pr / d.dg) AS inflow
+             FROM edges e JOIN r2 r ON e.a = r.node JOIN deg d ON e.a = d.a
+             GROUP BY e.b) i ON n2.node = i.nd)
+    SELECT comp.doc, comp.component,
+           round(r3.pr * (SELECT n FROM nn), 4) AS pr3
+    FROM comp JOIN r3 ON comp.doc = r3.node
     """,
     doc="Training-pipeline closure: near-dup CLUSTERING — Jaccard pairs → "
     "connected components → canonical representative (min doc id per "
@@ -214,16 +245,44 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "formulation (Kiveris et al. SoCC'14, O(log²) rounds regardless of "
     "diameter — measured 1.5-3.6× over min-label at 10×), so the 100 TB "
     "plan is exactly the star one. The oracle computes the same "
-    "components with a recursive CTE.",
+    "components with a recursive CTE. FOLDED C38 (r10): `pr3` is "
+    "operators/graph.py pagerank run for exactly 3 power iterations "
+    "(damping 0.85, tol=0 so neither engine early-exits) over the "
+    "symmetric pair graph — per-round inflow join, degree division, and "
+    "teleport arithmetic value-checked against the oracle's unrolled "
+    "CTE iterations (symmetry ⇒ no dangling mass, so the one driver "
+    "scalar is provably 0 here); reported N-scaled (mean 1.0) and "
+    "rounded to 4 so both engines' float accumulation orders agree — "
+    "the dup-graph centrality signal for representative selection.",
     tags=("dedup", "closure", "iterative"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+    from dbbspark.session import cut_lineage
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=_JACCARD_MAX_DF
-    )
+    ).transform(cut_lineage, eager=True)  # one LSH pass feeds CC + PageRank
     cc = D.connected_components_adaptive(pairs, src="doc_a", dst="doc_b")
-    return cc.select(F.col("node").alias("doc"), "component")
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).union(pairs.select("doc_b", "doc_a"))
+    pr = pagerank(
+        edges, src="s", dst="d", damping=0.85, max_iter=3, tol=0.0,
+        assume_no_dangling=True,  # symmetric graph: every node has out-edges
+        assume_distinct=True,  # both directions of a canonical a<b relation
+        driver_edge_bound=2_000_000,  # dup graphs are sparse; CC's bound
+        scaled=True,  # rank × N (mean 1.0), no second node count
+    )
+    return (
+        cc.join(pr, "node")
+        .select(
+            F.col("node").alias("doc"),
+            "component",
+            F.round(F.col("rank"), 4).alias("pr3"),
+        )
+    )
 
 
 @query(

@@ -99,7 +99,7 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(o_orderdate) AS start_time,
              min(o_orderdate) + INTERVAL 30 DAY AS end_time
       FROM orders GROUP BY o_custkey)
-    SELECT iv.propid, COUNT(*) AS cnt_in_window
+    SELECT iv.propid, COUNT(*) AS cnt_in_window, COUNT(*) AS cnt_sweep
     FROM orders o JOIN iv
       ON o.o_orderdate >= iv.start_time AND o.o_orderdate <= iv.end_time
     GROUP BY iv.propid
@@ -107,22 +107,37 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="J6: interval (theta/range) join — propid validity windows vs "
     "per-nite timestamps (bin/monitor_DBB_stagein.py:868-877). Spark side "
     "uses the bucketized equi rewrite (operators/intervals.py); naive form "
-    "is a BroadcastNestedLoopJoin that dies at scale. When the aggregate "
-    "is a pure count, interval_count_points computes the same answer via "
-    "a prefix-sum sweep with NO pair materialization (28.9M pairs at "
-    "sf0.1 → none; ~2× faster here, asymptotically dominant at 100 TB) — "
-    "this query keeps the generic join so the driver exercises J6 itself.",
+    "is a BroadcastNestedLoopJoin that dies at scale. FOLDED C20 (r10): "
+    "`cnt_sweep` recomputes the SAME per-interval count through "
+    "interval_count_points' prefix-sum sweep (NO pair materialization — "
+    "28.9M containment pairs at sf0.1 → none; asymptotically dominant at "
+    "100 TB), value-checked against the oracle's theta-join count: the "
+    "cumulative window, the union-sweep as-of lookup, and the boundary "
+    "arithmetic must all agree with DuckDB's brute containment. The "
+    "query keeps the generic join for cnt_in_window so the driver still "
+    "exercises J6 itself (every interval contains its defining order, so "
+    "inner join and the sweep's outer semantics coincide here).",
     tags=("join", "interval"),
 )
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import interval_count_points
+    from dbbspark.session import cut_lineage
+
     orders = load_table(spark, sf_dir, "orders")
     iv = orders.groupBy(F.col("o_custkey").alias("propid")).agg(
         F.min("o_orderdate").alias("start_time"),
         (F.min("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("end_time"),
-    )
+    ).transform(cut_lineage, eager=False)
     probe = orders.select("o_orderkey", "o_orderdate")
     joined = interval_join(probe, iv, "o_orderdate", "start_time", "end_time", bucket_days=7)
-    return joined.groupBy("propid").agg(F.count("*").alias("cnt_in_window"))
+    sweep = interval_count_points(
+        iv, probe, "o_orderdate", "start_time", "end_time"
+    ).select("propid", F.col("cnt_in_window").alias("cnt_sweep"))
+    return (
+        joined.groupBy("propid")
+        .agg(F.count("*").alias("cnt_in_window"))
+        .join(sweep, "propid")
+    )
 
 
 @query(

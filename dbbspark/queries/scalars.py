@@ -170,18 +170,55 @@ def q_row_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_date_range",
     oracle="""
-    WITH b AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events)
-    SELECT strftime(unnest(generate_series(CAST(maxd - 13 AS TIMESTAMP),
-                                           CAST(maxd AS TIMESTAMP),
-                                           INTERVAL 1 DAY)), '%Y-%m-%d') AS nite_date
-    FROM b
+    WITH b AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+    spine AS (
+      SELECT CAST(unnest(generate_series(CAST(maxd - 13 AS TIMESTAMP),
+                                         CAST(maxd AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events, b WHERE CAST(ts AS DATE) >= maxd - 13
+      GROUP BY 1),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    filled AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds),
+    dense AS (
+      SELECT filled.d, CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+      FROM filled LEFT JOIN daily ON filled.d = daily.d)
+    SELECT strftime(spine.d, '%Y-%m-%d') AS nite_date, dense.n_events
+    FROM spine LEFT JOIN dense ON spine.d = dense.d
     """,
     doc="F8: nite-list generation — last 14 days ending at the newest event "
-    "(bin/monitor_DBB_stagein.py:1147-1150).",
+    "(bin/monitor_DBB_stagein.py:1147-1150). FOLDED C48 (r10): `n_events` "
+    "is the per-nite event count DENSIFIED by fill_time_gaps "
+    "(operators/timegrid.py) — empty nites inside the observed [min, max] "
+    "date range report 0 (the fill), nites on the F8 spine outside it "
+    "report NULL (no data range to fill) — so the spine-bounds aggregate, "
+    "the sequence-explode spine, and the null-safe fill join-back are all "
+    "value-checked against DuckDB's generate_series + LEFT JOIN "
+    "re-derivation.",
 )
 def q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timegrid import fill_time_gaps
+
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
-    return bounds.select(
+    spine = bounds.select(
         F.explode(F.sequence(F.date_sub(F.col("maxd"), 13), F.col("maxd"))).alias("d")
-    ).select(F.date_format("d", "yyyy-MM-dd").alias("nite_date"))
+    )
+    daily = (
+        ev.crossJoin(F.broadcast(bounds))
+        .where(F.to_date("ts") >= F.date_sub(F.col("maxd"), 13))
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    dense = fill_time_gaps(
+        daily, "d", "INTERVAL 1 DAY", fill={"n_events": 0}
+    ).select("d", F.col("n_events").cast("bigint").alias("n_events"))
+    return spine.join(dense, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("nite_date"), "n_events"
+    )

@@ -76,6 +76,49 @@ def test_damping_validation(spark):
         pagerank(edges, damping=1.0)
 
 
+def test_driver_regime_matches_distributed(spark):
+    """r10 adaptive regime: under driver_edge_bound the numpy fast path
+    must agree with the distributed loop (same dangling/teleport/tol
+    semantics — GRAPH includes a dangling node), and the fixed-iteration
+    eliders (tol=0, assume_no_dangling on a symmetrized graph) must not
+    change values."""
+    edges = spark.createDataFrame(GRAPH, "src long, dst long")
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, max_iter=7, tol=0.0).collect()
+    }
+    drv = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, max_iter=7, tol=0.0, driver_edge_bound=10_000
+        ).collect()
+    }
+    assert set(dist) == set(drv)
+    for node in dist:
+        assert dist[node] == pytest.approx(drv[node], abs=1e-12)
+
+    # symmetrized graph: assume_no_dangling + assume_distinct are safe,
+    # scaled multiplies by N in both regimes
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    n = sym.select("src").distinct().count()
+    base_r = {
+        r["node"]: r["rank"]
+        for r in pagerank(sym, max_iter=5, tol=0.0).collect()
+    }
+    for bound in (0, 10_000):
+        fast = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                sym, max_iter=5, tol=0.0, assume_no_dangling=True,
+                assume_distinct=True, scaled=True, driver_edge_bound=bound,
+            ).collect()
+        }
+        for node in base_r:
+            assert fast[node] == pytest.approx(base_r[node] * n, abs=1e-9)
+
+
 def test_domain_rank_prior_join(spark):
     edges = spark.createDataFrame(
         [("example.com", "linked.org")], "src string, dst string"
