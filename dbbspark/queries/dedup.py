@@ -231,7 +231,10 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM edges e JOIN r2 r ON e.a = r.node JOIN deg d ON e.a = d.a
              GROUP BY e.b) i ON n2.node = i.nd)
     SELECT comp.doc, comp.component,
-           round(r3.pr * (SELECT n FROM nn), 4) AS pr3
+           round(r3.pr * (SELECT n FROM nn), 4) AS pr3,
+           (CAST(('0x' || substr(md5('split-v1' ||
+                  CAST(comp.component AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1000000) < 100000 AS is_val
     FROM comp JOIN r3 ON comp.doc = r3.node
     """,
     doc="Training-pipeline closure: near-dup CLUSTERING — Jaccard pairs → "
@@ -253,7 +256,11 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CTE iterations (symmetry ⇒ no dangling mass, so the one driver "
     "scalar is provably 0 here); reported N-scaled (mean 1.0) and "
     "rounded to 4 so both engines' float accumulation orders agree — "
-    "the dup-graph centrality signal for representative selection.",
+    "the dup-graph centrality signal for representative selection. "
+    "FOLDED C22 (r10): `is_val` is operators/scrub.py leakage_safe_split "
+    "keyed on the COMPONENT — the whole near-dup cluster lands on one "
+    "side of train/val (the eval-contamination guard), via the salted "
+    "md5 gate the oracle re-derives verbatim.",
     tags=("dedup", "closure", "iterative"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,14 +282,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         driver_edge_bound=2_000_000,  # dup graphs are sparse; CC's bound
         scaled=True,  # rank × N (mean 1.0), no second node count
     )
-    return (
-        cc.join(pr, "node")
-        .select(
-            F.col("node").alias("doc"),
-            "component",
-            F.round(F.col("rank"), 4).alias("pr3"),
-        )
+    from ..operators.scrub import leakage_safe_split
+
+    out = cc.join(pr, "node").select(
+        F.col("node").alias("doc"),
+        "component",
+        F.round(F.col("rank"), 4).alias("pr3"),
     )
+    # C22 fold: the split coin flips per COMPONENT, so every member of a
+    # near-dup cluster lands on the same side of train/val.
+    return leakage_safe_split(out, "component", val_fraction=0.1)
 
 
 @query(

@@ -22,6 +22,10 @@ from dbbspark.session import cut_lineage
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _SW_SQL = "('" + "','".join(_STOPWORDS) + "')"
 
+# C37 fold: the SAME public-suffix approximation the operator compiles
+# into its regex, interpolated verbatim into the oracle.
+from ..operators.urls import _TWO_LABEL_SUFFIXES as _SUFFIXES  # noqa: E402
+
 
 @query(
     "q_text_stats",
@@ -91,10 +95,32 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_CASE = """CASE CAST(doc_id % 6 AS INT)
+        WHEN 0 THEN 'https://WWW.News.example.com/Story/' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN 'http://user@Blog.Test.co.uk:8080/p?q=' || CAST(doc_id AS VARCHAR)
+        WHEN 2 THEN 'files.example.org/data'
+        WHEN 3 THEN 'https://a.b.co.jp/x'
+        WHEN 4 THEN 'http://single-label-host/path'
+        ELSE NULL END"""
+
+
 @query(
     "q_doc_metrics",
     oracle=f"""
-    WITH m AS (
+    WITH u AS (
+      SELECT doc_id, {_URL_CASE} AS url FROM documents),
+    h AS (
+      SELECT doc_id,
+             lower(regexp_extract(url,
+               '^(?:[^/?]*://)?(?:[^@/?]*@)?([^:/?#]+)', 1)) AS url_host
+      FROM u),
+    dom AS (
+      SELECT doc_id, url_host,
+             regexp_extract(url_host,
+               '([^.]+\\.(?:{_SUFFIXES}))$', 1) AS three,
+             regexp_extract(url_host, '([^.]+\\.[^.]+)$', 1) AS two
+      FROM h),
+    m AS (
       SELECT doc_id, lang, n_chars,
              string_split(text, ' ') AS toks,
              len(string_split(text, ' ')) AS n_tokens,
@@ -110,7 +136,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(range(1, greatest(n_tokens - 2, 0) + 1),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
       FROM m)
-    SELECT doc_id,
+    SELECT g.doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(bpe_ish_tokens AS BIGINT) AS bpe_ish_tokens,
            round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
@@ -129,13 +155,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sw_hits AS BIGINT) AS en_hits,
            CASE WHEN sw_hits * 10 >= n_tokens THEN 'en-like'
                 ELSE 'other' END AS lang_guess,
-           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           (CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
             % 100 <
             CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END)
              AS in_sample,
            CAST(CAST(n_tokens > 32.0 AS INT) + CAST(n_tokens > 56.0 AS INT)
-                + CAST(n_tokens > 76.0 AS INT) AS INT) AS curriculum_stage
-    FROM g
+                + CAST(n_tokens > 76.0 AS INT) AS INT) AS curriculum_stage,
+           dom.url_host,
+           CASE WHEN dom.three != '' THEN dom.three
+                WHEN dom.two != '' THEN dom.two
+                ELSE dom.url_host END AS url_domain
+    FROM g JOIN dom ON g.doc_id = dom.doc_id
     """,
     doc="C4+C10 (merged): the per-document annotation pass every "
     "training-data pipeline runs — token counting (whitespace split + a "
@@ -154,15 +184,36 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count against PINNED quantile cuts (32/56/76 — the replay "
     "discipline: cuts passed in, not re-estimated), the easy→hard "
     "banding curriculum_order materializes; the band CASE is re-derived "
-    "as boolean sums in the oracle.",
+    "as boolean sums in the oracle. FOLDED C37 (r10): `url_host` / "
+    "`url_domain` run operators/urls.py extract_host + registered_domain "
+    "over deterministic URL strata (mixed-case host, userinfo+port, "
+    "schemeless, co.uk/co.jp two-label public suffixes, dotless host, "
+    "NULL) — the host regex and the suffix-aware registrable-domain CASE "
+    "are re-derived verbatim in DuckDB (the _TWO_LABEL_SUFFIXES "
+    "alternation interpolates into both engines from one constant).",
     tags=("text", "sampling", "closure"),
 )
 def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_int_col
+    from ..operators.urls import extract_host, registered_domain
 
     from ..functions import dup_ratio, ngram_array
 
     docs = load_table(spark, sf_dir, "documents")
+    # C37 fold: deterministic URL strata (host-case, userinfo+port,
+    # schemeless, two-label public suffix, dotless host, NULL) so the
+    # host/registrable-domain regex chain is value-checked end to end.
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("https://WWW.News.example.com/Story/"), did))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("http://user@Blog.Test.co.uk:8080/p?q="), did))
+        .when(F.col("doc_id") % 6 == 2, F.lit("files.example.org/data"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("https://a.b.co.jp/x"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("http://single-label-host/path"))
+        .otherwise(F.lit(None).cast("string"))
+    )
     toks = F.split(F.col("text"), " ")
     # materialize the token array once: interpreted lambdas have no CSE —
     # an inline split would re-split per element_at (see operators/dedup).
@@ -212,6 +263,8 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lang_guess"),
         (gate < rate).alias("in_sample"),
         F.col("stage").cast("int").alias("curriculum_stage"),
+        extract_host(url).alias("url_host"),
+        registered_domain(url).alias("url_domain"),
     )
 
 
