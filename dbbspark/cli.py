@@ -550,6 +550,39 @@ def cmd_index_remove(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_takedown(args: argparse.Namespace) -> int:
+    """Composed retention/takedown: remove files from the archive, the
+    registry, and any dedup-gate indexes in one operation, with an
+    optional quarantine audit row per removed file — the engine form of
+    the reference's quarantine-out-of-archive move. Crash mid-way →
+    re-run; every leg is idempotent, and C54 `scrub` names whatever a
+    partial run left inconsistent."""
+    import json
+
+    from .maintenance import takedown
+
+    spark = _session("dbbspark-takedown")
+    names = [s for s in args.names.split(",") if s]
+    gates = []
+    for spec in args.gate_index or []:
+        if ":" in spec:
+            d, c = spec.rsplit(":", 1)
+        else:
+            d, c = spec, "mid"
+        gates.append((d, c))
+    out = takedown(
+        spark,
+        names,
+        archive_root=args.archive,
+        registry_path=args.registry,
+        quarantine_path=args.quarantine,
+        gate_indexes=tuple(gates),
+        reason=args.reason,
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Small-file maintenance for a partitioned parquet dataset (archive
     sink, streaming-gate state): audit first, rewrite only when the
@@ -934,6 +967,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     ir.add_argument("--text-col", default="text")
     ir.set_defaults(fn=cmd_index_remove)
+
+    td = sub.add_parser(
+        "takedown",
+        help="remove files from archive+registry+gate indexes in one "
+        "composed operation (retention/takedown), with an optional "
+        "quarantine audit trail",
+    )
+    td.add_argument("--names", required=True, help="comma-separated filenames")
+    td.add_argument("--archive", default=None, help="archive root")
+    td.add_argument("--registry", default=None, help="registry parquet path")
+    td.add_argument(
+        "--quarantine", default=None,
+        help="quarantine path for the audit rows (recommended)",
+    )
+    td.add_argument(
+        "--gate-index", action="append", default=None, metavar="DIR[:IDCOL]",
+        help="also remove the names from this gate index (repeatable); "
+        "IDCOL defaults to mid",
+    )
+    td.add_argument("--reason", default="takedown")
+    td.set_defaults(fn=cmd_takedown)
 
     co = sub.add_parser(
         "compact", help="audit + rewrite small-file partitions (archive/gate state)"

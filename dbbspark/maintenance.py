@@ -604,3 +604,183 @@ def materialize_banded_sig_index(
     )
     write_bucketed(banded, table, ["band", "sig"], buckets=buckets)
     return spark.table(table).count()
+
+
+def takedown(
+    spark: SparkSession,
+    filenames,
+    archive_root: str | None = None,
+    registry_path: str | None = None,
+    quarantine_path: str | None = None,
+    gate_indexes: tuple[tuple[str, str], ...] = (),
+    reason: str = "takedown",
+) -> dict:
+    """Composed retention/takedown: remove files from EVERY surface that
+    remembers them, in one operation — the engine form of the
+    reference's quarantine-out-of-archive move
+    (`bin/save_DBB_stagein_to_DBB.py:244-267`), extended to the dedup
+    gate family (C59) so a legitimate re-submission is judged fresh.
+
+    Order (each leg under its own ``commit.exclusive_lock``):
+
+    1. ARCHIVE — only the (filetype, nite, batch) partitions holding
+       matches are rewritten (stage + two-rename swap; emptied
+       partitions removed outright) — the remove_from_index device
+       generalized to the archive's layout;
+    2. QUARANTINE audit (optional) — one DBB_BAD_FILE-shaped row per
+       removed file, ``rejected_msg=reason`` (the reference records
+       every removal; takedown without a trail is how archives drift);
+    3. REGISTRY last — dropping the registry row re-opens the duplicate
+       gate, so it must happen only after the archive bytes are gone
+       (crash between 1 and 3 leaves a registry row pointing nowhere:
+       C54's scrub reports it as missing_in_archive, and a takedown
+       RE-RUN is the remediation — idempotent, finishes the job);
+    4. GATE INDEXES — remove_from_index per (index_dir, id_col), ids =
+       the same filenames (gates keyed otherwise: call
+       remove_from_index / remove_docs_from_line_index directly).
+
+    The registry rewrite is whole-relation (narrow rows, no partition
+    columns — compaction-scale at worst); archive rewrites touch only
+    matched partitions, so cost scales with the takedown, not the
+    archive. Returns per-surface counts."""
+    from .commit import exclusive_lock
+
+    if isinstance(filenames, DataFrame):
+        names_df = filenames.select(
+            F.col(filenames.columns[0]).alias("_rm_name")
+        ).distinct()
+    else:
+        filenames = list(filenames)
+        if not filenames:
+            return {"archive_removed": 0, "registry_removed": 0,
+                    "quarantined": 0, "gates": []}
+        names_df = spark.createDataFrame(
+            [(n,) for n in filenames], ["_rm_name"]
+        ).distinct()
+    names_df = names_df.persist()
+    fs, _, jvm = _fs_and_path(spark, archive_root or registry_path or ".")
+    Path = jvm.org.apache.hadoop.fs.Path
+
+    out: dict = {"archive_removed": 0, "registry_removed": 0,
+                 "quarantined": 0, "gates": []}
+    removed_meta = None
+    try:
+        if archive_root:
+            with exclusive_lock(spark, archive_root, purpose="takedown"):
+                arch = spark.read.option("mergeSchema", "true").parquet(
+                    archive_root
+                )
+                hit = arch.join(
+                    names_df, arch["filename"] == names_df["_rm_name"],
+                    "left_semi",
+                )
+                # audit metadata BEFORE the bytes disappear (quarantine leg)
+                removed_meta = (
+                    hit.select(
+                        "filename", "filesize", "filetype", "delivery_ts",
+                    ).collect()
+                    if quarantine_path
+                    else None
+                )
+                parts = (
+                    hit.select("filetype", "nite", "batch").distinct().collect()
+                )
+                staging_root = archive_root.rstrip("/") + ".rm-staging"
+                backup_root = archive_root.rstrip("/") + ".pre-takedown"
+                for p in parts:
+                    rel = (
+                        f"filetype={p['filetype']}/nite={p['nite']}"
+                        f"/batch={p['batch']}"
+                    )
+                    part = f"{archive_root.rstrip('/')}/{rel}"
+                    pdf = spark.read.parquet(part)
+                    remaining = pdf.join(
+                        names_df, pdf["filename"] == names_df["_rm_name"],
+                        "left_anti",
+                    )
+                    n_before = pdf.count()
+                    n_after = remaining.count()
+                    out["archive_removed"] += n_before - n_after
+                    backup = Path(f"{backup_root}/{rel}")
+                    fs.mkdirs(backup.getParent())
+                    fs.delete(backup, True)
+                    if n_after == 0:
+                        if not fs.rename(Path(part), backup):
+                            raise IOError(f"takedown: rename {part} failed")
+                        continue
+                    staging = f"{staging_root}/{rel}"
+                    fs.delete(Path(staging), True)
+                    remaining.write.mode("errorifexists").parquet(staging)
+                    if not fs.rename(Path(part), backup):
+                        raise IOError(f"takedown: rename {part} failed")
+                    if not fs.rename(Path(staging), Path(part)):
+                        raise IOError(
+                            f"takedown: swap-in for {part} failed; data is "
+                            f"in {backup}"
+                        )
+                fs.delete(Path(staging_root), True)
+
+        if quarantine_path and removed_meta:
+            rows = [
+                (
+                    r["filename"], reason, r["filesize"], r["filetype"],
+                    r["delivery_ts"],
+                )
+                for r in removed_meta
+            ]
+            audit = (
+                spark.createDataFrame(
+                    rows,
+                    "orig_filename string, rejected_msg string, "
+                    "filesize long, filetype string, delivery_date timestamp",
+                )
+                .withColumn("rejected_date", F.current_timestamp())
+                .withColumn("task_id", F.lit(None).cast("string"))
+                .withColumn(
+                    "uniq_fullname",
+                    F.concat_ws(
+                        ".",
+                        F.col("orig_filename"),
+                        F.date_format("rejected_date", "yyyyMMddHHmmssSSS"),
+                    ),
+                )
+                .withColumn("reject_year", F.year("rejected_date"))
+                .withColumn("reject_month", F.month("rejected_date"))
+            )
+            audit.write.partitionBy("reject_year", "reject_month").mode(
+                "append"
+            ).parquet(quarantine_path)
+            out["quarantined"] = len(removed_meta)
+
+        if registry_path:
+            with exclusive_lock(spark, registry_path, purpose="takedown"):
+                reg = spark.read.parquet(registry_path)
+                remaining = reg.join(
+                    names_df, reg["filename"] == names_df["_rm_name"],
+                    "left_anti",
+                )
+                n_before = reg.count()
+                n_after = remaining.count()
+                out["registry_removed"] = n_before - n_after
+                if n_before != n_after:
+                    staging = registry_path.rstrip("/") + ".rm-staging"
+                    backup = registry_path.rstrip("/") + ".pre-takedown"
+                    fs.delete(Path(staging), True)
+                    remaining.write.mode("errorifexists").parquet(staging)
+                    fs.delete(Path(backup), True)
+                    if not fs.rename(Path(registry_path), Path(backup)):
+                        raise IOError("takedown: registry rename failed")
+                    if not fs.rename(Path(staging), Path(registry_path)):
+                        raise IOError(
+                            "takedown: registry swap-in failed; data is in "
+                            f"{backup}"
+                        )
+
+        for index_dir, id_col in gate_indexes:
+            res = remove_from_index(spark, index_dir, names_df, id_col=id_col)
+            out["gates"].append(
+                {"index": index_dir, "removed_rows": res["removed_rows"]}
+            )
+    finally:
+        names_df.unpersist()
+    return out

@@ -1,0 +1,142 @@
+"""Composed takedown (maintenance.takedown + cli takedown): the engine
+form of the reference's quarantine-out-of-archive move
+(`bin/save_DBB_stagein_to_DBB.py:244-267`) extended across every surface
+that remembers a file — archive partitions, registry, quarantine audit
+trail, dedup-gate indexes (C59). The contract under test: after a
+takedown the file is GONE from the data plane, its audit row exists, the
+C54 scrub sees a CONSISTENT pair, and a re-submission of the same
+content is ACCEPTED (duplicate gate re-opened)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dbbspark.maintenance import takedown, verify_archive
+from dbbspark.streaming.ingest import REASON_DUPLICATE, ingest_batch
+
+from tests.test_ingest import _cfg, _stage, area  # noqa: F401  (fixture)
+
+pytestmark = pytest.mark.smoke
+
+
+def _archive_names(spark, cfg):
+    return {
+        r["filename"]
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(cfg.archive_root)
+        .select("filename")
+        .collect()
+    }
+
+
+def test_takedown_composed(spark, area):  # noqa: F811
+    cfg = _cfg(area)
+    first = ingest_batch(spark, cfg)
+    assert first.archived == 2
+    assert _archive_names(spark, cfg) == {
+        "DECam_00000001.fits", "manifest_SN_X1.json",
+    }
+
+    out = takedown(
+        spark,
+        ["DECam_00000001.fits"],
+        archive_root=cfg.archive_root,
+        registry_path=cfg.registry_path,
+        quarantine_path=cfg.quarantine_path,
+        reason="takedown: test",
+    )
+    assert out["archive_removed"] == 1
+    assert out["registry_removed"] == 1
+    assert out["quarantined"] == 1
+
+    # data plane: gone from archive AND registry, sibling intact
+    assert _archive_names(spark, cfg) == {"manifest_SN_X1.json"}
+    reg = spark.read.parquet(cfg.registry_path)
+    assert {r["filename"] for r in reg.collect()} == {"manifest_SN_X1.json"}
+
+    # audit trail: one quarantine row with the reason
+    q = spark.read.parquet(cfg.quarantine_path)
+    td_rows = q.where(F.col("rejected_msg") == "takedown: test").collect()
+    assert [r["orig_filename"] for r in td_rows] == ["DECam_00000001.fits"]
+
+    # C54 consistency: archive and registry agree after the takedown
+    findings = verify_archive(
+        spark, cfg.archive_root, registry_path=cfg.registry_path
+    )
+    assert findings.count() == 0
+
+    # idempotent re-run removes nothing further
+    again = takedown(
+        spark,
+        ["DECam_00000001.fits"],
+        archive_root=cfg.archive_root,
+        registry_path=cfg.registry_path,
+        quarantine_path=cfg.quarantine_path,
+    )
+    assert again["archive_removed"] == 0
+    assert again["registry_removed"] == 0
+    assert again["quarantined"] == 0
+
+
+def test_takedown_reopens_duplicate_gate(spark, area):  # noqa: F811
+    cfg = _cfg(area)
+    ingest_batch(spark, cfg)
+    takedown(
+        spark,
+        ["DECam_00000001.fits"],
+        archive_root=cfg.archive_root,
+        registry_path=cfg.registry_path,
+    )
+    # the same stage-in contents re-presented: the taken-down file is
+    # judged FRESH again (re-archived); the untouched sibling stays a
+    # duplicate
+    res = ingest_batch(spark, cfg)
+    assert res.archived == 1
+    assert res.by_reason[REASON_DUPLICATE] == 1
+    assert _archive_names(spark, cfg) == {
+        "DECam_00000001.fits", "manifest_SN_X1.json",
+    }
+    assert spark.read.parquet(cfg.registry_path).count() == 2
+
+
+def test_takedown_gate_index_leg(spark, tmp_path):
+    # a tiny batch-partitioned media-gate index: the composed op must
+    # route the same names through remove_from_index
+    idx = str(tmp_path / "media_idx")
+    df = spark.createDataFrame(
+        [("a.png", 1, 11), ("b.png", 2, 22), ("c.png", 3, 33)],
+        "mid string, phash long, extra long",
+    ).withColumn("batch", F.lit(0))
+    df.write.partitionBy("batch").parquet(idx)
+
+    out = takedown(
+        spark, ["b.png"], gate_indexes=((idx, "mid"),),
+    )
+    assert out["gates"] == [{"index": idx, "removed_rows": 1}]
+    left = spark.read.parquet(idx)
+    assert {r["mid"] for r in left.collect()} == {"a.png", "c.png"}
+
+
+def test_takedown_cli(spark, area, capsys):  # noqa: F811
+    import json
+
+    from dbbspark.cli import main
+
+    cfg = _cfg(area)
+    ingest_batch(spark, cfg)
+    rc = main([
+        "takedown",
+        "--names", "manifest_SN_X1.json",
+        "--archive", cfg.archive_root,
+        "--registry", cfg.registry_path,
+        "--quarantine", cfg.quarantine_path,
+        "--reason", "retention",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["archive_removed"] == 1 and out["registry_removed"] == 1
+    assert _archive_names(spark, cfg) == {"DECam_00000001.fits"}
