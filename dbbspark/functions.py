@@ -105,6 +105,72 @@ def dup_ratio(arr: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def dup_char_fraction(sorted_arr: Column | str) -> Column:
+    """CHAR-weighted duplicate fraction (Rae et al. 2021 §A1.1's
+    'fraction of characters in duplicate lines' family): chars in the
+    2nd+ occurrence of each distinct element over total element chars.
+    Takes a PRE-SORTED array column (materialize `array_sort(...)` as a
+    real column first — interpreted lambdas have no CSE, an inline sort
+    would re-sort per element). Pure projection: adjacent-equal scan
+    over the sorted copy, no shuffle. 0.0 when total chars are 0."""
+    s = F.col(sorted_arr) if isinstance(sorted_arr, str) else sorted_arr
+    n = F.size(s)
+    idx = F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    dup_chars = F.aggregate(
+        idx,
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(s, i) == F.element_at(s, i - 1),
+            F.length(F.element_at(s, i)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    tot = F.aggregate(
+        s, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x).cast("bigint")
+    )
+    return F.when(
+        tot > 0, F.round(dup_chars.cast("double") / tot, 4)
+    ).otherwise(F.lit(0.0))
+
+
+def top_run_char_fraction(sorted_arr: Column | str) -> Column:
+    """Gopher's 'fraction of characters in the most frequent n-gram':
+    max over distinct elements of count×len, over total element chars —
+    computed as a single run-length scan of a PRE-SORTED array (equal
+    elements are one maximal run in sorted order, so the running
+    run-length×len maximum IS the global count×len maximum). Struct
+    accumulator (prev, run, best); pure projection, no shuffle."""
+    s = F.col(sorted_arr) if isinstance(sorted_arr, str) else sorted_arr
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1).cast("bigint"))
+            .otherwise(F.lit(1).cast("bigint"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(x).cast("bigint")).alias(
+                "best"
+            ),
+        )
+
+    best = F.aggregate(s, init, step, lambda acc: acc["best"])
+    tot = F.aggregate(
+        s, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x).cast("bigint")
+    )
+    return F.when(
+        tot > 0, F.round(best.cast("double") / tot, 4)
+    ).otherwise(F.lit(0.0))
+
+
 # --- money-sum discipline for oracle parity --------------------------------
 #
 # Accumulated double sums differ in final bits between engines; route

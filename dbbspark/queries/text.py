@@ -135,7 +135,24 @@ _URL_CASE = """CASE CAST(doc_id % 6 AS INT)
                i -> toks[i] || ' ' || toks[i+1]) AS g2,
              list_transform(range(1, greatest(n_tokens - 2, 0) + 1),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
-      FROM m)
+      FROM m),
+    -- char-weighted repetition (Gopher §A1.1): dup-line chars and the
+    -- most-frequent-2-gram's chars, per doc via unnest + GROUP BY
+    lstat AS (
+      SELECT doc_id,
+             SUM((c - 1) * ll) AS dupc, SUM(c * ll) AS totc
+      FROM (SELECT doc_id, line, COUNT(*) AS c, len(line) AS ll
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, chr(10))) AS line
+                  FROM documents)
+            GROUP BY doc_id, line)
+      GROUP BY doc_id),
+    g2stat AS (
+      SELECT doc_id, max(c * gl) AS best, SUM(c * gl) AS tot
+      FROM (SELECT doc_id, gr, COUNT(*) AS c, len(gr) AS gl
+            FROM (SELECT doc_id, unnest(g2) AS gr FROM g)
+            GROUP BY doc_id, gr)
+      GROUP BY doc_id)
     SELECT g.doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(bpe_ish_tokens AS BIGINT) AS bpe_ish_tokens,
@@ -164,8 +181,16 @@ _URL_CASE = """CASE CAST(doc_id % 6 AS INT)
            dom.url_host,
            CASE WHEN dom.three != '' THEN dom.three
                 WHEN dom.two != '' THEN dom.two
-                ELSE dom.url_host END AS url_domain
+                ELSE dom.url_host END AS url_domain,
+           CASE WHEN coalesce(lstat.totc, 0) > 0
+                THEN round(CAST(lstat.dupc AS DOUBLE) / lstat.totc, 4)
+                ELSE 0.0 END AS dup_line_char_frac,
+           CASE WHEN coalesce(g2stat.tot, 0) > 0
+                THEN round(CAST(g2stat.best AS DOUBLE) / g2stat.tot, 4)
+                ELSE 0.0 END AS top_2gram_char_frac
     FROM g JOIN dom ON g.doc_id = dom.doc_id
+    LEFT JOIN lstat ON g.doc_id = lstat.doc_id
+    LEFT JOIN g2stat ON g.doc_id = g2stat.doc_id
     """,
     doc="C4+C10 (merged): the per-document annotation pass every "
     "training-data pipeline runs — token counting (whitespace split + a "
@@ -190,14 +215,30 @@ _URL_CASE = """CASE CAST(doc_id % 6 AS INT)
     "schemeless, co.uk/co.jp two-label public suffixes, dotless host, "
     "NULL) — the host regex and the suffix-aware registrable-domain CASE "
     "are re-derived verbatim in DuckDB (the _TWO_LABEL_SUFFIXES "
-    "alternation interpolates into both engines from one constant).",
+    "alternation interpolates into both engines from one constant). "
+    "r10 completes the Gopher §A1.1 repetition set with the "
+    "CHAR-WEIGHTED forms: `dup_line_char_frac` (chars in 2nd+ "
+    "occurrences of each line / total line chars) and "
+    "`top_2gram_char_frac` (most-frequent 2-gram's count×len / total "
+    "2-gram chars) — both computed SHUFFLE-FREE as adjacent-equal / "
+    "run-length scans over materialized array_sort copies "
+    "(functions.dup_char_fraction / top_run_char_fraction; equal "
+    "elements form one maximal run in sorted order, so the running "
+    "run×len maximum is the global count×len maximum), while the "
+    "oracle re-derives them the relational way (unnest + GROUP BY + "
+    "max/sum) — two genuinely different algorithms agreeing on values.",
     tags=("text", "sampling", "closure"),
 )
 def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_int_col
     from ..operators.urls import extract_host, registered_domain
 
-    from ..functions import dup_ratio, ngram_array
+    from ..functions import (
+        dup_char_fraction,
+        dup_ratio,
+        ngram_array,
+        top_run_char_fraction,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # C37 fold: deterministic URL strata (host-case, userinfo+port,
@@ -227,10 +268,17 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
         ).alias("bpe_ish_tokens"),
+        # sorted-line copy for the char-weighted repetition scan (the
+        # sort is a per-row projection — materialized here, never
+        # re-derived inside an interpreted lambda)
+        F.array_sort(F.split(F.col("text"), "\n")).alias("__lines_s"),
     ).select(
         "*",
         ngram_array(F.col("__toks"), 2).alias("__g2"),
         ngram_array(F.col("__toks"), 3).alias("__g3"),
+    ).select(
+        "*",
+        F.array_sort(F.col("__g2")).alias("__g2s"),
     )
     atl = F.col("n_chars").cast("double") / F.col("n_tokens")
     rate = (
@@ -265,6 +313,8 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stage").cast("int").alias("curriculum_stage"),
         extract_host(url).alias("url_host"),
         registered_domain(url).alias("url_domain"),
+        dup_char_fraction(F.col("__lines_s")).alias("dup_line_char_frac"),
+        top_run_char_fraction(F.col("__g2s")).alias("top_2gram_char_frac"),
     )
 
 
