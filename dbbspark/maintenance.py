@@ -623,18 +623,25 @@ def takedown(
 
     Order (each leg under its own ``commit.exclusive_lock``):
 
-    1. ARCHIVE — only the (filetype, nite, batch) partitions holding
+    1. QUARANTINE audit first (optional) — one DBB_BAD_FILE-shaped row
+       per matched file, ``rejected_msg=reason``, written from the
+       archive metadata BEFORE the bytes disappear: an INTENT log. The
+       trail must exist whenever a removal happened; a crash right
+       after this leg leaves an intent row for a still-archived file,
+       which the completing re-run resolves (and may duplicate — an
+       append-only log read keep-last, the quarantine's normal
+       discipline; the reverse ordering would lose the trail forever,
+       since the metadata is gone with the bytes);
+    2. ARCHIVE — only the (filetype, nite, batch) partitions holding
        matches are rewritten (stage + two-rename swap; emptied
        partitions removed outright) — the remove_from_index device
        generalized to the archive's layout;
-    2. QUARANTINE audit (optional) — one DBB_BAD_FILE-shaped row per
-       removed file, ``rejected_msg=reason`` (the reference records
-       every removal; takedown without a trail is how archives drift);
-    3. REGISTRY last — dropping the registry row re-opens the duplicate
-       gate, so it must happen only after the archive bytes are gone
-       (crash between 1 and 3 leaves a registry row pointing nowhere:
-       C54's scrub reports it as missing_in_archive, and a takedown
-       RE-RUN is the remediation — idempotent, finishes the job);
+    3. REGISTRY after the archive — dropping the registry row re-opens
+       the duplicate gate, so it must happen only after the bytes are
+       gone (crash between 2 and 3 leaves a registry row pointing
+       nowhere: C54's scrub reports it as missing_in_archive, and a
+       takedown RE-RUN is the remediation — idempotent, finishes the
+       job; pinned in tests/test_takedown.py);
     4. GATE INDEXES — remove_from_index per (index_dir, id_col), ids =
        the same filenames (gates keyed otherwise: call
        remove_from_index / remove_docs_from_line_index directly).
@@ -685,6 +692,42 @@ def takedown(
                 parts = (
                     hit.select("filetype", "nite", "batch").distinct().collect()
                 )
+                # INTENT log first: the audit row must exist whenever a
+                # removal happens; after the rewrite the metadata is gone
+                if quarantine_path and removed_meta:
+                    rows = [
+                        (
+                            r["filename"], reason, r["filesize"],
+                            r["filetype"], r["delivery_ts"],
+                        )
+                        for r in removed_meta
+                    ]
+                    audit = (
+                        spark.createDataFrame(
+                            rows,
+                            "orig_filename string, rejected_msg string, "
+                            "filesize long, filetype string, "
+                            "delivery_date timestamp",
+                        )
+                        .withColumn("rejected_date", F.current_timestamp())
+                        .withColumn("task_id", F.lit(None).cast("string"))
+                        .withColumn(
+                            "uniq_fullname",
+                            F.concat_ws(
+                                ".",
+                                F.col("orig_filename"),
+                                F.date_format(
+                                    "rejected_date", "yyyyMMddHHmmssSSS"
+                                ),
+                            ),
+                        )
+                        .withColumn("reject_year", F.year("rejected_date"))
+                        .withColumn("reject_month", F.month("rejected_date"))
+                    )
+                    audit.write.partitionBy(
+                        "reject_year", "reject_month"
+                    ).mode("append").parquet(quarantine_path)
+                    out["quarantined"] = len(removed_meta)
                 staging_root = archive_root.rstrip("/") + ".rm-staging"
                 backup_root = archive_root.rstrip("/") + ".pre-takedown"
                 for p in parts:
@@ -719,38 +762,6 @@ def takedown(
                             f"in {backup}"
                         )
                 fs.delete(Path(staging_root), True)
-
-        if quarantine_path and removed_meta:
-            rows = [
-                (
-                    r["filename"], reason, r["filesize"], r["filetype"],
-                    r["delivery_ts"],
-                )
-                for r in removed_meta
-            ]
-            audit = (
-                spark.createDataFrame(
-                    rows,
-                    "orig_filename string, rejected_msg string, "
-                    "filesize long, filetype string, delivery_date timestamp",
-                )
-                .withColumn("rejected_date", F.current_timestamp())
-                .withColumn("task_id", F.lit(None).cast("string"))
-                .withColumn(
-                    "uniq_fullname",
-                    F.concat_ws(
-                        ".",
-                        F.col("orig_filename"),
-                        F.date_format("rejected_date", "yyyyMMddHHmmssSSS"),
-                    ),
-                )
-                .withColumn("reject_year", F.year("rejected_date"))
-                .withColumn("reject_month", F.month("rejected_date"))
-            )
-            audit.write.partitionBy("reject_year", "reject_month").mode(
-                "append"
-            ).parquet(quarantine_path)
-            out["quarantined"] = len(removed_meta)
 
         if registry_path:
             with exclusive_lock(spark, registry_path, purpose="takedown"):

@@ -103,6 +103,47 @@ def test_takedown_reopens_duplicate_gate(spark, area):  # noqa: F811
     assert spark.read.parquet(cfg.registry_path).count() == 2
 
 
+def test_takedown_partial_crash_heals(spark, area):  # noqa: F811
+    """A crash between the archive rewrite and the registry rewrite
+    leaves a registry row pointing nowhere. The contract (docstring
+    order note): C54's scrub NAMES the inconsistency as
+    missing_in_archive, and a takedown re-run is the remediation."""
+    cfg = _cfg(area)
+    ingest_batch(spark, cfg)
+
+    # "crash" after the archive (+audit) leg: run takedown WITHOUT the
+    # registry leg — exactly the partial state a mid-run crash leaves
+    partial = takedown(
+        spark,
+        ["DECam_00000001.fits"],
+        archive_root=cfg.archive_root,
+        quarantine_path=cfg.quarantine_path,
+    )
+    assert partial["archive_removed"] == 1
+    assert partial["quarantined"] == 1  # intent log already written
+
+    findings = verify_archive(
+        spark, cfg.archive_root, registry_path=cfg.registry_path
+    ).collect()
+    assert [f["finding"] for f in findings] == ["missing_in_archive"]
+
+    # remediation: re-run the FULL takedown — archive leg is a no-op,
+    # registry leg completes, the pair is consistent again
+    heal = takedown(
+        spark,
+        ["DECam_00000001.fits"],
+        archive_root=cfg.archive_root,
+        registry_path=cfg.registry_path,
+        quarantine_path=cfg.quarantine_path,
+    )
+    assert heal["archive_removed"] == 0
+    assert heal["registry_removed"] == 1
+    assert heal["quarantined"] == 0  # no second intent row: bytes gone
+    assert verify_archive(
+        spark, cfg.archive_root, registry_path=cfg.registry_path
+    ).count() == 0
+
+
 def test_takedown_gate_index_leg(spark, tmp_path):
     # a tiny batch-partitioned media-gate index: the composed op must
     # route the same names through remove_from_index
