@@ -77,6 +77,19 @@ else
     --save "$STATE_DIR/profile.json" || rc=$?
 fi
 
+# 4b. composed takedown for names queued by retention/compliance (one
+#     file of newline-separated names; intent-audit first, archive,
+#     registry, then any gate indexes in TAKEDOWN_GATES)
+if [ -n "${TAKEDOWN_QUEUE:-}" ] && [ -s "$TAKEDOWN_QUEUE" ]; then
+  names=$(paste -sd, "$TAKEDOWN_QUEUE")
+  gate_args=""
+  for g in ${TAKEDOWN_GATES:-}; do gate_args="$gate_args --gate-index $g"; done
+  $PY -m dbbspark.cli takedown --names "$names" \
+    --archive "$ARCHIVE" ${REGISTRY:+--registry "$REGISTRY"} \
+    --quarantine "${QUARANTINE:-$ARCHIVE/../bad}" $gate_args \
+    && : > "$TAKEDOWN_QUEUE" || rc=$?
+fi
+
 # 5. retention gc for versioned-snapshot state the pipelines maintain:
 #    prune old versions, reap staging copies left by killed writers
 for root in ${GC_ROOTS:-}; do
