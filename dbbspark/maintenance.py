@@ -681,16 +681,35 @@ def takedown(
                     names_df, arch["filename"] == names_df["_rm_name"],
                     "left_semi",
                 )
-                # audit metadata BEFORE the bytes disappear (quarantine leg)
-                removed_meta = (
-                    hit.select(
-                        "filename", "filesize", "filetype", "delivery_ts",
-                    ).collect()
-                    if quarantine_path
-                    else None
-                )
+                # audit metadata BEFORE the bytes disappear (quarantine
+                # leg) — tolerant of leaner archive schemas (P8 column
+                # intersection: absent metadata audits as NULL)
+                if quarantine_path:
+                    meta_cols = [
+                        F.col(c) if c in arch.columns
+                        else F.lit(None).cast(t).alias(c)
+                        for c, t in (
+                            ("filename", "string"),
+                            ("filesize", "long"),
+                            ("filetype", "string"),
+                            ("delivery_ts", "timestamp"),
+                        )
+                    ]
+                    removed_meta = hit.select(*meta_cols).collect()
+                else:
+                    removed_meta = None
+                # partition columns present in THIS archive's layout
+                # (r10 writes (filetype, nite, batch); pre-r10 archives
+                # lack the batch leg; an unpartitioned archive rewrites
+                # whole-root via the registry-style swap below)
+                part_cols = [
+                    c for c in ("filetype", "nite", "batch")
+                    if c in arch.columns
+                ]
                 parts = (
-                    hit.select("filetype", "nite", "batch").distinct().collect()
+                    hit.select(*part_cols).distinct().collect()
+                    if part_cols
+                    else ([object()] if hit.limit(1).count() else [])
                 )
                 # INTENT log first: the audit row must exist whenever a
                 # removal happens; after the rewrite the metadata is gone
@@ -731,11 +750,12 @@ def takedown(
                 staging_root = archive_root.rstrip("/") + ".rm-staging"
                 backup_root = archive_root.rstrip("/") + ".pre-takedown"
                 for p in parts:
-                    rel = (
-                        f"filetype={p['filetype']}/nite={p['nite']}"
-                        f"/batch={p['batch']}"
+                    rel = "/".join(f"{c}={p[c]}" for c in part_cols)
+                    part = (
+                        f"{archive_root.rstrip('/')}/{rel}"
+                        if rel
+                        else archive_root.rstrip("/")
                     )
-                    part = f"{archive_root.rstrip('/')}/{rel}"
                     pdf = spark.read.parquet(part)
                     remaining = pdf.join(
                         names_df, pdf["filename"] == names_df["_rm_name"],
@@ -744,14 +764,18 @@ def takedown(
                     n_before = pdf.count()
                     n_after = remaining.count()
                     out["archive_removed"] += n_before - n_after
-                    backup = Path(f"{backup_root}/{rel}")
+                    backup = Path(
+                        f"{backup_root}/{rel}" if rel else backup_root
+                    )
                     fs.mkdirs(backup.getParent())
                     fs.delete(backup, True)
                     if n_after == 0:
                         if not fs.rename(Path(part), backup):
                             raise IOError(f"takedown: rename {part} failed")
                         continue
-                    staging = f"{staging_root}/{rel}"
+                    staging = (
+                        f"{staging_root}/{rel}" if rel else staging_root
+                    )
                     fs.delete(Path(staging), True)
                     remaining.write.mode("errorifexists").parquet(staging)
                     if not fs.rename(Path(part), backup):

@@ -354,6 +354,13 @@ checkpoint_dir = {tmp_path / 'ing_ckpt'}
     assert committed_versions(spark, gc_root) == [1, 2]
     assert os.path.exists(gc_root + "/_staging/young/part")
 
+    # night 2 also drains a retention queue through the composed
+    # takedown leg (audit-first; archive+registry)
+    queue = tmp_path / "takedown_queue"
+    queue.write_text("a.fits\n")
+    env["TAKEDOWN_QUEUE"] = str(queue)
+    env["QUARANTINE"] = str(tmp_path / "td_quarantine")
+
     r2 = subprocess.run(
         ["bash", script], env=env, cwd=repo, capture_output=True, text=True,
         timeout=420,
@@ -365,6 +372,19 @@ checkpoint_dir = {tmp_path / 'ing_ckpt'}
     # rejects every file, nothing new accepted
     assert '"accepted": 0' in r2.stdout
     assert spark.read.parquet(str(tmp_path / "media_out")).count() == 2
+    # takedown leg: a.fits gone from archive AND registry, audit row
+    # written, queue truncated for the next night
+    assert '"archive_removed": 1' in r2.stdout
+    # a.fits was the archive's ONLY file: its (filetype, nite) partition
+    # is gone outright (an emptied partition is removed, not left as an
+    # unreadable husk)
+    assert not os.path.exists(
+        os.path.join(arch, "filetype=raw", "nite=20240101")
+    )
+    assert spark.read.parquet(reg).where("filename = 'a.fits'").count() == 0
+    q_rows = spark.read.parquet(str(tmp_path / "td_quarantine"))
+    assert q_rows.where("orig_filename = 'a.fits'").count() == 1
+    assert queue.read_text() == ""
 
 
 def test_scrub_cli_bounded_driver_output(spark, tmp_path, capsys):

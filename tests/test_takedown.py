@@ -162,6 +162,36 @@ def test_takedown_gate_index_leg(spark, tmp_path):
     assert {r["mid"] for r in left.collect()} == {"a.png", "c.png"}
 
 
+def test_takedown_legacy_archive_layout(spark, tmp_path):
+    """Pre-r10 archives are partitioned (filetype, nite) with no batch
+    leg; takedown's partition discovery must adapt to the layout it
+    finds (and to a fully unpartitioned registry-style dataset)."""
+    import hashlib
+
+    ok = hashlib.md5(b"x").hexdigest()
+    arch = str(tmp_path / "legacy_arch")
+    spark.createDataFrame(
+        [
+            ("a.fits", bytearray(b"x"), ok, 1, "raw", "20240101"),
+            ("b.fits", bytearray(b"x"), ok, 1, "raw", "20240102"),
+        ],
+        "filename string, content binary, md5sum string, filesize long, "
+        "filetype string, nite string",
+    ).write.partitionBy("filetype", "nite").parquet(arch)
+    reg = str(tmp_path / "legacy_reg")
+    spark.createDataFrame(
+        [("a.fits", ok), ("b.fits", ok)], "filename string, md5sum string"
+    ).write.parquet(reg)
+
+    out = takedown(
+        spark, ["a.fits"], archive_root=arch, registry_path=reg,
+    )
+    assert out["archive_removed"] == 1 and out["registry_removed"] == 1
+    left = spark.read.parquet(arch)
+    assert {r["filename"] for r in left.collect()} == {"b.fits"}
+    assert verify_archive(spark, arch, registry_path=reg).count() == 0
+
+
 def test_takedown_cli(spark, area, capsys):  # noqa: F811
     import json
 
