@@ -527,6 +527,59 @@ def _bpe_scale(spark, sf_dir: str) -> None:
     assert merges[: len(seq)] == seq  # regimes agree on the shared prefix
 
 
+def _takedown_scale(spark) -> None:
+    """C59 composed-takedown scale shape: the archive leg's cost must
+    track the MATCHED partitions, not the archive size (only hit
+    (filetype, nite, batch) dirs are rewritten); the registry leg is a
+    whole-relation rewrite of narrow rows (documented compaction-scale
+    bound). Two archive sizes, same 5-file takedown — the archive-leg
+    wall should be ~flat while the dataset grows 10x."""
+    import hashlib
+    import tempfile
+
+    from dbbspark.maintenance import takedown
+
+    for n_nites, tag in ((50, "small"), (500, "10x")):
+        root = tempfile.mkdtemp(prefix=f"td_{tag}_")
+        arch_dir = root + "/archive"
+        reg_dir = root + "/registry"
+        ok = hashlib.md5(b"x").hexdigest()
+        rows = [
+            (
+                f"f{n}_{i}.fits", bytearray(b"x" * 64), ok, 64,
+                "raw", f"n{n:04d}", "b0",
+            )
+            for n in range(n_nites)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "filename string, content binary, md5sum string, "
+            "filesize long, filetype string, nite string, batch string",
+        )
+        df.write.partitionBy("filetype", "nite", "batch").parquet(arch_dir)
+        df.select("filename", "md5sum", "filesize").write.parquet(reg_dir)
+
+        names = [f"f{n}_0.fits" for n in range(5)]  # 5 files, 5 nites
+        t0 = time.time()
+        out = takedown(spark, names, archive_root=arch_dir)
+        arch_wall = time.time() - t0
+        t0 = time.time()
+        out2 = takedown(
+            spark, names, archive_root=arch_dir, registry_path=reg_dir
+        )
+        full_wall = time.time() - t0
+        print(json.dumps({
+            "op": f"takedown_{tag}",
+            "nite_partitions": n_nites,
+            "archive_rows": n_nites * 20,
+            "archive_removed": out["archive_removed"],
+            "sec_archive_leg": round(arch_wall, 2),
+            "sec_registry_leg": round(full_wall, 2),
+            "registry_removed": out2["registry_removed"],
+        }))
+
+
 def _phash_bench(spark, n_families: int = 5000) -> None:
     """C56 scale point: synthetic PGM corpus of ``n_families`` smooth
     images × 3 variants each (original + two resizes) → thumbnail
@@ -1493,6 +1546,9 @@ def main() -> None:
 
     if wanted and "clip_gate_soak" in wanted:
         _clip_gate_soak(spark, n_batches=min(15, args.soak_batches))
+
+    if wanted and "takedown_scale" in wanted:
+        _takedown_scale(spark)
 
     if wanted and "phash_corpus" in wanted:
         _phash_bench(spark)
