@@ -324,7 +324,10 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(round(
              list_sum(list_transform(l2, x -> x * x)), 6
-           ) AS DOUBLE) AS norm_sq
+           ) AS DOUBLE) AS norm_sq,
+           CAST(list_sum(list_transform(l2,
+             x -> greatest(-127.0, least(127.0, round(127.0 * x)))))
+             AS BIGINT) AS q_sum
     FROM (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
@@ -345,10 +348,17 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reproduced at 0.93 s in round 4 with no code change). Pipelines "
     "normalizing purely as a pre-ANN step should still prefer the "
     "Arrow-batched similarity operators (operators/similarity.py "
-    "matmul_scores normalizes in-batch at BLAS speed).",
+    "matmul_scores normalizes in-batch at BLAS speed). FOLDED C18 "
+    "(r10): `q_sum` runs quantize_embeddings END TO END — the Arrow "
+    "rint/clip/int8-PACK — then decodes the packed bytes back JVM-side "
+    "(hex/conv unsigned-byte → signed int8) and sums them, while the "
+    "oracle re-derives clip(round(127·v/‖v‖)) from its own normalized "
+    "list: a packing, endianness, sign, or rounding bug cannot hide.",
     tags=("similarity", "closure"),
 )
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -366,7 +376,21 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return normed.select("vec_id", F.round(norm_sq, 6).alias("norm_sq"))
+    # C18 fold: the int8 quantization path END TO END — the Arrow-batched
+    # rint/clip/pack runs, then the PACKED BYTES are decoded back
+    # JVM-side (unsigned byte → signed int8) and summed, so a packing or
+    # rounding bug cannot hide behind a float compare.
+    q = quantize_embeddings(emb, id_col="vec_id", vec_col="e")
+    q_sum = F.expr(
+        "aggregate(sequence(1, dim), 0L, (acc, i) -> acc + "
+        "(CASE WHEN conv(hex(substring(qvec, i, 1)), 16, 10) > 127 "
+        " THEN CAST(conv(hex(substring(qvec, i, 1)), 16, 10) AS BIGINT) - 256 "
+        " ELSE CAST(conv(hex(substring(qvec, i, 1)), 16, 10) AS BIGINT) END))"
+    )
+    return (
+        normed.select("vec_id", F.round(norm_sq, 6).alias("norm_sq"))
+        .join(q.select("vec_id", q_sum.alias("q_sum")), "vec_id")
+    )
 
 
 @query(
