@@ -103,6 +103,45 @@ _URL_CASE = """CASE CAST(doc_id % 6 AS INT)
         WHEN 4 THEN 'http://single-label-host/path'
         ELSE NULL END"""
 
+# C49 fold: one stratum per script class (stratum 0 is an exact
+# latin/cyrillic TIE — declaration order must win), a digits-only
+# stratum (letters < min → 'unknown') and a NULL stratum. The oracle
+# SQL below is GENERATED from the operator's own SCRIPT_CLASSES
+# constant, so the char-class patterns agree verbatim.
+from ..operators.script import SCRIPT_CLASSES as _SC  # noqa: E402
+
+_SCRIPT_STRATA = (
+    "abcdeПриве",        # 5 latin vs 5 cyrillic: tie → latin
+    "Привет мир",        # cyrillic
+    "γειά σου φίλε",     # greek
+    "مرحبا بكم هنا",     # arabic
+    "שלום עולם טוב",     # hebrew
+    "नमस्ते दुनिया",        # devanagari
+    "中文漢字測試",        # cjk
+    "かなカナかなカナ",    # kana
+    "한글 문자 테스트",    # hangul
+    "12345",             # digits only → 0 letters → 'unknown'
+)
+_SCRIPT_LETTERS = [n for n in _SC if n != "digit"]
+_SCRIPT_CASE = (
+    "CASE CAST(doc_id % 11 AS INT) "
+    + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_SCRIPT_STRATA))
+    + " ELSE NULL END"
+)
+_SCRIPT_CNT = ",\n             ".join(
+    f"len(regexp_extract_all(coalesce(s, ''), '{_SC[n]}')) AS n_{n}"
+    for n in _SCRIPT_LETTERS
+)
+_SCRIPT_LETS = " + ".join(f"n_{n}" for n in _SCRIPT_LETTERS)
+_SCRIPT_MX = "greatest(" + ", ".join(f"n_{n}" for n in _SCRIPT_LETTERS) + ")"
+_SCRIPT_DOM = (
+    "CASE "
+    + " ".join(
+        f"WHEN lets >= 5 AND n_{n} = mx THEN '{n}'" for n in _SCRIPT_LETTERS
+    )
+    + " ELSE 'unknown' END"
+)
+
 
 @query(
     "q_doc_metrics",
@@ -152,7 +191,15 @@ _URL_CASE = """CASE CAST(doc_id % 6 AS INT)
       FROM (SELECT doc_id, gr, COUNT(*) AS c, len(gr) AS gl
             FROM (SELECT doc_id, unnest(g2) AS gr FROM g)
             GROUP BY doc_id, gr)
-      GROUP BY doc_id)
+      GROUP BY doc_id),
+    scr AS (SELECT doc_id, {_SCRIPT_CASE} AS s FROM documents),
+    scnt AS (
+      SELECT doc_id,
+             {_SCRIPT_CNT}
+      FROM scr),
+    sdom AS (
+      SELECT scnt.*, {_SCRIPT_LETS} AS lets, {_SCRIPT_MX} AS mx
+      FROM scnt)
     SELECT g.doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(bpe_ish_tokens AS BIGINT) AS bpe_ish_tokens,
@@ -187,10 +234,15 @@ _URL_CASE = """CASE CAST(doc_id % 6 AS INT)
                 ELSE 0.0 END AS dup_line_char_frac,
            CASE WHEN coalesce(g2stat.tot, 0) > 0
                 THEN round(CAST(g2stat.best AS DOUBLE) / g2stat.tot, 4)
-                ELSE 0.0 END AS top_2gram_char_frac
+                ELSE 0.0 END AS top_2gram_char_frac,
+           {_SCRIPT_DOM} AS script_dom,
+           CASE WHEN sdom.lets > 0
+                THEN round(CAST(sdom.n_latin AS DOUBLE) / sdom.lets, 4)
+                ELSE 0.0 END AS script_latin_ratio
     FROM g JOIN dom ON g.doc_id = dom.doc_id
     LEFT JOIN lstat ON g.doc_id = lstat.doc_id
     LEFT JOIN g2stat ON g.doc_id = g2stat.doc_id
+    JOIN sdom ON g.doc_id = sdom.doc_id
     """,
     doc="C4+C10 (merged): the per-document annotation pass every "
     "training-data pipeline runs — token counting (whitespace split + a "
@@ -226,7 +278,14 @@ _URL_CASE = """CASE CAST(doc_id % 6 AS INT)
     "elements form one maximal run in sorted order, so the running "
     "run×len maximum is the global count×len maximum), while the "
     "oracle re-derives them the relational way (unnest + GROUP BY + "
-    "max/sum) — two genuinely different algorithms agreeing on values.",
+    "max/sum) — two genuinely different algorithms agreeing on values. "
+    "FOLDED C49 (r10): `script_dom`/`script_latin_ratio` run "
+    "operators/script.py script_profile over one synthetic stratum per "
+    "script class (plus an exact latin/cyrillic TIE that declaration "
+    "order must win, a digits-only stratum the min_letters floor must "
+    "route to 'unknown', and NULL) — the oracle SQL is GENERATED from "
+    "the operator's own SCRIPT_CLASSES constant, so the codepoint-range "
+    "character classes agree verbatim across Java regex and RE2.",
     tags=("text", "sampling", "closure"),
 )
 def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,7 +354,7 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         stages=4,
         cuts=[32.0, 56.0, 76.0],
     )
-    return m.select(
+    out = m.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("bpe_ish_tokens").cast("bigint").alias("bpe_ish_tokens"),
@@ -316,6 +375,23 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_char_fraction(F.col("__lines_s")).alias("dup_line_char_frac"),
         top_run_char_fraction(F.col("__g2s")).alias("top_2gram_char_frac"),
     )
+    # C49 fold: script_profile over the per-class synthetic strata —
+    # dominant-script tie-break (declaration order), min-letters
+    # 'unknown' routing, and the letter-mass ratio all value-checked;
+    # broadcast-sized join back onto the annotate pass.
+    from ..operators.script import script_profile
+
+    synth = F.lit(None).cast("string")
+    for i, s in enumerate(_SCRIPT_STRATA):
+        synth = F.when(F.col("doc_id") % 11 == i, F.lit(s)).otherwise(synth)
+    prof = script_profile(
+        docs.select("doc_id", synth.alias("stext")), text_col="stext"
+    ).select(
+        "doc_id",
+        F.col("dominant_script").alias("script_dom"),
+        F.round(F.col("latin_ratio"), 4).alias("script_latin_ratio"),
+    )
+    return out.join(prof, "doc_id")
 
 
 @query(
