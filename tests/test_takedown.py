@@ -11,16 +11,12 @@ from __future__ import annotations
 
 import os
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from dbbspark.maintenance import takedown, verify_archive
 from dbbspark.streaming.ingest import REASON_DUPLICATE, ingest_batch
 
 from tests.test_ingest import _cfg, _stage, area  # noqa: F401  (fixture)
-
-pytestmark = pytest.mark.smoke
 
 
 def _archive_names(spark, cfg):
