@@ -45,6 +45,37 @@ def script_counts(text: Column) -> list[Column]:
     ]
 
 
+def script_derivations(min_letters: int = 5) -> tuple[list[Column], Column]:
+    """(ratio columns, dominant column) over ALREADY-MATERIALIZED
+    ``n_<class>`` count columns (the script_counts output) — the
+    expression-level half of `script_profile`, for callers composing
+    the profile into an existing single-projection annotate pass
+    (q_doc_metrics) instead of joining a second relation. Counts must
+    be real columns: the derivations reference each count several
+    times, and a prior select is the no-CSE discipline this codebase
+    uses for interpreted re-evaluation hazards."""
+    letters = [n for n in SCRIPT_CLASSES if n != "digit"]
+    total_letters = sum(
+        (F.col(f"n_{n}") for n in letters[1:]), F.col(f"n_{letters[0]}")
+    )
+    ratio_cols = [
+        (
+            F.when(total_letters > 0, F.col(f"n_{n}") / total_letters)
+            .otherwise(F.lit(0.0))
+            .alias(f"{n}_ratio")
+        )
+        for n in letters
+    ]
+    max_count = F.greatest(*[F.col(f"n_{n}") for n in letters])
+    dominant = F.lit("unknown")
+    for n in reversed(letters):
+        dominant = F.when(
+            (total_letters >= min_letters) & (F.col(f"n_{n}") == max_count),
+            F.lit(n),
+        ).otherwise(dominant)
+    return ratio_cols, dominant.alias("dominant_script")
+
+
 def script_profile(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -60,33 +91,10 @@ def script_profile(
     Ties break by the SCRIPT_CLASSES declaration order (stable across
     runs and engines).
     """
-    letters = [n for n in SCRIPT_CLASSES if n != "digit"]
     counted = docs.select(
         F.col(id_col),
         F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_chars"),
         *script_counts(F.col(text_col)),
     )
-    total_letters = sum((F.col(f"n_{n}") for n in letters[1:]), F.col(f"n_{letters[0]}"))
-    counted = counted.withColumn("_letters", total_letters)
-    ratio_cols = [
-        (
-            F.when(F.col("_letters") > 0, F.col(f"n_{n}") / F.col("_letters"))
-            .otherwise(F.lit(0.0))
-            .alias(f"{n}_ratio")
-        )
-        for n in letters
-    ]
-    # dominant = first declared script achieving the max letter count
-    max_count = F.greatest(*[F.col(f"n_{n}") for n in letters])
-    dominant = F.lit("unknown")
-    for n in reversed(letters):
-        dominant = F.when(
-            (F.col("_letters") >= min_letters) & (F.col(f"n_{n}") == max_count),
-            F.lit(n),
-        ).otherwise(dominant)
-    return counted.select(
-        id_col,
-        "n_chars",
-        *ratio_cols,
-        dominant.alias("dominant_script"),
-    )
+    ratio_cols, dominant = script_derivations(min_letters)
+    return counted.select(id_col, "n_chars", *ratio_cols, dominant)

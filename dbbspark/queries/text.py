@@ -142,6 +142,15 @@ _SCRIPT_DOM = (
     + " ELSE 'unknown' END"
 )
 
+from ..operators.script import script_counts, script_derivations  # noqa: E402
+
+
+def _script_stratum_col() -> F.Column:
+    synth = F.lit(None).cast("string")
+    for i, s in enumerate(_SCRIPT_STRATA):
+        synth = F.when(F.col("doc_id") % 11 == i, F.lit(s)).otherwise(synth)
+    return synth
+
 
 @query(
     "q_doc_metrics",
@@ -280,11 +289,13 @@ _SCRIPT_DOM = (
     "oracle re-derives them the relational way (unnest + GROUP BY + "
     "max/sum) — two genuinely different algorithms agreeing on values. "
     "FOLDED C49 (r10): `script_dom`/`script_latin_ratio` run "
-    "operators/script.py script_profile over one synthetic stratum per "
-    "script class (plus an exact latin/cyrillic TIE that declaration "
-    "order must win, a digits-only stratum the min_letters floor must "
-    "route to 'unknown', and NULL) — the oracle SQL is GENERATED from "
-    "the operator's own SCRIPT_CLASSES constant, so the codepoint-range "
+    "operators/script.py's script_counts + script_derivations (the "
+    "expression core script_profile composes) over one synthetic "
+    "stratum per script class (plus an exact latin/cyrillic TIE that "
+    "declaration order must win, a digits-only stratum the min_letters "
+    "floor must route to 'unknown', and NULL) — IN the same projection, "
+    "no join, no second scan; the oracle SQL is GENERATED from the "
+    "operator's own SCRIPT_CLASSES constant, so the codepoint-range "
     "character classes agree verbatim across Java regex and RE2.",
     tags=("text", "sampling", "closure"),
 )
@@ -331,6 +342,10 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sort is a per-row projection — materialized here, never
         # re-derived inside an interpreted lambda)
         F.array_sort(F.split(F.col("text"), "\n")).alias("__lines_s"),
+        # C49 fold: per-class script counts over the synthetic strata,
+        # materialized as real columns (the derivations below reference
+        # each count several times)
+        *script_counts(_script_stratum_col()),
     ).select(
         "*",
         ngram_array(F.col("__toks"), 2).alias("__g2"),
@@ -346,6 +361,7 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(10)
     )
     gate = md5_int_col(F.col("doc_id").cast("string")) % 100
+    _script_ratios, _script_dom = script_derivations()
     from ..operators.curriculum import curriculum_stages
 
     m, _cuts = curriculum_stages(
@@ -374,24 +390,15 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         registered_domain(url).alias("url_domain"),
         dup_char_fraction(F.col("__lines_s")).alias("dup_line_char_frac"),
         top_run_char_fraction(F.col("__g2s")).alias("top_2gram_char_frac"),
+        # C49 fold: the operator's expression-level derivations over the
+        # materialized counts — dominant-script tie-break (declaration
+        # order), min-letters 'unknown' routing, letter-mass ratio — in
+        # the SAME projection (no join, no second scan: the annotate
+        # pass stays map-only)
+        _script_dom.alias("script_dom"),
+        F.round(_script_ratios[0], 4).alias("script_latin_ratio"),
     )
-    # C49 fold: script_profile over the per-class synthetic strata —
-    # dominant-script tie-break (declaration order), min-letters
-    # 'unknown' routing, and the letter-mass ratio all value-checked;
-    # broadcast-sized join back onto the annotate pass.
-    from ..operators.script import script_profile
-
-    synth = F.lit(None).cast("string")
-    for i, s in enumerate(_SCRIPT_STRATA):
-        synth = F.when(F.col("doc_id") % 11 == i, F.lit(s)).otherwise(synth)
-    prof = script_profile(
-        docs.select("doc_id", synth.alias("stext")), text_col="stext"
-    ).select(
-        "doc_id",
-        F.col("dominant_script").alias("script_dom"),
-        F.round(F.col("latin_ratio"), 4).alias("script_latin_ratio"),
-    )
-    return out.join(prof, "doc_id")
+    return out
 
 
 @query(
