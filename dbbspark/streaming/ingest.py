@@ -47,6 +47,10 @@ Scale notes (100 TB, 1000 executors):
 - archive writes are hash-partitioned by (filetype, nite) — the
   reference's `${band}/${nite}` directory templating (F6) expressed as
   data-driven layout, giving partition pruning to every downstream read;
+  the trailing batch=<token> dir accumulates one entry per ingest batch
+  (same shape as the gate indexes' batch dirs) — `compact_partitioned`
+  with ["filetype", "nite", "batch"] (C24) bounds file/dir counts, and
+  tokens never collide, so compacted history stays immutable;
 - quarantine is a side output of the same scan (no second read).
 """
 

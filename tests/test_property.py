@@ -538,3 +538,43 @@ def test_score_clip_pairs_matches_brute_on_random_frames(spark, clips, d, policy
         ).collect()
     }
     assert got == expect
+
+
+@given(
+    arrs=st.lists(
+        st.lists(st.text(alphabet="abc", min_size=0, max_size=4),
+                 min_size=0, max_size=10),
+        min_size=1, max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_char_weighted_fractions_match_python_reference(spark, arrs):
+    """r10 char-weighted repetition scans (functions.dup_char_fraction /
+    top_run_char_fraction over sorted arrays) must agree with the
+    direct count-based Python definitions on random element lists —
+    duplicate-occurrence chars over total chars, and max count×len over
+    total chars."""
+    from collections import Counter
+
+    from dbbspark.functions import dup_char_fraction, top_run_char_fraction
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrs)], "i int, arr array<string>"
+    ).select(
+        "i",
+        dup_char_fraction(F.array_sort(F.col("arr"))).alias("dupf"),
+        top_run_char_fraction(F.array_sort(F.col("arr"))).alias("topf"),
+    )
+    got = {r["i"]: (r["dupf"], r["topf"]) for r in df.collect()}
+    for i, a in enumerate(arrs):
+        tot = sum(len(x) for x in a)
+        counts = Counter(a)
+        dup_ref = (
+            round(sum((c - 1) * len(x) for x, c in counts.items()) / tot, 4)
+            if tot else 0.0
+        )
+        top_ref = (
+            round(max(c * len(x) for x, c in counts.items()) / tot, 4)
+            if tot else 0.0
+        )
+        assert got[i] == (dup_ref, top_ref), (a, got[i], dup_ref, top_ref)
