@@ -407,3 +407,16 @@ def test_folded_funnel_and_profiler_stay_cheap(spark, sf_dir):
     assert "BroadcastHashJoin" in stats_plan
     assert "SortMergeJoin" not in stats_plan
     assert "EvalPython" not in stats_plan
+
+
+def test_doc_metrics_annotate_pass_is_map_only(spark, sf_dir):
+    """r10: the per-document annotate pass (q_doc_metrics) must stay a
+    single map-only projection — token/quality/repetition/URL/script
+    columns all derive in one scan with NO exchange and NO Python
+    crossing (the C49 script fold landed as expression-level
+    derivations precisely to keep it that way; a join or shuffle here
+    multiplies the widest-scan stage of a 100 TB annotate run)."""
+    plan = plan_of(spark, sf_dir, "q_doc_metrics")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
