@@ -180,6 +180,25 @@ def test_archive_exactly_once_on_crash_replay(spark, area):
     assert t_other not in tok1
 
 
+def test_explicit_batch_token_replay_overwrites(spark, area):
+    """The streaming path passes the epoch id as an EXPLICIT token
+    (b<batch_id>); a replay of the same epoch must overwrite its own
+    partition just like the cron content-token path."""
+    import shutil
+
+    cfg = _cfg(area)
+    first = ingest_batch(spark, cfg, batch_token="b7")
+    assert first.archived == 2
+    shutil.rmtree(cfg.registry_path)  # crash window: registry not landed
+    replay = ingest_batch(spark, cfg, batch_token="b7")
+    assert replay.archived == 2
+    arch = spark.read.parquet(cfg.archive_root)
+    assert arch.count() == 2
+    assert {r["batch"] for r in arch.select("batch").distinct().collect()} == {
+        "b7"
+    }
+
+
 def test_streaming_checkpoint_no_reprocess(spark, area):
     cfg = _cfg(area)
     ckpt = os.path.join(area, "ckpt", "ingest")
