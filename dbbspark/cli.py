@@ -565,10 +565,16 @@ def cmd_takedown(args: argparse.Namespace) -> int:
     names = [s for s in args.names.split(",") if s]
     gates = []
     for spec in args.gate_index or []:
+        # DIR[:IDCOL] — but only treat the tail after the last ':' as
+        # IDCOL when it can actually be a column name (no '/' or '='):
+        # a URI index path with a port (hdfs://nn:8020/idx) must parse
+        # as the whole directory, not dir 'hdfs://nn' + id_col
+        # '8020/idx' (ADVICE r10)
+        d, c = spec, "mid"
         if ":" in spec:
-            d, c = spec.rsplit(":", 1)
-        else:
-            d, c = spec, "mid"
+            head, tail = spec.rsplit(":", 1)
+            if tail and "/" not in tail and "=" not in tail:
+                d, c = head, tail
         gates.append((d, c))
     out = takedown(
         spark,

@@ -40,6 +40,88 @@ def _fs_and_path(spark: SparkSession, path: str):
     return fs, hpath, jvm
 
 
+# Characters Spark percent-encodes in partition DIRECTORY names
+# (ExternalCatalogUtils.escapePathName: ASCII control chars, the shell /
+# path / Hive metacharacters below). A value built back into a path with
+# a raw f-string would miss these and point at a nonexistent dir.
+_PART_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)}
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_part_value(v) -> str:
+    """Render a partition VALUE the way Spark renders it into a directory
+    name: NULL becomes ``__HIVE_DEFAULT_PARTITION__`` and special
+    characters are percent-encoded (uppercase hex), matching
+    ExternalCatalogUtils.escapePathName — so a path rebuilt as
+    ``f"{col}={_escape_part_value(val)}"`` names the dir Spark actually
+    wrote even for values containing ':', '/', '#', spaces-control
+    chars, etc. (ADVICE r10: the raw form threw mid-takedown AFTER the
+    quarantine intent row was written.)"""
+    if v is None:
+        return _HIVE_NULL
+    s = str(v)
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PART_ESCAPE else ch for ch in s
+    )
+
+
+def _heal_interrupted_swaps(fs, Path, root: str, staging_root: str,
+                            backup_root: str) -> int:
+    """Complete a stage+two-rename partition swap that crashed BETWEEN
+    its two renames (ADVICE r10, medium).
+
+    The swap protocol writes remaining rows to ``staging/<rel>``, renames
+    the live partition ``<root>/<rel>`` out to ``backup/<rel>``, then
+    renames staging in. A crash between the renames leaves the partition
+    MISSING while staging and backup both hold it; a naive re-run then
+    sees no rows for that partition (no hits), never restores it, and
+    the registry leg flags every non-target sibling row
+    ``missing_in_archive`` until a manual restore. Called at the START of
+    every swap-based operation, under the same exclusive lock, BEFORE the
+    dataset is read: any staging leaf whose live partition is missing
+    while its backup exists is rolled back (backup renamed into place) so
+    the re-run processes that partition normally; stale staging leaves
+    (crashed pre-swap writes — the live partition is intact) are dropped
+    either way. Idempotent; returns the number of partitions restored.
+
+    Disambiguation matters: an EMPTIED partition is renamed to backup
+    with no staging leaf written, so "backup exists + partition missing"
+    alone is the legitimate end state of an empty-after-removal swap —
+    only the presence of the staging leaf marks an interrupted swap.
+    """
+    sroot = Path(staging_root)
+    if not fs.exists(sroot):
+        return 0
+    root = root.rstrip("/")
+    # collect staging LEAF dirs (dirs containing the rewrite's files)
+    leaves, stack = [], [fs.makeQualified(sroot)]
+    while stack:
+        d = stack.pop()
+        stats = list(fs.listStatus(d))
+        subdirs = [s.getPath() for s in stats if s.isDirectory()]
+        if any(not s.isDirectory() for s in stats) or not subdirs:
+            leaves.append(d)
+        stack.extend(subdirs)
+    sprefix = fs.makeQualified(sroot).toString()
+    restored = 0
+    for leaf in leaves:
+        rel = leaf.toString()[len(sprefix):].lstrip("/")
+        part = Path(f"{root}/{rel}" if rel else root)
+        backup = Path(
+            f"{backup_root.rstrip('/')}/{rel}" if rel
+            else backup_root.rstrip("/")
+        )
+        if not fs.exists(part) and fs.exists(backup):
+            fs.mkdirs(part.getParent())
+            if not fs.rename(backup, part):
+                raise IOError(
+                    f"swap heal: could not restore {backup} -> {part}"
+                )
+            restored += 1
+        fs.delete(leaf, True)
+    return restored
+
+
 @dataclass(frozen=True)
 class PartitionFiles:
     partition: str  # relative dir like "filetype=raw/nite=20261001"
@@ -118,9 +200,15 @@ def _compact_partitioned_locked(
     cluster_by: list[str] | None = None,
     cluster_bits: int = 12,
 ) -> str:
-    df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".compact-staging"
     backup = path.rstrip("/") + ".pre-compact"
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    # a crash between the two swap renames of a PRIOR compaction leaves
+    # the dataset parked in backup with staging complete — roll it back
+    # before reading, or this run would compact an empty/missing root
+    _heal_interrupted_swaps(fs, Path, path, staging, backup)
+    df = spark.read.parquet(path)
     if cluster_by:
         from .operators.layout import add_zorder_key
 
@@ -138,8 +226,6 @@ def _compact_partitioned_locked(
         .partitionBy(*partition_cols)
         .parquet(staging)
     )
-    fs, hpath, jvm = _fs_and_path(spark, path)
-    Path = jvm.org.apache.hadoop.fs.Path
     if not fs.rename(hpath, Path(backup)):
         raise IOError(f"compaction swap failed: could not move {path} aside")
     if not fs.rename(Path(staging), hpath):
@@ -412,6 +498,14 @@ def _remove_from_index_locked(
         ids_df = spark.createDataFrame(
             [(i,) for i in ids], ["_rm_id"]
         ).distinct()
+    fs, _, jvm = _fs_and_path(spark, index_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    backup_root = index_dir.rstrip("/") + ".pre-remove"
+    staging_root = index_dir.rstrip("/") + ".rm-staging"
+    # a prior removal that crashed between its two swap renames left the
+    # partition parked in backup — roll it back BEFORE reading, or its
+    # rows are invisible to this run and stay lost
+    _heal_interrupted_swaps(fs, Path, index_dir, staging_root, backup_root)
     idx = spark.read.option("mergeSchema", "true").parquet(index_dir)
     if id_col not in idx.columns:
         raise ValueError(
@@ -440,14 +534,10 @@ def _remove_from_index_locked(
             "emptied_batches": [],
             "backup": None,
         }
-    fs, _, jvm = _fs_and_path(spark, index_dir)
-    Path = jvm.org.apache.hadoop.fs.Path
-    backup_root = index_dir.rstrip("/") + ".pre-remove"
-    staging_root = index_dir.rstrip("/") + ".rm-staging"
     removed = 0
     emptied = []
     for b in affected:
-        part = f"{index_dir.rstrip('/')}/batch={b}"
+        part = f"{index_dir.rstrip('/')}/batch={_escape_part_value(b)}"
         pdf = spark.read.parquet(part)
         remaining = pdf.join(
             ids_df, pdf[id_col] == ids_df["_rm_id"], "left_anti"
@@ -455,7 +545,7 @@ def _remove_from_index_locked(
         n_before = pdf.count()
         n_after = remaining.count()
         removed += n_before - n_after
-        backup = Path(f"{backup_root}/batch={b}")
+        backup = Path(f"{backup_root}/batch={_escape_part_value(b)}")
         fs.mkdirs(Path(backup_root))
         if n_after == 0:
             # emptied: move the partition to the backup, write nothing
@@ -464,7 +554,7 @@ def _remove_from_index_locked(
                 raise IOError(f"remove_from_index: rename {part} failed")
             emptied.append(b)
             continue
-        staging = f"{staging_root}/batch={b}"
+        staging = f"{staging_root}/batch={_escape_part_value(b)}"
         fs.delete(Path(staging), True)
         remaining.write.mode("errorifexists").parquet(staging)
         fs.delete(backup, True)
@@ -635,7 +725,13 @@ def takedown(
     2. ARCHIVE — only the (filetype, nite, batch) partitions holding
        matches are rewritten (stage + two-rename swap; emptied
        partitions removed outright) — the remove_from_index device
-       generalized to the archive's layout;
+       generalized to the archive's layout. Partition values are
+       re-escaped the way Spark escapes them into dir names
+       (``_escape_part_value``), and each leg first heals any swap a
+       prior run crashed INSIDE of (``_heal_interrupted_swaps``:
+       backup restored when staging proves the swap was interrupted),
+       so "crash mid-way → re-run" holds even for a crash between the
+       two renames, not just between legs;
     3. REGISTRY after the archive — dropping the registry row re-opens
        the duplicate gate, so it must happen only after the bytes are
        gone (crash between 2 and 3 leaves a registry row pointing
@@ -674,6 +770,15 @@ def takedown(
     try:
         if archive_root:
             with exclusive_lock(spark, archive_root, purpose="takedown"):
+                staging_root = archive_root.rstrip("/") + ".rm-staging"
+                backup_root = archive_root.rstrip("/") + ".pre-takedown"
+                # a prior takedown that crashed between the two swap
+                # renames left a partition parked in backup; restore it
+                # BEFORE reading so this run (the docstring's "re-run")
+                # actually sees and finishes that partition
+                _heal_interrupted_swaps(
+                    fs, Path, archive_root, staging_root, backup_root
+                )
                 arch = spark.read.option("mergeSchema", "true").parquet(
                     archive_root
                 )
@@ -747,10 +852,10 @@ def takedown(
                         "reject_year", "reject_month"
                     ).mode("append").parquet(quarantine_path)
                     out["quarantined"] = len(removed_meta)
-                staging_root = archive_root.rstrip("/") + ".rm-staging"
-                backup_root = archive_root.rstrip("/") + ".pre-takedown"
                 for p in parts:
-                    rel = "/".join(f"{c}={p[c]}" for c in part_cols)
+                    rel = "/".join(
+                        f"{c}={_escape_part_value(p[c])}" for c in part_cols
+                    )
                     part = (
                         f"{archive_root.rstrip('/')}/{rel}"
                         if rel
@@ -789,6 +894,11 @@ def takedown(
 
         if registry_path:
             with exclusive_lock(spark, registry_path, purpose="takedown"):
+                _heal_interrupted_swaps(
+                    fs, Path, registry_path,
+                    registry_path.rstrip("/") + ".rm-staging",
+                    registry_path.rstrip("/") + ".pre-takedown",
+                )
                 reg = spark.read.parquet(registry_path)
                 remaining = reg.join(
                     names_df, reg["filename"] == names_df["_rm_name"],

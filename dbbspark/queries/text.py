@@ -409,7 +409,7 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sum(list_transform(l2, x -> x * x)), 6
            ) AS DOUBLE) AS norm_sq,
            CAST(list_sum(list_transform(l2,
-             x -> greatest(-127.0, least(127.0, round(127.0 * x)))))
+             x -> greatest(-127.0, least(127.0, round_even(127.0 * x, 0)))))
              AS BIGINT) AS q_sum
     FROM (
       SELECT vec_id,
@@ -436,7 +436,12 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rint/clip/int8-PACK — then decodes the packed bytes back JVM-side "
     "(hex/conv unsigned-byte → signed int8) and sums them, while the "
     "oracle re-derives clip(round(127·v/‖v‖)) from its own normalized "
-    "list: a packing, endianness, sign, or rounding bug cannot hide.",
+    "list: a packing, endianness, sign, or rounding bug cannot hide. "
+    "Tie-breaking is aligned across engines (ADVICE r10): the Spark "
+    "path rounds half-to-even (np.rint), so the oracle uses DuckDB's "
+    "round_even — with plain round() (half-away-from-zero) a value "
+    "landing exactly on .5 would produce a spurious mismatch and a "
+    "genuine future mismatch could be misread as that known divergence.",
     tags=("similarity", "closure"),
 )
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

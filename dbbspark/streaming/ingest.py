@@ -251,8 +251,9 @@ def _write_sinks(
     """Fan the classified batch into archive + registry + quarantine.
 
     ``batch_token`` keys the archive/quarantine dynamic-partition
-    overwrite (crash-replay idempotence, module docstring); streaming
-    passes the epoch id, cron/replay callers derive a content token."""
+    overwrite (crash-replay idempotence, module docstring); both the
+    streaming and cron/replay paths derive a content token (explicit
+    tokens are honored but must be globally unique — see ingest_batch)."""
     classified = classified.withColumn(
         "task_id", F.lit(task_id).cast("string")
     ).persist()
@@ -380,8 +381,12 @@ def ingest_batch(
     a replay after a CRASH between the archive write and the registry
     append derives the same content-hash ``batch_token`` and its dynamic
     overwrite replaces the crashed attempt's archive rows (both tested
-    in tests/test_ingest.py). Streaming passes the epoch id as the
-    token."""
+    in tests/test_ingest.py). Streaming derives the same content token
+    (an explicit epoch-style token remains supported for callers with
+    their own globally-unique batch ids, but epoch ids that can restart
+    at 0 — checkpoint resets, multiple streams on one archive — must
+    NOT be used: token reuse dynamic-overwrites a prior batch's
+    partition)."""
     # Persist the paired batch: the valid/missing union and the
     # per-filetype metadata branches each re-derive from it, and without a
     # cache every branch re-reads the stage-in files (measured 3× file
@@ -428,10 +433,17 @@ def start_ingest_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         notify = parse_notify_binary(batch_df)
-        ingest_batch(
-            spark, cfg, task_id=task_id, notify_df=notify,
-            batch_token=f"b{batch_id}",
-        )
+        # batch_token=None => the content-hash token (_batch_token) is
+        # derived inside _write_sinks, exactly as in the cron path. The
+        # epoch id (f"b{batch_id}") is NOT a safe token here: epoch ids
+        # restart at 0 after a checkpoint reset, and two streams sharing
+        # one archive root each count from 0 — a later batch writing the
+        # same (filetype, nite, batch=b0) leaf would dynamic-overwrite
+        # (silently DELETE) the earlier batch's archived rows while the
+        # registry still listed them. The content token is globally
+        # unique per batch content and still replay-stable (a crash
+        # replay of the same epoch re-derives the same token).
+        ingest_batch(spark, cfg, task_id=task_id, notify_df=notify)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -54,8 +54,45 @@ def _canon_frame(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def _oracle_fetch(
+    con: duckdb.DuckDBPyConnection, sql: str, timeout: float | None
+) -> pd.DataFrame:
+    """Run the oracle SQL, interrupting DuckDB if it exceeds `timeout`
+    seconds. Needed for above-driver-scale runs (sf1): a handful of
+    oracles are deliberately brute-force re-derivations (all-pairs
+    cosine, theta joins) that DuckDB cannot finish at 10× — those
+    queries downgrade to the driver's rows-only check instead of
+    hanging the whole verification."""
+    if not timeout:
+        return con.execute(sql).fetchdf()
+    import threading
+
+    result: dict = {}
+
+    def run() -> None:
+        try:
+            result["df"] = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            result["err"] = e
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        con.interrupt()
+        th.join(30)
+        raise TimeoutError(f"oracle exceeded {timeout}s")
+    if "err" in result:
+        raise result["err"]
+    return result["df"]
+
+
 def compare_query(
-    spark, con: duckdb.DuckDBPyConnection, spec: QuerySpec, sf_dir: str
+    spark,
+    con: duckdb.DuckDBPyConnection,
+    spec: QuerySpec,
+    sf_dir: str,
+    oracle_timeout: float | None = None,
 ) -> dict:
     res: dict = {"name": spec.name}
     sdf = spec.builder(spark, sf_dir)
@@ -65,7 +102,12 @@ def compare_query(
         res["status"] = "rows_only"
         res["ok"] = len(spark_pd) >= 0
         return res
-    oracle_pd = con.execute(spec.oracle).fetchdf()
+    try:
+        oracle_pd = _oracle_fetch(con, spec.oracle, oracle_timeout)
+    except (TimeoutError, duckdb.InterruptException):
+        res["status"] = "oracle_timeout_rows_only"
+        res["ok"] = len(spark_pd) >= 0
+        return res
     res["oracle_rows"] = len(oracle_pd)
     if sorted(spark_pd.columns) != sorted(oracle_pd.columns):
         res["status"] = "column_mismatch"
@@ -93,6 +135,12 @@ def main(argv: list[str]) -> int:
 
     p = argparse.ArgumentParser()
     p.add_argument("--sf", default="/root/testdata/sf0.001")
+    p.add_argument(
+        "--oracle-timeout", type=float, default=None,
+        help="seconds before an oracle is interrupted and the query "
+        "downgrades to a rows-only check (sf1 runs)",
+    )
+    p.add_argument("--json-out", default=None)
     p.add_argument("names", nargs="*")
     args = p.parse_args(argv)
 
@@ -103,20 +151,29 @@ def main(argv: list[str]) -> int:
     con = duckdb_connect(args.sf)
     names = args.names or sorted(CATALOG)
     failed = 0
+    results = []
     for name in names:
         spec = CATALOG[name]
         try:
-            res = compare_query(spark, con, spec, args.sf)
+            res = compare_query(
+                spark, con, spec, args.sf, oracle_timeout=args.oracle_timeout
+            )
         except Exception as e:  # noqa: BLE001
             res = {"name": name, "status": "error", "ok": False, "detail": f"{type(e).__name__}: {e}"}
         mark = "PASS" if res["ok"] else "FAIL"
         if not res["ok"]:
             failed += 1
+        results.append(res)
         line = f"{mark} {name:28s} {res['status']:18s} rows={res.get('spark_rows', '?')}"
         if not res["ok"]:
             line += f"\n     {res.get('detail', '')[:500]}"
         print(line, flush=True)
     print(f"{len(names) - failed}/{len(names)} passed")
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump({r["name"]: r for r in results}, f, indent=1, default=str)
     return 1 if failed else 0
 
 

@@ -74,6 +74,7 @@ SMOKE = {
     "test_streaming_mediadedup.py": "test_gate_batch_greedy_keep_lowest_chain",
     "test_streaming_neardedup.py": "test_gate_across_micro_batches",
     "test_streaming_stateful.py": "test_windowed_counts_stream_equals_batch",
+    "test_swap_crash.py": "test_remove_from_index_crash_between_renames_heals",
     "test_takedown.py": "test_takedown_composed",
     "test_textcorpus.py": "test_jsonl_corrupt_routing",
     "test_time_edges.py": "test_nite_bucket_matches_python_model",

@@ -181,9 +181,11 @@ def test_archive_exactly_once_on_crash_replay(spark, area):
 
 
 def test_explicit_batch_token_replay_overwrites(spark, area):
-    """The streaming path passes the epoch id as an EXPLICIT token
-    (b<batch_id>); a replay of the same epoch must overwrite its own
-    partition just like the cron content-token path."""
+    """Callers with their own globally-unique batch ids may pass an
+    EXPLICIT token; a replay under the same token must overwrite its own
+    partition just like the derived content-token path. (The streaming
+    path itself derives content tokens — epoch ids restart after a
+    checkpoint reset and are NOT globally unique; see the reset test.)"""
     import shutil
 
     cfg = _cfg(area)
@@ -197,6 +199,40 @@ def test_explicit_batch_token_replay_overwrites(spark, area):
     assert {r["batch"] for r in arch.select("batch").distinct().collect()} == {
         "b7"
     }
+
+
+def test_streaming_token_unique_across_checkpoint_reset(spark, area):
+    """ADVICE r10 (medium): streaming epoch ids restart at 0 after a
+    checkpoint reset (and two streams on one archive root each count from
+    0), so the archive's dynamic-partition overwrite must NOT be keyed by
+    epoch id — a post-reset batch landing in the same (filetype, nite)
+    leaf under the reused token would silently DELETE the earlier batch's
+    archived rows while the registry still listed them. The streaming
+    path now derives the content-hash token; a reset drain appends under
+    its own token and the original rows survive."""
+    import shutil
+
+    cfg = _cfg(area)
+    ckpt = os.path.join(area, "ckpt", "reset")
+    q = start_ingest_stream(spark, cfg, ckpt, available_now=True)
+    q.awaitTermination(120)
+    arch1 = spark.read.parquet(cfg.archive_root)
+    tok1 = {r["batch"] for r in arch1.select("batch").distinct().collect()}
+    assert arch1.count() == 2
+    assert all(t.startswith("c") for t in tok1), "content tokens expected"
+
+    # checkpoint RESET + one new file: the fresh stream's first epoch id
+    # is 0 again. Old notify files replay as registry duplicates; the new
+    # file archives into the SAME (filetype, nite) leaf as the first
+    # drain; the original rows must survive the overwrite.
+    shutil.rmtree(ckpt)
+    _stage(area, "DECam_00000009.fits", b"EXPNUM = 9\nOBSTYPE = object\nnew")
+    q2 = start_ingest_stream(spark, cfg, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    arch = spark.read.parquet(cfg.archive_root)
+    assert arch.count() == 3
+    names = {r["filename"] for r in arch.select("filename").collect()}
+    assert {"DECam_00000001.fits", "DECam_00000009.fits"} <= names
 
 
 def test_streaming_checkpoint_no_reprocess(spark, area):
