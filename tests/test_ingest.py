@@ -610,3 +610,46 @@ def test_replay_quarantine_after_fix(spark, area):
     # quarantine stayed append-only: the original failure rows remain
     q = spark.read.parquet(cfg.quarantine_path)
     assert q.where(q.orig_filename == "DECam_00000002.fits").count() >= 2
+
+
+def test_registry_written_nite_partitioned(spark, area):
+    """r11: new registries are written partitioned by nite so takedown /
+    compaction can rewrite only matched partitions; appends land inside
+    the partitioned layout and the duplicate gate reads it unchanged."""
+    cfg = _cfg(area)
+    ingest_batch(spark, cfg)
+    assert any(
+        d.startswith("nite=") for d in os.listdir(cfg.registry_path)
+    ), "new registry should be nite-partitioned"
+    assert spark.read.parquet(cfg.registry_path).count() == 2
+
+    _stage(area, "DECam_00000009.fits", b"EXPNUM = 9\nOBSTYPE = object\nnew")
+    res = ingest_batch(spark, cfg)
+    assert res.archived == 1  # prior two are duplicates via the gate
+    reg = spark.read.parquet(cfg.registry_path)
+    assert reg.count() == 3
+    assert reg.select("filename").distinct().count() == 3
+
+
+def test_registry_legacy_layout_preserved(spark, area):
+    """An existing UNPARTITIONED registry keeps its layout on append —
+    mixing root data files with nite= dirs would make the dataset
+    unreadable. The probe (`_registry_partitioned`) must return False."""
+    import datetime
+
+    cfg = _cfg(area)
+    spark.createDataFrame(
+        [(
+            "old.fits", "0" * 32, 1, "raw", "20260101",
+            datetime.datetime(2026, 1, 1), None,
+        )],
+        "filename string, md5sum string, filesize long, filetype string, "
+        "nite string, delivery_date timestamp, task_id string",
+    ).write.parquet(cfg.registry_path)
+
+    ingest_batch(spark, cfg)
+    assert not any(
+        d.startswith("nite=") for d in os.listdir(cfg.registry_path)
+    ), "legacy registry layout must be preserved"
+    reg = spark.read.parquet(cfg.registry_path)
+    assert reg.count() == 3  # old.fits + the 2 archived files

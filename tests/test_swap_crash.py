@@ -179,15 +179,20 @@ def test_takedown_registry_crash_between_renames_heals(
     cfg = _cfg(area)
     ingest_batch(spark, cfg)
 
-    # registry-only takedown: rename #1 = registry -> backup,
-    # rename #2 = staging -> registry
+    # registry-only takedown (the registry is nite-partitioned since
+    # r11, so the swap is per nite partition): rename #1 = nite=X ->
+    # backup, rename #2 = staging -> nite=X
     real = _patch_flaky(monkeypatch, fail_on_call=2)
     with pytest.raises(RuntimeError, match="injected crash"):
         takedown(
             spark, ["DECam_00000001.fits"], registry_path=cfg.registry_path
         )
     monkeypatch.setattr(maint, "_fs_and_path", real)
-    assert not os.path.exists(cfg.registry_path)  # the whole relation parked
+    # the matched nite partition is parked in backup (both fixture rows
+    # share one nite, so the registry shows no nite= dirs mid-crash)
+    assert not any(
+        d.startswith("nite=") for d in os.listdir(cfg.registry_path)
+    )
 
     out = takedown(
         spark, ["DECam_00000001.fits"], registry_path=cfg.registry_path

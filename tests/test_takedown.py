@@ -207,3 +207,45 @@ def test_takedown_cli(spark, area, capsys):  # noqa: F811
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["archive_removed"] == 1 and out["registry_removed"] == 1
     assert _archive_names(spark, cfg) == {"DECam_00000001.fits"}
+
+
+def test_takedown_registry_leg_rewrites_only_matched_nites(spark, tmp_path):
+    """VERDICT r10 item 2: the registry leg must be partition-pruned like
+    the archive leg — only nite partitions holding matches are rewritten.
+    Pinned structurally: an untouched nite partition keeps its exact
+    parquet files (a rewrite would produce fresh file names)."""
+    import glob
+
+    reg = str(tmp_path / "registry")
+    rows = [(f"f{n}_{i}.fits", f"n{n:04d}") for n in range(5) for i in range(4)]
+    spark.createDataFrame(rows, "filename string, nite string").write.partitionBy(
+        "nite"
+    ).parquet(reg)
+    untouched_before = sorted(glob.glob(os.path.join(reg, "nite=n0003", "*")))
+
+    out = takedown(spark, ["f0_0.fits", "f1_0.fits"], registry_path=reg)
+    assert out["registry_removed"] == 2
+    got = {r["filename"] for r in spark.read.parquet(reg).collect()}
+    assert got == {r[0] for r in rows} - {"f0_0.fits", "f1_0.fits"}
+    assert sorted(glob.glob(os.path.join(reg, "nite=n0003", "*"))) == (
+        untouched_before
+    ), "unmatched nite partition was rewritten"
+
+
+def test_takedown_registry_legacy_unpartitioned_fallback(spark, tmp_path):
+    """A pre-r11 registry (data files at the root, nite a plain column)
+    still works: the filesystem layout probe finds no partition levels
+    and the leg falls back to the whole-root swap."""
+    reg = str(tmp_path / "reg_legacy")
+    spark.createDataFrame(
+        [(f"f{i}.fits", "n0001") for i in range(6)],
+        "filename string, nite string",
+    ).write.parquet(reg)
+    out = takedown(spark, ["f0.fits"], registry_path=reg)
+    assert out["registry_removed"] == 1
+    assert spark.read.parquet(reg).count() == 5
+    # removing the rest leaves an empty but READABLE relation (legacy
+    # whole-root semantics preserved)
+    out2 = takedown(spark, [f"f{i}.fits" for i in range(1, 6)], registry_path=reg)
+    assert out2["registry_removed"] == 5
+    assert spark.read.parquet(reg).count() == 0
