@@ -908,6 +908,43 @@ def _soak_img(seed: int) -> bytes:
     return encode_pgm(np.clip(100 + 30 * (2 + f), 0, 255).astype("uint8"))
 
 
+def _soak_clip(seed: int, drop: bool = False, h: int = 48, w: int = 64,
+               nfr: int = 24) -> bytes:
+    """Deterministic seed-keyed PNM clip (three drifting sinusoid
+    components over ``nfr`` frames) for the clip-gate soaks; ``drop``
+    produces the frame-dropped re-cut that must still reject against
+    the persisted frame index."""
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pnm_seq
+
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    comps = [
+        (rng.uniform(0.5, 2.5, 2), rng.uniform(0, 2 * np.pi))
+        for _ in range(3)
+    ]
+    frames = []
+    for t in range(nfr):
+        f = np.zeros((h, w))
+        for (fy, fx), ph in comps:
+            f += np.sin(2 * np.pi * fx * x / w + 0.12 * t + ph) * np.cos(
+                2 * np.pi * fy * y / h - 0.08 * t
+            )
+        frames.append(np.clip(128 + 40 * f, 0, 255).astype(np.uint8))
+    if drop:
+        frames = [f for i, f in enumerate(frames) if i % 3 != 2]
+    return encode_pnm_seq(frames)
+
+
+def _black_clip(h: int = 48, w: int = 64, nfr: int = 24) -> bytes:
+    import numpy as np
+
+    from dbbspark.sources.codecs import encode_pnm_seq
+
+    return encode_pnm_seq([np.zeros((h, w), dtype=np.uint8)] * nfr)
+
+
 def _media_gate_soak(spark, n_batches: int = 50, per_batch: int = 200) -> None:
     """C58 cadence-stability evidence, same discipline as _gate_soak:
     N micro-batches of synthetic PGM images through the streaming media
@@ -963,33 +1000,10 @@ def _clip_gate_soak(spark, n_batches: int = 15, fresh_per_batch: int = 4) -> Non
     import tempfile
     import time as _t
 
-    import numpy as np
-
-    from dbbspark.sources.codecs import encode_pnm_seq
     from dbbspark.streaming.mediadedup import process_clip_batch
 
-    h, w, nfr = 48, 64, 24
-
-    def clip(seed, drop=False):
-        rng = np.random.default_rng(seed)
-        y, x = np.mgrid[0:h, 0:w]
-        comps = [
-            (rng.uniform(0.5, 2.5, 2), rng.uniform(0, 2 * np.pi))
-            for _ in range(3)
-        ]
-        frames = []
-        for t in range(nfr):
-            f = np.zeros((h, w))
-            for (fy, fx), ph in comps:
-                f += np.sin(2 * np.pi * fx * x / w + 0.12 * t + ph) * np.cos(
-                    2 * np.pi * fy * y / h - 0.08 * t
-                )
-            frames.append(np.clip(128 + 40 * f, 0, 255).astype(np.uint8))
-        if drop:
-            frames = [f for i, f in enumerate(frames) if i % 3 != 2]
-        return encode_pnm_seq(frames)
-
-    black = encode_pnm_seq([np.zeros((h, w), dtype=np.uint8)] * nfr)
+    clip = _soak_clip
+    black = _black_clip()
     root = tempfile.mkdtemp(prefix="dbbspark-clipsoak-")
     idx, acc = f"{root}/idx", f"{root}/acc"
     walls = []
@@ -1125,20 +1139,24 @@ def _media_gate_backfill(
 
 def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
     """VERDICT r8 item 6 (r7 item 8): the nightly_ops composition as ONE
-    loop — every trigger drives ALL FOUR gates (line-dedup commit-
-    protocol index, near-dedup signature index, ANN code index, and the
+    loop — every trigger drives ALL FIVE gates (line-dedup commit-
+    protocol index, near-dedup signature index, ANN code index, the
     C58 perceptual media gate over synthetic PGM batches: half fresh,
-    half resized re-encodes of the previous stratum) plus an
+    half resized re-encodes of the previous stratum, and — r11, VERDICT
+    r10 item 4 — the C57/C58 CLIP gate: fresh clips + a frame-dropped
+    re-cut of the previous trigger's clip + an all-black clip every
+    trigger, min_thumb_variance on) plus an
     append-only archive write, with maintenance interleaved in the same
-    loop: compaction on the append-shaped indexes, gc_staging +
-    prune_commit_records on the commit-protocol root, and a rotating
-    sampled integrity scrub over the growing archive. `_gate_soak`
-    proves each gate alone holds a flat cadence; THIS proves they hold
-    it simultaneously — no cross-gate interference through commit-log
-    pruning, lock files, or block-manager pressure, and the scrub stays
-    clean while the writers run. Reports per-gate flatness, all four
-    index sizes AT ONCE, scrub findings (must be 0), and accepted
-    rows."""
+    loop: compaction on the append-shaped indexes (clip frame index
+    included), gc_staging + prune_commit_records on the commit-protocol
+    root, and a rotating sampled integrity scrub over the growing
+    archive. `_gate_soak` / `_clip_gate_soak` prove each gate alone
+    holds a flat cadence; THIS proves they hold it simultaneously — no
+    cross-gate interference through commit-log pruning, lock files, or
+    block-manager pressure, and the scrub stays clean while the writers
+    run. Reports per-gate flatness, all five index sizes AT ONCE, scrub
+    findings (must be 0), accepted rows, and the black-clip exactly-once
+    count."""
     import shutil
     import tempfile
     import time as _t
@@ -1175,9 +1193,10 @@ def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
     near_idx, near_out = f"{root}/near_idx", f"{root}/near_out"
     ann_idx, ann_out = f"{root}/ann_idx", f"{root}/ann_out"
     media_idx, media_out = f"{root}/media_idx", f"{root}/media_out"
+    clip_idx, clip_out = f"{root}/clip_idx", f"{root}/clip_out"
     arch = f"{root}/archive"
     maint_every, scrub_every = 10, 25
-    walls = {"line": [], "near": [], "ann": [], "media": []}
+    walls = {"line": [], "near": [], "ann": [], "media": [], "clip": []}
     scrub_findings = 0
     for i in range(n_batches):
         b = doc_batch(i).localCheckpoint(eager=True)
@@ -1210,6 +1229,26 @@ def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
         t = _t.time()
         mediadedup.process_batch(mb, i, media_idx, media_out, kind="pgm")
         walls["media"].append(_t.time() - t)
+        # clip gate (r11): 2 fresh clips + a frame-dropped re-cut of the
+        # previous trigger's first clip (must reject against the
+        # persisted frame index) + the all-black clip every trigger
+        # (degenerate signature leg: accept once, reject forever)
+        cm = 2
+        clip_rows = [
+            (f"b{i}/c{j}", bytearray(_soak_clip(i * cm + j)))
+            for j in range(cm)
+        ]
+        if i > 0:
+            clip_rows.append(
+                (f"b{i}/cr0", bytearray(_soak_clip((i - 1) * cm, drop=True)))
+            )
+        clip_rows.append((f"b{i}/black", bytearray(_black_clip())))
+        cb = spark.createDataFrame(clip_rows, "path string, content binary")
+        t = _t.time()
+        mediadedup.process_clip_batch(
+            cb, i, clip_idx, clip_out, min_frac=0.5, min_thumb_variance=25.0
+        )
+        walls["clip"].append(_t.time() - t)
         # archive leg: checksum-at-ingest rows the scrub re-verifies later
         content = F.encode("text", "utf-8")
         b.select(
@@ -1225,7 +1264,7 @@ def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
             gc_staging(spark, line_idx, older_than_sec=0.0)
             prune_commit_records(spark, line_idx, older_than_sec=0.0)
             if i + 1 < n_batches:
-                for idx in (near_idx, ann_idx, media_idx):
+                for idx in (near_idx, ann_idx, media_idx, clip_idx):
                     backup = compact_gate_index(spark, idx)
                     shutil.rmtree(backup, ignore_errors=True)
         if (i + 1) % scrub_every == 0:
@@ -1236,11 +1275,19 @@ def _composed_soak(spark, sf_dir: str, n_batches: int = 150) -> None:
                 sample_salt=(i + 1) // scrub_every,
             ).count()
     extra = {"scrub_findings": scrub_findings}
+    clip_acc = spark.read.parquet(clip_out)
+    extra["clip_black_accepted"] = clip_acc.where(
+        F.col("path").endswith("black")
+    ).count()  # must be exactly 1 across the whole soak
+    extra["clip_recuts_rejected"] = int(
+        clip_acc.where(F.col("path").contains("/cr")).count() == 0
+    )
     for name, idx, out in (
         ("line", line_idx, line_out),
         ("near", near_idx, near_out),
         ("ann", ann_idx, ann_out),
         ("media", media_idx, media_out),
+        ("clip", clip_idx, clip_out),
     ):
         files, mb = _du(idx)
         k = max(1, n_batches // 5)

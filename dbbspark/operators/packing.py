@@ -175,13 +175,15 @@ def chunk_documents(
     text_col: str = "text",
     max_tokens: int = 512,
     overlap: int = 0,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, chunk_id, text, n_tokens): each document split into
-    whitespace-token chunks of at most ``max_tokens``, consecutive
-    chunks sharing ``overlap`` tokens — the context-length splitting
-    step for documents longer than the training sequence (the sliding
-    window keeps passages that straddle a cut learnable from at least
-    one chunk).
+    """(id, chunk_id, text, n_tokens[, keep_cols...]): each document
+    split into whitespace-token chunks of at most ``max_tokens``,
+    consecutive chunks sharing ``overlap`` tokens — the context-length
+    splitting step for documents longer than the training sequence (the
+    sliding window keeps passages that straddle a cut learnable from at
+    least one chunk). ``keep_cols`` ride along onto every chunk row
+    (per-doc metadata — shard ids, source labels — without a join back).
 
     Pure expression math, map-only (no shuffle, no Python): the chunk
     count per doc is 1 + ceil((n - max_tokens) / stride) with
@@ -206,8 +208,10 @@ def chunk_documents(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(toks, i * stride + 1, max_tokens),
     )
+    keep = list(keep_cols or [])
     exploded = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.posexplode(chunks).alias("chunk_id", "__chunk"),
     )
     return exploded.select(
@@ -215,4 +219,5 @@ def chunk_documents(
         "chunk_id",
         F.concat_ws(" ", "__chunk").alias(text_col),
         F.size("__chunk").alias("n_tokens"),
+        *keep,
     )

@@ -225,15 +225,27 @@ _U64 = 2.0**64
 _LONG_MIN = -(2**63)
 
 
-def kmv_sketch(df: DataFrame, key: Column | str, k: int = KMV_K) -> DataFrame:
-    """Bottom-k distinct xxhash64 values of `key` as a k-row relation
+def kmv_sketch(
+    df: DataFrame,
+    key: Column | str,
+    k: int = KMV_K,
+    hash_col: Column | None = None,
+) -> DataFrame:
+    """Bottom-k distinct hash values of `key` as a k-row relation
     (column ``h``). ONE aggregation: distinct is a partial-agg groupBy on
     the hash, the bottom-k a TakeOrdered. Null keys are skipped (a null
-    element is not a set member)."""
+    element is not a set member).
+
+    ``hash_col`` overrides the hash (default xxhash64 — full int64
+    range). Passing `dedup.md5_int_col` gives an engine-portable sketch
+    the DuckDB oracle can re-derive hash-for-hash (the r11 fold in
+    q_approx_distinct); estimators over a non-default hash must
+    normalize over the matching domain (`kmv_cardinality`'s ``domain``)."""
     c = F.col(key) if isinstance(key, str) else key
+    h = F.xxhash64(c) if hash_col is None else hash_col
     return (
         df.where(c.isNotNull())
-        .select(F.xxhash64(c).alias("h"))
+        .select(h.alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)
@@ -250,14 +262,21 @@ def _norm(h: int) -> float:
     return (h - _LONG_MIN + 1) / _U64
 
 
-def kmv_cardinality(hashes: list[int], k: int) -> float:
+def kmv_cardinality(
+    hashes: list[int], k: int, domain: tuple[int, int] | None = None
+) -> float:
     """Distinct-count estimate from a sketch's hash list: if the sketch
     saturated (|S| = k), N̂ = (k-1)/u_(k) (u_(k) = k-th smallest value
     normalized to (0,1]); an unsaturated sketch holds EVERY distinct
-    hash, so the count is exact."""
+    hash, so the count is exact. ``domain=(lo, span)`` normalizes a
+    non-default hash (e.g. md5_int_col's [0, 2^60) — the portable-fold
+    hash); default is xxhash64's full signed-int64 range."""
     if len(hashes) < k:
         return float(len(hashes))
-    return (k - 1) / _norm(max(hashes))
+    if domain is None:
+        return (k - 1) / _norm(max(hashes))
+    lo, span = domain
+    return (k - 1) / ((max(hashes) - lo + 1) / span)
 
 
 def corpus_overlap(

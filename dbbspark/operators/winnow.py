@@ -37,12 +37,39 @@ from pyspark.sql import Column, DataFrame, functions as F
 from dbbspark.session import cut_lineage
 
 
-def gram_hashes_expr(text: str, k: int) -> str:
-    """SQL for the k-gram xxhash64 array of `text` (empty for null/short)."""
+# Engine-portable hash template for the r11 oracle fold: md5-derived
+# bigint (dedup.md5_int_col's SQL form) instead of xxhash64, so DuckDB
+# can re-derive the fingerprints hash-for-hash. {g} is the gram SQL.
+PORTABLE_HASH_SQL = (
+    "CAST(conv(substring(md5(CAST({g} AS BINARY)), 1, 15), 16, 10) "
+    "AS BIGINT)"
+)
+
+
+def gram_hashes_expr(
+    text: str, k: int, hash_sql: str = "xxhash64({g})"
+) -> str:
+    """SQL for the k-gram hash array of `text` (empty for null/short).
+    ``hash_sql`` is a template applied to each gram — the default
+    xxhash64 for production, `PORTABLE_HASH_SQL` for oracle folds."""
+    gram = f"substring({text}, i, {k})"
     return (
         f"CASE WHEN {text} IS NULL THEN cast(array() as array<bigint>) ELSE "
         f"transform(sequence(1, greatest(length({text}) - {k - 1}, 0)), "
-        f"i -> xxhash64(substring({text}, i, {k}))) END"
+        f"i -> {hash_sql.format(g=gram)}) END"
+    )
+
+
+def fingerprints_expr(g: str, w: int) -> str:
+    """SQL for the winnowed fingerprint array over a materialized gram
+    hash array column `g`: window-of-w minima, distinct (ties collapse —
+    positions are irrelevant for set overlap), with the short-document
+    (single global min) and empty cases of `winnow_fingerprints`."""
+    return (
+        f"CASE WHEN size({g}) = 0 THEN cast(array() as array<bigint>) "
+        f"WHEN size({g}) < {w} THEN array(array_min({g})) "
+        f"ELSE array_distinct(transform(sequence(1, size({g}) - {w - 1}), "
+        f"j -> array_min(slice({g}, j, {w})))) END"
     )
 
 
@@ -82,13 +109,9 @@ def winnow_fingerprints(
     with_g = docs.select(
         F.col(id_col), F.expr(gram_hashes_expr(text_col, k)).alias("_g")
     )
-    fp = (
-        "CASE WHEN size(_g) = 0 THEN cast(array() as array<bigint>) "
-        f"WHEN size(_g) < {w} THEN array(array_min(_g)) "
-        f"ELSE array_distinct(transform(sequence(1, size(_g) - {w - 1}), "
-        f"j -> array_min(slice(_g, j, {w})))) END"
+    return with_g.select(
+        F.col(id_col), F.expr(fingerprints_expr("_g", w)).alias("fingerprints")
     )
-    return with_g.select(F.col(id_col), F.expr(fp).alias("fingerprints"))
 
 
 def fingerprint_overlap_pairs(

@@ -37,7 +37,28 @@ from ..operators.urls import _TWO_LABEL_SUFFIXES as _SUFFIXES  # noqa: E402
         WHEN n_chars < 100 THEN 'too_short'
         WHEN lang NOT IN ('en', 'de') THEN 'bad_lang'
         ELSE '__survived__' END AS first_drop
-      FROM documents)
+      FROM documents),
+    m AS (
+      SELECT toks.doc_id, g.i - 1 AS pos,
+             array_to_string(toks.t[g.i:g.i+4], ' ') AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) toks
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(toks.t) - 4)) AS i) g),
+    dupg AS (SELECT gram FROM m GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT doc_id, pos FROM m
+          WHERE gram IN (SELECT gram FROM dupg)),
+    d2 AS (SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER
+                (PARTITION BY doc_id ORDER BY pos) > 5
+                THEN 1 ELSE 0 END AS nw FROM d),
+    isl AS (SELECT doc_id, pos,
+            SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM d2),
+    sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+           FROM isl GROUP BY doc_id, island),
+    spd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsp,
+                   CAST(sum(e - s) AS BIGINT) AS sptok
+            FROM sp GROUP BY doc_id)
     SELECT lang, source,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -47,8 +68,11 @@ from ..operators.urls import _TWO_LABEL_SUFFIXES as _SUFFIXES  # noqa: E402
            COUNT(*) FILTER (first_drop = 'blocklist') AS n_blocklist,
            COUNT(*) FILTER (first_drop = 'too_short') AS n_too_short,
            COUNT(*) FILTER (first_drop = 'bad_lang') AS n_bad_lang,
-           COUNT(*) FILTER (first_drop = '__survived__') AS n_survived
-    FROM blamed
+           COUNT(*) FILTER (first_drop = '__survived__') AS n_survived,
+           CAST(SUM(COALESCE(spd.nsp, 0)) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(COALESCE(spd.sptok, 0)) AS BIGINT) AS dup_span_tokens,
+           COUNT(spd.nsp) AS n_docs_with_spans
+    FROM blamed LEFT JOIN spd USING (doc_id)
     GROUP BY lang, source
     """,
     doc="C4+C45 (merged): corpus statistics per (lang, source) — doc/char/"
@@ -60,12 +84,23 @@ from ..operators.urls import _TWO_LABEL_SUFFIXES as _SUFFIXES  # noqa: E402
     "set-valued blocklist stage (DataFrame of ids, joined as a flag — "
     "the near-dup-component shape) then two predicate stages "
     "(too_short, bad_lang). The conditional counts are the "
-    "funnel_summary aggregation folded into the existing grouping.",
+    "funnel_summary aggregation folded into the existing grouping. "
+    "FOLDED C19 (r11): `n_dup_spans`/`dup_span_tokens`/"
+    "`n_docs_with_spans` run duplicate_ngram_spans (operators/spans.py) "
+    "end to end — posexploded 5-gram mentions, the hub-skew-safe df "
+    "gate, and the gaps-and-islands span merge — aggregated per (lang, "
+    "source); the oracle re-derives the SAME spans in DuckDB with the "
+    "gram STRING as the key (content equality ≡ the operator's xxhash64 "
+    "equality modulo ~2^-64 collisions), a lateral generate_series for "
+    "the mention positions and the textbook lag/sum-over "
+    "gaps-and-islands. A df-count, island-boundary (pos gap > n), or "
+    "span-extent bug cannot hide (VERDICT r10 item 5's C19 follow-on).",
     tags=("text", "funnel", "closure"),
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_int_col
     from ..operators.funnel import SURVIVED, funnel_blame
+    from ..operators.spans import duplicate_ngram_spans
 
     docs = load_table(spark, sf_dir, "documents")
     # set-valued stage: a deterministic "blocklist" id set (md5 gate —
@@ -81,6 +116,20 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("bad_lang", ~F.col("lang").isin("en", "de")),
         ],
     )
+    # C19 fold: maximal duplicate 5-gram spans per doc (n=5 fits the
+    # fixture's 15-60-token docs; the operator default n=20 targets
+    # real corpora), aggregated per doc then LEFT-joined back so
+    # span-free docs contribute zeros.
+    spans = duplicate_ngram_spans(
+        docs.select("doc_id", "text"), "doc_id", "text", n=5, min_count=2
+    )
+    per_doc = spans.groupBy("doc").agg(
+        F.count("*").alias("_nsp"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("_sptok"),
+    )
+    blamed = blamed.join(
+        per_doc, blamed["doc_id"] == per_doc["doc"], "left"
+    ).drop("doc")
     toks = F.split(F.col("text"), " ")
     return blamed.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
@@ -92,6 +141,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("first_drop") == "too_short", 1)).alias("n_too_short"),
         F.count(F.when(F.col("first_drop") == "bad_lang", 1)).alias("n_bad_lang"),
         F.count(F.when(F.col("first_drop") == SURVIVED, 1)).alias("n_survived"),
+        F.sum(F.coalesce(F.col("_nsp"), F.lit(0))).alias("n_dup_spans"),
+        F.sum(F.coalesce(F.col("_sptok"), F.lit(0))).alias("dup_span_tokens"),
+        F.count("_nsp").alias("n_docs_with_spans"),
     )
 
 
@@ -208,7 +260,21 @@ def _script_stratum_col() -> F.Column:
       FROM scr),
     sdom AS (
       SELECT scnt.*, {_SCRIPT_LETS} AS lets, {_SCRIPT_MX} AS mx
-      FROM scnt)
+      FROM scnt),
+    -- C43 winnow fingerprints: k=8 char-gram md5-int hashes, w=4
+    -- window minima, distinct; short docs keep their global min
+    wn AS (
+      SELECT doc_id,
+             CASE WHEN len(wg) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(wg) < 4 THEN [list_min(wg)]
+                  ELSE list_distinct(list_transform(
+                    range(1, len(wg) - 2), j -> list_min(wg[j:j+3]))) END
+               AS wfp
+      FROM (SELECT doc_id,
+              list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15))
+                          AS BIGINT)) AS wg
+            FROM documents))
     SELECT g.doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(bpe_ish_tokens AS BIGINT) AS bpe_ish_tokens,
@@ -247,11 +313,15 @@ def _script_stratum_col() -> F.Column:
            {_SCRIPT_DOM} AS script_dom,
            CASE WHEN sdom.lets > 0
                 THEN round(CAST(sdom.n_latin AS DOUBLE) / sdom.lets, 4)
-                ELSE 0.0 END AS script_latin_ratio
+                ELSE 0.0 END AS script_latin_ratio,
+           CAST(len(wn.wfp) AS BIGINT) AS wfp_n,
+           CASE WHEN len(wn.wfp) = 0 THEN NULL
+                ELSE CAST(list_min(wn.wfp) AS BIGINT) END AS wfp_min
     FROM g JOIN dom ON g.doc_id = dom.doc_id
     LEFT JOIN lstat ON g.doc_id = lstat.doc_id
     LEFT JOIN g2stat ON g.doc_id = g2stat.doc_id
     JOIN sdom ON g.doc_id = sdom.doc_id
+    JOIN wn ON g.doc_id = wn.doc_id
     """,
     doc="C4+C10 (merged): the per-document annotation pass every "
     "training-data pipeline runs — token counting (whitespace split + a "
@@ -296,12 +366,27 @@ def _script_stratum_col() -> F.Column:
     "floor must route to 'unknown', and NULL) — IN the same projection, "
     "no join, no second scan; the oracle SQL is GENERATED from the "
     "operator's own SCRIPT_CLASSES constant, so the codepoint-range "
-    "character classes agree verbatim across Java regex and RE2.",
+    "character classes agree verbatim across Java regex and RE2. "
+    "FOLDED C43 (r11, VERDICT r10 item 5's winnow follow-on): "
+    "`wfp_n`/`wfp_min` run the winnowing fingerprint pipeline "
+    "(operators/winnow.py gram_hashes_expr + fingerprints_expr — k=8 "
+    "char grams, w=4 window minima, distinct, the short-doc global-min "
+    "and empty cases) over the PORTABLE md5-int hash so DuckDB "
+    "re-derives the fingerprints hash-for-hash; the summary is the "
+    "fingerprint-set size and minimum (order-insensitive — "
+    "array_distinct ordering differs between engines by contract). "
+    "Kept join-free in the same projection: the annotate pass stays "
+    "map-only (plan pin tests/test_plans.py).",
     tags=("text", "sampling", "closure"),
 )
 def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_int_col
     from ..operators.urls import extract_host, registered_domain
+    from ..operators.winnow import (
+        PORTABLE_HASH_SQL,
+        fingerprints_expr,
+        gram_hashes_expr,
+    )
 
     from ..functions import (
         dup_char_fraction,
@@ -346,6 +431,12 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialized as real columns (the derivations below reference
         # each count several times)
         *script_counts(_script_stratum_col()),
+        # C43 fold: winnow k-gram hashes (k=8) over the PORTABLE md5-int
+        # hash, materialized a projection BEFORE the window lambda
+        # (CollapseProject keeps the O(len·k) gram hashing out of the
+        # per-window array_min — the winnow_fingerprints layout, inlined
+        # here to stay join-free)
+        F.expr(gram_hashes_expr("text", 8, PORTABLE_HASH_SQL)).alias("__wg"),
     ).select(
         "*",
         ngram_array(F.col("__toks"), 2).alias("__g2"),
@@ -353,6 +444,7 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "*",
         F.array_sort(F.col("__g2")).alias("__g2s"),
+        F.expr(fingerprints_expr("__wg", 4)).alias("__wfp"),
     )
     atl = F.col("n_chars").cast("double") / F.col("n_tokens")
     rate = (
@@ -397,6 +489,11 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pass stays map-only)
         _script_dom.alias("script_dom"),
         F.round(_script_ratios[0], 4).alias("script_latin_ratio"),
+        # C43 fold: fingerprint-set summary (count + min) — order-
+        # insensitive, so array_distinct ordering differences between
+        # engines cannot leak into the compare
+        F.size(F.col("__wfp")).cast("bigint").alias("wfp_n"),
+        F.array_min(F.col("__wfp")).alias("wfp_min"),
     )
     return out
 
@@ -683,25 +780,55 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base),
     idx AS (
       SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id
-      FROM meta)
-    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      FROM meta),
+    sh AS (
+      SELECT doc_id,
+             CAST((CAST(SUM(len(text)) OVER (ORDER BY doc_id) AS BIGINT)
+                   - len(text)) // 4096 AS BIGINT) AS shard
+      FROM documents)
+    SELECT idx.doc_id, CAST(chunk_id AS INT) AS chunk_id,
            array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
              AS text,
            CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS INT)
-             AS n_tokens
-    FROM idx
+             AS n_tokens,
+           sh.shard
+    FROM idx JOIN sh ON idx.doc_id = sh.doc_id
     """,
     doc="C13 chunking: sliding-window document split to a 32-token budget "
     "with 8-token overlap (stride 24) — the context-length splitting step "
     "for docs longer than the training sequence (operators/packing.py:"
-    "chunk_documents; map-only expression math, no shuffle).",
+    "chunk_documents; map-only expression math, no shuffle). "
+    "FOLDED C36 (r11, VERDICT r10 item 5's shards follow-on): `shard` "
+    "runs operators/shards.assign_shards end to end — the two-pass "
+    "distributed prefix sum (range partition → per-bucket Arrow cumsum "
+    "→ broadcast bucket offsets) cutting id-ordered docs every 4096 "
+    "payload bytes — while the oracle computes the same assignment as "
+    "one SUM() OVER window (prefix sums are bucketing-invariant, the "
+    "q_pack_sequences device): a bucket-offset or cumsum bug cannot "
+    "hide.",
     tags=("text", "closure"),
 )
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import chunk_documents
+    from ..operators.shards import assign_shards
 
     docs = load_table(spark, sf_dir, "documents")
-    return chunk_documents(docs.select("doc_id", "text"), max_tokens=32, overlap=8)
+    # C36 fold: byte-threshold shard ids from the distributed prefix sum
+    # (text stands in for the payload; length() = chars = bytes on the
+    # fixture's ASCII corpus, matching the oracle's len(text)). Shards
+    # are assigned FIRST and ride each chunk row via keep_cols — no join
+    # back, so the only shuffle in the whole query is the prefix sum's
+    # range partition (plan-pinned in tests/test_plans.py).
+    assigned = assign_shards(
+        docs.select("doc_id", "text"),
+        shard_bytes=4096,
+        id_col="doc_id",
+        content_col="text",
+        num_buckets=8,
+    )
+    return chunk_documents(
+        assigned, max_tokens=32, overlap=8, keep_cols=["shard"]
+    )
 
 
 @query(

@@ -34,6 +34,9 @@ SMOKE = {
     "test_dedup.py": "test_exact_dedup_keeps_lowest_id",
     "test_dpp.py": "test_dpp_subquery_in_plan",
     "test_driver_contract.py": "test_entry_from_foreign_cwd_hostile_tz",
+    "test_executor_chaos.py": (
+        "test_stills_gate_survives_executor_sigkill_between_writes"
+    ),
     "test_functions.py": "test_ngram_array_short_doc_edges",
     "test_funnel.py": "test_first_drop_attribution",
     "test_fuzzy.py": "test_matches_brute_force",

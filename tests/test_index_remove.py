@@ -339,3 +339,110 @@ def test_remove_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="no column"):
         remove_from_index(spark, idx, ["a"], id_col="nope")
     assert remove_from_index(spark, idx, [], id_col="mid")["removed_rows"] == 0
+
+
+def test_ann_gate_delete_from_multi_generation_index(spark, tmp_path):
+    """C59 x C39 composition (VERDICT r10 item 6): remove_from_index on a
+    LAZILY-REKEYED index that holds codes under TWO codebook generations
+    in one dataset (gen-0 rows never re-encoded, gen-1 rows post-retrain).
+    mergeSchema makes the deletion work by construction; this pins that a
+    post-delete gate still scores every REMAINING stratum under its own
+    generation: the deleted vector's near-dup flips reject->accept, a
+    remaining gen-0 sibling and the gen-1 stratum keep rejecting, a far
+    vector keeps being accepted, and both generations survive in the
+    index and the quantizer store."""
+    import glob
+    import os
+    import shutil
+
+    from test_streaming_annindex import (
+        _centers,
+        _cluster_vec,
+        _mk,
+        train_centroids_for_test,
+    )
+
+    from dbbspark.operators.pq import train_ivfpq
+    from dbbspark.streaming.annindex import (
+        _index_codes,
+        gate_batch,
+        index_generations,
+        load_quantizer_generations,
+        streaming_ann_gate_with_drift,
+    )
+
+    a, b = _centers()
+    boot = _mk(spark, [(1000 + i, _cluster_vec(a, i)) for i in range(60)])
+    cents = train_centroids_for_test(spark, boot)
+    books = train_ivfpq(boot, cents, m=4, k=8)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for name, rows in (
+        ("b1", [(i, _cluster_vec(a, i)) for i in range(20)]),
+        ("b2", [(100 + i, _cluster_vec(b, i)) for i in range(20)]),
+    ):
+        stage = str(tmp_path / f"stage_{name}")
+        _mk(spark, rows).coalesce(1).write.parquet(stage)
+        shutil.move(
+            glob.glob(f"{stage}/part-*.parquet")[0],
+            os.path.join(src, f"{name}.parquet"),
+        )
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    q, state = streaming_ann_gate_with_drift(
+        (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        ),
+        idx, acc, str(tmp_path / "ck"), cents, books,
+        eps=0.05, drift_stds=2.0, rekey="lazy",
+        rekey_batches_per_trigger=0,
+    )
+    q.awaitTermination()
+    assert state["retrains"] == 1
+    assert index_generations(spark, idx) == [0, 1]
+
+    accepted = {r["vec_id"]: r["embedding"]
+                for r in spark.read.parquet(acc).collect()}
+    gen0 = sorted(v for v in accepted if v < 100)
+    gen1 = sorted(v for v in accepted if v >= 100)
+    victim, sibling = gen0[0], gen0[1]
+
+    def probes():
+        near_victim = [v + (0.002 if j == 0 else 0.0)
+                       for j, v in enumerate(accepted[victim])]
+        near_sibling = [v + (0.002 if j == 0 else 0.0)
+                        for j, v in enumerate(accepted[sibling])]
+        near_new = [v + (0.002 if j == 0 else 0.0)
+                    for j, v in enumerate(accepted[gen1[0]])]
+        far = [4.0, -4.0] + [0.1] * 14
+        return _mk(spark, [(900, near_victim), (901, near_sibling),
+                           (902, near_new), (903, far)])
+
+    store = load_quantizer_generations(spark, idx)
+    by_gen = {
+        **store,
+        state["gen"]: (state["centroids"], state["codebooks"]),
+    }
+
+    def gate_ids():
+        got, _ = gate_batch(
+            probes(), _index_codes(spark, idx, with_gen=True),
+            state["centroids"], state["codebooks"],
+            quantizers_by_gen=by_gen,
+        )
+        return {r["vec_id"] for r in got.collect()}
+
+    # pre-delete: every near-dup rejects, only the far vector passes
+    assert gate_ids() == {903}
+
+    out = remove_from_index(spark, idx, [victim], id_col="vec_id")
+    assert out["removed_rows"] == 1
+
+    # post-delete: the victim's near-dup is judged FRESH; the remaining
+    # gen-0 sibling and the gen-1 stratum still reject under their own
+    # codebook generations; far still passes
+    assert gate_ids() == {900, 903}
+    assert index_generations(spark, idx) == [0, 1]
+    assert {0, 1} <= set(load_quantizer_generations(spark, idx))

@@ -291,11 +291,19 @@ def test_events_ts_pushdown_survives_ntz_normalization(spark, sf_dir):
 
 
 def test_chunk_docs_map_only(spark, sf_dir):
-    """Chunking is expression math fused into the scan — any Exchange or
-    Python node means the sliding window stopped being map-only."""
+    """Chunking is expression math — since the r11 C36 fold the query
+    also carries assign_shards' two-pass prefix sum, whose range
+    partition is the ONLY shuffle allowed and whose Arrow cumsum is the
+    ONLY Python crossing: the shard id rides each chunk row via
+    keep_cols (never a join back — zero hash exchanges), and the chunk
+    explode itself stays fused (a second shuffle or Python node means
+    the sliding window stopped being map-only)."""
     plan = plan_of(spark, sf_dir, "q_chunk_docs")
-    assert "Exchange" not in plan
-    assert "Python" not in plan
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python, ever
+    assert "Generate" in plan  # the posexplode chunk window survives
 
 
 def test_token_freq_two_stage_distinct_agg(spark, sf_dir):

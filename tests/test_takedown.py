@@ -249,3 +249,35 @@ def test_takedown_registry_legacy_unpartitioned_fallback(spark, tmp_path):
     out2 = takedown(spark, [f"f{i}.fits" for i in range(1, 6)], registry_path=reg)
     assert out2["registry_removed"] == 5
     assert spark.read.parquet(reg).count() == 0
+
+
+def test_takedown_escaped_and_null_partition_values(spark, tmp_path):
+    """ADVICE r10 (low): partition values containing Spark-escaped
+    characters (':' percent-encodes in dir names) and NULL values
+    (__HIVE_DEFAULT_PARTITION__) must rebuild into the dir Spark
+    actually wrote — the raw f-string form threw mid-takedown AFTER the
+    quarantine intent row was written."""
+    import hashlib
+
+    arch = str(tmp_path / "arch")
+    ok = hashlib.md5(b"x").hexdigest()
+    rows = [
+        ("a.fits", bytearray(b"x"), ok, 1, "raw", "20:26#a"),
+        ("b.fits", bytearray(b"x"), ok, 1, "raw", "20:26#a"),
+        ("c.fits", bytearray(b"x"), ok, 1, None, "plain"),
+        ("d.fits", bytearray(b"x"), ok, 1, None, "plain"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "filename string, content binary, md5sum string, filesize long, "
+        "filetype string, nite string",
+    ).write.partitionBy("filetype", "nite").parquet(arch)
+
+    out = takedown(spark, ["a.fits", "c.fits"], archive_root=arch)
+    assert out["archive_removed"] == 2
+    left = spark.read.parquet(arch)
+    assert {r["filename"] for r in left.collect()} == {"b.fits", "d.fits"}
+    # siblings kept their partition values through the rewrite
+    vals = {(r["filename"], r["filetype"], r["nite"]) for r in left.collect()}
+    assert ("b.fits", "raw", "20:26#a") in vals
+    assert ("d.fits", None, "plain") in vals
