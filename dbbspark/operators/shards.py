@@ -83,7 +83,19 @@ def assign_shards(
     schema = T.StructType(
         d.schema.fields + [T.StructField("__local_start", T.LongType())]
     )
-    local = d.mapInPandas(part_cumsum, schema)
+    # Lazy local checkpoint (the pack_sequences device): the totals
+    # action below materializes this relation and the final join REUSES
+    # it. Without the cut, the join re-runs the lineage from the range
+    # partition — whose SAMPLED boundaries can differ between runs, so
+    # the bucket offsets collected from run 1 would be applied to run
+    # 2's different bucket contents. Invisible on small fixtures (both
+    # sample passes see every row), REAL at scale: the r11 sf1 catalog
+    # run caught exactly this as off-by-a-few shard ids on ~2% of rows.
+    from dbbspark.session import cut_lineage
+
+    local = d.mapInPandas(part_cumsum, schema).transform(
+        cut_lineage, eager=False
+    )
     totals = (
         local.groupBy("__bucket")
         .agg((F.max(F.col("__local_start") + F.col("__sz"))).alias("t"))
@@ -99,9 +111,10 @@ def assign_shards(
     return (
         local.join(F.broadcast(off_df), "__bucket")
         .withColumn(
+            # integer `div`, not `/`: double division rounds above 2^53
+            # payload bytes (the pack_sequences discipline)
             "shard",
-            ((F.col("__local_start") + F.col("__off")) / F.lit(shard_bytes))
-            .cast("long"),
+            F.expr(f"(__local_start + __off) div {int(shard_bytes)}"),
         )
         .drop("__bucket", "__local_start", "__off", "__sz")
     )
