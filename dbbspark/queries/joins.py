@@ -98,28 +98,57 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS propid,
              min(o_orderdate) AS start_time,
              min(o_orderdate) + INTERVAL 30 DAY AS end_time
-      FROM orders GROUP BY o_custkey)
-    SELECT iv.propid, COUNT(*) AS cnt_in_window, COUNT(*) AS cnt_sweep
-    FROM orders o JOIN iv
-      ON o.o_orderdate >= iv.start_time AND o.o_orderdate <= iv.end_time
-    GROUP BY iv.propid
+      FROM orders GROUP BY o_custkey),
+    gated AS (
+      SELECT * FROM iv
+      WHERE CAST(('0x' || substr(md5(CAST(propid AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000 < 20),
+    brute AS (
+      SELECT g.propid, COUNT(*) AS cnt_in_window
+      FROM orders o JOIN gated g
+        ON o.o_orderdate >= g.start_time AND o.o_orderdate <= g.end_time
+      GROUP BY g.propid),
+    pts AS (
+      SELECT o_orderdate AS ts, COUNT(*) AS c FROM orders GROUP BY 1),
+    cum AS (
+      SELECT ts, CAST(SUM(c) OVER (ORDER BY ts) AS BIGINT) AS f FROM pts),
+    f_end AS (
+      SELECT iv.propid, cum.f
+      FROM iv ASOF LEFT JOIN cum ON iv.end_time >= cum.ts),
+    f_start AS (
+      SELECT iv.propid, cum.f
+      FROM iv ASOF LEFT JOIN cum
+        ON iv.start_time - INTERVAL 1 DAY >= cum.ts)
+    SELECT f_end.propid,
+           brute.cnt_in_window,
+           COALESCE(f_end.f, 0) - COALESCE(f_start.f, 0) AS cnt_sweep
+    FROM f_end
+    JOIN f_start ON f_end.propid = f_start.propid
+    LEFT JOIN brute ON f_end.propid = brute.propid
     """,
     doc="J6: interval (theta/range) join — propid validity windows vs "
     "per-nite timestamps (bin/monitor_DBB_stagein.py:868-877). Spark side "
     "uses the bucketized equi rewrite (operators/intervals.py); naive form "
     "is a BroadcastNestedLoopJoin that dies at scale. FOLDED C20 (r10): "
-    "`cnt_sweep` recomputes the SAME per-interval count through "
-    "interval_count_points' prefix-sum sweep (NO pair materialization — "
-    "28.9M containment pairs at sf0.1 → none; asymptotically dominant at "
-    "100 TB), value-checked against the oracle's theta-join count: the "
-    "cumulative window, the union-sweep as-of lookup, and the boundary "
-    "arithmetic must all agree with DuckDB's brute containment. The "
-    "query keeps the generic join for cnt_in_window so the driver still "
-    "exercises J6 itself (every interval contains its defining order, so "
-    "inner join and the sweep's outer semantics coincide here).",
+    "`cnt_sweep` computes the per-interval count through "
+    "interval_count_points' prefix-sum sweep (NO pair materialization) "
+    "over the FULL corpus. r11 (the sf1 catalog run found this row "
+    "super-linear, exactly as predicted): the fixture's windows overlap "
+    "densely, so the generic-join leg's containment-pair space is "
+    "QUADRATIC in sf — 28.9M pairs at sf0.1, ~2.9e9 at sf1 — in Spark "
+    "AND in the old oracle's single brute theta join. The join leg "
+    "(cnt_in_window, exercising J6 itself) therefore runs on a "
+    "deterministic ~2% propid stratum (md5 gate — bounded, "
+    "scale-honest: pair volume grows linearly with sf), NULL elsewhere, "
+    "while cnt_sweep stays full-corpus. The oracle re-derives the "
+    "stratum brute (independent containment check: on gated rows "
+    "cnt_in_window must equal cnt_sweep) and the full sweep via "
+    "DuckDB's OWN cumulative window + ASOF joins — a third mechanism "
+    "agreeing on every boundary F() lookup.",
     tags=("join", "interval"),
 )
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_int_col
     from ..operators.intervals import interval_count_points
     from dbbspark.session import cut_lineage
 
@@ -128,16 +157,19 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("start_time"),
         (F.min("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("end_time"),
     ).transform(cut_lineage, eager=False)
+    gated = iv.where(md5_int_col(F.col("propid").cast("string")) % 1000 < 20)
     probe = orders.select("o_orderkey", "o_orderdate")
-    joined = interval_join(probe, iv, "o_orderdate", "start_time", "end_time", bucket_days=7)
+    joined = interval_join(
+        probe, gated, "o_orderdate", "start_time", "end_time", bucket_days=7
+    )
     sweep = interval_count_points(
         iv, probe, "o_orderdate", "start_time", "end_time"
     ).select("propid", F.col("cnt_in_window").alias("cnt_sweep"))
-    return (
-        joined.groupBy("propid")
-        .agg(F.count("*").alias("cnt_in_window"))
-        .join(sweep, "propid")
-    )
+    return sweep.join(
+        joined.groupBy("propid").agg(F.count("*").alias("cnt_in_window")),
+        "propid",
+        "left",
+    ).select("propid", "cnt_in_window", "cnt_sweep")
 
 
 @query(
@@ -226,7 +258,7 @@ def q_big_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag)
     SELECT l.l_returnflag, l.l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(MAX(d.avg_price) AS DOUBLE) AS avg_price
+           round(CAST(MAX(d.avg_price) AS DOUBLE), 4) AS avg_price
     FROM lineitem l JOIN dim d USING (l_returnflag)
     GROUP BY l.l_returnflag, l.l_linestatus
     """,
@@ -249,7 +281,13 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("cnt"),
-        F.max("avg_price").alias("avg_price"),
+        # round 4: the dimension's AVG accumulates millions of doubles
+        # at sf1+, and summation ORDER differs across engines (and
+        # across Spark partition counts) at the ~1e-10 relative level —
+        # the sf1 catalog run caught exactly that as a spurious hash
+        # mismatch; the check's subject is the salted join, not
+        # float-accumulation ordering
+        F.round(F.max("avg_price"), 4).alias("avg_price"),
     )
 
 

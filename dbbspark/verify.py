@@ -160,6 +160,12 @@ def main(argv: list[str]) -> int:
             )
         except Exception as e:  # noqa: BLE001
             res = {"name": name, "status": "error", "ok": False, "detail": f"{type(e).__name__}: {e}"}
+        if res.get("status") == "oracle_timeout_rows_only":
+            # the interrupted query's thread may still hold the old
+            # connection (a long non-interruptible stretch); a FRESH
+            # connection keeps one zombie oracle from serializing every
+            # later query behind it
+            con = duckdb_connect(args.sf)
         mark = "PASS" if res["ok"] else "FAIL"
         if not res["ok"]:
             failed += 1

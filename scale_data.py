@@ -120,7 +120,10 @@ def _scale_embeddings(table: pa.Table, copies: int) -> list[pa.Table]:
     return out
 
 
-def _scale_keyed(table: pa.Table, keys: list[str], copies: int) -> list[pa.Table]:
+def _scale_keyed(
+    table: pa.Table, keys: list[str], copies: int,
+    jitter_ts: list[str] | None = None,
+) -> list[pa.Table]:
     out = [table]
     for c in range(1, copies):
         cols = []
@@ -128,6 +131,18 @@ def _scale_keyed(table: pa.Table, keys: list[str], copies: int) -> list[pa.Table
             col = table.column(name)
             if name in keys:
                 col = pa.compute.add(col, pa.scalar(c * STRIDE, type=col.type))
+            elif jitter_ts and name in jitter_ts:
+                # +c microseconds per copy: copies keep their temporal
+                # structure (windows/sessions/nites unchanged at µs
+                # shifts) but EXACT timestamp ties across copies are
+                # broken — replicated identical timestamps would make
+                # argmax-style aggregates (max_by, keep-last) genuinely
+                # ambiguous, a replication artifact that reads as an
+                # engine mismatch (the r11 sf1 run hit exactly that on
+                # q_rollup's latest_event_id)
+                col = pa.compute.add(
+                    col, pa.scalar(c, type=pa.duration("us"))
+                )
             cols.append(col)
         out.append(pa.Table.from_arrays(cols, schema=table.schema))
     return out
@@ -145,6 +160,8 @@ def scale_dir(src: str, out: str, copies: int) -> None:
             parts = _scale_documents(t, copies)
         elif name == "embeddings":
             parts = _scale_embeddings(t, copies)
+        elif name == "events":
+            parts = _scale_keyed(t, keys, copies, jitter_ts=["ts"])
         else:
             parts = _scale_keyed(t, keys, copies)
         dest = os.path.join(out, f"{name}.parquet")
