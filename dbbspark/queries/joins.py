@@ -100,9 +100,10 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(o_orderdate) + INTERVAL 30 DAY AS end_time
       FROM orders GROUP BY o_custkey),
     gated AS (
-      SELECT * FROM iv
-      WHERE CAST(('0x' || substr(md5(CAST(propid AS VARCHAR)), 1, 15))
-                 AS BIGINT) % 1000 < 20),
+      SELECT propid, start_time, end_time FROM iv
+      ORDER BY CAST(('0x' || substr(md5(CAST(propid AS VARCHAR)), 1, 15))
+                    AS BIGINT), propid
+      LIMIT 256),
     brute AS (
       SELECT g.propid, COUNT(*) AS cnt_in_window
       FROM orders o JOIN gated g
@@ -138,8 +139,9 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "QUADRATIC in sf — 28.9M pairs at sf0.1, ~2.9e9 at sf1 — in Spark "
     "AND in the old oracle's single brute theta join. The join leg "
     "(cnt_in_window, exercising J6 itself) therefore runs on a "
-    "deterministic ~2% propid stratum (md5 gate — bounded, "
-    "scale-honest: pair volume grows linearly with sf), NULL elsewhere, "
+    "deterministic FIXED 256-interval panel (md5-ordered TakeOrdered — "
+    "a fixed COUNT, not a fixed fraction, so the brute leg's pair "
+    "volume is strictly linear in sf), NULL elsewhere, "
     "while cnt_sweep stays full-corpus. The oracle re-derives the "
     "stratum brute (independent containment check: on gated rows "
     "cnt_in_window must equal cnt_sweep) and the full sweep via "
@@ -157,7 +159,13 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("start_time"),
         (F.min("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("end_time"),
     ).transform(cut_lineage, eager=False)
-    gated = iv.where(md5_int_col(F.col("propid").cast("string")) % 1000 < 20)
+    # FIXED-COUNT panel, not a fixed fraction: a fractional stratum's
+    # pair volume is still quadratic in sf (0.02·intervals × probes);
+    # 256 md5-ordered intervals make the brute leg strictly linear in
+    # corpus size at every scale factor (TakeOrdered — no global sort)
+    gated = iv.orderBy(
+        md5_int_col(F.col("propid").cast("string")), "propid"
+    ).limit(256)
     probe = orders.select("o_orderkey", "o_orderdate")
     joined = interval_join(
         probe, gated, "o_orderdate", "start_time", "end_time", bucket_days=7

@@ -262,7 +262,8 @@ def _script_stratum_col() -> F.Column:
       SELECT scnt.*, {_SCRIPT_LETS} AS lets, {_SCRIPT_MX} AS mx
       FROM scnt),
     -- C43 winnow fingerprints: k=8 char-gram md5-int hashes, w=4
-    -- window minima, distinct; short docs keep their global min
+    -- window minima, distinct; short docs keep their global min;
+    -- 10% md5 doc stratum (same gate as the Spark side), empty outside
     wn AS (
       SELECT doc_id,
              CASE WHEN len(wg) = 0 THEN CAST([] AS BIGINT[])
@@ -271,9 +272,13 @@ def _script_stratum_col() -> F.Column:
                     range(1, len(wg) - 2), j -> list_min(wg[j:j+3]))) END
                AS wfp
       FROM (SELECT doc_id,
-              list_transform(range(1, greatest(length(text) - 7, 0) + 1),
-                i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15))
-                          AS BIGINT)) AS wg
+              CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                               1, 15)) AS BIGINT) % 10) = 0
+                   THEN list_transform(
+                     range(1, greatest(length(text) - 7, 0) + 1),
+                     i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1,
+                                15)) AS BIGINT))
+                   ELSE CAST([] AS BIGINT[]) END AS wg
             FROM documents))
     SELECT g.doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -375,7 +380,11 @@ def _script_stratum_col() -> F.Column:
     "re-derives the fingerprints hash-for-hash; the summary is the "
     "fingerprint-set size and minimum (order-insensitive — "
     "array_distinct ordering differs between engines by contract). "
-    "Kept join-free in the same projection: the annotate pass stays "
+    "Gated to a deterministic 10% md5 doc stratum (full-corpus blew "
+    "the 2.5 s fold budget — interpreted HOF lambdas cost ~0.9 ms/doc; "
+    "production winnowing uses the codegen-cheap xxhash64 default, the "
+    "md5 chain exists only for cross-engine checkability). Kept "
+    "join-free in the same projection: the annotate pass stays "
     "map-only (plan pin tests/test_plans.py).",
     tags=("text", "sampling", "closure"),
 )
@@ -411,6 +420,17 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
     )
     toks = F.split(F.col("text"), " ")
+    # C43 winnow stratum text, materialized ONCE (the gate expr must not
+    # re-evaluate inside gram_hashes_expr's per-element lambda): NULL
+    # outside the stratum routes through the operator's own null path
+    # (empty gram array -> empty fingerprints)
+    docs = docs.withColumn(
+        "__wtext",
+        F.when(
+            md5_int_col(F.col("doc_id").cast("string")) % 10 == 0,
+            F.col("text"),
+        ),
+    )
     # materialize the token array once: interpreted lambdas have no CSE —
     # an inline split would re-split per element_at (see operators/dedup).
     m = docs.select(
@@ -435,8 +455,15 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash, materialized a projection BEFORE the window lambda
         # (CollapseProject keeps the O(len·k) gram hashing out of the
         # per-window array_min — the winnow_fingerprints layout, inlined
-        # here to stay join-free)
-        F.expr(gram_hashes_expr("text", 8, PORTABLE_HASH_SQL)).alias("__wg"),
+        # here to stay join-free). Gated to a deterministic 10% doc
+        # stratum (__wtext, materialized in the pre-projection): the
+        # interpreted HOF lambdas cost ~0.9 ms/doc over full text, and
+        # the full-corpus form blew the 2.5 s fold budget (6.5 s at
+        # sf0.1); the stratum keeps the end-to-end pipeline value-checked
+        # at ~1/10 the cost, the q_interval_join stratum discipline.
+        F.expr(gram_hashes_expr("__wtext", 8, PORTABLE_HASH_SQL)).alias(
+            "__wg"
+        ),
     ).select(
         "*",
         ngram_array(F.col("__toks"), 2).alias("__g2"),
