@@ -263,7 +263,7 @@ def _script_stratum_col() -> F.Column:
       FROM scnt),
     -- C43 winnow fingerprints: k=8 char-gram md5-int hashes, w=4
     -- window minima, distinct; short docs keep their global min;
-    -- 10% md5 doc stratum (same gate as the Spark side), empty outside
+    -- 5% md5 doc stratum (same gate as the Spark side), empty outside
     wn AS (
       SELECT doc_id,
              CASE WHEN len(wg) = 0 THEN CAST([] AS BIGINT[])
@@ -273,7 +273,7 @@ def _script_stratum_col() -> F.Column:
                AS wfp
       FROM (SELECT doc_id,
               CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                               1, 15)) AS BIGINT) % 10) = 0
+                               1, 15)) AS BIGINT) % 20) = 0
                    THEN list_transform(
                      range(1, greatest(length(text) - 7, 0) + 1),
                      i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1,
@@ -380,7 +380,7 @@ def _script_stratum_col() -> F.Column:
     "re-derives the fingerprints hash-for-hash; the summary is the "
     "fingerprint-set size and minimum (order-insensitive — "
     "array_distinct ordering differs between engines by contract). "
-    "Gated to a deterministic 10% md5 doc stratum (full-corpus blew "
+    "Gated to a deterministic 5% md5 doc stratum (full-corpus blew "
     "the 2.5 s fold budget — interpreted HOF lambdas cost ~0.9 ms/doc; "
     "production winnowing uses the codegen-cheap xxhash64 default, the "
     "md5 chain exists only for cross-engine checkability). Kept "
@@ -427,7 +427,7 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.withColumn(
         "__wtext",
         F.when(
-            md5_int_col(F.col("doc_id").cast("string")) % 10 == 0,
+            md5_int_col(F.col("doc_id").cast("string")) % 20 == 0,
             F.col("text"),
         ),
     )
@@ -460,7 +460,7 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # interpreted HOF lambdas cost ~0.9 ms/doc over full text, and
         # the full-corpus form blew the 2.5 s fold budget (6.5 s at
         # sf0.1); the stratum keeps the end-to-end pipeline value-checked
-        # at ~1/10 the cost, the q_interval_join stratum discipline.
+        # at ~1/20 the cost, the q_interval_join stratum discipline.
         F.expr(gram_hashes_expr("__wtext", 8, PORTABLE_HASH_SQL)).alias(
             "__wg"
         ),
