@@ -285,10 +285,17 @@ def compact_gate_index(
     # loser-aborts mutex: two jobs compacting the same gate index would
     # otherwise interleave the two-rename swap and lose a dataset
     with exclusive_lock(spark, index_dir, purpose="compact_gate_index"):
-        df = spark.read.parquet(index_dir)
-        data_cols = [c for c in df.columns if c != "batch"]
         staging = index_dir.rstrip("/") + ".compact-staging"
         backup = index_dir.rstrip("/") + ".pre-compact"
+        fs, hpath, jvm = _fs_and_path(spark, index_dir)
+        Path = jvm.org.apache.hadoop.fs.Path
+        # heal a prior compaction that crashed between its two swap
+        # renames (index parked in backup, staging complete) BEFORE
+        # reading — also clears a stale staging that would otherwise
+        # fail the errorifexists write below
+        _heal_interrupted_swaps(fs, Path, index_dir, staging, backup)
+        df = spark.read.parquet(index_dir)
+        data_cols = [c for c in df.columns if c != "batch"]
         (
             df.select(*data_cols)
             .withColumn("batch", F.lit(int(reserved_batch)))
@@ -297,8 +304,6 @@ def compact_gate_index(
             .partitionBy("batch")
             .parquet(staging)
         )
-        fs, hpath, jvm = _fs_and_path(spark, index_dir)
-        Path = jvm.org.apache.hadoop.fs.Path
         if not fs.rename(hpath, Path(backup)):
             raise IOError(
                 f"index compaction failed: could not move {index_dir} aside"

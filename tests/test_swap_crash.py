@@ -220,3 +220,34 @@ def test_compact_crash_between_renames_heals(spark, tmp_path, monkeypatch):
     assert got == set(rows)
     # contract unchanged: backup holds the pre-compaction dataset
     assert spark.read.parquet(backup).count() == 30
+
+
+def test_compact_gate_index_crash_between_renames_heals(
+    spark, tmp_path, monkeypatch
+):
+    """compact_gate_index shares the whole-root two-rename swap; a crash
+    between its renames parks the entire gate index in .pre-compact. The
+    re-run must restore it, clear the stale staging (which would
+    otherwise fail the errorifexists write), and finish the compaction
+    with the exact row multiset in batch=-1."""
+    from dbbspark.maintenance import compact_gate_index
+
+    idx = str(tmp_path / "gate_idx")
+    rows = [(f"m{i}", i % 4) for i in range(12)]
+    spark.createDataFrame(rows, "mid string, batch int").write.partitionBy(
+        "batch"
+    ).parquet(idx)
+
+    real = _patch_flaky(monkeypatch, fail_on_call=2)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_gate_index(spark, idx)
+    monkeypatch.setattr(maint, "_fs_and_path", real)
+    assert not os.path.exists(idx)  # whole index parked mid-swap
+
+    backup = compact_gate_index(spark, idx)
+    got = spark.read.parquet(idx)
+    assert {r["mid"] for r in got.collect()} == {f"m{i}" for i in range(12)}
+    assert {r["batch"] for r in got.select("batch").distinct().collect()} == {
+        -1
+    }
+    assert spark.read.parquet(backup).count() == 12
