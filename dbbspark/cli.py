@@ -26,6 +26,7 @@ singleton lock (SURVEY.md §2.9 ST1).
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 
 from pyspark.sql import SparkSession
@@ -550,6 +551,20 @@ def cmd_index_remove(args: argparse.Namespace) -> int:
     return 0
 
 
+def _parse_gate_spec(spec: str) -> tuple[str, str]:
+    """Parse a ``--gate-index DIR[:IDCOL]`` spec. The tail after the
+    last ':' is IDCOL only when it can actually be a column name (an
+    identifier: [A-Za-z_][A-Za-z0-9_]*): a URI index path with a port
+    must parse as the whole directory whether it has a path tail
+    (hdfs://nn:8020/idx, ADVICE r10) or not (hdfs://nn:8020, ADVICE
+    r11 — the all-digits '8020' is a port, never a column)."""
+    if ":" in spec:
+        head, tail = spec.rsplit(":", 1)
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tail):
+            return head, tail
+    return spec, "mid"
+
+
 def cmd_takedown(args: argparse.Namespace) -> int:
     """Composed retention/takedown: remove files from the archive, the
     registry, and any dedup-gate indexes in one operation, with an
@@ -563,19 +578,7 @@ def cmd_takedown(args: argparse.Namespace) -> int:
 
     spark = _session("dbbspark-takedown")
     names = [s for s in args.names.split(",") if s]
-    gates = []
-    for spec in args.gate_index or []:
-        # DIR[:IDCOL] — but only treat the tail after the last ':' as
-        # IDCOL when it can actually be a column name (no '/' or '='):
-        # a URI index path with a port (hdfs://nn:8020/idx) must parse
-        # as the whole directory, not dir 'hdfs://nn' + id_col
-        # '8020/idx' (ADVICE r10)
-        d, c = spec, "mid"
-        if ":" in spec:
-            head, tail = spec.rsplit(":", 1)
-            if tail and "/" not in tail and "=" not in tail:
-                d, c = head, tail
-        gates.append((d, c))
+    gates = [_parse_gate_spec(spec) for spec in args.gate_index or []]
     out = takedown(
         spark,
         names,

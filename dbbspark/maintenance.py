@@ -44,7 +44,13 @@ def _fs_and_path(spark: SparkSession, path: str):
 # (ExternalCatalogUtils.escapePathName: ASCII control chars, the shell /
 # path / Hive metacharacters below). A value built back into a path with
 # a raw f-string would miss these and point at a nonexistent dir.
-_PART_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)}
+# DEL (chr 0x7F) is percent-encoded by escapePathName along with
+# the control range, so it must be in the set too.
+_PART_ESCAPE = (
+    set('"#%\'*/:=?\\{[]^')
+    | {chr(c) for c in range(0x20)}
+    | {chr(0x7F)}
+)
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -119,6 +125,14 @@ def _heal_interrupted_swaps(fs, Path, root: str, staging_root: str,
                 )
             restored += 1
         fs.delete(leaf, True)
+    # Drop the whole staging root, not just the leaves: a write that
+    # crashed MID-FLIGHT (no _SUCCESS, a _temporary committer skeleton)
+    # leaves intermediate dirs behind after the leaf sweep, and the
+    # compact paths write staging with mode('errorifexists') — a
+    # surviving root fails every re-run with 'path already exists' until
+    # manual cleanup. Every caller rewrites staging from scratch, so the
+    # root carries no state worth keeping.
+    fs.delete(fs.makeQualified(sroot), True)
     return restored
 
 

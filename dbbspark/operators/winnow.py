@@ -53,9 +53,18 @@ def gram_hashes_expr(
     ``hash_sql`` is a template applied to each gram — the default
     xxhash64 for production, `PORTABLE_HASH_SQL` for oracle folds."""
     gram = f"substring({text}, i, {k})"
+    # The short case MUST be guarded explicitly: Spark's sequence(1, 0)
+    # is the DESCENDING [1, 0] (implicit step -1), so the old
+    # greatest(len-k+1, 0) bound produced TWO duplicate gram hashes for
+    # any doc shorter than k chars (and for empty text) instead of none —
+    # every empty doc then shared md5('')'s fingerprint, creating false
+    # overlaps, and the DuckDB oracle's range(...) (empty on that bound)
+    # disagreed. length() is null for null text, so one predicate covers
+    # both.
     return (
-        f"CASE WHEN {text} IS NULL THEN cast(array() as array<bigint>) ELSE "
-        f"transform(sequence(1, greatest(length({text}) - {k - 1}, 0)), "
+        f"CASE WHEN length({text}) < {k} OR {text} IS NULL "
+        f"THEN cast(array() as array<bigint>) ELSE "
+        f"transform(sequence(1, length({text}) - {k - 1}), "
         f"i -> {hash_sql.format(g=gram)}) END"
     )
 

@@ -274,8 +274,13 @@ def _script_stratum_col() -> F.Column:
       FROM (SELECT doc_id,
               CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                1, 15)) AS BIGINT) % 20) = 0
+                   -- explicit short-doc guard, mirroring the Spark
+                   -- side's (Spark's sequence(1,0) would descend; this
+                   -- range is already empty — the guard keeps the two
+                   -- contracts textually aligned)
+                   AND length(text) >= 8 AND text IS NOT NULL
                    THEN list_transform(
-                     range(1, greatest(length(text) - 7, 0) + 1),
+                     range(1, length(text) - 6),
                      i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1,
                                 15)) AS BIGINT))
                    ELSE CAST([] AS BIGINT[]) END AS wg
@@ -455,7 +460,7 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash, materialized a projection BEFORE the window lambda
         # (CollapseProject keeps the O(len·k) gram hashing out of the
         # per-window array_min — the winnow_fingerprints layout, inlined
-        # here to stay join-free). Gated to a deterministic 10% doc
+        # here to stay join-free). Gated to a deterministic 5% doc
         # stratum (__wtext, materialized in the pre-projection): the
         # interpreted HOF lambdas cost ~0.9 ms/doc over full text, and
         # the full-corpus form blew the 2.5 s fold budget (6.5 s at

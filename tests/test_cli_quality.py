@@ -702,3 +702,21 @@ def test_index_remove_cli(spark, tmp_path, capsys):
     assert cli.main(base + ["--src", str(day2)]) == 0
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s["accepted"] == 1  # re-encode judged fresh after removal
+
+
+def test_parse_gate_spec_uri_forms():
+    """DIR[:IDCOL] disambiguation (ADVICE r10 + r11): a ':'-tail is an
+    id column only when it's an identifier — ports (with or without a
+    path tail) and '://' authorities always stay part of the path."""
+    from dbbspark.cli import _parse_gate_spec as p
+
+    assert p("/data/idx") == ("/data/idx", "mid")
+    assert p("/data/idx:doc_id") == ("/data/idx", "doc_id")
+    assert p("hdfs://nn:8020/idx") == ("hdfs://nn:8020/idx", "mid")
+    assert p("hdfs://nn:8020/idx:doc_id") == ("hdfs://nn:8020/idx", "doc_id")
+    # port with no path tail: '8020' is all digits, never a column
+    assert p("hdfs://nn:8020") == ("hdfs://nn:8020", "mid")
+    assert p("s3a://bucket/idx") == ("s3a://bucket/idx", "mid")
+    # a tail that merely CONTAINS digits is still a valid identifier
+    assert p("/data/idx:col2") == ("/data/idx", "col2")
+    assert p("/data/idx:_id") == ("/data/idx", "_id")

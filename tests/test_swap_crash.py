@@ -222,6 +222,43 @@ def test_compact_crash_between_renames_heals(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(backup).count() == 30
 
 
+def test_compact_heals_mid_flight_staging_write(spark, tmp_path):
+    """A staging WRITE that crashed mid-flight (no _SUCCESS, only a
+    _temporary committer skeleton) leaves the staging root + intermediate
+    dirs in place with the live dataset intact. The leaf-only heal of r11
+    deleted the skeleton's leaves but kept the root, so the compact
+    paths' mode('errorifexists') write failed with 'path already exists'
+    on every re-run until manual cleanup (ADVICE r11 medium #2). The heal
+    now drops the whole staging root; both compact entrypoints must
+    succeed directly over the debris."""
+    from dbbspark.maintenance import compact_gate_index
+
+    path = str(tmp_path / "ds")
+    rows = [(i, i % 3, f"v{i}") for i in range(30)]
+    spark.createDataFrame(rows, "id long, p int, v string").repartition(
+        6
+    ).write.partitionBy("p").parquet(path)
+
+    # fabricate the committer skeleton of a crashed staging write
+    skel = tmp_path / "ds.compact-staging" / "_temporary" / "0" / "task_0"
+    skel.mkdir(parents=True)
+    (skel / "part-00000.parquet.tmp").write_bytes(b"partial")
+
+    compact_partitioned(spark, path, ["p"])
+    got = {(r["id"], r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == set(rows)
+
+    idx = str(tmp_path / "gidx")
+    spark.createDataFrame(
+        [(f"m{i}", i % 2) for i in range(8)], "mid string, batch int"
+    ).write.partitionBy("batch").parquet(idx)
+    gskel = tmp_path / "gidx.compact-staging" / "_temporary" / "0"
+    gskel.mkdir(parents=True)
+    (gskel / "stale.tmp").write_bytes(b"partial")
+    compact_gate_index(spark, idx)
+    assert spark.read.parquet(idx).count() == 8
+
+
 def test_compact_gate_index_crash_between_renames_heals(
     spark, tmp_path, monkeypatch
 ):

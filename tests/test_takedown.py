@@ -266,6 +266,10 @@ def test_takedown_escaped_and_null_partition_values(spark, tmp_path):
         ("b.fits", bytearray(b"x"), ok, 1, "raw", "20:26#a"),
         ("c.fits", bytearray(b"x"), ok, 1, None, "plain"),
         ("d.fits", bytearray(b"x"), ok, 1, None, "plain"),
+        # DEL (\x7f) is percent-encoded by escapePathName too (ADVICE
+        # r11 low): the rebuilt path must name the dir Spark wrote
+        ("e.fits", bytearray(b"x"), ok, 1, "raw", "20\x7f26"),
+        ("f.fits", bytearray(b"x"), ok, 1, "raw", "20\x7f26"),
     ]
     spark.createDataFrame(
         rows,
@@ -273,11 +277,14 @@ def test_takedown_escaped_and_null_partition_values(spark, tmp_path):
         "filetype string, nite string",
     ).write.partitionBy("filetype", "nite").parquet(arch)
 
-    out = takedown(spark, ["a.fits", "c.fits"], archive_root=arch)
-    assert out["archive_removed"] == 2
+    out = takedown(spark, ["a.fits", "c.fits", "e.fits"], archive_root=arch)
+    assert out["archive_removed"] == 3
     left = spark.read.parquet(arch)
-    assert {r["filename"] for r in left.collect()} == {"b.fits", "d.fits"}
+    assert {r["filename"] for r in left.collect()} == {
+        "b.fits", "d.fits", "f.fits",
+    }
     # siblings kept their partition values through the rewrite
     vals = {(r["filename"], r["filetype"], r["nite"]) for r in left.collect()}
     assert ("b.fits", "raw", "20:26#a") in vals
     assert ("d.fits", None, "plain") in vals
+    assert ("f.fits", "raw", "20\x7f26") in vals

@@ -47,6 +47,92 @@ def test_matches_serial_reference(spark):
         assert got[did] == _serial_winnow(g, w), did
 
 
+def test_short_doc_gram_contract(spark):
+    """Docs shorter than k chars (and empty/null) yield ZERO gram hashes
+    and an empty fingerprint array — pinned explicitly because Spark's
+    sequence(1, 0) DESCENDS ([1, 0]): the old greatest(len-k+1, 0) bound
+    silently produced two duplicate gram hashes for every short doc, so
+    all empty docs shared md5('')'s fingerprint (false overlaps) and the
+    DuckDB oracle (whose range() is empty on that bound) disagreed."""
+    k = 8
+    rows = [(1, None), (2, ""), (3, "abc"), (4, "a" * (k - 1)), (5, "a" * k)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = {
+        r["doc_id"]: list(r["g"])
+        for r in df.select(
+            "doc_id", F.expr(gram_hashes_expr("text", k)).alias("g")
+        ).collect()
+    }
+    assert g[1] == [] and g[2] == [] and g[3] == [] and g[4] == []
+    assert len(g[5]) == 1  # exactly-k doc has exactly one gram
+    fps = {
+        r["doc_id"]: list(r["fingerprints"])
+        for r in winnow_fingerprints(df, k=k, w=4).collect()
+    }
+    assert fps[1] == [] and fps[2] == [] and fps[3] == [] and fps[4] == []
+    assert len(fps[5]) == 1
+
+
+def test_portable_hash_matches_duckdb_on_short_docs(spark):
+    """Cross-engine pin for the C43 oracle fold including the short-doc
+    edge: the portable md5-int gram pipeline must agree with DuckDB's
+    re-derivation doc-for-doc (n fingerprints + min), with <k-char,
+    empty, and exactly-k docs in the panel."""
+    import duckdb
+
+    from dbbspark.operators.winnow import PORTABLE_HASH_SQL, fingerprints_expr
+
+    k, w = 8, 4
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abc"),
+        (3, ""),
+        (4, "exactly8"),
+        (5, "a slightly longer document body for windows"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["n"], r["mn"])
+        for r in df.select(
+            "doc_id", F.expr(gram_hashes_expr("text", k, PORTABLE_HASH_SQL)).alias("g")
+        )
+        .select("doc_id", F.expr(fingerprints_expr("g", w)).alias("fp"))
+        .select(
+            "doc_id", F.size("fp").alias("n"), F.array_min("fp").alias("mn")
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    want = set(
+        con.execute(
+            """
+        SELECT doc_id, CAST(len(fp) AS INT) AS n,
+               CASE WHEN len(fp) = 0 THEN NULL ELSE list_min(fp) END AS mn
+        FROM (
+          SELECT doc_id,
+             CASE WHEN len(wg) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(wg) < 4 THEN [list_min(wg)]
+                  ELSE list_distinct(list_transform(
+                    range(1, len(wg) - 2), j -> list_min(wg[j:j+3]))) END AS fp
+          FROM (
+            SELECT doc_id,
+              CASE WHEN length(text) >= 8 AND text IS NOT NULL
+                   THEN list_transform(range(1, length(text) - 6),
+                     i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1,
+                                15)) AS BIGINT))
+                   ELSE CAST([] AS BIGINT[]) END AS wg
+            FROM d))
+        """
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_shared_substring_guarantee(spark):
     """Any shared substring of length >= w + k - 1 ⇒ >= 1 shared print."""
     rng = random.Random(9)
