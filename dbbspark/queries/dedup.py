@@ -15,8 +15,13 @@ from ..operators.similarity import cosine_pairs_above_blocked
 from ..tables import load_table
 
 # Shingle CTE: distinct 3-token shingles per doc (mirror of shingles_col).
+# MATERIALIZED: DuckDB otherwise re-inlines the shingle derivation (and
+# everything built on it) once per referencing CTE — q_dedup_clusters'
+# three unrolled PageRank legs each re-ran the full Jaccard pair join,
+# pushing the oracle past the sf1 interrupt budget (>360 s; 14.5 s
+# materialized). Single-reference oracles are unaffected.
 _SHINGLES_SQL = """
-    shingles AS (
+    shingles AS MATERIALIZED (
       SELECT doc_id AS doc, unnest(list_distinct(
                list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
                  i -> string_split(text,' ')[i] || ' ' ||
@@ -56,17 +61,18 @@ _JACCARD_MAX_DF = 1000
 # document frequency is within the cap — the exact relation jaccard_pairs
 # computes with its production-default max_df.
 _JACCARD_PAIRS_SQL = f"""
-    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shingles GROUP BY doc),
-    kept AS (
+    sizes AS MATERIALIZED (
+      SELECT doc, COUNT(*) AS n_sh FROM shingles GROUP BY doc),
+    kept AS MATERIALIZED (
       SELECT shingle FROM shingles
       GROUP BY shingle HAVING COUNT(*) <= {_JACCARD_MAX_DF}),
-    inter AS (
+    inter AS MATERIALIZED (
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
       FROM shingles a JOIN shingles b
         ON a.shingle = b.shingle AND a.doc < b.doc
       JOIN kept k ON k.shingle = a.shingle
       GROUP BY 1, 2),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT doc_a, doc_b
       FROM inter
       JOIN sizes sa ON sa.doc = doc_a
@@ -192,7 +198,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_SQL},
     {_JACCARD_PAIRS_SQL},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION ALL
       SELECT doc_b, doc_a FROM pairs),

@@ -66,21 +66,41 @@ _S2_ORACLE = "(" + " + ".join(
 @query(
     "q_multimodal_decode",
     oracle=f"""
-    WITH RECURSIVE h AS (
+    WITH RECURSIVE h AS MATERIALIZED (
       SELECT doc_id, {_DHASH_ORACLE} AS h FROM documents),
-    twins AS (
+    twins AS MATERIALIZED (
       SELECT doc_id + {_TWIN_OFFSET} AS doc_id, {_DHASH_TWIN} AS h
       FROM documents),
-    twins2 AS (
+    twins2 AS MATERIALIZED (
       SELECT doc_id + {2 * _TWIN_OFFSET} AS doc_id, {_DHASH_TWIN2} AS h
       FROM documents WHERE doc_id % 7 = 0),
-    u AS (SELECT * FROM h UNION ALL SELECT * FROM twins
+    u AS MATERIALIZED (SELECT * FROM h UNION ALL SELECT * FROM twins
           UNION ALL SELECT * FROM twins2),
-    pairs AS (
-      SELECT a.doc_id AS da, b.doc_id AS db
-      FROM u a JOIN u b
-        ON a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 4),
-    near AS (
+    -- candidate pruning by an INDEPENDENT pigeonhole band split (6
+    -- contiguous bands of 11/9 bits vs the Spark side's 5 of 12/16):
+    -- <=4 differing bits dirty at most 4 of 6 bands, so every true
+    -- pair shares some exact (band, value) — the equi-join is a
+    -- provably lossless superset and the brute xor/bit_count predicate
+    -- below remains the DEFINITION of the pair set. Arithmetic shift +
+    -- mask is a deterministic injective image of each bit slice (sign
+    -- copies land above the slice width), so equal slices <=> equal
+    -- vals. MATERIALIZED everywhere: DuckDB otherwise re-inlines the
+    -- 64-term sha256 CASE chains per reference, which is what pushed
+    -- the plain all-pairs form past the sf1 interrupt budget.
+    bvals AS MATERIALIZED (
+      SELECT doc_id, b, (h >> (11 * b)) & 2047 AS val
+      FROM u CROSS JOIN (SELECT unnest(range(0, 6)) AS b)),
+    cands AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bvals a JOIN bvals b
+        ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id),
+    pairs AS MATERIALIZED (
+      SELECT da, db
+      FROM cands
+      JOIN u ua ON ua.doc_id = cands.da
+      JOIN u ub ON ub.doc_id = cands.db
+      WHERE bit_count(xor(ua.h, ub.h)) <= 4),
+    near AS MATERIALIZED (
       SELECT id, COUNT(*) AS n FROM (
         SELECT da AS id FROM pairs UNION ALL SELECT db FROM pairs)
       GROUP BY id),
@@ -88,15 +108,17 @@ _S2_ORACLE = "(" + " + ".join(
     -- transitive closure (components are tiny — a doc welds with its
     -- planted twins — so enumerating reachability is cheap ground
     -- truth for the hamming_groups CC + label join-back)
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT da AS a, db AS b FROM pairs
       UNION ALL SELECT db, da FROM pairs),
     reach AS (
       SELECT doc_id AS src, doc_id AS dst FROM u
       UNION
       SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a),
-    comp AS (SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src),
-    gsize AS (SELECT comp, COUNT(*) AS gn FROM comp GROUP BY comp)
+    comp AS MATERIALIZED (
+      SELECT src AS id, MIN(dst) AS comp FROM reach GROUP BY src),
+    gsize AS MATERIALIZED (
+      SELECT comp, COUNT(*) AS gn FROM comp GROUP BY comp)
     SELECT d.doc_id,
            64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS width,
            64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) AS height,
@@ -122,8 +144,12 @@ _S2_ORACLE = "(" + " + ".join(
     "projection → n_near, the doc's d<=4 Hamming-ball neighbor count over "
     "the corpus UNION a planted one-bit twin per doc (operators/phash.py "
     "hamming_pairs: band-split → equi-join → bit_count verify — the "
-    "banding leg itself is oracle-checked against DuckDB's brute-force "
-    "ball, non-trivially: every doc has at least its twin). Both stubs "
+    "banding leg is oracle-checked non-trivially: every doc has at "
+    "least its twin, and the oracle derives the ball with its OWN "
+    "pigeonhole geometry — 6 bands of 11/9 bits vs Spark's 5 of 12/16, "
+    "a provably lossless candidate superset — before the defining "
+    "brute xor/bit_count predicate; r12, the plain all-pairs form "
+    "exceeded the sf1 oracle interrupt budget). Both stubs "
     "derive from sha256(content), so DuckDB recomputes the exact "
     "integers: the Arrow batch path AND the 64-term hash assembly (incl. "
     "the bit-63 min-long special case) are value-verified, not just "

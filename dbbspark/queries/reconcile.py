@@ -64,16 +64,24 @@ def extra_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_reconcile_anti",
     oracle=_RECON_CTES
     + """
-    , mf AS (SELECT *, printf('DECam_%08d.fits.fz', expnum) AS fn FROM missing),
-      xf AS (SELECT *, printf('DECam_%08d.fits.fz', expnum) AS fn FROM extra),
-      ln AS (SELECT max(nite) AS v FROM
+    , mf AS MATERIALIZED (
+        SELECT *, printf('DECam_%08d.fits.fz', expnum) AS fn FROM missing),
+      xf AS MATERIALIZED (
+        SELECT *, printf('DECam_%08d.fits.fz', expnum) AS fn FROM extra),
+      ln AS MATERIALIZED (SELECT max(nite) AS v FROM
                (SELECT nite FROM mf UNION ALL SELECT nite FROM xf)),
-      pairs AS (
+      -- last-nite residuals as JOINs against the one-row ln, not
+      -- scalar-subquery filters on the cross product: DuckDB could not
+      -- push `m.nite = (SELECT v FROM ln)` below the cross join, so
+      -- levenshtein ran on |mf| x |xf| (14B at sf1 — past the oracle
+      -- interrupt budget) instead of the one nite's residuals (~2M)
+      mfl AS MATERIALIZED (SELECT mf.* FROM mf JOIN ln ON mf.nite = ln.v),
+      xfl AS MATERIALIZED (SELECT xf.* FROM xf JOIN ln ON xf.nite = ln.v),
+      pairs AS MATERIALIZED (
         SELECT m.expnum AS m_expnum, x.expnum AS x_expnum,
                levenshtein(m.fn, x.fn) AS d
-        FROM mf m CROSS JOIN xf x
-        WHERE m.nite = (SELECT v FROM ln) AND x.nite = (SELECT v FROM ln)
-          AND levenshtein(m.fn, x.fn) <= 1),
+        FROM mfl m CROSS JOIN xfl x
+        WHERE levenshtein(m.fn, x.fn) <= 1),
       best AS (
         SELECT * FROM (
           SELECT pairs.*, row_number() OVER (
