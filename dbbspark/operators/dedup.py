@@ -672,6 +672,26 @@ def connected_components_adaptive(
     n_edges = e.count()
     if n_edges > driver_edge_threshold:
         return connected_components_star(e, "u", "v", max_iter)
+    rows = union_find_components(
+        (row["u"], row["v"]) for row in e.collect()
+    )
+    # schema follows the edge id type — node ids are longs for doc
+    # corpora but PATHS (strings) for the media keep-one chains
+    from pyspark.sql import types as T
+
+    ntype = e.schema["u"].dataType
+    schema = T.StructType(
+        [T.StructField("node", ntype), T.StructField("component", ntype)]
+    )
+    return e.sparkSession.createDataFrame(rows, schema)
+
+
+def union_find_components(pairs) -> list[tuple]:
+    """[(node, component)] over an iterable of collected (a, b) pairs —
+    the O(E α(E)) union-find pass the counted driver regimes share
+    (`connected_components_adaptive` and `cluster_rank_adaptive`).
+    component = min reachable id, the same contract as the distributed
+    star formulation."""
     parent: dict = {}
 
     def find(x):
@@ -682,8 +702,7 @@ def connected_components_adaptive(
             parent[x], x = root, parent[x]
         return root
 
-    for row in e.collect():
-        a, b = row["u"], row["v"]
+    for a, b in pairs:
         for z in (a, b):
             if z not in parent:
                 parent[z] = z
@@ -691,16 +710,72 @@ def connected_components_adaptive(
         if ra != rb:  # min id becomes the root → min-reachable contract
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = [(node, find(node)) for node in parent]
-    # schema follows the edge id type — node ids are longs for doc
-    # corpora but PATHS (strings) for the media keep-one chains
+    return [(node, find(node)) for node in parent]
+
+
+def cluster_rank_adaptive(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    damping: float = 0.85,
+    max_iter: int = 3,
+    driver_edge_threshold: int = 2_000_000,
+) -> DataFrame:
+    """(node, component, rank): connected components AND N-scaled
+    fixed-iteration PageRank over the symmetrized near-dup pair graph,
+    from ONE materialization of the reduced pair relation.
+
+    The composed form (connected_components_adaptive + graph.pagerank +
+    a join) pays the counted-driver machinery TWICE for the same
+    kilobyte-scale graph — two lineage cuts, two counts, two collects,
+    two createDataFrames, one join: ~1.3 s of pure driver round-trips
+    at sf0.1 against a graph that fits in L2. Here the small path
+    counts once, collects once, runs union-find and the shared
+    `pagerank_numpy` power iteration on the same edge list, and emits
+    ONE local DataFrame. Past ``driver_edge_threshold`` it delegates to
+    the unchanged distributed operators — the 100 TB plan is exactly
+    the star CC + per-round-shuffle PageRank composition, pinned
+    equivalent in tests/test_graph.py.
+
+    PageRank semantics match q_dedup_clusters' historical call: the
+    graph is symmetrized (both directions of each canonical a<b pair),
+    so no dangling mass; tol=0 (exactly ``max_iter`` rounds — the
+    replayable mode the oracle unrolls); rank scaled by N (mean 1.0)."""
     from pyspark.sql import types as T
 
-    ntype = e.schema["u"].dataType
-    schema = T.StructType(
-        [T.StructField("node", ntype), T.StructField("component", ntype)]
+    from .graph import pagerank, pagerank_numpy
+
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src) != F.col(dst))
+        .transform(cut_lineage, eager=True)
     )
-    return e.sparkSession.createDataFrame(rows, schema)
+    ntype = e.schema["u"].dataType
+    schema = T.StructType([
+        T.StructField("node", ntype),
+        T.StructField("component", ntype),
+        T.StructField("rank", T.DoubleType()),
+    ])
+    if e.count() > driver_edge_threshold:
+        cc = connected_components_star(e, "u", "v")
+        edges = e.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
+            e.select("v", "u")
+        )
+        pr = pagerank(
+            edges, src="s", dst="d", damping=damping, max_iter=max_iter,
+            tol=0.0, assume_no_dangling=True, assume_distinct=True,
+            scaled=True,
+        )
+        return cc.join(pr, "node").select("node", "component", "rank")
+    und = [(r["u"], r["v"]) for r in e.collect()]
+    comp = dict(union_find_components(und))
+    ranks = pagerank_numpy(
+        und + [(b, a) for a, b in und], damping, max_iter, tol=0.0,
+        scaled=True,
+    )
+    return e.sparkSession.createDataFrame(
+        sorted((n, c, ranks[n]) for n, c in comp.items()), schema
+    )
 
 
 def connected_components_star(

@@ -145,34 +145,28 @@ def pagerank(
     return ranks.select("node", rank_out)
 
 
-def _pagerank_driver(
-    e: DataFrame, damping: float, max_iter: int, tol: float,
+def pagerank_numpy(
+    pairs: list[tuple],
+    damping: float,
+    max_iter: int,
+    tol: float,
     scaled: bool = False,
-) -> DataFrame:
-    """Counted-bound fast path: the SAME power iteration as the
-    distributed loop, on collected edges (``e`` is already distinct and
-    lineage-cut, so the collect re-reads a local checkpoint, not the
-    upstream DAG). Dangling mass and the tol early-exit follow the
-    distributed semantics exactly; summation order differs only at
+) -> dict:
+    """node → rank over a collected (src, dst) edge list — the numpy
+    power iteration both driver regimes share (`_pagerank_driver` here
+    and the fused small path of dedup.cluster_rank_adaptive). Identical
+    arithmetic to the distributed loop; summation order differs only at
     float ulps (callers that value-compare round, as q_dedup_clusters
     does)."""
     import numpy as np
 
-    rows = e.collect()
-    node_type = e.schema["s"].dataType
-    spark = e.sparkSession
-    if not rows:
-        return spark.createDataFrame(
-            [], T.StructType([
-                T.StructField("node", node_type),
-                T.StructField("rank", T.DoubleType()),
-            ])
-        )
-    nodes_l = sorted({r["s"] for r in rows} | {r["d"] for r in rows})
+    if not pairs:
+        return {}
+    nodes_l = sorted({p[0] for p in pairs} | {p[1] for p in pairs})
     idx = {v: i for i, v in enumerate(nodes_l)}
     n = len(nodes_l)
-    srcs = np.fromiter((idx[r["s"]] for r in rows), dtype=np.int64, count=len(rows))
-    dsts = np.fromiter((idx[r["d"]] for r in rows), dtype=np.int64, count=len(rows))
+    srcs = np.fromiter((idx[p[0]] for p in pairs), dtype=np.int64, count=len(pairs))
+    dsts = np.fromiter((idx[p[1]] for p in pairs), dtype=np.int64, count=len(pairs))
     deg = np.bincount(srcs, minlength=n).astype(np.float64)
     has_out = deg > 0
     ranks = np.full(n, 1.0 / n)
@@ -191,13 +185,29 @@ def _pagerank_driver(
             ranks = new
     if scaled:
         ranks = ranks * float(n)
-    return spark.createDataFrame(
-        [(nodes_l[i], float(ranks[i])) for i in range(n)],
-        T.StructType([
-            T.StructField("node", node_type),
-            T.StructField("rank", T.DoubleType()),
-        ]),
+    return {nodes_l[i]: float(ranks[i]) for i in range(n)}
+
+
+def _pagerank_driver(
+    e: DataFrame, damping: float, max_iter: int, tol: float,
+    scaled: bool = False,
+) -> DataFrame:
+    """Counted-bound fast path: the SAME power iteration as the
+    distributed loop, on collected edges (``e`` is already distinct and
+    lineage-cut, so the collect re-reads a local checkpoint, not the
+    upstream DAG). Dangling mass and the tol early-exit follow the
+    distributed semantics exactly."""
+    rows = e.collect()
+    node_type = e.schema["s"].dataType
+    spark = e.sparkSession
+    schema = T.StructType([
+        T.StructField("node", node_type),
+        T.StructField("rank", T.DoubleType()),
+    ])
+    ranks = pagerank_numpy(
+        [(r["s"], r["d"]) for r in rows], damping, max_iter, tol, scaled
     )
+    return spark.createDataFrame(sorted(ranks.items()), schema)
 
 
 def domain_rank_prior(

@@ -270,27 +270,21 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "closure", "iterative"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import pagerank
-    from dbbspark.session import cut_lineage
+    from ..operators.scrub import leakage_safe_split
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=_JACCARD_MAX_DF
-    ).transform(cut_lineage, eager=True)  # one LSH pass feeds CC + PageRank
-    cc = D.connected_components_adaptive(pairs, src="doc_a", dst="doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
-    ).union(pairs.select("doc_b", "doc_a"))
-    pr = pagerank(
-        edges, src="s", dst="d", damping=0.85, max_iter=3, tol=0.0,
-        assume_no_dangling=True,  # symmetric graph: every node has out-edges
-        assume_distinct=True,  # both directions of a canonical a<b relation
-        driver_edge_bound=2_000_000,  # dup graphs are sparse; CC's bound
-        scaled=True,  # rank × N (mean 1.0), no second node count
     )
-    from ..operators.scrub import leakage_safe_split
-
-    out = cc.join(pr, "node").select(
+    # fused adaptive regime (r12): ONE materialization + collect of the
+    # reduced pair graph feeds union-find CC and the numpy 3-iteration
+    # PageRank together; the composed operators paid the counted-driver
+    # machinery twice (~1.3 s of driver round-trips for a KB graph) and
+    # breached the 2.5 s fold budget. Past the counted bound the fused
+    # operator delegates to the unchanged distributed composition.
+    out = D.cluster_rank_adaptive(
+        pairs, src="doc_a", dst="doc_b", damping=0.85, max_iter=3
+    ).select(
         F.col("node").alias("doc"),
         "component",
         F.round(F.col("rank"), 4).alias("pr3"),

@@ -137,3 +137,63 @@ def test_domain_rank_prior_join(spark):
     }
     assert got[1] is not None and got[1] > 0
     assert got[2] is None
+
+
+def test_cluster_rank_adaptive_fused_matches_composed(spark):
+    """The fused small path (one collect -> union-find + numpy PR) must
+    equal the composed operators on both legs: components match
+    connected_components_adaptive, ranks match graph.pagerank's
+    distributed loop (tol=0, 3 rounds, symmetrized, scaled) to float
+    tolerance — and the forced-distributed fused path must agree too."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.dedup import (
+        cluster_rank_adaptive,
+        connected_components_adaptive,
+    )
+    from dbbspark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (1, 3)],
+        "doc_a long, doc_b long",
+    )
+    fused = {
+        r["node"]: (r["component"], r["rank"])
+        for r in cluster_rank_adaptive(pairs, max_iter=3).collect()
+    }
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components_adaptive(pairs, "doc_a", "doc_b").collect()
+    }
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).union(pairs.select("doc_b", "doc_a"))
+    pr = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, src="s", dst="d", damping=0.85, max_iter=3, tol=0.0,
+            assume_no_dangling=True, assume_distinct=True, scaled=True,
+        ).collect()
+    }
+    assert set(fused) == set(cc) == set(pr)
+    for n in fused:
+        assert fused[n][0] == cc[n]
+        assert abs(fused[n][1] - pr[n]) < 1e-9, n
+    # forced-distributed fused path: identical component + rank values
+    dist = {
+        r["node"]: (r["component"], r["rank"])
+        for r in cluster_rank_adaptive(
+            pairs, max_iter=3, driver_edge_threshold=0
+        ).collect()
+    }
+    assert set(dist) == set(fused)
+    for n in fused:
+        assert dist[n][0] == fused[n][0]
+        assert abs(dist[n][1] - fused[n][1]) < 1e-9, n
+
+
+def test_cluster_rank_adaptive_empty(spark):
+    from dbbspark.operators.dedup import cluster_rank_adaptive
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert cluster_rank_adaptive(pairs).count() == 0
