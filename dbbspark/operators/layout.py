@@ -77,6 +77,36 @@ def zorder_col(
     return out
 
 
+def zorder_oracle_sql(
+    ranges: list[tuple[str, float, float]], bits: int = 12
+) -> str:
+    """DuckDB SQL re-deriving `zorder_col` for the value-oracle fold
+    (SURVEY C41, folded r12): the same scale-to-grid (floor of the
+    double division/multiplication in the same order, so IEEE rounding
+    agrees bit-for-bit) and the same bit interleave, written as an
+    explicit shift/and/or chain the oracle engine evaluates
+    independently. ``ranges`` are (column SQL, lo, hi) triples."""
+    k = len(ranges)
+    if k == 0:
+        raise ValueError("need at least one column")
+    if bits * k > 63:
+        raise ValueError(f"bits*k = {bits * k} exceeds the 63-bit key")
+    parts = []
+    for j, (c, lo, hi) in enumerate(ranges):
+        cells = (1 << bits) - 1
+        if hi <= lo:
+            g = "CAST(0 AS BIGINT)"
+        else:
+            scaled = (
+                f"CAST(floor((CAST({c} AS DOUBLE) - {float(lo)!r}) "
+                f"/ {float(hi) - float(lo)!r} * {float(cells)!r}) AS BIGINT)"
+            )
+            g = f"greatest(CAST(0 AS BIGINT), least(CAST({cells} AS BIGINT), {scaled}))"
+        for i in range(bits):
+            parts.append(f"((({g} >> {i}) & 1) << {i * k + j})")
+    return "(" + " | ".join(parts) + ")"
+
+
 def add_zorder_key(
     df: DataFrame,
     cols: list[str],

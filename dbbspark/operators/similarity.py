@@ -554,6 +554,7 @@ def cluster_balanced_sample(
     per_cell: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable_rank: bool = False,
 ) -> DataFrame:
     """Diversity-preserving downsampling: cap each semantic cluster at
     `per_cell` members — the cluster-balanced curation step (big topical
@@ -572,11 +573,22 @@ def cluster_balanced_sample(
 
     One shuffle (the per-cell window). Output: (id, cell, kept) for
     every vector — callers filter `kept`, keeping the decision joinable
-    back to the corpus, same contract as `semantic_dedup`."""
+    back to the corpus, same contract as `semantic_dedup`.
+
+    ``portable_rank=True`` swaps the xxhash64 coin for the md5-derived
+    bigint of the id's string form (dedup.md5_int_col — the C43/C44
+    portable-hash convention): same uniform-coin semantics, but an
+    oracle engine can re-derive the rank hash-for-hash, which is what
+    puts this operator under the DuckDB value oracle (q_embed_normalize
+    fold, r12). Production callers keep the cheaper xxhash64."""
     assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-    w = Window.partitionBy("centroid_id").orderBy(
-        F.xxhash64(F.col("vid")), F.col("vid")
-    )
+    if portable_rank:
+        from .dedup import md5_int_col
+
+        coin = md5_int_col(F.col("vid").cast("string"))
+    else:
+        coin = F.xxhash64(F.col("vid"))
+    w = Window.partitionBy("centroid_id").orderBy(coin, F.col("vid"))
     return (
         assigned.withColumn("__rk", F.row_number().over(w))
         .select(

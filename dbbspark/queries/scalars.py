@@ -15,7 +15,24 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import query
 from ..functions import compile_template
+from ..operators.layout import zorder_col, zorder_oracle_sql
 from ..tables import load_table
+
+# C41 fold coordinates (q_row_scalars): pinned declared ranges —
+# replayable across scale factors (zorder_write's data-dependent
+# add_zorder_key range pass is pinned separately in tests/test_layout).
+# event_id % 1024 exercises every grid cell at any sf; `value` clamps
+# at the declared ceiling, covering _scale_to_grid's clamp leg too.
+# Column objects need an active SparkContext, so the Spark-side ranges
+# are built lazily inside the query.
+def _zkey_ranges():
+    return [
+        ((F.col("event_id") % 1024), 0, 1023),
+        (F.col("value"), 0, 200),
+    ]
+
+
+_ZKEY_RANGES_SQL = [("(event_id % 1024)", 0, 1023), ("value", 0, 200)]
 
 
 @query(
@@ -127,7 +144,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_row_scalars",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/Chicago' AS ts_chicago,
            CAST(month(ts) AS INT) AS mm,
@@ -138,7 +155,8 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(abs(value - 100), 2) AS dist,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            coalesce(nullif(event_type, 'error'), '(failed)') AS et_filled,
-           (nullif(event_type, 'error') IS NULL) AS was_error
+           (nullif(event_type, 'error') IS NULL) AS was_error,
+           {zorder_oracle_sql(_ZKEY_RANGES_SQL, bits=12)} AS zkey
     FROM events
     """,
     doc="F9+F12+F14+F15 (merged): UTC→America/Chicago conversion + "
@@ -147,7 +165,13 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(bin/monitor_DBB_stagein.py:382), positive modulo, floor/abs/round; "
     "JSON field extraction (the snmanifest JSON plugin, "
     "bin/save_DBB_stagein_to_DBB.py:42-43); NULL discipline via "
-    "nullif/coalesce (bin/monitor_DBB_stagein.py:370-372).",
+    "nullif/coalesce (bin/monitor_DBB_stagein.py:370-372). "
+    "FOLDED C41 (r12): `zkey` is operators/layout.py zorder_col — the "
+    "Morton bit-interleaved clustering key zorder_write sorts on — over "
+    "(event_id % 1024, value) with pinned declared ranges, so the "
+    "scale-to-grid clamp arithmetic and the full shift/and/or "
+    "interleave are value-checked against the oracle's independent "
+    "re-derivation (pure integer/double math — bit-exact cross-engine).",
 )
 def q_row_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -164,6 +188,7 @@ def q_row_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
         F.coalesce(et_null, F.lit("(failed)")).alias("et_filled"),
         et_null.isNull().alias("was_error"),
+        zorder_col(_zkey_ranges(), bits=12).alias("zkey"),
     )
 
 

@@ -533,19 +533,43 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embed_normalize",
     oracle="""
-    SELECT vec_id,
+    WITH base AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_sum(
+                 list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)))) AS l2
+      FROM embeddings),
+    -- C21 fold: max-cosine cell assignment against the deterministic
+    -- every-50th centroid set (the q_ann_ivf device; lowest centroid id
+    -- wins exact ties), then the per-cell portable-md5 coin rank with
+    -- the per_cell=16 cap
+    c AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS c_vec
+         FROM embeddings WHERE vec_id % 50 = 0),
+    assign AS MATERIALIZED (
+      SELECT vid, centroid_id FROM (
+        SELECT v.vec_id AS vid, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(
+                            CAST(v.embedding AS DOUBLE[]),
+                            CAST(c.c_vec AS DOUBLE[])) DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings v CROSS JOIN c)
+      WHERE rn = 1),
+    cb AS MATERIALIZED (
+      SELECT vid, centroid_id AS cb_cell,
+             (row_number() OVER (PARTITION BY centroid_id
+                ORDER BY CAST(('0x' || substr(md5(CAST(vid AS VARCHAR)),
+                               1, 15)) AS BIGINT), vid)) <= 16 AS cb_kept
+      FROM assign)
+    SELECT base.vec_id,
            CAST(round(
              list_sum(list_transform(l2, x -> x * x)), 6
            ) AS DOUBLE) AS norm_sq,
            CAST(list_sum(list_transform(l2,
              x -> greatest(-127.0, least(127.0, round_even(127.0 * x, 0)))))
-             AS BIGINT) AS q_sum
-    FROM (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> x / sqrt(list_sum(
-                 list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)))) AS l2
-      FROM embeddings)
+             AS BIGINT) AS q_sum,
+           cb.cb_cell, cb.cb_kept
+    FROM base JOIN cb ON base.vec_id = cb.vid
     """,
     doc="Training-pipeline closure: L2 embedding normalization as a pure "
     "array expression (no UDF, no shuffle); verified by the invariant "
@@ -570,7 +594,15 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path rounds half-to-even (np.rint), so the oracle uses DuckDB's "
     "round_even — with plain round() (half-away-from-zero) a value "
     "landing exactly on .5 would produce a spurious mismatch and a "
-    "genuine future mismatch could be misread as that known divergence.",
+    "genuine future mismatch could be misread as that known divergence. "
+    "FOLDED C21 (r12): `cb_cell`/`cb_kept` run "
+    "operators/similarity.py cluster_balanced_sample END TO END — "
+    "ivf_assign's Arrow BLAS max-cosine cell assignment (deterministic "
+    "every-50th centroids, lowest-id tiebreak) and the per-cell "
+    "portable-md5 coin rank with the per_cell=16 cap — against the "
+    "oracle's independent cross-join assignment window and md5 rank "
+    "re-derivation, so the diversity-preserving truncation decision "
+    "itself is value-checked, not just row-counted.",
     tags=("similarity", "closure"),
 )
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,9 +636,31 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN CAST(conv(hex(substring(qvec, i, 1)), 16, 10) AS BIGINT) - 256 "
         " ELSE CAST(conv(hex(substring(qvec, i, 1)), 16, 10) AS BIGINT) END))"
     )
+    # C21 fold (r12): cluster_balanced_sample END TO END — ivf_assign's
+    # Arrow max-cosine cell assignment (deterministic every-50th
+    # centroids, the q_ann_ivf device) + the per-cell portable-md5 coin
+    # rank + the per_cell cap — cb_cell/cb_kept value-checked against
+    # the oracle's own assignment window and rank re-derivation.
+    from ..operators.similarity import cluster_balanced_sample
+
+    cbs = cluster_balanced_sample(
+        emb,
+        emb.where(F.col("vec_id") % 50 == 0),
+        per_cell=16,
+        id_col="vec_id",
+        vec_col="e",
+        portable_rank=True,
+    )
     return (
         normed.select("vec_id", F.round(norm_sq, 6).alias("norm_sq"))
         .join(q.select("vec_id", q_sum.alias("q_sum")), "vec_id")
+        .join(
+            cbs.select(
+                "vec_id", F.col("cell").alias("cb_cell"),
+                F.col("kept").alias("cb_kept"),
+            ),
+            "vec_id",
+        )
     )
 
 

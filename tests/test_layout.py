@@ -122,3 +122,33 @@ def test_zorder_write_respects_predicate_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(y), LessThan(y,100)" in plan
+
+
+def test_zorder_oracle_sql_matches_zorder_col(spark):
+    """C41 fold core (r12): the DuckDB re-derivation of the Morton key
+    must equal zorder_col bit-for-bit, including the clamp legs (values
+    past the declared range) and the constant-column (hi <= lo) case."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.layout import zorder_col, zorder_oracle_sql
+
+    rows = [(i, float(x)) for i, x in enumerate(
+        [0, 1, 7.5, 99.9, 100, 250, -3, 1023, 512.25, 0.001]
+    )]
+    df = spark.createDataFrame(rows, "i long, v double")
+    ranges = [(F.col("i"), 0, 9), (F.col("v"), 0, 100), (F.col("i"), 5, 5)]
+    got = {
+        (r["i"], r["z"]) for r in df.select(
+            "i", zorder_col(ranges, bits=8).alias("z")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v!r})" for i, v in rows)
+        + ") AS t(i, v)"
+    )
+    sql = zorder_oracle_sql([("i", 0, 9), ("v", 0, 100), ("i", 5, 5)], bits=8)
+    want = set(con.execute(f"SELECT i, {sql} FROM t").fetchall())
+    assert got == want

@@ -423,3 +423,33 @@ def test_zero_norm_vectors_give_zero_scores_not_nan(spark):
     assert len(assigned) == 3
     assert all(not math.isnan(r["sim"]) for r in scored)
     assert all(r["sim"] == 0.0 for r in scored)  # zero query ⇒ cosine 0
+
+
+def test_cluster_balanced_sample_portable_rank(spark):
+    """portable_rank=True swaps the coin to the md5-int of the id's
+    string form (the C21 oracle fold device): same cap semantics, and
+    the kept set matches a python md5 re-derivation exactly."""
+    import hashlib
+
+    from dbbspark.operators.similarity import cluster_balanced_sample
+
+    rows = [(i, [1.0, float(i % 7) * 0.001, 0.0]) for i in range(30)]
+    rows += [(100 + i, [0.0, 1.0, float(i) * 0.001]) for i in range(3)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = cluster_balanced_sample(
+        vecs, cents, per_cell=5, portable_rank=True
+    ).collect()
+    kept_big = sorted(r["vec_id"] for r in out if r["kept"] and r["vec_id"] < 100)
+
+    def coin(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    want = sorted(sorted(range(30), key=lambda v: (coin(v), v))[:5])
+    assert kept_big == want
+    assert {r["vec_id"] for r in out if r["kept"] and r["vec_id"] >= 100} == {
+        100, 101, 102,
+    }
