@@ -121,6 +121,43 @@ def normalize_text(
     return col
 
 
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def normalize_oracle_sql(expr: str) -> str:
+    """DuckDB SQL re-deriving ``normalize_text(expr)`` (default stages,
+    no lowercase) — the C27 value-oracle fold (r12). Same replace chain
+    in the same order, generated from the same tables so the two
+    engines cannot drift; regexes carry the 'g' flag DuckDB needs for
+    global replacement (Spark's regexp_replace is global by default)."""
+    out = expr
+    for src, dst in _MOJIBAKE:
+        out = f"replace({out}, {_sql_lit(src)}, {_sql_lit(dst)})"
+    out = f"regexp_replace({out}, {_sql_lit(_CONTROL_RE)}, '', 'g')"
+    for src, dst in _PUNCT_FOLD:
+        out = f"replace({out}, {_sql_lit(src)}, {_sql_lit(dst)})"
+    out = f"regexp_replace({out}, '[ \\t]+', ' ', 'g')"
+    out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+    out = f"regexp_replace({out}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"trim({out})"
+
+
+# Deterministic dirty-text injection for the C27 fold: every mojibake
+# and punctuation-fold table entry, C0/C1 controls (incl. DEL and a C1
+# byte), tab/space runs, and a 5-newline run — so the normalization
+# chain is exercised entry-for-entry on every row, not vacuously over
+# already-clean fixture text. Built from the operator's own tables so
+# fold coverage tracks table edits automatically.
+DIRTY_PROBE = (
+    "  "
+    + "|".join(src for src, _ in _MOJIBAKE)
+    + "|"
+    + "|".join(src for src, _ in _PUNCT_FOLD)
+    + "|\x07\x0b\x7f\x9c|\n\n\n\n\n x\t\ty  "
+)
+
+
 def normalize_docs(
     docs: DataFrame, text_col: str = "text", **kwargs
 ) -> DataFrame:

@@ -136,16 +136,32 @@ def incremental_card(spark, sketch_dir: str) -> dict:
     return sketch_card(merge_corpus_sketches(rows))
 
 
-def _cms_cells(token: Column, depth: int, width: int) -> Column:
+def _cms_cells(
+    token: Column, depth: int, width: int, portable: bool = False
+) -> Column:
     """Array of (row, col) cell positions for one token mention. The
     depth hash functions are xxhash64 seeded by the row index carried as
     an extra hashed column — the SAME expressions serve build and query,
-    so estimates need no driver-side hashing."""
+    so estimates need no driver-side hashing. ``portable=True`` swaps
+    the per-row hash for the md5-derived bigint of ``token || '#' ||
+    row`` (the C43/C44 portable-hash convention) so an oracle engine
+    can re-derive every cell position — the C40 value-oracle fold
+    (q_token_freq, r12); production keeps the cheaper xxhash64."""
+
+    def col_for(r: int) -> Column:
+        if portable:
+            from .dedup import md5_int_col
+
+            h = md5_int_col(F.concat(token, F.lit(f"#{r}")))
+        else:
+            h = F.xxhash64(token, F.lit(r))
+        return F.pmod(h, F.lit(width))
+
     return F.array(
         *[
             F.struct(
                 F.lit(r).alias("row"),
-                F.pmod(F.xxhash64(token, F.lit(r)), F.lit(width)).alias("col"),
+                col_for(r).alias("col"),
             )
             for r in range(depth)
         ]
@@ -158,6 +174,7 @@ def cms_sketch(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     lowercase: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Count-min sketch of the batch's token stream as a sparse
     (row, col, count) relation — at most depth×width rows regardless of
@@ -167,11 +184,39 @@ def cms_sketch(
         toks = F.transform(toks, F.lower)
     mentions = docs.select(F.explode(toks).alias("token"))
     cells = mentions.select(
-        F.explode(_cms_cells(F.col("token"), depth, width)).alias("cell")
+        F.explode(_cms_cells(F.col("token"), depth, width, portable)).alias("cell")
     )
     return cells.groupBy(
         F.col("cell.row").alias("row"), F.col("cell.col").alias("col")
     ).agg(F.count("*").alias("count"))
+
+
+def cms_sketch_weighted(
+    counts: DataFrame,
+    token_col: str = "token",
+    count_col: str = "count",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    portable: bool = False,
+) -> DataFrame:
+    """`cms_sketch` from a pre-aggregated (token, count) relation:
+    per-cell count = Σ counts of the tokens landing there — provably the
+    same sparse relation as hashing every mention (grouping by token
+    commutes with the cell groupBy), at |vocab|×depth hash evaluations
+    instead of |mentions|×depth. The right shape whenever a frequency
+    relation already exists (vocab stats pipelines, the C40 fold — the
+    portable md5 hash is ~20× xxhash64, so hashing mentions blew the
+    fold host's 2.5 s budget while this form is ~free). Equivalence to
+    the mention form is pinned in tests/test_sketches.py."""
+    cells = counts.select(
+        F.col(count_col).alias("__w"),
+        F.explode(
+            _cms_cells(F.col(token_col), depth, width, portable)
+        ).alias("cell"),
+    )
+    return cells.groupBy(
+        F.col("cell.row").alias("row"), F.col("cell.col").alias("col")
+    ).agg(F.sum("__w").alias("count"))
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
@@ -192,6 +237,7 @@ def cms_estimate(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     lowercase: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """(token, est) point estimates for each query token: recompute the
     depth cell positions with the same expressions, left-join against
@@ -201,7 +247,7 @@ def cms_estimate(
     token = F.lower(F.col(token_col)) if lowercase else F.col(token_col)
     probes = queries.select(
         F.col(token_col).alias("token"),
-        F.explode(_cms_cells(token, depth, width)).alias("cell"),
+        F.explode(_cms_cells(token, depth, width, portable)).alias("cell"),
     ).select("token", F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
     joined = probes.join(cms, ["row", "col"], "left")
     return joined.groupBy("token").agg(

@@ -16,6 +16,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import query
 from ..functions import compile_template
 from ..operators.layout import zorder_col, zorder_oracle_sql
+from ..operators.normalize import (
+    DIRTY_PROBE,
+    _sql_lit,
+    normalize_oracle_sql,
+    normalize_text,
+)
 from ..tables import load_table
 
 # C41 fold coordinates (q_row_scalars): pinned declared ranges —
@@ -34,10 +40,19 @@ def _zkey_ranges():
 
 _ZKEY_RANGES_SQL = [("(event_id % 1024)", 0, 1023), ("value", 0, 200)]
 
+# C27 fold (q_string_funcs): the full normalize_text chain over a
+# deterministic dirty injection (every mojibake + punctuation table
+# entry, controls, whitespace runs — operators/normalize.DIRTY_PROBE)
+# prefixed to each doc's head, so the canonicalization pass is
+# value-checked entry-for-entry instead of vacuously over clean text.
+_NORM_ORACLE = normalize_oracle_sql(
+    f"({_sql_lit(DIRTY_PROBE)} || substr(text, 1, 24))"
+)
+
 
 @query(
     "q_string_funcs",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            printf('DECam_%08d.fits.fz', doc_id) AS fname,
            CAST(regexp_extract(printf('DECam_%08d.fits.fz', doc_id),
@@ -67,7 +82,8 @@ _ZKEY_RANGES_SQL = [("(event_id % 1024)", 0, 1023), ("value", 0, 200)]
              list_prepend(7::BIGINT,
                list_transform(string_split(text, ' ')[1:16],
                  t -> (ascii(t) * 7 + length(t))::BIGINT)),
-             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint,
+           {_NORM_ORACLE} AS norm_text
     FROM documents
     """,
     doc="F1+F2+F3+F4+F6/U4+F13+P5+F11+C4-fingerprint (merged): "
@@ -91,7 +107,14 @@ _ZKEY_RANGES_SQL = [("(event_id % 1024)", 0, 1023), ("value", 0, 200)]
     "sha256 for the dedup closure — plus the rolling polynomial document "
     "fingerprint over the first 16 tokens (integer arithmetic, "
     "engine-portable; the rolling-hash shape for shift-resistant dedup "
-    "keys).",
+    "keys). FOLDED C27 (r12): `norm_text` runs operators/normalize.py "
+    "normalize_text END TO END — mojibake repair, C0/C1 control strip, "
+    "typographic punctuation fold, whitespace collapse — over a "
+    "deterministic dirty injection covering every table entry "
+    "(DIRTY_PROBE) prefixed to each doc's head, against the oracle's "
+    "replace/regexp chain generated from the same tables "
+    "(normalize_oracle_sql), so stage order and per-entry mappings are "
+    "value-checked, not vacuously green on clean fixture text.",
 )
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -139,6 +162,13 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(7).cast("bigint"),
             lambda acc, v: (acc * 31 + v) % 1000000007,
         ).alias("fingerprint"),
+        # C27 fold: normalize_text end to end over the dirty probe —
+        # mojibake repair, control strip, punctuation fold, whitespace
+        # collapse — vs the oracle's replace chain generated from the
+        # same tables (operators/normalize.normalize_oracle_sql)
+        normalize_text(
+            F.concat(F.lit(DIRTY_PROBE), F.substring("text", 1, 24))
+        ).alias("norm_text"),
     )
 
 

@@ -833,24 +833,76 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_token_freq",
     oracle="""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
-      FROM documents)
-    SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
-    FROM toks GROUP BY token
+      FROM documents),
+    -- C40 fold: the count-min sketch re-derived cell for cell — the
+    -- portable md5 positions (token || '#' || row, 5 rows x width 64;
+    -- narrow on purpose so rows COLLIDE and the per-token MIN across
+    -- rows is exercised non-trivially, est >= cnt)
+    cells AS MATERIALIZED (
+      SELECT r.r,
+             CAST(('0x' || substr(md5(token || '#' || CAST(r.r AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 64 AS col
+      FROM toks CROSS JOIN (SELECT unnest(range(0, 5)) AS r) r),
+    sk AS MATERIALIZED (
+      SELECT r, col, COUNT(*) AS c FROM cells GROUP BY r, col),
+    probes AS (
+      SELECT token, r.r,
+             CAST(('0x' || substr(md5(token || '#' || CAST(r.r AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 64 AS col
+      FROM (SELECT DISTINCT token FROM toks)
+      CROSS JOIN (SELECT unnest(range(0, 5)) AS r) r),
+    est AS (
+      SELECT token, MIN(coalesce(sk.c, 0)) AS cms_est
+      FROM probes LEFT JOIN sk ON probes.r = sk.r AND probes.col = sk.col
+      GROUP BY token)
+    SELECT t.token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df,
+           CAST(any_value(est.cms_est) AS BIGINT) AS cms_est
+    FROM toks t JOIN est ON t.token = est.token
+    GROUP BY t.token
     """,
     doc="C31: corpus-wide token frequency relation — occurrence count and "
     "document frequency per distinct lowercased token, the vocabulary/"
     "tokenizer-prep statistic (operators/vocab.py; one explode + one "
-    "groupBy, df via pre-explode doc identity).",
+    "groupBy, df via pre-explode doc identity). FOLDED C40 (r12): "
+    "`cms_est` runs the count-min sketch END TO END — the "
+    "cms_sketch_weighted cell build (per-distinct-token hashing "
+    "weighted by count: provably the mention form's sparse relation, "
+    "pinned in tests/test_sketches.py) + cms_estimate's "
+    "probe/left-join/MIN — "
+    "with the portable md5 cell positions and a deliberately narrow "
+    "width (64) so rows collide and the MIN-across-rows semantics are "
+    "value-checked (est >= cnt with real over-counts both engines must "
+    "agree on), against the oracle's own cell-for-cell re-derivation. "
+    "Production sketches keep xxhash64 positions at width 4096 "
+    "(operators/sketches.py).",
     tags=("text", "closure"),
 )
 def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_estimate, cms_sketch_weighted
     from ..operators.vocab import token_frequencies
+    from ..session import cut_lineage
 
     docs = load_table(spark, sf_dir, "documents")
-    freqs = token_frequencies(docs, "text", lowercase=True)
-    return freqs.select("token", F.col("count").alias("cnt"), "df")
+    # one tokenize+count feeds the output AND the sketch build (the
+    # weighted form: per-DISTINCT-token hashing — the portable md5 is
+    # ~20x xxhash64, so the per-mention build blew the fold budget)
+    freqs = token_frequencies(docs, "text", lowercase=True).transform(
+        cut_lineage, eager=False
+    )
+    sk = cms_sketch_weighted(
+        freqs, token_col="token", count_col="count", depth=5, width=64,
+        portable=True,
+    )
+    est = cms_estimate(
+        sk, freqs.select("token"), token_col="token", depth=5, width=64,
+        portable=True,
+    )
+    return freqs.join(est, "token").select(
+        "token", F.col("count").alias("cnt"), "df",
+        F.col("est").cast("bigint").alias("cms_est"),
+    )
 
 
 @query(

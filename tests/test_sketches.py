@@ -191,3 +191,31 @@ def test_incremental_card_empty_dir(spark, tmp_path):
 
     card = incremental_card(spark, str(tmp_path / "nowhere"))
     assert card["n_docs"] == 0 and card["approx_dup_rate"] == 0.0
+
+
+def test_cms_sketch_weighted_equals_mention_form(spark):
+    """cms_sketch_weighted over (token, count) must produce the exact
+    sparse relation cms_sketch builds from the mention stream — grouping
+    by token commutes with the cell groupBy (the C40 fold's cheap build
+    shape). Checked under both hash variants."""
+    from dbbspark.operators.sketches import cms_sketch, cms_sketch_weighted
+    from dbbspark.operators.vocab import token_frequencies
+
+    rows = [(i, "the quick brown fox the fox " + "w%d" % (i % 5))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    freqs = token_frequencies(docs, "text", lowercase=True)
+    for portable in (False, True):
+        a = {
+            (r["row"], r["col"]): r["count"]
+            for r in cms_sketch(
+                docs, "text", depth=4, width=32, portable=portable
+            ).collect()
+        }
+        b = {
+            (r["row"], r["col"]): r["count"]
+            for r in cms_sketch_weighted(
+                freqs, depth=4, width=32, portable=portable
+            ).collect()
+        }
+        assert a == b, portable
