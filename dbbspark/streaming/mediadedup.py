@@ -198,6 +198,19 @@ def process_batch(
     Files first, index last; both sinks are batch=<id> dynamic-partition
     overwrites; the index read excludes partitions >= batch_id.
 
+    Concurrency (r12, VERDICT r11 item 3): the whole read->write section
+    runs under ``commit.exclusive_lock`` on the INDEX root — the same
+    lock takedown / remove_from_index / compact_gate_index hold for
+    their two-rename partition swaps. Without it a gate read landing
+    between a swap's rename-out and rename-in sees the index WITHOUT a
+    surviving partition and re-admits its duplicates — a state that is
+    neither serialization. Loser-aborts (C55): the later acquirer raises
+    ConcurrentWriteError; a foreachBatch retry re-runs the batch
+    idempotently. A DRIVER killed -9 inside the section leaves the lock
+    file; `exclusive_lock(break_stale_after=...)` is the documented
+    operator remedy (commit.py) — an in-process crash releases it via
+    the context manager.
+
     ``hash_kind`` defaults by media kind ('audio' for wav, else
     'dhash'), matching `cli media-dedup`. ``use_bloom`` maintains a
     broadcast Bloom filter over the index's (band, val) bucket keys
@@ -209,6 +222,23 @@ def process_batch(
     solid frames hash NULL, match nothing, and are accepted un-indexed
     (the `thumbnails` policy; M black stills then cost O(M), not
     O(M²) band-bucket pairs)."""
+    from ..commit import exclusive_lock
+
+    with exclusive_lock(
+        batch.sparkSession, index_dir, purpose=f"gate_batch={int(batch_id)}"
+    ):
+        _process_batch_locked(
+            batch, batch_id, index_dir, accepted_dir, kind, id_col,
+            content_col, hash_kind, max_distance, bands, use_bloom,
+            min_thumb_variance,
+        )
+
+
+def _process_batch_locked(
+    batch, batch_id, index_dir, accepted_dir, kind, id_col,
+    content_col, hash_kind, max_distance, bands, use_bloom,
+    min_thumb_variance,
+) -> None:
     from ..operators.bloom import build_bloom
     from ..operators.phash import _band_cols
     from .linededup import _save_bloom, load_bloom
@@ -618,7 +648,26 @@ def process_clip_batch(
     fingerprint rows, pass the gate, and are never indexed (the
     `clip_fingerprints` malformed-clip stance). ``min_thumb_variance``
     is the degenerate-frame policy (see `gate_clip_batch`) — set it on
-    real crawls, where black/fade/title frames dominate."""
+    real crawls, where black/fade/title frames dominate. Runs under the
+    index root's ``commit.exclusive_lock`` like `process_batch` — the
+    torn-read window against takedown/compaction swaps is the same."""
+    from ..commit import exclusive_lock
+
+    with exclusive_lock(
+        batch.sparkSession, index_dir, purpose=f"gate_clip_batch={int(batch_id)}"
+    ):
+        _process_clip_batch_locked(
+            batch, batch_id, index_dir, accepted_dir, kind, id_col,
+            content_col, n_samples, max_distance, min_frac, bands,
+            min_thumb_variance,
+        )
+
+
+def _process_clip_batch_locked(
+    batch, batch_id, index_dir, accepted_dir, kind, id_col,
+    content_col, n_samples, max_distance, min_frac, bands,
+    min_thumb_variance,
+) -> None:
     from ..operators.video import clip_fingerprints
     from ..session import cut_lineage
 

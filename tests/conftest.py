@@ -38,6 +38,9 @@ SMOKE = {
         "test_stills_gate_survives_executor_sigkill_between_writes"
     ),
     "test_functions.py": "test_ngram_array_short_doc_edges",
+    "test_gate_maintenance_race.py": (
+        "test_gate_batch_and_removal_mutually_exclude"
+    ),
     "test_funnel.py": "test_first_drop_attribution",
     "test_fuzzy.py": "test_matches_brute_force",
     "test_graph.py": "test_matches_dense_power_iteration",
