@@ -153,6 +153,191 @@ spark.stop()
 """
 
 
+_CLIP_SCRIPT = r"""
+import json
+import os
+import signal
+import subprocess
+import sys
+
+sys.path.insert(0, {repo!r})
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from dbbspark.session import apply_runtime_confs
+from dbbspark.sources.codecs import encode_pnm_seq
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,1024]")
+    .appName("clip-chaos")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate()
+)
+apply_runtime_confs(spark)
+spark.sparkContext.setLogLevel("ERROR")
+
+from dbbspark.streaming.mediadedup import (
+    last_completed_batch,
+    process_clip_batch,
+)
+
+
+def _clip(n=24, phase=0.0, drop=None):
+    h, w = 48, 64
+    y, x = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        f = 128 + 80 * np.sin(
+            2 * np.pi * 2.0 * x / w + 0.12 * t + phase
+        ) * np.cos(2 * np.pi * 1.5 * y / h - 0.08 * t)
+        frames.append(np.clip(f, 0, 255).astype(np.uint8))
+    if drop:
+        frames = [f for i, f in enumerate(frames) if i % 3 != 2]
+    return encode_pnm_seq(frames)
+
+
+def _black(n=24):
+    return encode_pnm_seq([np.zeros((48, 64), dtype=np.uint8)] * n)
+
+
+APP_ID = spark.sparkContext.applicationId
+
+
+def executor_pids():
+    out = subprocess.run(
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    pids = []
+    for line in out.splitlines():
+        if "CoarseGrainedExecutorBackend" in line and APP_ID in line:
+            pids.append(int(line.split(None, 1)[0]))
+    return pids
+
+
+root = {root!r}
+idx, acc = f"{{root}}/idx", f"{{root}}/acc"
+MTV = 25.0  # the production degenerate-frame policy setting
+
+# batch 0: one live clip + one ALL-BLACK clip — the degenerate-signature
+# leg's corpus state (black0's frames index with degenerate fvar)
+b0 = spark.createDataFrame(
+    [("a0", _clip()), ("black0", _black())], "path string, content binary"
+)
+process_clip_batch(b0, 0, idx, acc, min_thumb_variance=MTV)
+before = sorted(executor_pids())
+assert len(before) == 2, f"expected 2 executors, saw {{before}}"
+
+# chaos batch 1: fresh c1 (accept), a frame-dropped re-cut of a0
+# (reject via the live-frame leg), and a SECOND all-black clip (reject
+# via the degenerate-signature leg). SIGKILL one executor after the
+# accepted-clips write commits, before the composite (clip, frame)
+# index rows write.
+import pyspark.sql.readwriter as rw
+
+orig_parquet = rw.DataFrameWriter.parquet
+state = {{"writes": 0, "armed": False, "killed": None}}
+
+
+def chaos_parquet(self, path, **kw):
+    r = orig_parquet(self, path, **kw)
+    state["writes"] += 1
+    if state["armed"] and state["writes"] == 1:
+        victim = executor_pids()[0]
+        os.kill(victim, signal.SIGKILL)
+        state["killed"] = victim
+    return r
+
+
+rw.DataFrameWriter.parquet = chaos_parquet
+b1 = spark.createDataFrame(
+    [
+        ("c1", _clip(phase=2.0)),
+        ("a1", _clip(drop="1/3")),
+        ("black1", _black(18)),
+    ],
+    "path string, content binary",
+)
+state["armed"] = True
+process_clip_batch(b1, 1, idx, acc, min_thumb_variance=MTV)
+state["armed"] = False
+rw.DataFrameWriter.parquet = orig_parquet
+assert state["killed"] is not None, "kill never fired"
+
+accepted = sorted(r["path"] for r in spark.read.parquet(acc).collect())
+index_rows = (
+    spark.read.parquet(idx).groupBy("mid").count().collect()
+)
+index_counts = {{r["mid"]: r["count"] for r in index_rows}}
+marker = last_completed_batch(spark, idx)
+
+# follow-up on the healed cluster: the index rows the kill raced gate
+# correctly — re-cut of c1 rejects, a third black clip rejects, fresh
+# d2 accepts
+b2 = spark.createDataFrame(
+    [
+        ("c2", _clip(phase=2.0, drop="1/3")),
+        ("black2", _black(12)),
+        ("d2", _clip(phase=4.0)),
+    ],
+    "path string, content binary",
+)
+process_clip_batch(b2, 2, idx, acc, min_thumb_variance=MTV)
+accepted2 = sorted(r["path"] for r in spark.read.parquet(acc).collect())
+marker2 = last_completed_batch(spark, idx)
+
+print("CHAOS_RESULT " + json.dumps({{
+    "killed": state["killed"],
+    "accepted_after_chaos": accepted,
+    "index_counts_after_chaos": index_counts,
+    "marker_after_chaos": marker,
+    "accepted_final": accepted2,
+    "marker_final": marker2,
+}}))
+spark.stop()
+"""
+
+
+def test_clip_gate_survives_executor_sigkill_between_writes(tmp_path):
+    """VERDICT r11 item 7: the stills chaos test covers the flat-media
+    gate; the clip gate's degenerate-signature leg and composite
+    (clip, frame) index rows are a different recovery surface — same
+    kill window (after the accepted write, before the index write),
+    exact expected accepted/index state demanded."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _CLIP_SCRIPT.format(repo=repo, root=str(tmp_path))
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(tmp_path),
+    )
+    marker_lines = [
+        line for line in proc.stdout.splitlines()
+        if line.startswith("CHAOS_RESULT ")
+    ]
+    assert proc.returncode == 0 and marker_lines, (
+        f"clip chaos driver failed rc={proc.returncode}\n"
+        f"stdout tail: {proc.stdout[-2000:]}\n"
+        f"stderr tail: {proc.stderr[-3000:]}"
+    )
+    res = json.loads(marker_lines[-1][len("CHAOS_RESULT "):])
+    # chaos batch completed exactly: fresh c1 accepted; a0's re-cut
+    # rejected via live frames; black1 rejected via the degenerate
+    # signature; 8 composite frame rows per accepted decodable clip
+    assert res["accepted_after_chaos"] == ["a0", "black0", "c1"]
+    assert res["index_counts_after_chaos"] == {
+        "a0": 8, "black0": 8, "c1": 8,
+    }
+    assert res["marker_after_chaos"] == 1
+    # healed cluster keeps gating: re-cut + third black reject, d2 in
+    assert res["accepted_final"] == ["a0", "black0", "c1", "d2"]
+    assert res["marker_final"] == 2
+
+
 def test_stills_gate_survives_executor_sigkill_between_writes(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = _SCRIPT.format(repo=repo, root=str(tmp_path))
