@@ -246,14 +246,17 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Training-pipeline closure: near-dup CLUSTERING — Jaccard pairs → "
     "connected components → canonical representative (min doc id per "
     "component, consistent with keep-first exact dedup). Spark side is "
-    "connected_components_adaptive (operators/dedup.py): the REDUCED "
-    "edge relation's materialized count picks the path — driver-safe "
-    "edge sets take one O(E α(E)) union-find pass (the blocked pair "
-    "generators bound E; 1.5 s of round overhead → 0.1 s at sf0.1), "
-    "larger ones delegate unchanged to the large-star/small-star "
-    "formulation (Kiveris et al. SoCC'14, O(log²) rounds regardless of "
-    "diameter — measured 1.5-3.6× over min-label at 10×), so the 100 TB "
-    "plan is exactly the star one. The oracle computes the same "
+    "cluster_rank_adaptive (operators/dedup.py, r12): ONE materialized "
+    "count of the REDUCED pair relation picks the path — driver-safe "
+    "edge sets take one collect feeding BOTH the O(E α(E)) union-find "
+    "pass and the numpy 3-iteration power method (the composed "
+    "operators paid the counted-driver machinery twice and breached "
+    "the 2.5 s fold budget), larger ones delegate unchanged to the "
+    "large-star/small-star formulation (Kiveris et al. SoCC'14, "
+    "O(log²) rounds regardless of diameter) + per-round-shuffle "
+    "PageRank, so the 100 TB plan is exactly the distributed "
+    "composition (fused ≡ composed pinned on both paths, "
+    "tests/test_graph.py). The oracle computes the same "
     "components with a recursive CTE. FOLDED C38 (r10): `pr3` is "
     "operators/graph.py pagerank run for exactly 3 power iterations "
     "(damping 0.85, tol=0 so neither engine early-exits) over the "
