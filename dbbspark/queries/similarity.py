@@ -15,7 +15,7 @@ from ..tables import load_table
 
 _COSINE_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
-               FROM embeddings WHERE vec_id % 100 = 0),
+               FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
     scored AS (
       SELECT q.query_id, n.vec_id AS neighbor_id,
              list_cosine_similarity(q.q_vec, n.embedding) AS sim
@@ -36,12 +36,19 @@ _COSINE_TOPK_SQL = """
     oracle=_COSINE_TOPK_SQL,
     doc="C3: exact top-10 cosine neighbors per query vector — brute-force "
     "baseline; cosine as zip_with/aggregate expressions (JVM-side), rank "
-    "via window.",
+    "via window. The query panel is FIXED-COUNT (every 100th vector "
+    "within the base id range, r12 — the q_interval_join device): with "
+    "a proportional panel the row's cost was |Q|·|N| ∝ N²/100 by "
+    "construction (measured 2.74× wall for 2× data at the sf2 scale "
+    "point), which measured the panel's growth, not the operator; the "
+    "pinned panel keeps per-query cost a full corpus scan (the honest "
+    "brute baseline ANN recall is judged against) while the row scales "
+    "linearly in corpus size. The IVF/PQ rows are the scale path.",
     tags=("similarity", "closure"),
 )
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = emb.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     return brute_force_topk(emb, queries, k=10)
 
 
