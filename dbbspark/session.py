@@ -55,7 +55,7 @@ RUNTIME_CONFS: dict[str, str] = {
 CHECKPOINT_DIR_CONF = "spark.dbbspark.checkpointDir"
 
 
-def cut_lineage(df, eager: bool = False):
+def cut_lineage(df, eager: bool = False, replicated: bool = False):
     """Truncate a DataFrame's lineage — the package-wide checkpoint seam.
 
     Every iterative loop (CC rounds, PageRank, BPE merges) and every
@@ -85,6 +85,19 @@ def cut_lineage(df, eager: bool = False):
     execution; ``eager=True`` callers materialize now to cut an iterative
     loop's growing lineage. Both semantics are preserved by
     ``DataFrame.checkpoint``, which accepts the same flag.
+
+    ``replicated=True`` (r12): in LOCAL mode the checkpoint blocks are
+    stored MEMORY_AND_DISK_2 — one replica on a second executor — so
+    losing a single executor mid-job leaves the cut recoverable instead
+    of aborting with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Streaming gate
+    batch paths set it: the clip-gate executor chaos test caught the
+    unreplicated cut stranding a batch whenever the killed executor
+    happened to hold the blocks (the stills gate had survived only
+    because its hot path carries no cut). Reliable mode ignores the
+    flag — shared-filesystem checkpoints already survive executor loss.
+    Iterative drivers (CC/PageRank/BPE) keep the unreplicated default:
+    their jobs are short, re-runnable, and replication would double the
+    block traffic of every round.
     """
     spark = df.sparkSession
     try:
@@ -92,6 +105,12 @@ def cut_lineage(df, eager: bool = False):
     except Exception:
         ckpt_dir = ""
     if not ckpt_dir:
+        if replicated:
+            from pyspark.storagelevel import StorageLevel
+
+            return df.localCheckpoint(
+                eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK_2
+            )
         return df.localCheckpoint(eager=eager)
     sc = spark.sparkContext
     current = None

@@ -224,9 +224,31 @@ def process_batch(
     quantizer generation, so a restart can detect codes encoded under a
     different codebook than the persisted quantizer.
     ``quantizers_by_gen`` routes scoring through the multi-generation
-    ADC path (lazy re-key mode — see `gate_batch`)."""
+    ADC path (lazy re-key mode — see `gate_batch`).
+
+    Concurrency (r12): the read->write section holds
+    ``commit.exclusive_lock`` on the index root — the lock
+    remove_from_index / takedown / compact_gate_index hold for their
+    two-rename partition swaps — so a gate read can never land inside
+    a swap window and re-admit a surviving code's duplicates
+    (loser-aborts; see mediadedup.process_batch for the full
+    contract)."""
+    from ..commit import exclusive_lock
+
     spark = batch.sparkSession
     bid = int(batch_id)
+    with exclusive_lock(spark, index_dir, purpose=f"gate_batch={bid}"):
+        return _process_batch_locked(
+            batch, bid, index_dir, accepted_dir, centroids, codebooks,
+            eps, probes, id_col, vec_col, gen, quantizers_by_gen,
+        )
+
+
+def _process_batch_locked(
+    batch, bid, index_dir, accepted_dir, centroids, codebooks,
+    eps, probes, id_col, vec_col, gen, quantizers_by_gen,
+) -> None:
+    spark = batch.sparkSession
     accepted, accepted_codes = gate_batch(
         batch,
         _index_codes(

@@ -436,7 +436,8 @@ def gate_clip_batch(
     if not 0.0 < min_frac <= 1.0:
         raise ValueError("min_frac must be in (0, 1]")
     new_ch = cut_lineage(
-        _clip_hash_counts(_live_frames(batch_frames, min_thumb_variance), id_col)
+        _clip_hash_counts(_live_frames(batch_frames, min_thumb_variance), id_col),
+        replicated=True,
     )
     corp_ch = _clip_hash_counts(
         _live_frames(index_frames, min_thumb_variance), "mid"
@@ -513,7 +514,7 @@ def gate_clip_batch(
         F.col("id_a").alias("_ha"), F.col("id_b").alias("_hb")
     )
     vs_corpus = _passing(
-        cut_lineage(_expand(new_ch, ball_corp, corp_ch)),
+        cut_lineage(_expand(new_ch, ball_corp, corp_ch), replicated=True),
         new_sizes,
         corp_sizes,
     ).select(F.col("_ca").alias(id_col))
@@ -524,7 +525,8 @@ def gate_clip_batch(
     ball_new = _hash_ball(new_ch.select("_h").distinct(), max_distance, bands)
     vs_new = _passing(
         cut_lineage(
-            _expand(new_ch, ball_new, new_ch).where(F.col("_ca") < F.col("_cb"))
+            _expand(new_ch, ball_new, new_ch).where(F.col("_ca") < F.col("_cb")),
+            replicated=True,
         ),
         new_sizes,
         new_sizes,
@@ -577,7 +579,7 @@ def _degenerate_clip_rejections(
         )
         return per.where((F.col("_nl") == 0) & F.col("_sig").isNotNull())
 
-    new_dg = cut_lineage(_degen(batch_frames, id_col))
+    new_dg = cut_lineage(_degen(batch_frames, id_col), replicated=True)
     corp_sigs = _degen(index_frames, "mid").select("_sig").distinct()
     hit = (
         hamming_incremental_pairs(
@@ -596,7 +598,8 @@ def _degenerate_clip_rejections(
     )
     rej_corp = new_dg.join(hit, "_sig").select(F.col("_cid").alias(id_col))
     sig_min = cut_lineage(
-        new_dg.groupBy("_sig").agg(F.min("_cid").alias("_bmin"))
+        new_dg.groupBy("_sig").agg(F.min("_cid").alias("_bmin")),
+        replicated=True,
     )
     adj = (
         _hash_ball(
@@ -673,6 +676,8 @@ def _process_clip_batch_locked(
 
     spark = batch.sparkSession
     bid = int(batch_id)
+    # replicated: the decode cut must survive a single executor loss
+    # (the chaos test's exact window — see session.cut_lineage)
     frames = cut_lineage(
         clip_fingerprints(
             batch,
@@ -680,7 +685,8 @@ def _process_clip_batch_locked(
             id_col=id_col,
             content_col=content_col,
             n_samples=n_samples,
-        )
+        ),
+        replicated=True,
     )
     rejected = gate_clip_batch(
         frames,

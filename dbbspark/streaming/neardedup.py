@@ -142,14 +142,41 @@ def process_batch(
     predecessor rule as linededup's): the candidate join then skips the
     band rows the filter proves new. Updated by UNIONING in the accepted
     batch's own bucket keys — one batch-sized aggregation, the corpus is
-    never rescanned. Missing filter self-heals to the plain join."""
+    never rescanned. Missing filter self-heals to the plain join.
+
+    Concurrency (r12): the read->write section holds
+    ``commit.exclusive_lock`` on the index root — the lock
+    remove_from_index / takedown / compact_gate_index hold for their
+    two-rename partition swaps — so a gate read can never land inside a
+    swap window and re-admit a surviving signature's duplicates
+    (loser-aborts; see mediadedup.process_batch for the full
+    contract)."""
+    from ..commit import exclusive_lock
     from ..operators.bloom import build_bloom
     from ..operators.dedup import _band_signatures
     from .linededup import _save_bloom, load_bloom
 
     spark = batch.sparkSession
     bid = int(batch_id)
-    prior_bloom = load_bloom(spark, index_dir, before=bid) if use_bloom else None
+    with exclusive_lock(spark, index_dir, purpose=f"gate_batch={bid}"):
+        return _process_batch_locked(
+            batch, bid, index_dir, accepted_dir, id_col, text_col,
+            num_perm, bands, rows_per_band, shingle_n, use_bloom,
+            prior_bloom=(
+                load_bloom(spark, index_dir, before=bid) if use_bloom else None
+            ),
+        )
+
+
+def _process_batch_locked(
+    batch, bid, index_dir, accepted_dir, id_col, text_col,
+    num_perm, bands, rows_per_band, shingle_n, use_bloom, prior_bloom,
+) -> None:
+    from ..operators.bloom import build_bloom
+    from ..operators.dedup import _band_signatures
+    from .linededup import _save_bloom, load_bloom
+
+    spark = batch.sparkSession
     accepted, accepted_sigs = gate_batch(
         batch,
         _index_signatures(spark, index_dir, before=bid),

@@ -75,6 +75,55 @@ def test_gate_batch_and_removal_mutually_exclude(spark, tmp_path):
     assert got == {"a.pgm", "b.pgm"}
 
 
+def test_text_and_ann_gates_share_the_maintenance_lock(spark, tmp_path):
+    """The near-dedup (text LSH) and ANN gates carry the same batch=<id>
+    index + swap-based removal as the media gate, so r12 gives them the
+    same lock. Pin both directions of the mutual exclusion for each."""
+    from dbbspark.operators.pq import train_ivfpq
+    from dbbspark.streaming import annindex, neardedup
+
+    # text LSH gate
+    idx1 = str(tmp_path / "nidx")
+    acc1 = str(tmp_path / "nacc")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    neardedup.process_batch(docs, 0, idx1, acc1)
+    with exclusive_lock(spark, idx1, purpose="remove_from_index"):
+        with pytest.raises(ConcurrentWriteError):
+            neardedup.process_batch(docs, 1, idx1, acc1)
+    with exclusive_lock(spark, idx1, purpose="gate_batch=9"):
+        with pytest.raises(ConcurrentWriteError):
+            remove_from_index(spark, idx1, [1], id_col="doc")
+
+    # ANN gate
+    def _vec(seed, d=16):
+        return [(((seed * 31 + j * 7) % 13) - 6.0) / 10.0 for j in range(d)]
+
+    base = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, _vec(100)), (1, _vec(200)), (2, _vec(300))],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_ivfpq(base, cents, m=4, k=8)
+    idx2 = str(tmp_path / "aidx")
+    acc2 = str(tmp_path / "aacc")
+    b = spark.createDataFrame(
+        [(1, _vec(1))], "vec_id long, embedding array<double>"
+    )
+    annindex.process_batch(b, 0, idx2, acc2, cents, books)
+    with exclusive_lock(spark, idx2, purpose="remove_from_index"):
+        with pytest.raises(ConcurrentWriteError):
+            annindex.process_batch(b, 1, idx2, acc2, cents, books)
+    with exclusive_lock(spark, idx2, purpose="gate_batch=9"):
+        with pytest.raises(ConcurrentWriteError):
+            remove_from_index(spark, idx2, [1], id_col="vec_id")
+
+
 def test_threaded_race_no_torn_index_admissions(spark, tmp_path):
     """Threaded race: a gate admits fresh items and rejects planted
     re-encodes of batch-0 survivors WHILE a remover rewrites the very

@@ -315,14 +315,32 @@ def test_chunk_docs_map_only(spark, sf_dir):
 
 
 def test_token_freq_two_stage_distinct_agg(spark, sf_dir):
-    """The token frequency relation is the canonical two-stage distinct
+    """The token frequency OPERATOR is the canonical two-stage distinct
     aggregate: partial (token, doc) dedup, then the token rollup — two
     hash exchanges, both fed by partial aggregation, and never a join
-    (a df join-back would shuffle the mention stream a third time)."""
-    plan = plan_of(spark, sf_dir, "q_token_freq")
+    (a df join-back would shuffle the mention stream a third time).
+    Pinned on the operator since r12: the q_token_freq catalog row now
+    also hosts the C40 CMS fold, whose probe/estimate joins touch only
+    vocab-sized relations (sketch <= depth*width cells)."""
+    from dbbspark.operators.vocab import token_frequencies
+    from dbbspark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        token_frequencies(docs, "text", lowercase=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert plan.count("Exchange hashpartitioning") == 2
     assert "partial_count" in plan  # map-side combine before each exchange
     assert "Join" not in plan
+    # the folded catalog row: still JVM-only, no product joins (the
+    # freqs relation sits behind a lineage cut, so the upstream agg
+    # shape is pinned above on the operator, not re-visible here)
+    qplan = plan_of(spark, sf_dir, "q_token_freq")
+    assert "BatchEvalPython" not in qplan and "ArrowEvalPython" not in qplan
+    assert "CartesianProduct" not in qplan
 
 
 def test_dsir_stays_jvm_side(spark, sf_dir):
