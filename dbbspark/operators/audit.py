@@ -37,6 +37,7 @@ def cluster_purity(
     text_col: str = "text",
     shingle_n: int = 3,
     suspect_below: float = 0.5,
+    driver_member_bound: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """(per_member, per_cluster) purity relations.
 
@@ -52,12 +53,28 @@ def cluster_purity(
     identity (byte-identical → 1.0, else 0.0) rather than NULL, so the
     per-cluster min/avg count them and a purity-floor delete policy
     still drops genuinely identical short duplicates.
+
+    ``driver_member_bound > 0`` turns on the counted driver regime
+    (connected_components_adaptive's discipline, r12): when the
+    clustered-doc count fits the bound, the involved docs' shingle sets
+    collect to the driver (one semi-joined aggregation instead of the
+    six tiny-relation joins of the distributed plan — ~2.2 s of
+    shuffle-stage overhead at sf0.1 for a KB-scale audit) and the exact
+    same jaccard/identity arithmetic runs in python. Past the bound the
+    distributed plan runs unchanged — the 100 TB audit shape. Driver ≡
+    distributed pinned in tests/test_audit.py.
     """
     comp = components.select(
         F.col("node").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
     )
     involved = comp.select(F.col("node").alias(id_col)).distinct()
+    if driver_member_bound:
+        comp_rows = comp.collect()
+        if len(comp_rows) <= driver_member_bound:
+            return _cluster_purity_driver(
+                docs, comp_rows, id_col, text_col, shingle_n, suspect_below
+            )
     sh = shingle_docs(
         docs.join(involved, id_col, "left_semi"), id_col, text_col, shingle_n
     )
@@ -147,6 +164,109 @@ def cluster_purity(
         )
         .withColumn("suspect", F.col("jaccard") < F.lit(suspect_below))
     )
+    per_cluster = per_member.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.avg("jaccard").alias("avg_jaccard"),
+        F.sum(F.col("suspect").cast("long")).alias("n_suspect"),
+    )
+    return per_member, per_cluster
+
+
+def member_rep_jaccard_map(
+    docs,
+    comp_rows,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> dict:
+    """{member → exact member-to-rep jaccard} for pre-collected
+    (node, component) rows — the counted driver regime's core, shared
+    by `_cluster_purity_driver` and the q_dedup_clusters C50 fold
+    (which already holds the component rows and fuses the result into
+    one output frame instead of paying a join). ONE distributed job:
+    the involved docs' shingle-hash sets + text hashes collect from a
+    broadcast-semi-joined two-column scan; the jaccard /
+    both-empty-identity arithmetic runs in python — value-identical to
+    the distributed plan (same xxhash64 shingle hashes, same exact
+    integer ratio)."""
+    spark = docs.sparkSession
+    involved_ids = {r["node"] for r in comp_rows}
+    inv = spark.createDataFrame(
+        [(i,) for i in involved_ids], f"{id_col} long"
+    )
+    # ONE narrow projection, ONE job: shingle hash set + text hash per
+    # involved doc from a broadcast-semi-joined two-column scan (the
+    # sh-join-th two-pass form cost a second scan + a join for nothing).
+    # Inlined rather than shingle_docs: that helper DROPS sub-shingle_n
+    # docs, whose absent text hash would misread two DIFFERENT short
+    # docs as identical here; they keep an empty set + real hash
+    # instead. Two projections so the token split evaluates once.
+    from .dedup import shingles_from_tokens, tokens_col
+
+    base = docs.select(id_col, text_col).join(
+        F.broadcast(inv), id_col, "left_semi"
+    )
+    sh = base.select(
+        F.col(id_col).alias("doc"),
+        tokens_col(text_col).alias("__toks"),
+        F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))).alias("_th"),
+    ).select(
+        "doc",
+        F.when(
+            F.size("__toks") >= shingle_n,
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(F.col("__toks"), shingle_n),
+                    lambda s: F.xxhash64(s),
+                )
+            ),
+        )
+        .otherwise(F.expr("cast(array() as array<bigint>)"))
+        .alias("_hs"),
+        "_th",
+    )
+    state = {
+        r["doc"]: (set(r["_hs"]), r["_th"]) for r in sh.collect()
+    }
+    out = {}
+    for r in comp_rows:
+        m, c = r["node"], r["component"]
+        if m == c:
+            continue
+        sm, hm = state.get(m, (set(), None))
+        sr, hr = state.get(c, (set(), None))
+        if not sm and not sr:
+            j = 1.0 if hm == hr else 0.0
+        else:
+            inter = len(sm & sr)
+            j = inter / (len(sm) + len(sr) - inter)
+        out[m] = float(j)
+    return out
+
+
+def _cluster_purity_driver(
+    docs, comp_rows, id_col, text_col, shingle_n, suspect_below
+):
+    """Counted-bound fast path for `cluster_purity` — one job via
+    `member_rep_jaccard_map`, then local assembly."""
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    jmap = member_rep_jaccard_map(docs, comp_rows, id_col, text_col, shingle_n)
+    rows = sorted(
+        (r["component"], r["node"], jmap[r["node"]],
+         jmap[r["node"]] < suspect_below)
+        for r in comp_rows
+        if r["node"] != r["component"]
+    )
+    schema = T.StructType([
+        T.StructField("component", T.LongType()),
+        T.StructField("member", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+        T.StructField("suspect", T.BooleanType()),
+    ])
+    per_member = spark.createDataFrame(rows, schema)
     per_cluster = per_member.groupBy("component").agg(
         F.count("*").alias("n_members"),
         F.min("jaccard").alias("min_jaccard"),

@@ -206,7 +206,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a, b FROM edges
       UNION
       SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-    comp AS (
+    comp AS MATERIALIZED (
       SELECT src AS doc, least(src, min(dst)) AS component
       FROM reach GROUP BY src),
     -- C38 fold: 3 unrolled PageRank power iterations over the SAME
@@ -285,6 +285,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # machinery twice (~1.3 s of driver round-trips for a KB graph) and
     # breached the 2.5 s fold budget. Past the counted bound the fused
     # operator delegates to the unchanged distributed composition.
+    # (A C50 purity fold was prototyped here in r12 and REVERTED: even
+    # through the counted driver regime its extra scan+shingle job put
+    # the row at 3.2-4.0 s against the 2.5 s budget — C50 remains
+    # pytest-verified via operators/audit.py, whose driver regime the
+    # prototype contributed.)
     out = D.cluster_rank_adaptive(
         pairs, src="doc_a", dst="doc_b", damping=0.85, max_iter=3
     ).select(

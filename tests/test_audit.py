@@ -108,3 +108,41 @@ def test_short_docs_scored_by_text_identity_not_null(spark):
     [pc] = per_cluster.collect()
     assert pc["min_jaccard"] == 0.0 and pc["n_suspect"] == 1
     assert pc["n_members"] == 2
+
+
+def test_cluster_purity_driver_matches_distributed(spark):
+    """The counted driver regime (r12) must equal the distributed plan
+    row-for-row — including the both-empty short-doc identity rule and
+    singleton clusters (absent from per_member on both paths)."""
+    from dbbspark.operators.audit import cluster_purity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six seven"),
+            (10, "hi"),          # sub-shingle_n: empty shingle set
+            (11, "hi"),          # identical short text -> 1.0
+            (12, "yo"),          # different short text -> 0.0 vs 10
+            (99, "unrelated singleton text body here"),
+        ],
+        "doc_id long, text string",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (99, 99)],
+        "node long, component long",
+    )
+    dist = {
+        (r["component"], r["member"]): (round(r["jaccard"], 9), r["suspect"])
+        for r in cluster_purity(docs, comps)[0].collect()
+    }
+    drv = {
+        (r["component"], r["member"]): (round(r["jaccard"], 9), r["suspect"])
+        for r in cluster_purity(docs, comps, driver_member_bound=1000)[
+            0
+        ].collect()
+    }
+    assert dist == drv
+    assert (10, 11) in drv and drv[(10, 11)][0] == 1.0  # identical short
+    assert (10, 12) in drv and drv[(10, 12)][0] == 0.0  # different short
+    assert not any(c == 99 for c, _ in drv)  # singleton absent
