@@ -20,6 +20,10 @@ from .tables import TABLE_NAMES
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Route spill outside the repo: in-memory DuckDB defaults its
+    # temp_directory to ./.tmp, which at sf>=1 stages multi-GB scratch
+    # files into the working tree (and, once, into git history).
+    con.execute("SET temp_directory='/tmp/dbbspark_duckdb_spill'")
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
