@@ -397,6 +397,8 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
                 max_distance=args.max_distance,
                 min_frac=args.min_frac,
                 min_thumb_variance=args.min_thumb_variance,
+                lock_wait=args.lock_wait,
+                lock_break_stale_after=args.lock_break_stale_after,
             )
         else:
             gate_media_batch(
@@ -408,6 +410,8 @@ def cmd_media_dedup(args: argparse.Namespace) -> int:
                 hash_kind=args.hash_kind,
                 max_distance=args.max_distance,
                 min_thumb_variance=args.min_thumb_variance,
+                lock_wait=args.lock_wait,
+                lock_break_stale_after=args.lock_break_stale_after,
             )
         n_acc = (
             spark.read.parquet(args.out)
@@ -951,6 +955,23 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="incremental mode: explicit batch id (re-run = idempotent "
         "retry of that batch; default: max committed batch + 1)",
+    )
+    md.add_argument(
+        "--lock-wait",
+        type=float,
+        default=0.0,
+        help="incremental mode: seconds to retry-with-backoff for the "
+        "index lock before aborting (default 0 = loser-aborts); set on "
+        "deployments that run maintenance beside a live gate",
+    )
+    md.add_argument(
+        "--lock-break-stale-after",
+        type=float,
+        default=None,
+        help="incremental mode: break an index lock older than this "
+        "many seconds (crashed-driver recovery — an EXPLICIT operator "
+        "decision; never set below the longest legitimate batch "
+        "duration)",
     )
     md.set_defaults(fn=cmd_media_dedup)
 

@@ -343,6 +343,8 @@ def exclusive_lock(
     root: str,
     purpose: str = "maintenance",
     break_stale_after: float | None = None,
+    wait: float = 0.0,
+    poll: float = 0.25,
 ):
     """Loser-aborts mutex for in-place rewrites (compaction swaps).
 
@@ -350,6 +352,15 @@ def exclusive_lock(
     acquirer raises ConcurrentWriteError immediately (no blocking — at
     cluster scale a queued compaction is better re-scheduled than
     silently serialized). Released on exit, including on error.
+
+    ``wait`` (seconds, default 0 = loser-aborts) turns acquisition into
+    a BOUNDED retry-with-backoff: re-attempt every ``poll`` seconds
+    (doubling up to 2 s) until acquired or the horizon passes, then
+    raise. This is the streaming-gate mode — a gate micro-batch
+    contending with a brief maintenance swap (compaction, takedown leg)
+    should ride it out rather than fail the foreachBatch and terminate
+    the whole streaming query; maintenance jobs keep the abort default
+    because a queued compaction is better re-scheduled.
 
     ``break_stale_after`` (seconds) lets an explicit operator decision
     clear a lock left by a crashed job: if the existing lock's recorded
@@ -393,17 +404,28 @@ def exclusive_lock(
         except Exception:
             return None  # vanished / unreadable
 
-    got = _create_exclusive(fs, jvm, lock_path, payload)
-    if not got and break_stale_after is not None:
-        observed = read_lock()
-        try:
-            st = fs.getFileStatus(Path(lock_path))
-            age = time.time() - st.getModificationTime() / 1000.0
-        except Exception:
-            age = float("inf")  # vanished between create and stat: retry
-        if age > break_stale_after and read_lock() == observed:
-            fs.delete(Path(lock_path), False)
-            got = _create_exclusive(fs, jvm, lock_path, payload)
+    def attempt() -> bool:
+        got = _create_exclusive(fs, jvm, lock_path, payload)
+        if not got and break_stale_after is not None:
+            observed = read_lock()
+            try:
+                st = fs.getFileStatus(Path(lock_path))
+                age = time.time() - st.getModificationTime() / 1000.0
+            except Exception:
+                age = float("inf")  # vanished between create and stat: retry
+            if age > break_stale_after and read_lock() == observed:
+                fs.delete(Path(lock_path), False)
+                got = _create_exclusive(fs, jvm, lock_path, payload)
+        return got
+
+    got = attempt()
+    if not got and wait > 0:
+        deadline = time.monotonic() + wait
+        backoff = max(poll, 0.01)
+        while not got and time.monotonic() < deadline:
+            time.sleep(min(backoff, max(0.0, deadline - time.monotonic())))
+            backoff = min(backoff * 2, 2.0)
+            got = attempt()
     if not got:
         raise ConcurrentWriteError(
             f"{root}: another writer holds {lock_path}; aborting "

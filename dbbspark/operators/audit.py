@@ -70,10 +70,13 @@ def cluster_purity(
     )
     involved = comp.select(F.col("node").alias(id_col)).distinct()
     if driver_member_bound:
-        comp_rows = comp.collect()
-        if len(comp_rows) <= driver_member_bound:
+        # COUNT before collecting (connected_components_adaptive's
+        # discipline): collecting first would pull the full membership
+        # relation to the driver unconditionally, OOMing exactly the
+        # large-graph case the bound exists to protect against.
+        if comp.count() <= driver_member_bound:
             return _cluster_purity_driver(
-                docs, comp_rows, id_col, text_col, shingle_n, suspect_below
+                docs, comp.collect(), id_col, text_col, shingle_n, suspect_below
             )
     sh = shingle_docs(
         docs.join(involved, id_col, "left_semi"), id_col, text_col, shingle_n
@@ -192,9 +195,6 @@ def member_rep_jaccard_map(
     integer ratio)."""
     spark = docs.sparkSession
     involved_ids = {r["node"] for r in comp_rows}
-    inv = spark.createDataFrame(
-        [(i,) for i in involved_ids], f"{id_col} long"
-    )
     # ONE narrow projection, ONE job: shingle hash set + text hash per
     # involved doc from a broadcast-semi-joined two-column scan (the
     # sh-join-th two-pass form cost a second scan + a join for nothing).
@@ -204,9 +204,22 @@ def member_rep_jaccard_map(
     # instead. Two projections so the token split evaluates once.
     from .dedup import shingles_from_tokens, tokens_col
 
-    base = docs.select(id_col, text_col).join(
-        F.broadcast(inv), id_col, "left_semi"
-    )
+    # Small id sets (every counted-regime call by construction) restrict
+    # via an IN-set predicate instead of the broadcast semi-join: the
+    # filter PUSHES DOWN into the parquet scan (row-group stats + late
+    # materialization prune the text column before it is read), where a
+    # join restriction cannot — measured ~2× on the sf0.1 stratum fold.
+    if len(involved_ids) <= 10_000:
+        base = docs.select(id_col, text_col).where(
+            F.col(id_col).isin(list(involved_ids))
+        )
+    else:
+        inv = spark.createDataFrame(
+            [(i,) for i in involved_ids], f"{id_col} long"
+        )
+        base = docs.select(id_col, text_col).join(
+            F.broadcast(inv), id_col, "left_semi"
+        )
     sh = base.select(
         F.col(id_col).alias("doc"),
         tokens_col(text_col).alias("__toks"),
@@ -237,7 +250,10 @@ def member_rep_jaccard_map(
         sm, hm = state.get(m, (set(), None))
         sr, hr = state.get(c, (set(), None))
         if not sm and not sr:
-            j = 1.0 if hm == hr else 0.0
+            # hm/hr are None when the node has NO doc row at all; the
+            # distributed plan's `_hm == _hr` predicate is NULL-false
+            # there, so a missing hash must never count as identical.
+            j = 1.0 if (hm is not None and hm == hr) else 0.0
         else:
             inter = len(sm & sr)
             j = inter / (len(sm) + len(sr) - inter)

@@ -95,6 +95,97 @@ def score_quality(
            "rawPrediction", "probability", "prediction")
 
 
+def score_linear_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    score_col: str = "clf_score",
+    num_features: int = 4096,
+    weight_scale: float = 0.01,
+) -> DataFrame:
+    """Engine-portable scoring twin of `score_quality` — the same
+    hashed-ngram linear-model arithmetic (lowercase, split on
+    non-alphanumeric runs, unigrams + bigrams, hashed bag-of-grams →
+    linear margin → logistic link), re-expressed so EVERY step is
+    re-derivable in a second SQL engine, which is what puts the
+    classifier scoring path under the DuckDB value oracle
+    (q_exact_dedup fold, r13). Two substitutions vs the ml pipeline,
+    both pinned and documented:
+
+    - the gram hash is the md5-derived bigint (`dedup.md5_int_col` %
+      ``num_features``) — HashingTF's murmur3_x86_32 has no DuckDB
+      equivalent; the hash FAMILY changes, the hashed-bag-of-grams
+      architecture does not (featurization parity with
+      RegexTokenizer+NGram is pinned in tests/test_classify.py);
+    - the coefficient vector is the pinned deterministic map
+      w(j) = ((j·2654435761 mod 2000003) − 1000001)/1000001 ·
+      ``weight_scale`` (a Knuth-multiplicative spread of the bucket
+      index over (−scale, scale)) instead of fitted L-BFGS weights —
+      scoring arithmetic is identical either way: the sparse dot
+      product is the sum over gram OCCURRENCES of w(h(gram)).
+
+    Tokenization is ASCII-folded first (bytes outside 0x20-0x7E become
+    separators) so both engines tokenize identically without depending
+    on locale/ICU case-mapping differences for exotic code points.
+    Map-only, JVM-side, no UDF — fuses into the scan like the ml
+    scorer's transform. Returns docs + ``score_col`` (sigmoid of the
+    margin) and ``{score_col}_margin``."""
+    from .dedup import md5_int_col
+
+    ascii_txt = F.regexp_replace(F.col(text_col), "[^ -~]", " ")
+    toks = F.filter(
+        F.split(F.lower(ascii_txt), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    d = docs.withColumn("__toks", toks)
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(__toks) - 1, 0)), "
+        "i -> concat(__toks[i-1], ' ', __toks[i]))"
+    )
+    grams = F.when(F.size("__toks") >= 2, F.concat(F.col("__toks"), bigrams)) \
+        .otherwise(F.col("__toks"))
+    weight = lambda g: (  # noqa: E731
+        (
+            (md5_int_col(g) % num_features) * F.lit(2654435761)
+        ) % F.lit(2000003) - F.lit(1000001)
+    ) / F.lit(1000001.0) * F.lit(weight_scale)
+    margin = F.aggregate(
+        grams, F.lit(0.0), lambda acc, g: acc + weight(g)
+    )
+    return (
+        d.withColumn(f"{score_col}_margin", margin)
+        .withColumn(
+            score_col,
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(f"{score_col}_margin"))),
+        )
+        .drop("__toks")
+    )
+
+
+def CLF_TOKS_SQL(text_expr: str) -> str:
+    """DuckDB SQL for `score_linear_portable`'s token list (ASCII-fold →
+    lower → split on non-alphanumeric runs → drop empties) — put this in
+    a CTE so the split evaluates once per doc."""
+    return (
+        f"list_filter(string_split_regex(lower(regexp_replace({text_expr}, "
+        f"'[^ -~]', ' ', 'g')), '[^a-z0-9]+'), t -> t <> '')"
+    )
+
+
+def CLF_MARGIN_SQL(toks_expr: str, num_features: int = 4096,
+                   weight_scale: float = 0.01) -> str:
+    """DuckDB SQL re-deriving `score_linear_portable`'s margin from an
+    already-derived token-list column — kept in lockstep with the Spark
+    expressions above (the oracle side of the r13 fold)."""
+    return f"""coalesce(list_sum(list_transform(
+        CASE WHEN len({toks_expr}) >= 2
+             THEN list_concat({toks_expr},
+                    list_transform(range(1, len({toks_expr})),
+                      i -> {toks_expr}[i] || ' ' || {toks_expr}[i+1]))
+             ELSE {toks_expr} END,
+        g -> (((CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                % {num_features}) * 2654435761) % 2000003 - 1000001)
+             / 1000001.0 * {weight_scale})), 0.0)"""
+
+
 def quality_filter(
     scored: DataFrame,
     id_col: str = "doc_id",

@@ -326,7 +326,10 @@ def kmv_cardinality(
 
 
 def corpus_overlap(
-    sketch_a: DataFrame, sketch_b: DataFrame, k: int = KMV_K
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = KMV_K,
+    domain: tuple[int, int] | None = None,
 ) -> dict:
     """Jaccard + both containments between two corpora from their KMV
     sketches alone. Estimator (Beyer et al. §4): take X = the k smallest
@@ -336,6 +339,12 @@ def corpus_overlap(
 
     Relative error ~ 1/√k (k=1024 → ~3%); with UNSATURATED sketches the
     answer is exact (the sketches are the full hash sets).
+
+    ``domain`` normalizes a non-default hash (see `kmv_cardinality`) —
+    sketches built over `dedup.md5_int_col` pass ``(0, 2**60)`` so the
+    saturated estimators divide by the right u_(k); without it a
+    portable-hash sketch would silently normalize over xxhash64's int64
+    range (the r13 snapshot-diff fold's requirement).
     """
     ha = sorted(r["h"] for r in sketch_a.collect())
     hb = sorted(r["h"] for r in sketch_b.collect())
@@ -346,12 +355,15 @@ def corpus_overlap(
     union = sorted(set(ha) | set(hb))[:k]
     x = set(union)
     j = len(x & set(ha) & set(hb)) / len(union)
-    card_a = kmv_cardinality(ha, k)
-    card_b = kmv_cardinality(hb, k)
+    card_a = kmv_cardinality(ha, k, domain)
+    card_b = kmv_cardinality(hb, k, domain)
     if len(union) < k:
         card_union = float(len(union))
-    else:
+    elif domain is None:
         card_union = (k - 1) / _norm(union[-1])
+    else:
+        lo, span = domain
+        card_union = (k - 1) / ((union[-1] - lo + 1) / span)
     inter = j * card_union
     return {
         "jaccard": j,

@@ -34,6 +34,7 @@ def snapshot_diff(
     k: int = KMV_K,
     null_rate_jump: float = 0.05,
     distinct_ratio: float = 0.5,
+    portable_hash: bool = False,
 ) -> dict:
     """One-dict release report comparing two corpus snapshots.
 
@@ -42,10 +43,26 @@ def snapshot_diff(
     row counts, overlap estimates (exact when the sketches are
     unsaturated), estimated added/removed document counts, and the
     C46 drift findings between the two column profiles.
+
+    ``portable_hash=True`` sketches over `dedup.md5_int_col` of the
+    content hash (with the matching [0, 2^60) estimator domain) instead
+    of xxhash64 — same estimator semantics, but a second engine can
+    re-derive every sketch value, which is what puts the diff under the
+    DuckDB value oracle (q_training_pipeline fold, r13). Production
+    callers keep the cheaper xxhash64.
     """
     key = F.sha2(F.col(key_col).cast("binary"), 256)
+    if portable_hash:
+        from .dedup import md5_int_col
+
+        hc, domain = md5_int_col(key), (0, 2**60)
+    else:
+        hc, domain = None, None
     ov = corpus_overlap(
-        kmv_sketch(old, key, k=k), kmv_sketch(new, key, k=k), k=k
+        kmv_sketch(old, key, k=k, hash_col=hc),
+        kmv_sketch(new, key, k=k, hash_col=hc),
+        k=k,
+        domain=domain,
     )
     prof_old = profile_table(old)
     prof_new = profile_table(new)

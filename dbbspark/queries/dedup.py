@@ -31,26 +31,58 @@ _SHINGLES_SQL = """
 """
 
 
+def _exact_dedup_oracle() -> str:
+    from ..operators.classify import CLF_MARGIN_SQL, CLF_TOKS_SQL
+
+    return f"""
+    WITH kept AS MATERIALIZED (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1),
+    tk AS MATERIALIZED (
+      SELECT doc_id, text, {CLF_TOKS_SQL('text')} AS toks FROM kept),
+    m AS MATERIALIZED (
+      SELECT doc_id, text, {CLF_MARGIN_SQL('toks')} AS margin FROM tk)
+    SELECT doc_id, sha256(text) AS sha,
+           round(margin, 6) AS clf_margin,
+           round(1.0 / (1.0 + exp(-margin)), 6) AS clf_score
+    FROM m
+    """
+
+
 @query(
     "q_exact_dedup",
-    oracle="""
-    SELECT doc_id, sha256(text) AS sha
-    FROM (SELECT doc_id, text,
-                 row_number() OVER (PARTITION BY sha256(text)
-                                    ORDER BY doc_id) AS rn
-          FROM documents)
-    WHERE rn = 1
-    """,
+    oracle=_exact_dedup_oracle(),
     doc="C1: exact dedup at scale — sha256 content hash, keep lowest "
     "doc_id per hash (deterministic winner; generalizes the registry "
-    "duplicate gate, bin/save_DBB_stagein_to_DBB.py:155).",
+    "duplicate gate, bin/save_DBB_stagein_to_DBB.py:155). "
+    "FOLDED C28 (r13, VERDICT r12 item 4): `clf_margin`/`clf_score` run "
+    "operators/classify.py score_linear_portable on every kept doc — "
+    "the quality classifier's hashed-ngram linear scoring arithmetic "
+    "(ASCII-fold → lowercase → non-alphanumeric tokenization → "
+    "unigrams+bigrams → md5-bucket hash → pinned deterministic weights "
+    "→ margin → logistic link) with the oracle re-deriving every step "
+    "from CLF_TOKS_SQL/CLF_MARGIN_SQL (kept in lockstep). The md5 hash "
+    "family and pinned weights replace murmur3 HashingTF and fitted "
+    "L-BFGS coefficients (neither reproducible in DuckDB); "
+    "featurization parity with the ml pipeline is pinned in "
+    "tests/test_classify.py, and the fitted-model path remains "
+    "pytest-verified (score_quality).",
     tags=("dedup", "closure"),
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import score_linear_portable
+
     docs = load_table(spark, sf_dir, "documents")
     kept = D.sha_dedup_keep_first(docs, "text", "doc_id")
-    return kept.select(
-        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("sha")
+    scored = score_linear_portable(kept, text_col="text")
+    return scored.select(
+        "doc_id",
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha"),
+        F.round("clf_score_margin", 6).alias("clf_margin"),
+        F.round("clf_score", 6).alias("clf_score"),
     )
 
 
@@ -235,13 +267,47 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM nodes n2 LEFT JOIN (
              SELECT e.b AS nd, SUM(r.pr / d.dg) AS inflow
              FROM edges e JOIN r2 r ON e.a = r.node JOIN deg d ON e.a = d.a
-             GROUP BY e.b) i ON n2.node = i.nd)
+             GROUP BY e.b) i ON n2.node = i.nd),
+    -- C50 fold: member-to-rep purity on a deterministic 25% md5 member
+    -- stratum — exact Jaccard between each stratum member's distinct
+    -- shingle set and its cluster representative's (the transitivity
+    -- audit), with the audit's both-empty short-doc identity rule
+    stratum AS MATERIALIZED (
+      SELECT doc AS member, component AS rep FROM comp
+      WHERE doc <> component
+        AND (CAST(('0x' || substr(md5('purity-v1' || CAST(doc AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 100) < 25),
+    p_inter AS MATERIALIZED (
+      SELECT s.member, COUNT(*) AS i
+      FROM stratum s
+      JOIN shingles a ON a.doc = s.member
+      JOIN shingles b ON b.doc = s.rep AND b.shingle = a.shingle
+      GROUP BY 1),
+    purity AS MATERIALIZED (
+      SELECT s.member,
+             CASE WHEN coalesce(na.n_sh, 0) + coalesce(nb.n_sh, 0) = 0
+                  THEN (CASE WHEN dm.doc_id IS NOT NULL
+                              AND dr.doc_id IS NOT NULL
+                              AND coalesce(dm.text, '') = coalesce(dr.text, '')
+                        THEN 1.0 ELSE 0.0 END)
+                  ELSE CAST(coalesce(i.i, 0) AS DOUBLE)
+                       / (coalesce(na.n_sh, 0) + coalesce(nb.n_sh, 0)
+                          - coalesce(i.i, 0))
+             END AS purity_j
+      FROM stratum s
+      LEFT JOIN p_inter i ON i.member = s.member
+      LEFT JOIN sizes na ON na.doc = s.member
+      LEFT JOIN sizes nb ON nb.doc = s.rep
+      LEFT JOIN documents dm ON dm.doc_id = s.member
+      LEFT JOIN documents dr ON dr.doc_id = s.rep)
     SELECT comp.doc, comp.component,
            round(r3.pr * (SELECT n FROM nn), 4) AS pr3,
+           round(p.purity_j, 6) AS purity_j,
            (CAST(('0x' || substr(md5('split-v1' ||
                   CAST(comp.component AS VARCHAR)), 1, 15)) AS BIGINT)
             % 1000000) < 100000 AS is_val
     FROM comp JOIN r3 ON comp.doc = r3.node
+    LEFT JOIN purity p ON comp.doc = p.member
     """,
     doc="Training-pipeline closure: near-dup CLUSTERING — Jaccard pairs → "
     "connected components → canonical representative (min doc id per "
@@ -266,6 +332,17 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar is provably 0 here); reported N-scaled (mean 1.0) and "
     "rounded to 4 so both engines' float accumulation orders agree — "
     "the dup-graph centrality signal for representative selection. "
+    "FOLDED C50 (r13, VERDICT r12 item 2): `purity_j` runs the "
+    "dedup-cluster purity audit's counted driver core "
+    "(operators/audit.py member_rep_jaccard_map — the exact "
+    "member-to-rep shingle-set Jaccard with the both-empty short-doc "
+    "identity rule) over a deterministic 25% portable-md5 member "
+    "stratum, value-checked against the oracle's own stratum selection "
+    "and Jaccard re-derivation from the shared shingles CTE (the r12 "
+    "full-audit fold read 3.2-4.0 s and was reverted; the stratum plus "
+    "the audit's r13 IN-set scan pushdown fit the budget). The stratum "
+    "is bounded driver state by construction; the unbounded audit "
+    "remains the operator's own counted/distributed regime. "
     "FOLDED C22 (r10): `is_val` is operators/scrub.py leakage_safe_split "
     "keyed on the COMPONENT — the whole near-dup cluster lands on one "
     "side of train/val (the eval-contamination guard), via the salted "
@@ -290,12 +367,42 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the row at 3.2-4.0 s against the 2.5 s budget — C50 remains
     # pytest-verified via operators/audit.py, whose driver regime the
     # prototype contributed.)
-    out = D.cluster_rank_adaptive(
+    ranked = D.cluster_rank_adaptive(
         pairs, src="doc_a", dst="doc_b", damping=0.85, max_iter=3
-    ).select(
+    )
+    # C50 fold (r13): member-to-rep purity on a deterministic 25%
+    # portable-md5 member stratum, through the audit's counted driver
+    # core (one IN-set-pushdown scan + python Jaccard — the arithmetic
+    # the distributed audit plan shares). The stratum collect is
+    # bounded by construction; on the driver regime `ranked` is a local
+    # relation so the extra action costs no cluster job.
+    from ..operators.audit import member_rep_jaccard_map
+    from ..operators.dedup import md5_int_col
+
+    stratum = ranked.where(
+        (F.col("node") != F.col("component"))
+        & (
+            md5_int_col(
+                F.concat(F.lit("purity-v1"), F.col("node").cast("string"))
+            )
+            % 100
+            < 25
+        )
+    ).select("node", "component").collect()
+    comp_rows = [{"node": r["node"], "component": r["component"]} for r in stratum]
+    comp_rows += [
+        {"node": c, "component": c} for c in {r["component"] for r in stratum}
+    ]
+    jmap = member_rep_jaccard_map(docs, comp_rows, "doc_id", "text", 3)
+    purity = spark.createDataFrame(
+        [(int(m), float(j)) for m, j in jmap.items()],
+        "node long, purity_j double",
+    )
+    out = ranked.join(F.broadcast(purity), "node", "left").select(
         F.col("node").alias("doc"),
         "component",
         F.round(F.col("rank"), 4).alias("pr3"),
+        F.round(F.col("purity_j"), 6).alias("purity_j"),
     )
     # C22 fold: the split coin flips per COMPONENT, so every member of a
     # near-dup cluster lands on the same side of train/val.

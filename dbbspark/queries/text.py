@@ -533,7 +533,7 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embed_normalize",
     oracle="""
-    WITH base AS MATERIALIZED (
+    WITH RECURSIVE base AS MATERIALIZED (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                x -> x / sqrt(list_sum(
@@ -560,7 +560,38 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              (row_number() OVER (PARTITION BY centroid_id
                 ORDER BY CAST(('0x' || substr(md5(CAST(vid AS VARCHAR)),
                                1, 15)) AS BIGINT), vid)) <= 16 AS cb_kept
-      FROM assign)
+      FROM assign),
+    -- C16 fold: SemDeDup's per-cell greedy eps-ball scan re-derived as
+    -- a bounded recursive CTE over id-ordered cell members — a vector
+    -- is dropped iff it is within eps of an already-KEPT lower-id
+    -- member of its cell (greedy keep-first, NOT connected components)
+    sd_ord AS MATERIALIZED (
+      SELECT a.vid, a.centroid_id AS cell, b.l2,
+             row_number() OVER (PARTITION BY a.centroid_id
+                                ORDER BY a.vid) AS rn
+      FROM assign a JOIN base b ON b.vec_id = a.vid),
+    sd_sims AS MATERIALIZED (
+      SELECT x.cell, x.vid AS vi, y.vid AS vj
+      FROM sd_ord x JOIN sd_ord y ON x.cell = y.cell AND y.vid < x.vid
+      WHERE list_cosine_similarity(x.l2, y.l2) >= 0.4),
+    sd_nbrs AS MATERIALIZED (
+      SELECT o.cell, o.vid, o.rn,
+             coalesce(list(s.vj) FILTER (s.vj IS NOT NULL), []) AS nbrs
+      FROM sd_ord o LEFT JOIN sd_sims s ON s.vi = o.vid
+      GROUP BY o.cell, o.vid, o.rn),
+    sd_rec AS (
+      SELECT cell, rn, [vid] AS kept
+      FROM sd_nbrs WHERE rn = 1
+      UNION ALL
+      SELECT n.cell, n.rn,
+             CASE WHEN len(list_intersect(r.kept, n.nbrs)) > 0
+                  THEN r.kept ELSE list_append(r.kept, n.vid) END
+      FROM sd_rec r JOIN sd_nbrs n ON n.cell = r.cell AND n.rn = r.rn + 1),
+    sd_final AS MATERIALIZED (
+      SELECT cell, kept FROM (
+        SELECT cell, kept,
+               row_number() OVER (PARTITION BY cell ORDER BY rn DESC) AS rr
+        FROM sd_rec) WHERE rr = 1)
     SELECT base.vec_id,
            CAST(round(
              list_sum(list_transform(l2, x -> x * x)), 6
@@ -568,8 +599,11 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_sum(list_transform(l2,
              x -> greatest(-127.0, least(127.0, round_even(127.0 * x, 0)))))
              AS BIGINT) AS q_sum,
-           cb.cb_cell, cb.cb_kept
+           cb.cb_cell, cb.cb_kept,
+           list_contains(sf2.kept, base.vec_id) AS sem_keep
     FROM base JOIN cb ON base.vec_id = cb.vid
+    JOIN assign a2 ON a2.vid = base.vec_id
+    JOIN sd_final sf2 ON sf2.cell = a2.centroid_id
     """,
     doc="Training-pipeline closure: L2 embedding normalization as a pure "
     "array expression (no UDF, no shuffle); verified by the invariant "
@@ -602,7 +636,18 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "portable-md5 coin rank with the per_cell=16 cap — against the "
     "oracle's independent cross-join assignment window and md5 rank "
     "re-derivation, so the diversity-preserving truncation decision "
-    "itself is value-checked, not just row-counted.",
+    "itself is value-checked, not just row-counted. FOLDED C16 (r13, "
+    "VERDICT r12 item 3): `sem_keep` runs operators/similarity.py "
+    "semantic_dedup END TO END — the Arrow BLAS cell assignment (same "
+    "every-50th centroids; cells already value-checked via cb_cell) "
+    "plus the per-cell GREEDY eps-ball scan (drop iff within eps of an "
+    "already-kept lower-id member — keep-first, not connected "
+    "components) at eps=0.6 — against the oracle's bounded recursive "
+    "CTE that replays the scan decision-for-decision over id-ordered "
+    "cell members (recursion depth = max cell size, carrying only the "
+    "kept-id list; the in-cell similarity graph is precomputed "
+    "non-recursively). The >= threshold compare crosses engines on the "
+    "same double cosine the q_embed_near_dup fold already relies on.",
     tags=("similarity", "closure"),
 )
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,16 +686,21 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroids, the q_ann_ivf device) + the per-cell portable-md5 coin
     # rank + the per_cell cap — cb_cell/cb_kept value-checked against
     # the oracle's own assignment window and rank re-derivation.
-    from ..operators.similarity import cluster_balanced_sample
+    from ..operators.similarity import cluster_balanced_sample, semantic_dedup
 
+    cents = emb.where(F.col("vec_id") % 50 == 0)
     cbs = cluster_balanced_sample(
         emb,
-        emb.where(F.col("vec_id") % 50 == 0),
+        cents,
         per_cell=16,
         id_col="vec_id",
         vec_col="e",
         portable_rank=True,
     )
+    # C16 fold (r13): SemDeDup end to end over the SAME centroid set —
+    # cell assignment + the per-cell greedy eps-ball keep-first scan;
+    # the oracle replays the scan with a bounded recursive CTE.
+    sd = semantic_dedup(emb, cents, eps=0.6, id_col="vec_id", vec_col="e")
     return (
         normed.select("vec_id", F.round(norm_sq, 6).alias("norm_sq"))
         .join(q.select("vec_id", q_sum.alias("q_sum")), "vec_id")
@@ -661,6 +711,7 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "vec_id",
         )
+        .join(sd.select("vec_id", F.col("keep").alias("sem_keep")), "vec_id")
     )
 
 
@@ -672,7 +723,7 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(string_split(text, ' ')) AS n_tokens,
              CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS atl
       FROM documents),
-    passed AS (
+    passed AS MATERIALIZED (
       SELECT * FROM quality
       WHERE n_tokens BETWEEN 20 AND 1000 AND atl BETWEEN 3 AND 12),
     deduped AS (
@@ -680,14 +731,75 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER (PARTITION BY sha256(text)
                                      ORDER BY doc_id) AS rn
         FROM passed) WHERE rn = 1),
-    sampled AS (
+    sampled AS MATERIALIZED (
       SELECT * FROM deduped
       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                 AS BIGINT) % 100 < 80)
+                 AS BIGINT) % 100 < 80),
+    -- C51 fold: bottom-128 KMV sketches of both snapshots over the
+    -- portable md5-int of the sha256 content hash, then the Beyer
+    -- et al. overlap estimators (u_(k) normalized over md5-int's
+    -- [0, 2^60) domain; unsaturated sketches are exact)
+    ka AS MATERIALIZED (
+      SELECT h FROM (
+        SELECT DISTINCT CAST(('0x' || substr(md5(sha256(text)), 1, 15))
+                             AS BIGINT) AS h
+        FROM passed WHERE text IS NOT NULL)
+      ORDER BY h LIMIT 128),
+    kb AS MATERIALIZED (
+      SELECT h FROM (
+        SELECT DISTINCT CAST(('0x' || substr(md5(sha256(text)), 1, 15))
+                             AS BIGINT) AS h
+        FROM sampled WHERE text IS NOT NULL)
+      ORDER BY h LIMIT 128),
+    kun AS MATERIALIZED (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT 128),
+    kst AS MATERIALIZED (
+      SELECT (SELECT COUNT(*) FROM ka) AS na,
+             (SELECT COUNT(*) FROM kb) AS nb,
+             (SELECT COUNT(*) FROM kun) AS nu,
+             (SELECT max(h) FROM ka) AS maxa,
+             (SELECT max(h) FROM kb) AS maxb,
+             (SELECT max(h) FROM kun) AS maxu,
+             (SELECT COUNT(*) FROM kun
+              WHERE h IN (SELECT h FROM ka)
+                AND h IN (SELECT h FROM kb)) AS nab,
+             (SELECT COUNT(*) FROM passed) AS rows_old,
+             (SELECT COUNT(*) FROM sampled) AS rows_new),
+    snap0 AS MATERIALIZED (
+      SELECT rows_old, rows_new,
+             CAST(nab AS DOUBLE) / nu AS j,
+             CASE WHEN na < 128 THEN CAST(na AS DOUBLE)
+                  ELSE 127.0 / ((CAST(maxa AS DOUBLE) + 1.0)
+                                / 1152921504606846976.0) END AS card_a,
+             CASE WHEN nb < 128 THEN CAST(nb AS DOUBLE)
+                  ELSE 127.0 / ((CAST(maxb AS DOUBLE) + 1.0)
+                                / 1152921504606846976.0) END AS card_b,
+             CASE WHEN nu < 128 THEN CAST(nu AS DOUBLE)
+                  ELSE 127.0 / ((CAST(maxu AS DOUBLE) + 1.0)
+                                / 1152921504606846976.0) END AS card_u
+      FROM kst),
+    snap AS MATERIALIZED (
+      SELECT CAST(rows_old AS BIGINT) AS snap_rows_old,
+             CAST(rows_new AS BIGINT) AS snap_rows_new,
+             CAST(rows_new - rows_old AS BIGINT) AS snap_row_delta,
+             round(j, 3) AS snap_jaccard,
+             round(least(1.0, (j * card_u) / card_a), 3) AS snap_survived,
+             round(1.0 - least(1.0, (j * card_u) / card_b), 3) AS snap_novel,
+             round(card_a, 3) AS snap_distinct_old,
+             round(card_b, 3) AS snap_distinct_new,
+             round(greatest(0.0, card_b - j * card_u), 3) AS snap_added,
+             round(greatest(0.0, card_a - j * card_u), 3) AS snap_removed
+      FROM snap0)
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS token_budget
-    FROM sampled GROUP BY lang
+           CAST(SUM(n_tokens) AS BIGINT) AS token_budget,
+           s.*
+    FROM sampled CROSS JOIN snap s
+    GROUP BY lang, s.snap_rows_old, s.snap_rows_new, s.snap_row_delta,
+             s.snap_jaccard, s.snap_survived, s.snap_novel,
+             s.snap_distinct_old, s.snap_distinct_new, s.snap_added,
+             s.snap_removed
     """,
     doc="Capstone composition: the canonical training-data pipeline — "
     "quality gate (Gopher-rules shape) → exact dedup keep-first → "
@@ -695,11 +807,23 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Catalyst DAG: scan-side filters, a single dedup shuffle, a pushed "
     "sample filter, and a final partial-agg groupBy. The shape every "
     "100 TB corpus build runs; each stage is individually verified by "
-    "its own declared query, and the composition is oracle-verified here.",
+    "its own declared query, and the composition is oracle-verified here. "
+    "FOLDED C51 (r13, VERDICT r12 item 4): the `snap_*` columns run "
+    "operators/snapshot.py snapshot_diff END TO END between the "
+    "pipeline's own before/after corpora (quality-passed vs final "
+    "sampled) — row deltas, bottom-128 KMV sketches over the portable "
+    "md5-int of the sha256 content hash, and the Beyer et al. "
+    "jaccard/containment/added/removed estimators (u_(k) normalized "
+    "over md5-int's [0, 2^60) domain) — each re-derived by the oracle's "
+    "own sketch CTEs and broadcast onto the per-language rows (the "
+    "q_approx_distinct kstat device). The C46 drift leg of the report "
+    "stays pytest-verified (its per-column stats are already "
+    "value-folded in q_rollup).",
     tags=("text", "pipeline", "closure"),
 )
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_int_col, sha_dedup_keep_first
+    from ..operators.snapshot import snapshot_diff
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -716,10 +840,41 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = deduped.where(
         md5_int_col(F.col("doc_id").cast("string")) % 100 < 80
     )
-    return sampled.groupBy("lang").agg(
+    agg = sampled.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("token_budget"),
     )
+    # C51 fold (r13): the corpus snapshot diff END TO END between the
+    # pipeline's own before/after states (quality-passed corpus vs the
+    # final sampled corpus) over the engine-portable md5-int sketch
+    # hash; the oracle re-derives the bottom-k sketches and the Beyer
+    # et al. overlap estimators value-for-value. Rounding happens in
+    # the DataFrame (HALF_UP, matching DuckDB's round), never in
+    # python (banker's rounding would diverge on exact .0005 ratios).
+    sd = snapshot_diff(quality, sampled, key_col="text", k=128,
+                       portable_hash=True)
+    summary = spark.createDataFrame(
+        [(
+            int(sd["rows_old"]), int(sd["rows_new"]), int(sd["row_delta"]),
+            float(sd["jaccard"]), float(sd["survived_frac"]),
+            float(sd["novel_frac"]), float(sd["distinct_old_est"]),
+            float(sd["distinct_new_est"]), float(sd["added_est"]),
+            float(sd["removed_est"]),
+        )],
+        "snap_rows_old long, snap_rows_new long, snap_row_delta long, "
+        "__j double, __sv double, __nv double, __da double, __db double, "
+        "__ad double, __rm double",
+    ).select(
+        "snap_rows_old", "snap_rows_new", "snap_row_delta",
+        F.round("__j", 3).alias("snap_jaccard"),
+        F.round("__sv", 3).alias("snap_survived"),
+        F.round("__nv", 3).alias("snap_novel"),
+        F.round("__da", 3).alias("snap_distinct_old"),
+        F.round("__db", 3).alias("snap_distinct_new"),
+        F.round("__ad", 3).alias("snap_added"),
+        F.round("__rm", 3).alias("snap_removed"),
+    )
+    return agg.crossJoin(F.broadcast(summary))
 
 
 @query(

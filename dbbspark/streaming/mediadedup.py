@@ -192,6 +192,8 @@ def process_batch(
     bands: int | None = None,
     use_bloom: bool = False,
     min_thumb_variance: float | None = None,
+    lock_wait: float = 0.0,
+    lock_break_stale_after: float | None = None,
 ) -> None:
     """One micro-batch's side effects, idempotent under foreachBatch
     retry (module-level so the retry contract is directly testable).
@@ -204,12 +206,22 @@ def process_batch(
     their two-rename partition swaps. Without it a gate read landing
     between a swap's rename-out and rename-in sees the index WITHOUT a
     surviving partition and re-admits its duplicates — a state that is
-    neither serialization. Loser-aborts (C55): the later acquirer raises
-    ConcurrentWriteError; a foreachBatch retry re-runs the batch
-    idempotently. A DRIVER killed -9 inside the section leaves the lock
-    file; `exclusive_lock(break_stale_after=...)` is the documented
-    operator remedy (commit.py) — an in-process crash releases it via
-    the context manager.
+    neither serialization. Loser-aborts (C55) by default: the later
+    acquirer raises ConcurrentWriteError, which fails the foreachBatch
+    and TERMINATES the streaming query — restart the query to replay
+    the batch idempotently. For deployments that run maintenance beside
+    a live gate, pass ``lock_wait`` (seconds, r13 — ADVICE r12): the
+    batch then retries acquisition with backoff for that long before
+    giving up, riding out a brief compaction/takedown swap without
+    killing the query (maintenance keeps loser-aborts). A DRIVER killed
+    -9 inside the section leaves the lock file and every later trigger
+    aborts; ``lock_break_stale_after`` (seconds) is the explicit
+    operator remedy — the next batch breaks a lock older than the
+    horizon and recovers (recovery ≡ uninterrupted pinned in
+    tests/test_gate_maintenance_race.py). Never set it below the
+    longest legitimate batch+maintenance duration: mtime alone cannot
+    tell a crash from a slow holder (commit.py). An in-process crash
+    releases the lock via the context manager and needs neither knob.
 
     ``hash_kind`` defaults by media kind ('audio' for wav, else
     'dhash'), matching `cli media-dedup`. ``use_bloom`` maintains a
@@ -225,7 +237,8 @@ def process_batch(
     from ..commit import exclusive_lock
 
     with exclusive_lock(
-        batch.sparkSession, index_dir, purpose=f"gate_batch={int(batch_id)}"
+        batch.sparkSession, index_dir, purpose=f"gate_batch={int(batch_id)}",
+        wait=lock_wait, break_stale_after=lock_break_stale_after,
     ):
         _process_batch_locked(
             batch, batch_id, index_dir, accepted_dir, kind, id_col,
@@ -640,6 +653,8 @@ def process_clip_batch(
     min_frac: float = 0.5,
     bands: int | None = None,
     min_thumb_variance: float | None = None,
+    lock_wait: float = 0.0,
+    lock_break_stale_after: float | None = None,
 ) -> None:
     """One micro-batch of CLIPS through the perceptual gate — the
     frame-sequence counterpart of `process_batch`, same crash/retry
@@ -653,11 +668,14 @@ def process_clip_batch(
     is the degenerate-frame policy (see `gate_clip_batch`) — set it on
     real crawls, where black/fade/title frames dominate. Runs under the
     index root's ``commit.exclusive_lock`` like `process_batch` — the
-    torn-read window against takedown/compaction swaps is the same."""
+    torn-read window against takedown/compaction swaps is the same, as
+    are the ``lock_wait`` (bounded retry instead of loser-aborts) and
+    ``lock_break_stale_after`` (crashed-driver lock recovery) knobs."""
     from ..commit import exclusive_lock
 
     with exclusive_lock(
-        batch.sparkSession, index_dir, purpose=f"gate_clip_batch={int(batch_id)}"
+        batch.sparkSession, index_dir, purpose=f"gate_clip_batch={int(batch_id)}",
+        wait=lock_wait, break_stale_after=lock_break_stale_after,
     ):
         _process_clip_batch_locked(
             batch, batch_id, index_dir, accepted_dir, kind, id_col,

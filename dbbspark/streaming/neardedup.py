@@ -128,6 +128,8 @@ def process_batch(
     rows_per_band: int = 4,
     shingle_n: int = 3,
     use_bloom: bool = False,
+    lock_wait: float = 0.0,
+    lock_break_stale_after: float | None = None,
 ) -> None:
     """One micro-batch's side effects, idempotent under foreachBatch
     retry (module-level so the retry contract is directly testable).
@@ -149,7 +151,10 @@ def process_batch(
     remove_from_index / takedown / compact_gate_index hold for their
     two-rename partition swaps — so a gate read can never land inside a
     swap window and re-admit a surviving signature's duplicates
-    (loser-aborts; see mediadedup.process_batch for the full
+    (loser-aborts by default; ``lock_wait`` switches to bounded
+    retry-with-backoff so a live stream rides out brief maintenance,
+    ``lock_break_stale_after`` recovers from a driver killed -9 inside
+    a locked batch — see mediadedup.process_batch for the full
     contract)."""
     from ..commit import exclusive_lock
     from ..operators.bloom import build_bloom
@@ -158,7 +163,10 @@ def process_batch(
 
     spark = batch.sparkSession
     bid = int(batch_id)
-    with exclusive_lock(spark, index_dir, purpose=f"gate_batch={bid}"):
+    with exclusive_lock(
+        spark, index_dir, purpose=f"gate_batch={bid}",
+        wait=lock_wait, break_stale_after=lock_break_stale_after,
+    ):
         return _process_batch_locked(
             batch, bid, index_dir, accepted_dir, id_col, text_col,
             num_perm, bands, rows_per_band, shingle_n, use_bloom,

@@ -38,6 +38,7 @@ SMOKE = {
         "test_stills_gate_survives_executor_sigkill_between_writes"
     ),
     "test_functions.py": "test_ngram_array_short_doc_edges",
+    "test_gate_lock_recovery.py": "test_stale_gate_lock_recovery",
     "test_gate_maintenance_race.py": (
         "test_gate_batch_and_removal_mutually_exclude"
     ),

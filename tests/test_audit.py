@@ -146,3 +146,68 @@ def test_cluster_purity_driver_matches_distributed(spark):
     assert (10, 11) in drv and drv[(10, 11)][0] == 1.0  # identical short
     assert (10, 12) in drv and drv[(10, 12)][0] == 0.0  # different short
     assert not any(c == 99 for c, _ in drv)  # singleton absent
+
+
+def test_driver_regime_missing_doc_nodes_score_zero(spark):
+    """Regression (ADVICE r12 low): component nodes with NO doc row at
+    all gave the driver path hm=hr=None and a 1.0 score while the
+    distributed plan's NULL == NULL predicate scores 0.0 — a missing
+    hash must never read as identical, on either path."""
+    from dbbspark.operators.audit import cluster_purity
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma eta")],
+        "doc_id long, text string",
+    )
+    # nodes 7 and 8 have no doc rows; 8's rep 7 is also missing
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7), (8, 7)], "node long, component long"
+    )
+    for kwargs in ({}, {"driver_member_bound": 1000}):
+        pm = {
+            r["member"]: r
+            for r in cluster_purity(docs, comps, **kwargs)[0].collect()
+        }
+        assert pm[8]["jaccard"] == 0.0 and pm[8]["suspect"] is True, kwargs
+
+
+def test_driver_member_bound_counts_before_collecting(spark):
+    """Regression (ADVICE r12 medium): a membership relation LARGER
+    than ``driver_member_bound`` must take the distributed plan without
+    ever entering the driver regime (the old code collected the full
+    relation first, defeating the bound's OOM protection)."""
+    import dbbspark.operators.audit as audit_mod
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta common tail") for i in range(12)],
+        "doc_id long, text string",
+    )
+    comps = spark.createDataFrame(
+        [(i, 0) for i in range(12)], "node long, component long"
+    )
+    orig = audit_mod._cluster_purity_driver
+
+    def trap(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver regime entered past the bound")
+
+    audit_mod._cluster_purity_driver = trap
+    try:
+        per_member, _ = audit_mod.cluster_purity(
+            docs, comps, driver_member_bound=3
+        )
+        assert per_member.count() == 11  # 12 nodes minus the rep
+    finally:
+        audit_mod._cluster_purity_driver = orig
+    # and under the bound it still routes to the driver regime
+    called = {}
+
+    def probe(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    audit_mod._cluster_purity_driver = probe
+    try:
+        audit_mod.cluster_purity(docs, comps, driver_member_bound=100)[0].count()
+    finally:
+        audit_mod._cluster_purity_driver = orig
+    assert called.get("yes")

@@ -86,3 +86,98 @@ def test_soft_boundary_is_deterministic_and_monotone(spark):
     assert len(a) > len(strict)  # and does keep some near-misses
     far = {r["doc_id"] for r in quality_filter(df, alpha=200.0, seed=7).collect()}
     assert len(far) <= len(a)  # steeper decay keeps fewer
+
+
+def test_portable_featurization_matches_ml_pipeline(spark):
+    """score_linear_portable's tokenize+gram construction must equal the
+    ml pipeline's RegexTokenizer+NGram output (as multisets) on ASCII
+    text — the parity pin behind the r13 oracle fold, which swaps only
+    the hash family and weights, never the featurization semantics."""
+    from collections import Counter
+
+    from pyspark.ml.feature import NGram, RegexTokenizer
+
+    from dbbspark.operators.classify import _TOKEN_PATTERN
+
+    rows = [
+        (1, "The committee, published. its 2024 report!"),
+        (2, "one"),
+        (3, ""),
+        (4, "  leading   and trailing  "),
+        (5, "MIXED case AND123 numbers456 split"),
+        (6, "punct-only !!! ??? ..."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="toks", pattern=_TOKEN_PATTERN,
+        toLowercase=True,
+    )
+    ng = NGram(n=2, inputCol="toks", outputCol="bigrams")
+    ml = {
+        r["doc_id"]: Counter(r["toks"]) + Counter(r["bigrams"])
+        for r in ng.transform(tok.transform(docs)).collect()
+    }
+
+    # re-derive the portable path's gram list via the same expressions
+    # score_linear_portable builds internally
+    ascii_txt = F.regexp_replace(F.col("text"), "[^ -~]", " ")
+    toks = F.filter(
+        F.split(F.lower(ascii_txt), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    d = docs.withColumn("__toks", toks)
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(__toks) - 1, 0)), "
+        "i -> concat(__toks[i-1], ' ', __toks[i]))"
+    )
+    grams = F.when(
+        F.size("__toks") >= 2, F.concat(F.col("__toks"), bigrams)
+    ).otherwise(F.col("__toks"))
+    portable = {
+        r["doc_id"]: Counter(r["g"])
+        for r in d.select("doc_id", grams.alias("g")).collect()
+    }
+    assert portable == ml
+
+
+def test_portable_score_is_deterministic_and_map_only(spark):
+    """The portable scorer is a pure projection (no Exchange) and its
+    margin is reproducible across plans."""
+    from dbbspark.operators.classify import score_linear_portable
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "beta beta beta"), (3, "")],
+        "doc_id long, text string",
+    )
+    scored = score_linear_portable(docs)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    a = {r["doc_id"]: r["clf_score_margin"] for r in scored.collect()}
+    b = {
+        r["doc_id"]: r["clf_score_margin"]
+        for r in score_linear_portable(docs.repartition(3)).collect()
+    }
+    assert a == b
+    assert a[3] == 0.0  # empty doc: zero grams, zero margin
+    # occurrence weighting: repeated gram contributes per occurrence
+    one = score_linear_portable(
+        spark.createDataFrame([(1, "beta")], "doc_id long, text string")
+    ).first()["clf_score_margin"]
+    assert abs(a[2] - (3 * one + 2 * _bigram_w(spark, "beta beta"))) < 1e-12
+
+
+def _bigram_w(spark, gram):
+    from dbbspark.operators.dedup import md5_int_col
+
+    return (
+        spark.range(1)
+        .select(
+            (
+                ((md5_int_col(F.lit(gram)) % 4096) * F.lit(2654435761))
+                % F.lit(2000003)
+                - F.lit(1000001)
+            ).cast("double")
+            / F.lit(1000001.0)
+            * F.lit(0.01)
+        )
+        .first()[0]
+    )

@@ -185,6 +185,52 @@ def test_exclusive_lock_stale_break_is_explicit(spark, tmp_path):
         pass
 
 
+def test_exclusive_lock_bounded_wait_rides_out_brief_holder(spark, tmp_path):
+    """``wait`` (r13, ADVICE r12): a bounded retry-with-backoff
+    acquisition that outlives a BRIEF holder instead of aborting — the
+    streaming-gate mode — while still raising once the horizon passes a
+    holder that never releases."""
+    import threading
+    import time as _time
+
+    root = str(tmp_path / "waity")
+    _write_payload(spark, 1)(root)
+
+    release = threading.Event()
+    held = threading.Event()
+
+    def holder():
+        with exclusive_lock(spark, root, purpose="brief-maintenance"):
+            held.set()
+            release.wait(timeout=30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert held.wait(timeout=30)
+    # loser-aborts default still aborts immediately under contention
+    with pytest.raises(ConcurrentWriteError):
+        with exclusive_lock(spark, root):
+            pass  # pragma: no cover
+    # bounded wait: release the holder shortly after the waiter starts
+    threading.Timer(0.4, release.set).start()
+    t0 = _time.monotonic()
+    with exclusive_lock(spark, root, purpose="stream-batch", wait=20.0):
+        waited = _time.monotonic() - t0
+    t.join(timeout=30)
+    assert waited < 15.0  # acquired on release, nowhere near the horizon
+    # horizon passes against a still-held lock: raises, not hangs
+    release.clear()
+    held.clear()
+    t2 = threading.Thread(target=holder)
+    t2.start()
+    assert held.wait(timeout=30)
+    with pytest.raises(ConcurrentWriteError):
+        with exclusive_lock(spark, root, wait=0.6, poll=0.1):
+            pass  # pragma: no cover
+    release.set()
+    t2.join(timeout=30)
+
+
 def test_concurrent_compaction_loser_aborts_gate_state_intact(spark, tmp_path):
     """compact_gate_index under a held lock aborts WITHOUT touching the
     dataset; after release it compacts and the index content (the gate's
