@@ -35,6 +35,7 @@ def snapshot_diff(
     null_rate_jump: float = 0.05,
     distinct_ratio: float = 0.5,
     portable_hash: bool = False,
+    include_drift: bool = True,
 ) -> dict:
     """One-dict release report comparing two corpus snapshots.
 
@@ -50,6 +51,14 @@ def snapshot_diff(
     re-derive every sketch value, which is what puts the diff under the
     DuckDB value oracle (q_training_pipeline fold, r13). Production
     callers keep the cheaper xxhash64.
+
+    ``include_drift=False`` skips the two per-column profile passes and
+    reports ``drift: None`` — row counts then come from two plain
+    counts (parquet-footer-fast) instead of the full stat aggregation.
+    The mode the r13 fold runs: the drift leg's per-column stats are
+    independently value-folded in q_rollup, so paying two wide
+    aggregations per bench pass would re-check already-checked
+    arithmetic.
     """
     key = F.sha2(F.col(key_col).cast("binary"), 256)
     if portable_hash:
@@ -64,13 +73,24 @@ def snapshot_diff(
         k=k,
         domain=domain,
     )
-    prof_old = profile_table(old)
-    prof_new = profile_table(new)
+    if include_drift:
+        prof_old = profile_table(old)
+        prof_new = profile_table(new)
+        rows_old, rows_new = prof_old["n_rows"], prof_new["n_rows"]
+        drift = profile_drift(
+            prof_old,
+            prof_new,
+            null_rate_jump=null_rate_jump,
+            distinct_ratio=distinct_ratio,
+        )
+    else:
+        rows_old, rows_new = old.count(), new.count()
+        drift = None
     inter = ov["jaccard"] * ov["card_union"]
     return {
-        "rows_old": prof_old["n_rows"],
-        "rows_new": prof_new["n_rows"],
-        "row_delta": prof_new["n_rows"] - prof_old["n_rows"],
+        "rows_old": rows_old,
+        "rows_new": rows_new,
+        "row_delta": rows_new - rows_old,
         "distinct_old_est": ov["card_a"],
         "distinct_new_est": ov["card_b"],
         "jaccard": ov["jaccard"],
@@ -78,10 +98,5 @@ def snapshot_diff(
         "novel_frac": 1.0 - ov["containment_b_in_a"],  # new content not in old
         "added_est": max(0.0, ov["card_b"] - inter),
         "removed_est": max(0.0, ov["card_a"] - inter),
-        "drift": profile_drift(
-            prof_old,
-            prof_new,
-            null_rate_jump=null_rate_jump,
-            distinct_ratio=distinct_ratio,
-        ),
+        "drift": drift,
     }

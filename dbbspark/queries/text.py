@@ -852,7 +852,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the DataFrame (HALF_UP, matching DuckDB's round), never in
     # python (banker's rounding would diverge on exact .0005 ratios).
     sd = snapshot_diff(quality, sampled, key_col="text", k=128,
-                       portable_hash=True)
+                       portable_hash=True, include_drift=False)
     summary = spark.createDataFrame(
         [(
             int(sd["rows_old"]), int(sd["rows_new"]), int(sd["row_delta"]),

@@ -41,3 +41,20 @@ def test_drift_surfaces_schema_change(spark):
     new = _corpus(spark, 0, 100, extra_col=True)
     d = snapshot_diff(old, new)
     assert {"column": "lang", "kind": "appeared"} in d["drift"]
+
+
+def test_portable_hash_and_no_drift_mode_match_default_numbers(spark):
+    """The r13 fold mode (portable md5 sketch hash + include_drift=False)
+    must report the same exact overlap numbers as the default on
+    unsaturated sketches (both are the full hash sets), with the two
+    profile passes skipped (drift None)."""
+    old = _corpus(spark, 0, 400)
+    new = _corpus(spark, 100, 500)
+    a = snapshot_diff(old, new, k=1024)
+    b = snapshot_diff(
+        old, new, k=1024, portable_hash=True, include_drift=False
+    )
+    assert b["drift"] is None
+    for key in ("rows_old", "rows_new", "row_delta", "jaccard",
+                "survived_frac", "novel_frac", "added_est", "removed_est"):
+        assert abs(a[key] - b[key]) < 1e-9, key
