@@ -106,6 +106,17 @@ def MD5_INT_SQL(expr: str, hex_digits: int = 15) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {hex_digits})) AS BIGINT)"
 
 
+def md5_int_py(s: str, hex_digits: int = 15) -> int:
+    """Python twin of `md5_int_col` over an UTF-8 string — the counted
+    driver regimes' hash (r13): a driver-side gate (e.g. the purity
+    stratum coin in q_dedup_clusters) computes the same portable
+    md5-int without paying a Spark job on an already-local relation.
+    Equality with the Spark expression is pinned in tests/test_dedup.py."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:hex_digits], 16)
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, num_perm: int = 16, shingle_n: int = 3
 ) -> DataFrame:
@@ -720,7 +731,8 @@ def cluster_rank_adaptive(
     damping: float = 0.85,
     max_iter: int = 3,
     driver_edge_threshold: int = 2_000_000,
-) -> DataFrame:
+    with_local_rows: bool = False,
+):
     """(node, component, rank): connected components AND N-scaled
     fixed-iteration PageRank over the symmetrized near-dup pair graph,
     from ONE materialization of the reduced pair relation.
@@ -740,7 +752,22 @@ def cluster_rank_adaptive(
     PageRank semantics match q_dedup_clusters' historical call: the
     graph is symmetrized (both directions of each canonical a<b pair),
     so no dangling mass; tol=0 (exactly ``max_iter`` rounds — the
-    replayable mode the oracle unrolls); rank scaled by N (mean 1.0)."""
+    replayable mode the oracle unrolls); rank scaled by N (mean 1.0).
+
+    The path decision rides ONE bounded collect (r13): instead of a
+    count job followed by a collect job, the materialized edge set is
+    collected through ``limit(threshold + 1)`` — driver memory stays
+    bounded by the threshold exactly as before (≈32 MB of narrow rows
+    at the default), overflow discards the probe and delegates to the
+    distributed operators reading the same checkpoint, and the small
+    path saves a full driver round-trip per call.
+
+    ``with_local_rows=True`` returns ``(df, rows)`` where ``rows`` is
+    the small path's sorted local [(node, component, rank)] list (None
+    on the distributed path) — driver-regime callers (the
+    q_dedup_clusters purity stratum) that need the rows anyway then
+    derive them without re-collecting the local relation they just
+    built."""
     from pyspark.sql import types as T
 
     from .graph import pagerank, pagerank_numpy
@@ -756,7 +783,9 @@ def cluster_rank_adaptive(
         T.StructField("component", ntype),
         T.StructField("rank", T.DoubleType()),
     ])
-    if e.count() > driver_edge_threshold:
+    probe = e.limit(driver_edge_threshold + 1).collect()
+    if len(probe) > driver_edge_threshold:
+        del probe
         cc = connected_components_star(e, "u", "v")
         edges = e.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
             e.select("v", "u")
@@ -766,16 +795,17 @@ def cluster_rank_adaptive(
             tol=0.0, assume_no_dangling=True, assume_distinct=True,
             scaled=True,
         )
-        return cc.join(pr, "node").select("node", "component", "rank")
-    und = [(r["u"], r["v"]) for r in e.collect()]
+        out = cc.join(pr, "node").select("node", "component", "rank")
+        return (out, None) if with_local_rows else out
+    und = [(r["u"], r["v"]) for r in probe]
     comp = dict(union_find_components(und))
     ranks = pagerank_numpy(
         und + [(b, a) for a, b in und], damping, max_iter, tol=0.0,
         scaled=True,
     )
-    return e.sparkSession.createDataFrame(
-        sorted((n, c, ranks[n]) for n, c in comp.items()), schema
-    )
+    rows = sorted((n, c, ranks[n]) for n, c in comp.items())
+    out = e.sparkSession.createDataFrame(rows, schema)
+    return (out, rows) if with_local_rows else out
 
 
 def connected_components_star(

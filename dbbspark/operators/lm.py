@@ -143,6 +143,73 @@ def train_ngram_lm(
     )
 
 
+def train_ngram_lm_pair(
+    docs: DataFrame,
+    target_cond: Column,
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 1,
+) -> tuple[NgramLM, NgramLM]:
+    """(lm_target, lm_source) over ONE gram pass — the DSIR training
+    shape (r13 optimization): target = rows where ``target_cond``,
+    source = the whole input.
+
+    Composing two `train_ngram_lm` calls explodes the corpus gram
+    stream once per model and pays two eager vocabulary jobs; here the
+    stream is exploded ONCE with the target flag riding, one
+    conditional aggregation produces both count tables (count(*) vs
+    count-if-flag — guide-style map-side partial agg), and ONE job
+    returns both vocabulary sizes. The per-gram table is lineage-cut so
+    its four consumers (two ngram + two derived context relations) read
+    one materialization (it is |distinct grams|-sized — the model, not
+    the corpus). Equivalence with the composed form is pinned in
+    tests/test_lm.py: identical count relations, vocab sizes, and
+    downstream scores."""
+    from dbbspark.session import cut_lineage
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = docs.select(target_cond.alias("__t"), F.col(text_col).alias("__txt"))
+    counts = (
+        base.select("__t", F.split(F.col("__txt"), " ").alias("__toks"))
+        .select("__t", F.explode(_gram_pairs_col(F.col("__toks"), n)).alias("g"))
+        .select(
+            "__t",
+            F.col("g.gram_h").alias("gram_h"),
+            F.col("g.ctx_h").alias("ctx_h"),
+        )
+        .groupBy("gram_h")
+        .agg(
+            F.first("ctx_h").alias("ctx_h"),
+            F.count("*").alias("__cs"),
+            F.count(F.when(F.col("__t"), 1)).alias("__ct"),
+        )
+        .transform(cut_lineage, eager=False)
+    )
+    vt, vs = base.select(
+        "__t", F.explode(F.split(F.col("__txt"), " ")).alias("t")
+    ).agg(
+        F.countDistinct(F.when(F.col("__t"), F.col("t"))).alias("vt"),
+        F.countDistinct("t").alias("vs"),
+    ).first()
+
+    def _lm(count_col: str, vocab: int) -> NgramLM:
+        ng = counts.where(F.col(count_col) > 0).select(
+            "gram_h", "ctx_h", F.col(count_col).alias("c")
+        )
+        cc = ng.groupBy("ctx_h").agg(F.sum("c").alias("c_ctx"))
+        if min_count > 1:
+            ng = ng.where(F.col("c") >= min_count)
+        return NgramLM(
+            ngram_counts=ng.select("gram_h", "c"),
+            context_counts=cc,
+            vocab_size=int(vocab or 0),
+            n=n,
+        )
+
+    return _lm("__ct", vt), _lm("__cs", vs)
+
+
 def perplexity(
     docs: DataFrame,
     lm: NgramLM,
@@ -230,21 +297,64 @@ def dsir_weights(
     distribution (e.g. curated reference text) than the raw source
     distribution get log_ratio > 0.
 
-    Built as two `perplexity` passes over the SAME exploded gram stream
-    shape (Catalyst dedups the scan); avg_nll * n_grams = total NLL, so
-    log_ratio = n * (nll_source - nll_target). Models must share the
-    gram order so the per-doc gram counts line up; docs too short to
-    score get a null log_ratio (report-don't-drop)."""
+    Fused single-pass form (r13): ONE outer-exploded gram stream joins
+    against BOTH models' count tables (four left equi-joins on long
+    keys) and ONE per-doc aggregation computes both avg-NLL legs —
+    where the previous two-`perplexity` composition exploded and
+    aggregated the corpus stream twice and joined the halves back on
+    doc. Same arithmetic row for row (avg over the identical gram set;
+    log_ratio = n_grams * (nll_source - nll_target)); the composed ≡
+    fused equivalence is pinned in tests/test_lm.py. Models must share
+    the gram order so the per-doc gram counts line up; docs too short
+    to score get a null log_ratio (report-don't-drop)."""
     if lm_target.n != lm_source.n:
         raise ValueError("target and source models must share the gram order")
-    t = perplexity(
-        docs, lm_target, id_col, text_col, k, broadcast_model
-    ).select("doc", "n_grams", F.col("avg_nll").alias("__nll_t"))
-    s = perplexity(
-        docs, lm_source, id_col, text_col, k, broadcast_model
-    ).select("doc", F.col("avg_nll").alias("__nll_s"))
+    if lm_target.vocab_size <= 0 or lm_source.vocab_size <= 0:
+        raise ValueError("model has an empty vocabulary")
+    pairs = _exploded_grams(docs, id_col, text_col, lm_target.n, outer=True)
+
+    def _side(lm: NgramLM, tag: str):
+        ng = lm.ngram_counts.select(
+            "gram_h", F.col("c").alias(f"__c_{tag}")
+        )
+        cc = lm.context_counts.select(
+            "ctx_h", F.col("c_ctx").alias(f"__cc_{tag}")
+        )
+        if broadcast_model:
+            ng, cc = F.broadcast(ng), F.broadcast(cc)
+        return ng, cc
+
+    ng_t, cc_t = _side(lm_target, "t")
+    ng_s, cc_s = _side(lm_source, "s")
+    joined = (
+        pairs.join(ng_t, "gram_h", "left")
+        .join(cc_t, "ctx_h", "left")
+        .join(ng_s, "gram_h", "left")
+        .join(cc_s, "ctx_h", "left")
+    )
+
+    def _logp(tag: str, vocab: int):
+        return F.when(
+            F.col("gram_h").isNotNull(),
+            F.log(
+                (
+                    F.coalesce(F.col(f"__c_{tag}"), F.lit(0)).cast("double")
+                    + F.lit(k)
+                )
+                / (
+                    F.coalesce(F.col(f"__cc_{tag}"), F.lit(0)).cast("double")
+                    + F.lit(k) * F.lit(float(vocab))
+                )
+            ),
+        )
+
     return (
-        t.join(s, "doc")
+        joined.groupBy("doc")
+        .agg(
+            F.count("gram_h").alias("n_grams"),
+            (-F.avg(_logp("t", lm_target.vocab_size))).alias("__nll_t"),
+            (-F.avg(_logp("s", lm_source.vocab_size))).alias("__nll_s"),
+        )
         .select(
             "doc",
             "n_grams",

@@ -142,6 +142,20 @@ def train_centroids(
     )
 
 
+def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str):
+    """(cids, Cn): the centroid ids (ascending) and their unit-normalized
+    matrix — the one driver-side collect every IVF-shaped operator needs.
+    Split out (r13) so multi-assignment callers pay it once."""
+    import numpy as np
+
+    ref = centroids.select(id_col, vec_col).toPandas()
+    C = np.stack(ref[vec_col].to_numpy()).astype(np.float64)
+    cids = ref[id_col].to_numpy()
+    # candidates sorted by id ⇒ stable top-p selection = lowest id on ties.
+    order = np.argsort(cids, kind="stable")
+    return cids[order], (_unit(C))[order]
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -149,6 +163,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     keep_vec: bool = False,
     probes: int = 1,
+    _pre=None,
 ) -> DataFrame:
     """Assign every vector to its `probes` max-cosine centroids
     (deterministic tiebreak: lowest centroid id among exact ties);
@@ -159,17 +174,19 @@ def ivf_assign(
     |N|×|C|-shaped is ever materialized as rows and the vectors never
     shuffle. With `keep_vec=True` the embedding rides along so a
     downstream per-cell stage needs no re-join against the (full-width)
-    vector table."""
+    vector table.
+
+    ``_pre`` (r13, internal): a pre-collected ``(cids, Cn)`` pair from
+    `_collect_centroids` — callers assigning two relations against the
+    SAME centroid set (ivf_topk's vector + query sides) collect it once
+    instead of paying a driver job per call."""
     import numpy as np
     import pandas as pd
 
-    ref = centroids.select(id_col, vec_col).toPandas()
-    C = np.stack(ref[vec_col].to_numpy()).astype(np.float64)
-    cids = ref[id_col].to_numpy()
-    # candidates sorted by id ⇒ stable top-p selection = lowest id on ties.
-    order = np.argsort(cids, kind="stable")
-    Cn = (_unit(C))[order]
-    cids = cids[order]
+    cids, Cn = (
+        _pre if _pre is not None
+        else _collect_centroids(centroids, id_col, vec_col)
+    )
     p = min(probes, len(cids))
 
     def assign(batches):
@@ -228,11 +245,17 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    v_tag = ivf_assign(vectors, centroids, id_col, vec_col, keep_vec=True).select(
+    # ONE centroid collect serves both assignment sides (r13): the
+    # vector and query relations assign against the same centroid set.
+    pre = _collect_centroids(centroids, id_col, vec_col)
+    v_tag = ivf_assign(
+        vectors, centroids, id_col, vec_col, keep_vec=True, _pre=pre
+    ).select(
         F.col("centroid_id").alias("cell"), "vid", "vec", F.lit(0).alias("side")
     )
     q_tag = ivf_assign(
-        queries, centroids, id_col, vec_col, keep_vec=True, probes=probes
+        queries, centroids, id_col, vec_col, keep_vec=True, probes=probes,
+        _pre=pre,
     ).select(
         F.col("centroid_id").alias("cell"), "vid", "vec", F.lit(1).alias("side")
     )
@@ -397,6 +420,7 @@ def semantic_dedup(
     eps: float = 0.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, then within each cluster drop
@@ -421,11 +445,23 @@ def semantic_dedup(
     the paper's own trick (clustering makes within-cluster all-pairs
     tractable); cap cell sizes by raising k in `train_centroids`.
     Cross-cluster near-dups are missed by construction — that is the
-    accepted recall tradeoff of SemDeDup."""
+    accepted recall tradeoff of SemDeDup.
+
+    ``assigned`` (r13): a pre-computed ``ivf_assign(vectors, centroids,
+    keep_vec=True)`` relation — the shared-assignment form when several
+    per-cell stages (this scan, `cluster_balanced_sample`, IVF search)
+    run over ONE assignment: the map-side BLAS pass and the centroid
+    collect then happen once instead of once per stage (decisions are
+    identical — the scan consumes the assignment relation either way,
+    pinned in tests/test_similarity.py)."""
     import numpy as np
     import pandas as pd
 
-    tagged = ivf_assign(vectors, centroids, id_col, vec_col, keep_vec=True)
+    tagged = (
+        assigned
+        if assigned is not None
+        else ivf_assign(vectors, centroids, id_col, vec_col, keep_vec=True)
+    )
 
     def scan(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
@@ -555,6 +591,7 @@ def cluster_balanced_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     portable_rank: bool = False,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Diversity-preserving downsampling: cap each semantic cluster at
     `per_cell` members — the cluster-balanced curation step (big topical
@@ -580,8 +617,16 @@ def cluster_balanced_sample(
     portable-hash convention): same uniform-coin semantics, but an
     oracle engine can re-derive the rank hash-for-hash, which is what
     puts this operator under the DuckDB value oracle (q_embed_normalize
-    fold, r12). Production callers keep the cheaper xxhash64."""
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    fold, r12). Production callers keep the cheaper xxhash64.
+
+    ``assigned`` (r13): a pre-computed `ivf_assign` relation (at least
+    (vid, centroid_id); a keep_vec=True relation works — the extra
+    column is projected away before the window) — the shared-assignment
+    form, see `semantic_dedup`."""
+    if assigned is not None:
+        assigned = assigned.select("vid", "centroid_id")
+    else:
+        assigned = ivf_assign(vectors, centroids, id_col, vec_col)
     if portable_rank:
         from .dedup import md5_int_col
 

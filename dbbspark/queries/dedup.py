@@ -367,31 +367,49 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the row at 3.2-4.0 s against the 2.5 s budget — C50 remains
     # pytest-verified via operators/audit.py, whose driver regime the
     # prototype contributed.)
-    ranked = D.cluster_rank_adaptive(
-        pairs, src="doc_a", dst="doc_b", damping=0.85, max_iter=3
+    ranked, local_rows = D.cluster_rank_adaptive(
+        pairs, src="doc_a", dst="doc_b", damping=0.85, max_iter=3,
+        with_local_rows=True,
     )
     # C50 fold (r13): member-to-rep purity on a deterministic 25%
     # portable-md5 member stratum, through the audit's counted driver
     # core (one IN-set-pushdown scan + python Jaccard — the arithmetic
-    # the distributed audit plan shares). The stratum collect is
-    # bounded by construction; on the driver regime `ranked` is a local
-    # relation so the extra action costs no cluster job.
+    # the distributed audit plan shares). On the driver regime the
+    # stratum gate runs in PYTHON over the rows the fused operator just
+    # collected (md5_int_py ≡ md5_int_col, pinned in tests/test_dedup)
+    # — zero extra Spark jobs; the distributed path keeps the bounded
+    # stratum collect (25% of non-rep members, driver-safe by the same
+    # argument as the audit's counted regime).
     from ..operators.audit import member_rep_jaccard_map
-    from ..operators.dedup import md5_int_col
+    from ..operators.dedup import md5_int_col, md5_int_py
 
-    stratum = ranked.where(
-        (F.col("node") != F.col("component"))
-        & (
-            md5_int_col(
-                F.concat(F.lit("purity-v1"), F.col("node").cast("string"))
+    if local_rows is not None:
+        stratum = [
+            (n, c)
+            for n, c, _rank in local_rows
+            if n != c and md5_int_py("purity-v1" + str(n)) % 100 < 25
+        ]
+    else:
+        stratum = [
+            (r["node"], r["component"])
+            for r in ranked.where(
+                (F.col("node") != F.col("component"))
+                & (
+                    md5_int_col(
+                        F.concat(
+                            F.lit("purity-v1"), F.col("node").cast("string")
+                        )
+                    )
+                    % 100
+                    < 25
+                )
             )
-            % 100
-            < 25
-        )
-    ).select("node", "component").collect()
-    comp_rows = [{"node": r["node"], "component": r["component"]} for r in stratum]
+            .select("node", "component")
+            .collect()
+        ]
+    comp_rows = [{"node": n, "component": c} for n, c in stratum]
     comp_rows += [
-        {"node": c, "component": c} for c in {r["component"] for r in stratum}
+        {"node": c, "component": c} for c in {c for _n, c in stratum}
     ]
     jmap = member_rep_jaccard_map(docs, comp_rows, "doc_id", "text", 3)
     purity = spark.createDataFrame(

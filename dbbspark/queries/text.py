@@ -686,9 +686,22 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroids, the q_ann_ivf device) + the per-cell portable-md5 coin
     # rank + the per_cell cap — cb_cell/cb_kept value-checked against
     # the oracle's own assignment window and rank re-derivation.
-    from ..operators.similarity import cluster_balanced_sample, semantic_dedup
+    from ..operators.similarity import (
+        cluster_balanced_sample,
+        ivf_assign,
+        semantic_dedup,
+    )
 
     cents = emb.where(F.col("vec_id") % 50 == 0)
+    # ONE cell assignment feeds BOTH per-cell stages (r13): the C21 cap
+    # rank and the C16 greedy scan consume the same ivf_assign relation,
+    # so the map-side BLAS pass + centroid collect run once instead of
+    # twice per bench run; the lazy cut pins the Arrow pass to one
+    # execution across the two consumers (shared-assignment ≡ composed
+    # pinned in tests/test_similarity.py).
+    tagged = ivf_assign(
+        emb, cents, id_col="vec_id", vec_col="e", keep_vec=True
+    ).transform(cut_lineage, eager=False)
     cbs = cluster_balanced_sample(
         emb,
         cents,
@@ -696,11 +709,14 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="e",
         portable_rank=True,
+        assigned=tagged,
     )
     # C16 fold (r13): SemDeDup end to end over the SAME centroid set —
     # cell assignment + the per-cell greedy eps-ball keep-first scan;
     # the oracle replays the scan with a bounded recursive CTE.
-    sd = semantic_dedup(emb, cents, eps=0.6, id_col="vec_id", vec_col="e")
+    sd = semantic_dedup(
+        emb, cents, eps=0.6, id_col="vec_id", vec_col="e", assigned=tagged
+    )
     return (
         normed.select("vec_id", F.round(norm_sq, 6).alias("norm_sq"))
         .join(q.select("vec_id", q_sum.alias("q_sum")), "vec_id")
@@ -827,6 +843,12 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # Lazy lineage cuts (the q_pack_sequences device, r13): the C51 fold
+    # consumes `quality` twice (row count + KMV sketch) and `sampled`
+    # twice more before the timed aggregation runs it again — without
+    # the cuts the scan+tokenize (quality) ran 3× and the dedup window
+    # shuffle (sampled) 3× per bench pass. Each stage now materializes
+    # once; every consumer reads the checkpointed rows.
     quality = docs.select(
         "doc_id",
         "text",
@@ -835,11 +857,11 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / F.size(toks)).alias("atl"),
     ).where(
         F.col("n_tokens").between(20, 1000) & F.col("atl").between(3, 12)
-    )
+    ).transform(cut_lineage, eager=False)
     deduped = sha_dedup_keep_first(quality, "text", "doc_id")
     sampled = deduped.where(
         md5_int_col(F.col("doc_id").cast("string")) % 100 < 80
-    )
+    ).transform(cut_lineage, eager=False)
     agg = sampled.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("token_budget"),
@@ -1176,9 +1198,12 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="C29 DSIR importance resampling, driver-checked: bigram LMs "
     "trained on target (lang='en') vs source (whole corpus) via "
-    "train_ngram_lm (two aggregations each; operators/lm.py), per-doc "
+    "train_ngram_lm_pair (r13: ONE conditional-aggregation gram pass + "
+    "one vocabulary job for both models — pinned ≡ two train_ngram_lm "
+    "calls in tests/test_lm.py; operators/lm.py), per-doc "
     "LLR weights via dsir_weights (log_ratio = n_grams * (nll_source - "
-    "nll_target), add-1 smoothing), then the deterministic Gumbel-top-k "
+    "nll_target), add-1 smoothing; r13: one fused gram-scoring pass), "
+    "then the deterministic Gumbel-top-k "
     "lottery of dsir_sample with a PINNED cut (1.346 ~ the sf0.01 p75) "
     "and an md5-derived uniform so the selection replays exactly on any "
     "engine and cluster layout (Xie et al. 2023, 'Data Selection for "
@@ -1188,11 +1213,13 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_int_col
-    from ..operators.lm import dsir_sample, dsir_weights, train_ngram_lm
+    from ..operators.lm import dsir_sample, dsir_weights, train_ngram_lm_pair
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    lm_t = train_ngram_lm(docs.where(F.col("lang") == "en"), "text", n=2)
-    lm_s = train_ngram_lm(docs, "text", n=2)
+    # ONE conditional-aggregation pass trains BOTH models (r13): the
+    # composed form exploded the gram stream once per model and paid
+    # two eager vocabulary jobs per bench run.
+    lm_t, lm_s = train_ngram_lm_pair(docs, F.col("lang") == "en", "text", n=2)
     # lazy checkpoint: w feeds BOTH the lottery filter and the output
     # join-back; without it Catalyst re-runs the whole LM-scoring DAG
     # for each branch (measured ~2x at sf0.1). broadcast_model stays

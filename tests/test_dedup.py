@@ -177,3 +177,18 @@ def test_exact_dedup_null_texts_all_kept_and_salted(spark):
         for r in D.sha_dedup_keep_first(df, "text", "doc_id").collect()
     )
     assert kept == [1, 3, 4, 5]
+
+
+def test_md5_int_py_matches_spark_expr(spark):
+    """md5_int_py is the driver-side twin of md5_int_col — the r13
+    purity-stratum gate computes the coin in python on the counted
+    driver regime, so the two hash forms must agree bit-for-bit
+    (including the concat-prefix form the stratum uses)."""
+    vals = ["purity-v1" + str(n) for n in (0, 1, 7, 123456789, 2**40)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", D.md5_int_col(F.col("s")).alias("h")).collect()
+    }
+    for v in vals:
+        assert got[v] == D.md5_int_py(v), v

@@ -197,3 +197,29 @@ def test_cluster_rank_adaptive_empty(spark):
 
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert cluster_rank_adaptive(pairs).count() == 0
+
+
+def test_cluster_rank_adaptive_local_rows_exposure(spark):
+    """with_local_rows=True (r13): the small path returns its collected
+    [(node, component, rank)] list alongside the DataFrame — identical
+    content, saving driver-regime callers a re-collect — and the
+    distributed path returns None rows with the same frame values."""
+    from dbbspark.operators.dedup import cluster_rank_adaptive
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (1, 3)], "doc_a long, doc_b long"
+    )
+    df, rows = cluster_rank_adaptive(pairs, max_iter=3, with_local_rows=True)
+    assert rows is not None
+    got = sorted((r["node"], r["component"], r["rank"]) for r in df.collect())
+    assert [(n, c) for n, c, _ in got] == [(n, c) for n, c, _ in rows]
+    for (_, _, a), (_, _, b) in zip(got, rows):
+        assert abs(a - b) < 1e-12
+    ddf, drows = cluster_rank_adaptive(
+        pairs, max_iter=3, with_local_rows=True, driver_edge_threshold=0
+    )
+    assert drows is None
+    dist = sorted((r["node"], r["component"], r["rank"]) for r in ddf.collect())
+    assert [(n, c) for n, c, _ in dist] == [(n, c) for n, c, _ in rows]
+    for (_, _, a), (_, _, b) in zip(dist, rows):
+        assert abs(a - b) < 1e-9

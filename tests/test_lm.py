@@ -304,3 +304,49 @@ def test_dsir_weights_broadcast_close_to_plain(spark):
     assert set(plain) == set(bcast)
     for doc in plain:
         assert bcast[doc] == pytest.approx(plain[doc], rel=1e-9)
+
+
+def test_train_ngram_lm_pair_matches_composed(spark):
+    """train_ngram_lm_pair (r13) ≡ two train_ngram_lm calls: identical
+    count relations, vocab sizes, and identical dsir_weights output."""
+    from dbbspark.operators.lm import (
+        dsir_weights,
+        train_ngram_lm,
+        train_ngram_lm_pair,
+    )
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog sat on the log"),
+        (3, "de", "der hund sitzt auf dem baum"),
+        (4, "de", "the cat sat on the mat"),
+        (5, "en", "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    lm_t0 = train_ngram_lm(docs.where(F.col("lang") == "en"), "text", n=2)
+    lm_s0 = train_ngram_lm(docs, "text", n=2)
+    lm_t1, lm_s1 = train_ngram_lm_pair(docs, F.col("lang") == "en", "text", n=2)
+    for a, b in ((lm_t0, lm_t1), (lm_s0, lm_s1)):
+        assert a.vocab_size == b.vocab_size
+        assert a.n == b.n
+        ca = sorted(map(tuple, a.ngram_counts.collect()))
+        cb = sorted(map(tuple, b.ngram_counts.collect()))
+        assert ca == cb
+        xa = sorted(map(tuple, a.context_counts.collect()))
+        xb = sorted(map(tuple, b.context_counts.collect()))
+        assert xa == xb
+    w0 = {
+        r["doc"]: (r["n_grams"], r["log_ratio"])
+        for r in dsir_weights(docs, lm_t0, lm_s0).collect()
+    }
+    w1 = {
+        r["doc"]: (r["n_grams"], r["log_ratio"])
+        for r in dsir_weights(docs, lm_t1, lm_s1).collect()
+    }
+    assert set(w0) == set(w1)
+    for d in w0:
+        assert w0[d][0] == w1[d][0]
+        if w0[d][1] is None:
+            assert w1[d][1] is None
+        else:
+            assert abs(w0[d][1] - w1[d][1]) < 1e-9

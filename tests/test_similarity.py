@@ -453,3 +453,46 @@ def test_cluster_balanced_sample_portable_rank(spark):
     assert {r["vec_id"] for r in out if r["kept"] and r["vec_id"] >= 100} == {
         100, 101, 102,
     }
+
+
+def test_shared_assignment_matches_composed(spark):
+    """assigned= (r13): cluster_balanced_sample and semantic_dedup fed
+    ONE shared ivf_assign(keep_vec=True) relation make exactly the
+    decisions of their self-assigning forms — the q_embed_normalize
+    shared-assignment rewrite must be invisible in values."""
+    from dbbspark.operators.similarity import (
+        cluster_balanced_sample,
+        ivf_assign,
+        semantic_dedup,
+    )
+
+    rows = [(i, [1.0, float(i % 7) * 0.05, 0.0]) for i in range(20)]
+    rows += [(100 + i, [0.0, 1.0, float(i) * 0.05]) for i in range(8)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tagged = ivf_assign(vecs, cents, keep_vec=True)
+    cbs_a = sorted(
+        (r["vec_id"], r["cell"], r["kept"])
+        for r in cluster_balanced_sample(
+            vecs, cents, per_cell=4, portable_rank=True
+        ).collect()
+    )
+    cbs_b = sorted(
+        (r["vec_id"], r["cell"], r["kept"])
+        for r in cluster_balanced_sample(
+            vecs, cents, per_cell=4, portable_rank=True, assigned=tagged
+        ).collect()
+    )
+    assert cbs_a == cbs_b
+    sd_a = sorted(
+        (r["vec_id"], r["cell"], r["keep"])
+        for r in semantic_dedup(vecs, cents, eps=0.5).collect()
+    )
+    sd_b = sorted(
+        (r["vec_id"], r["cell"], r["keep"])
+        for r in semantic_dedup(vecs, cents, eps=0.5, assigned=tagged).collect()
+    )
+    assert sd_a == sd_b
