@@ -124,18 +124,50 @@ def latest_snapshot(spark: SparkSession, root: str) -> tuple[int, str] | None:
 
 
 def _create_exclusive(fs, jvm, path_str: str, payload: str) -> bool:
-    """create(path, overwrite=false) + write payload; False if it lost
-    the race (the only expected failure — anything else re-raises)."""
+    """create-if-absent + write payload; False if it lost the race (the
+    only expected failure — anything else re-raises).
+
+    On HDFS-like filesystems ``create(path, overwrite=false)`` is the
+    namenode-atomic CAS this module is built on. On the LOCAL
+    filesystem it is NOT: RawLocalFileSystem implements it as an
+    exists() check followed by an open — two processes releasing
+    simultaneously can BOTH pass the check and both believe they hold
+    the lock (caught by the r13 two-process gate-vs-takedown race test:
+    the takedown swapped index files out from under the gate's scan).
+    The ``file:`` scheme therefore routes through
+    ``java.io.File.createNewFile()``, whose existence check + creation
+    are a single atomic operation (O_CREAT|O_EXCL), and only then
+    writes the payload through the Hadoop stream (safe: the slot is
+    already owned; a concurrent stale-breaker reads a same-aged empty
+    file and does not break it)."""
     Path = jvm.org.apache.hadoop.fs.Path
     p = Path(path_str)
     try:
-        out = fs.create(p, False)
-    except Exception as e:  # FileAlreadyExistsException (or wrapped)
-        name = type(e).__name__
-        msg = str(e)
-        if "AlreadyExists" in msg or "already exists" in msg or "Exists" in name:
+        scheme = fs.getUri().getScheme()
+    except Exception:
+        scheme = None
+    if scheme == "file":
+        raw = path_str
+        if raw.startswith("file:"):
+            from urllib.parse import urlparse
+
+            raw = urlparse(raw).path
+        if not jvm.java.io.File(raw).createNewFile():
             return False
-        raise
+        out = fs.create(p, True)
+    else:
+        try:
+            out = fs.create(p, False)
+        except Exception as e:  # FileAlreadyExistsException (or wrapped)
+            name = type(e).__name__
+            msg = str(e)
+            if (
+                "AlreadyExists" in msg
+                or "already exists" in msg
+                or "Exists" in name
+            ):
+                return False
+            raise
     try:
         out.write(bytearray(payload.encode("utf-8")))
     finally:
