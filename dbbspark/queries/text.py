@@ -984,12 +984,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         (F.col("n_chars") % 97).cast("double").alias("score"),
-    ).transform(cut_lineage, eager=False)
-    packed = pack_sequences(toks, "doc_id", "n_tokens", budget=512, num_buckets=8)
-    admitted = budget_select(
-        toks, budget=10_000, id_col="doc_id", score_col="score",
-        token_col="n_tokens", num_buckets=8,
-    ).select("doc_id", F.lit(True).alias("_in"))
+    ).transform(cut_lineage, eager=True)
+    # The two prefix-sum operators are INDEPENDENT (different range
+    # orders, separate bucket-offset collects) — run their build-time
+    # jobs on two driver threads so the second leg back-fills the first
+    # leg's scheduling tail (guide-style job overlap; r13). The eager
+    # cut above materializes the shared token relation FIRST, so the
+    # threads only read cached checkpoint blocks — no concurrent
+    # materialization of shared lineage (the assign_shards range-
+    # resample hazard cannot arise on already-pinned blocks). Results
+    # are unchanged: each leg's plan is exactly the sequential one.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_pack = pool.submit(
+            pack_sequences, toks, "doc_id", "n_tokens", 512, 8
+        )
+        f_budget = pool.submit(
+            budget_select, toks, 10_000, "doc_id", "score", "n_tokens", 8
+        )
+        packed = f_pack.result()
+        admitted = f_budget.result().select(
+            "doc_id", F.lit(True).alias("_in")
+        )
     return (
         packed.join(admitted, "doc_id", "left")
         .join(reps, "doc_id", "left")
