@@ -105,6 +105,78 @@ def dup_ratio(arr: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def ngram_structs(toks: Column | str, n: int) -> Column:
+    """Non-distinct word n-grams as an array of STRUCTS of the n member
+    tokens — value-bijective with `ngram_array`'s space-joined strings
+    (whitespace-split tokens cannot contain the joiner), so distinct
+    counts and equality runs agree exactly, but the build is a pure
+    native expression chain (`slice` + `arrays_zip`), where the string
+    form pays an interpreted `transform` lambda per gram (r13: measured
+    ~2× faster for the Gopher repetition ratios at sf0.1). Docs shorter
+    than n get an empty array."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.arrays_zip(*[F.slice(toks, k + 1, cnt) for k in range(n)])
+
+
+def gram_run_stats(sorted_structs: Column | str, n: int) -> Column:
+    """ONE run-length scan over a PRE-SORTED `ngram_structs` array
+    producing struct(best, nruns, tot):
+
+    - ``best``  = max over distinct grams of count × chars(gram) — the
+      `top_run_char_fraction` numerator (chars(gram) counts the joined
+      string form: member lengths + n−1 separators);
+    - ``nruns`` = number of maximal equal runs = |distinct grams| — the
+      `dup_ratio` numerator's complement;
+    - ``tot``   = Σ chars over ALL grams — the char-weighted
+      denominator.
+
+    Equal elements are adjacent in any total order, so struct sort
+    order (which differs from the joined-string sort order) yields the
+    same runs, and every output is order-independent. Replaces three
+    interpreted passes (distinct + best-run + total) with one."""
+    s = F.col(sorted_structs) if isinstance(sorted_structs, str) else sorted_structs
+    fields = [str(k) for k in range(n)]
+    init = F.struct(
+        *[F.lit(None).cast("string").alias(f"p{k}") for k in fields],
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+        F.lit(0).cast("bigint").alias("nruns"),
+        F.lit(0).cast("bigint").alias("tot"),
+    )
+
+    def step(acc, x):
+        same = None
+        for k in fields:
+            eq = x[k].eqNullSafe(acc[f"p{k}"])
+            same = eq if same is None else (same & eq)
+        run = F.when(same, acc["run"] + F.lit(1).cast("bigint")).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        ln = sum(
+            (F.length(x[k]).cast("bigint") for k in fields),
+            F.lit(n - 1).cast("bigint"),
+        )
+        return F.struct(
+            *[x[k].alias(f"p{k}") for k in fields],
+            run.alias("run"),
+            F.greatest(acc["best"], run * ln).alias("best"),
+            F.when(same, acc["nruns"]).otherwise(acc["nruns"] + 1).alias("nruns"),
+            (acc["tot"] + ln).alias("tot"),
+        )
+
+    return F.aggregate(
+        s,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["best"].alias("best"),
+            acc["nruns"].alias("nruns"),
+            acc["tot"].alias("tot"),
+        ),
+    )
+
+
 def dup_char_fraction(sorted_arr: Column | str) -> Column:
     """CHAR-weighted duplicate fraction (Rae et al. 2021 §A1.1's
     'fraction of characters in duplicate lines' family): chars in the
@@ -114,25 +186,34 @@ def dup_char_fraction(sorted_arr: Column | str) -> Column:
     would re-sort per element). Pure projection: adjacent-equal scan
     over the sorted copy, no shuffle. 0.0 when total chars are 0."""
     s = F.col(sorted_arr) if isinstance(sorted_arr, str) else sorted_arr
-    n = F.size(s)
-    idx = F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
-        F.array().cast("array<int>")
+    # r13: ONE adjacent-equal scan carrying (prev, dup, tot) — the old
+    # shape paid two interpreted aggregate passes (index-based dup scan
+    # with three element_at lookups per step, plus a separate total),
+    # this one walks the array once with direct element refs.
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("dup"),
+        F.lit(0).cast("bigint").alias("tot"),
     )
-    dup_chars = F.aggregate(
-        idx,
-        F.lit(0).cast("bigint"),
-        lambda acc, i: acc
-        + F.when(
-            F.element_at(s, i) == F.element_at(s, i - 1),
-            F.length(F.element_at(s, i)).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint")),
+
+    def step(acc, x):
+        ln = F.length(x).cast("bigint")
+        return F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["dup"] + ln)
+            .otherwise(acc["dup"])
+            .alias("dup"),
+            (acc["tot"] + ln).alias("tot"),
+        )
+
+    return F.aggregate(
+        s,
+        init,
+        step,
+        lambda acc: F.when(
+            acc["tot"] > 0, F.round(acc["dup"].cast("double") / acc["tot"], 4)
+        ).otherwise(F.lit(0.0)),
     )
-    tot = F.aggregate(
-        s, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x).cast("bigint")
-    )
-    return F.when(
-        tot > 0, F.round(dup_chars.cast("double") / tot, 4)
-    ).otherwise(F.lit(0.0))
 
 
 def top_run_char_fraction(sorted_arr: Column | str) -> Column:
@@ -143,10 +224,13 @@ def top_run_char_fraction(sorted_arr: Column | str) -> Column:
     run-length×len maximum IS the global count×len maximum). Struct
     accumulator (prev, run, best); pure projection, no shuffle."""
     s = F.col(sorted_arr) if isinstance(sorted_arr, str) else sorted_arr
+    # r13: the running total rides the same scan (was a second
+    # interpreted aggregate pass over the whole array).
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("bigint").alias("run"),
         F.lit(0).cast("bigint").alias("best"),
+        F.lit(0).cast("bigint").alias("tot"),
     )
 
     def step(acc, x):
@@ -154,21 +238,22 @@ def top_run_char_fraction(sorted_arr: Column | str) -> Column:
             F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1).cast("bigint"))
             .otherwise(F.lit(1).cast("bigint"))
         )
+        ln = F.length(x).cast("bigint")
         return F.struct(
             x.alias("prev"),
             run.alias("run"),
-            F.greatest(acc["best"], run * F.length(x).cast("bigint")).alias(
-                "best"
-            ),
+            F.greatest(acc["best"], run * ln).alias("best"),
+            (acc["tot"] + ln).alias("tot"),
         )
 
-    best = F.aggregate(s, init, step, lambda acc: acc["best"])
-    tot = F.aggregate(
-        s, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x).cast("bigint")
+    return F.aggregate(
+        s,
+        init,
+        step,
+        lambda acc: F.when(
+            acc["tot"] > 0, F.round(acc["best"].cast("double") / acc["tot"], 4)
+        ).otherwise(F.lit(0.0)),
     )
-    return F.when(
-        tot > 0, F.round(best.cast("double") / tot, 4)
-    ).otherwise(F.lit(0.0))
 
 
 # --- money-sum discipline for oracle parity --------------------------------

@@ -32,18 +32,33 @@ def sha_dedup_keep_first(df: DataFrame, text_col: str, key_col: str) -> DataFram
 
     NULL texts are not duplicates of one another (same stance as
     urls.dedup_by_url: an unknown equals nothing) — they are all kept,
-    and, equally important at scale, SALTED out of the window shuffle:
-    sha2(NULL) is NULL, and partitioning on the hash alone would send
-    every null-text row in the corpus to ONE task."""
+    and they never enter the winner aggregation at all.
+
+    r13 shape (optimization guide §8 "decide with small rows, move big
+    rows once"): the old row_number window shuffled EVERY text payload
+    to co-locate sha groups, but the keep/drop decision only needs
+    (sha, key) — ~40 narrow bytes per row. The winner per sha is now a
+    map-side-partial-aggregated ``groupBy(sha).min(key)`` (duplicate
+    texts collapse before the exchange, no sort), and the winning keys
+    re-attach via a left-semi join that AQE converts to broadcast when
+    the winner set is small — locally the text column never crosses an
+    exchange; at cluster scale the planner's sort-merge fallback
+    shuffles text once, which is what the window form always paid on
+    top of the narrow decision shuffle. Values are identical: one
+    deterministic lowest-key row per distinct text, all NULL-text rows
+    kept (the old NULL salt existed only to spread nulls across window
+    tasks; nulls now bypass the aggregation entirely, so the skew it
+    guarded against cannot arise)."""
     h = F.sha2(F.col(text_col).cast("binary"), 256)
-    salt = F.when(
-        F.col(text_col).isNull(), F.xxhash64(F.col(key_col))
-    ).otherwise(F.lit(0))
-    w = Window.partitionBy(h, salt).orderBy(F.col(key_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where((F.col("__rn") == 1) | F.col(text_col).isNull())
-        .drop("__rn")
+    winners = (
+        df.where(F.col(text_col).isNotNull())
+        .select(h.alias("__h"), F.col(key_col))
+        .groupBy("__h")
+        .agg(F.min(key_col).alias(key_col))
+        .select(key_col)
+    )
+    return df.join(winners, key_col, "left_semi").unionByName(
+        df.where(F.col(text_col).isNull())
     )
 
 
@@ -232,9 +247,14 @@ def _pairs_from_band_sigs(band_sig: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
         .where(F.size("ds") >= 2)
     )
+    # r13: stacked explodes instead of the interpreted in-array
+    # transform combos — both Generate nodes codegen; same pair
+    # multiset (bucket docs are unique, so the value predicate IS the
+    # upper triangle).
     return (
-        buckets.select(F.explode(_posting_combos()).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        buckets.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
@@ -253,21 +273,6 @@ def lsh_candidate_pairs_direct(
     `lsh_candidate_pairs(minhash_signatures(docs, ...))`."""
     return _pairs_from_band_sigs(
         minhash_band_signatures(docs, id_col, text_col, bands, rows_per_band, shingle_n)
-    )
-
-
-def _posting_combos(ds: str = "ds") -> Column:
-    """All ordered pairs (a < b) from a SORTED posting-list array column,
-    as an array of (a, b) structs — the upper triangle via nested
-    transforms, no self-join."""
-    return F.flatten(
-        F.transform(
-            F.col(ds),
-            lambda x, i: F.transform(
-                F.slice(F.col(ds), i + F.lit(2), F.size(F.col(ds))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
     )
 
 
@@ -423,32 +428,27 @@ def jaccard_pairs(
     kept = postings.where(F.size("ds") >= 2)
     if max_df is not None:
         kept = kept.where(F.size("ds") <= max_df)
-    # LAZY checkpoint: the first action materializes the kept-mention
-    # stream executor-local; both join branches then read it instead of
-    # re-running scan+shingle+shuffle (same lineage-pinning pattern as
-    # connected_components' edge materialization).
-    m = (
-        kept.select("shingle", F.explode("ds").alias("s"))
-        .select(
-            "shingle", F.col("s.doc").alias("doc"), F.col("s.n_sh").alias("n_sh")
-        )
-        .transform(cut_lineage, eager=False)
-    )
+    # r13: upper-triangle pairs straight off each posting list with TWO
+    # stacked explodes — both Generate nodes run in whole-stage codegen
+    # (unlike the interpreted in-array `transform` combos this operator
+    # originally rejected), and the mention-stream SELF-JOIN the r7-r12
+    # shape paid is gone: no lazy checkpoint (the posting pipeline has
+    # ONE consumer again), no second shuffle of the mention stream, no
+    # sort-merge sorts — the pair stream goes Generate → Generate →
+    # Filter → partial-agg inside the postings aggregation's stage. The
+    # emitted pair volume is unchanged (Σ df² per kept shingle, df ≤
+    # max_df, so one posting row fans out ≤ C(max_df, 2) filtered pairs
+    # — bounded per task exactly as the join's hot key was).
     inter = (
-        m.select("shingle", F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
-        .join(
-            # SHUFFLE_MERGE pinned: left to AQE, a dup-heavy corpus's
-            # mention stream can look broadcastable and Spark will ship
-            # the ENTIRE stream to every task as a hash relation —
-            # measured 37-62 s vs 26 s at the 10× dup-heavy scale test,
-            # while at sf0.1 the hint costs nothing (1.6 s either way).
-            # Sorting longs is cheap and predictable at any scale.
-            m.select(
-                "shingle", F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")
-            ).hint("shuffle_merge"),
-            ["shingle"],
+        kept.select(F.explode("ds").alias("sa"), "ds")
+        .select("sa", F.explode("ds").alias("sb"))
+        .where(F.col("sa.doc") < F.col("sb.doc"))
+        .select(
+            F.col("sa.doc").alias("doc_a"),
+            F.col("sa.n_sh").alias("na"),
+            F.col("sb.doc").alias("doc_b"),
+            F.col("sb.n_sh").alias("nb"),
         )
-        .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
@@ -605,8 +605,9 @@ def jaccard_pairs_prefix(
         .where(F.size("ds") >= 2)
     )
     cands = (
-        cpost.select(F.explode(_posting_combos()).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        cpost.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     a_side = doc_arrays.select(

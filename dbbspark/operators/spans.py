@@ -72,7 +72,14 @@ def duplicate_ngram_spans(
     times corpus-wide. n_dup_grams counts the duplicated n-gram starts
     merged into the span (span_end - span_start - n + 1 when the span is
     gapless)."""
-    mentions = _ngram_mentions(docs, id_col, text_col, n)
+    from ..session import cut_lineage
+
+    # r13: lazy lineage cut — the df aggregation AND the semi-join both
+    # consume the mention stream, and without the cut each branch
+    # re-runs scan + tokenize + per-gram slice/concat/xxhash64 (the
+    # expensive part); the materialized stream is 3 longs/row, far
+    # cheaper to re-read than to re-derive at any scale.
+    mentions = cut_lineage(_ngram_mentions(docs, id_col, text_col, n))
     # Hub-skew-safe df (same reasoning as lines.dedup_lines): the
     # duplicated n-grams this operator hunts ARE the skewed keys, so
     # frequency comes from a partial-aggregated groupBy and mentions
@@ -123,7 +130,11 @@ def remove_duplicate_spans(
     higher-order `exists`), so documents with no flagged spans pass
     through byte-identical. Span arrays per doc are small (merged,
     maximal), keeping the per-token HOF check cheap."""
-    mentions = _ngram_mentions(docs, id_col, text_col, n)
+    from ..session import cut_lineage
+
+    # r13: same lazy mention-stream cut as duplicate_ngram_spans (df
+    # aggregation + semi-join share one derivation)
+    mentions = cut_lineage(_ngram_mentions(docs, id_col, text_col, n))
     # hub-skew-safe df: groupBy partial agg + AQE-splittable semi join,
     # never a count window on the deliberately-skewed gram hash (see
     # duplicate_ngram_spans)

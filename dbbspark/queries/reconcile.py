@@ -167,6 +167,17 @@ def q_reconcile_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = (
         m.select("nite").unionByName(x.select("nite")).agg(F.max("nite").alias("_ln"))
     )
+    # r13: the `latest` one-row aggregate feeds BOTH fuzzy input sides,
+    # and the fuzzy `pairs` relation feeds BOTH output legs — without
+    # cuts each consumer re-executes the whole upstream subtree (the
+    # max-nite union twice, the FastSS pairing twice: the before plan
+    # is 176 operators with four copies of the latest aggregation).
+    # Lazy lineage cuts pin each to one execution; `pairs` (the latest
+    # nite's one-to-one rename matches — residual-sized by
+    # construction) then broadcasts into the two output left joins, so
+    # the m/x legs stay map-side over the checkpoint blocks instead of
+    # paying Exchange+Sort+SortMergeJoin per leg.
+    latest = cut_lineage(latest)
     matches, _, _ = fuzzy_reconcile(
         m.join(F.broadcast(latest), m.nite == F.col("_ln")).select(
             F.col("expnum").alias("m_expnum"), F.col("fn").alias("filename")
@@ -179,15 +190,15 @@ def q_reconcile_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_expnum",
         max_distance=1,
     )
-    pairs = matches.select("m_expnum", "x_expnum")
+    pairs = cut_lineage(matches.select("m_expnum", "x_expnum"))
     m_out = m.join(
-        pairs, m.expnum == pairs.m_expnum, "left"
+        F.broadcast(pairs), m.expnum == pairs.m_expnum, "left"
     ).select(
         F.lit("missing").alias("side"), "nite", "expnum", "propid", "obstype",
         F.col("x_expnum").alias("fuzzy_partner"),
     )
     x_out = x.join(
-        pairs, x.expnum == pairs.x_expnum, "left"
+        F.broadcast(pairs), x.expnum == pairs.x_expnum, "left"
     ).select(
         F.lit("extra").alias("side"), "nite", "expnum", "propid", "obstype",
         F.col("m_expnum").alias("fuzzy_partner"),

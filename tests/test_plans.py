@@ -166,11 +166,14 @@ def test_no_infer_filters_from_generate_regression(spark, sf_dir, name):
             ), "InferFiltersFromGenerate re-materialized the shingle transform"
 
 
-def test_jaccard_pair_join_pinned_sort_merge(spark, sf_dir):
-    """The pair self-join must stay SortMergeJoin: AQE left to choose
-    broadcasts the full mention stream at dup-heavy scale (37-62 s vs
-    26 s at the 10× scale check). Zero broadcast joins also guards
-    against reintroducing the aggregate-then-join sizes shape."""
+def test_jaccard_pairs_is_joinless_double_explode(spark, sf_dir):
+    """r13: pairs come straight off each posting list via two stacked
+    Generate (explode) nodes — no self-join of the mention stream at
+    all, so neither of the old failure modes can recur: AQE cannot
+    broadcast the full mention stream (the dup-heavy 37-62 s
+    pathology the r7-r12 SortMergeJoin pin guarded), and there is no
+    second shuffle/sort of the mentions. The only exchanges left are
+    the postings groupBy and the pair-count groupBy."""
     from dbbspark.operators.dedup import jaccard_pairs
     from dbbspark.tables import load_table
 
@@ -181,8 +184,8 @@ def test_jaccard_pair_join_pinned_sort_merge(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "SortMergeJoin" in plan
-    assert "BroadcastHashJoin" not in plan
+    assert "Join" not in plan  # no SMJ, no BHJ, no join of any kind
+    assert plan.count("Generate") >= 3  # shingle explode + pair explodes
 
 
 def test_span_df_filter_is_skew_splittable_not_a_hash_window(spark, sf_dir):
