@@ -105,78 +105,6 @@ def dup_ratio(arr: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def ngram_structs(toks: Column | str, n: int) -> Column:
-    """Non-distinct word n-grams as an array of STRUCTS of the n member
-    tokens — value-bijective with `ngram_array`'s space-joined strings
-    (whitespace-split tokens cannot contain the joiner), so distinct
-    counts and equality runs agree exactly, but the build is a pure
-    native expression chain (`slice` + `arrays_zip`), where the string
-    form pays an interpreted `transform` lambda per gram (r13: measured
-    ~2× faster for the Gopher repetition ratios at sf0.1). Docs shorter
-    than n get an empty array."""
-    toks = F.col(toks) if isinstance(toks, str) else toks
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.arrays_zip(*[F.slice(toks, k + 1, cnt) for k in range(n)])
-
-
-def gram_run_stats(sorted_structs: Column | str, n: int) -> Column:
-    """ONE run-length scan over a PRE-SORTED `ngram_structs` array
-    producing struct(best, nruns, tot):
-
-    - ``best``  = max over distinct grams of count × chars(gram) — the
-      `top_run_char_fraction` numerator (chars(gram) counts the joined
-      string form: member lengths + n−1 separators);
-    - ``nruns`` = number of maximal equal runs = |distinct grams| — the
-      `dup_ratio` numerator's complement;
-    - ``tot``   = Σ chars over ALL grams — the char-weighted
-      denominator.
-
-    Equal elements are adjacent in any total order, so struct sort
-    order (which differs from the joined-string sort order) yields the
-    same runs, and every output is order-independent. Replaces three
-    interpreted passes (distinct + best-run + total) with one."""
-    s = F.col(sorted_structs) if isinstance(sorted_structs, str) else sorted_structs
-    fields = [str(k) for k in range(n)]
-    init = F.struct(
-        *[F.lit(None).cast("string").alias(f"p{k}") for k in fields],
-        F.lit(0).cast("bigint").alias("run"),
-        F.lit(0).cast("bigint").alias("best"),
-        F.lit(0).cast("bigint").alias("nruns"),
-        F.lit(0).cast("bigint").alias("tot"),
-    )
-
-    def step(acc, x):
-        same = None
-        for k in fields:
-            eq = x[k].eqNullSafe(acc[f"p{k}"])
-            same = eq if same is None else (same & eq)
-        run = F.when(same, acc["run"] + F.lit(1).cast("bigint")).otherwise(
-            F.lit(1).cast("bigint")
-        )
-        ln = sum(
-            (F.length(x[k]).cast("bigint") for k in fields),
-            F.lit(n - 1).cast("bigint"),
-        )
-        return F.struct(
-            *[x[k].alias(f"p{k}") for k in fields],
-            run.alias("run"),
-            F.greatest(acc["best"], run * ln).alias("best"),
-            F.when(same, acc["nruns"]).otherwise(acc["nruns"] + 1).alias("nruns"),
-            (acc["tot"] + ln).alias("tot"),
-        )
-
-    return F.aggregate(
-        s,
-        init,
-        step,
-        lambda acc: F.struct(
-            acc["best"].alias("best"),
-            acc["nruns"].alias("nruns"),
-            acc["tot"].alias("tot"),
-        ),
-    )
-
-
 def dup_char_fraction(sorted_arr: Column | str) -> Column:
     """CHAR-weighted duplicate fraction (Rae et al. 2021 §A1.1's
     'fraction of characters in duplicate lines' family): chars in the

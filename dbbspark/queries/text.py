@@ -405,8 +405,8 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import (
         dup_char_fraction,
         dup_ratio,
-        gram_run_stats,
-        ngram_structs,
+        ngram_array,
+        top_run_char_fraction,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -470,21 +470,19 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__wg"
         ),
     ).select(
-        # r13: n-grams as NATIVE struct arrays (slice + arrays_zip —
-        # value-bijective with the space-joined strings, see
-        # functions.ngram_structs) instead of interpreted per-gram
-        # transform lambdas; the 2-gram repetition metrics then come
-        # from ONE run-length scan over the struct-sorted copy
-        # (gram_run_stats: best-run chars, distinct count, total chars
-        # in a single pass — was array_distinct + two aggregate scans
-        # over separately built string arrays). Measured ~2× on the
-        # gram legs at sf0.1; every output value is unchanged.
+        # r13 note: a struct-array n-gram form (slice + arrays_zip +
+        # one fused run-length scan) was prototyped here and MEASURED
+        # SLOWER in context (warm best-of-3 gram leg 0.64 s string vs
+        # 1.37 s struct at sf0.1; the struct build wins standalone but
+        # the combined projection loses codegen) — the string grams
+        # with native array_distinct ratios and the r13 single-pass
+        # top-run scan are the fastest measured combination.
         "*",
-        F.array_sort(ngram_structs(F.col("__toks"), 2)).alias("__z2s"),
-        ngram_structs(F.col("__toks"), 3).alias("__z3"),
+        ngram_array(F.col("__toks"), 2).alias("__g2"),
+        ngram_array(F.col("__toks"), 3).alias("__g3"),
     ).select(
         "*",
-        gram_run_stats(F.col("__z2s"), 2).alias("__rs"),
+        F.array_sort(F.col("__g2")).alias("__g2s"),
         F.expr(fingerprints_expr("__wg", 4)).alias("__wfp"),
     )
     atl = F.col("n_chars").cast("double") / F.col("n_tokens")
@@ -510,17 +508,8 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(atl, 4).alias("avg_token_len"),
         F.round(F.col("sw_hits").cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
         dup_ratio(F.col("__toks")).alias("dup_token_ratio"),
-        F.when(
-            F.size("__z2s") > 0,
-            F.round(
-                1.0
-                - F.col("__rs.nruns").cast("double") / F.size("__z2s"),
-                4,
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_2gram_ratio"),
-        dup_ratio(F.col("__z3")).alias("dup_3gram_ratio"),
+        dup_ratio(F.col("__g2")).alias("dup_2gram_ratio"),
+        dup_ratio(F.col("__g3")).alias("dup_3gram_ratio"),
         (F.col("n_tokens").between(20, 1000) & atl.between(3, 12)).alias("passes_quality"),
         F.col("sw_hits").cast("bigint").alias("en_hits"),
         F.when(F.col("sw_hits") * 10 >= F.col("n_tokens"), "en-like")
@@ -531,14 +520,7 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_host(url).alias("url_host"),
         registered_domain(url).alias("url_domain"),
         dup_char_fraction(F.col("__lines_s")).alias("dup_line_char_frac"),
-        F.when(
-            F.col("__rs.tot") > 0,
-            F.round(
-                F.col("__rs.best").cast("double") / F.col("__rs.tot"), 4
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("top_2gram_char_frac"),
+        top_run_char_fraction(F.col("__g2s")).alias("top_2gram_char_frac"),
         # C49 fold: the operator's expression-level derivations over the
         # materialized counts — dominant-script tie-break (declaration
         # order), min-letters 'unknown' routing, letter-mass ratio — in
