@@ -415,3 +415,36 @@ def dsir_sample(
     if cut is None:
         (cut,) = keyed.approxQuantile("__gumbel", [1.0 - fraction], 0.001)
     return keyed.where(F.col("__gumbel") >= cut).drop("__gumbel")
+
+
+def dsir_select_flag(
+    ratio_col: str,
+    cut: float,
+    temperature: float = 1.0,
+    u_col: Column | None = None,
+    id_col: str = "doc",
+    seed: int = 0,
+) -> Column:
+    """`dsir_sample`'s keep/drop decision as a per-row BOOLEAN column
+    (requires an explicit ``cut``, i.e. the replayable regime). With a
+    known cut the selection is a deterministic map — callers that need
+    a selected-or-not flag on EVERY row (rather than the kept subset)
+    can project this column instead of filtering and joining the kept
+    ids back on ``id_col``, which costs a shuffle+sort join of the
+    weighted relation against itself (r13: q_dsir's join-back plan was
+    SortMergeJoin + 2 Exchange + 2 Sort; the flag is a Project). The
+    Gumbel key expression is shared with `dsir_sample` term for term,
+    so flag == membership in the sampled subset, row for row; NULL
+    ratios (and NULL-id lottery draws) flag False, matching the
+    left-join's missed-match → False."""
+    u = u_col if u_col is not None else (
+        (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000_007))
+            + F.lit(0.5)
+        )
+        / F.lit(1_000_000_007.0)
+    )
+    key = F.col(ratio_col) / F.lit(temperature) - F.log(-F.log(u))
+    return F.coalesce(
+        F.col(ratio_col).isNotNull() & (key >= F.lit(cut)), F.lit(False)
+    )

@@ -1237,7 +1237,11 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_int_col
-    from ..operators.lm import dsir_sample, dsir_weights, train_ngram_lm_pair
+    from ..operators.lm import (
+        dsir_select_flag,
+        dsir_weights,
+        train_ngram_lm_pair,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     # ONE conditional-aggregation pass trains BOTH models (r13): the
@@ -1258,15 +1262,18 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_int_col(F.col("doc").cast("string")) % F.lit(1_000_000_007)
         + F.lit(0.5)
     ) / F.lit(1_000_000_007.0)
-    kept = dsir_sample(w, fraction=0.25, cut=1.346, u_col=u).select(
-        "doc", F.lit(True).alias("__sel")
-    )
-    return (
-        w.join(kept, "doc", "left")
-        .select(
-            F.col("doc").alias("doc_id"),
-            "n_grams",
-            F.round("log_ratio", 4).alias("log_ratio"),
-            F.coalesce(F.col("__sel"), F.lit(False)).alias("dsir_selected"),
-        )
+    # r13: the cut is explicit, so selection is a deterministic per-row
+    # map — project dsir_select_flag instead of filtering dsir_sample's
+    # kept set and left-joining it back on doc (that join-back plan was
+    # SortMergeJoin + 2 Exchange + 2 Sort of the weight relation
+    # against itself; the flag is a Project over the checkpoint). Flag
+    # ≡ join-back membership row-for-row: shared Gumbel expression,
+    # NULL ratio/lottery → False, pinned in tests/test_lm.py.
+    return w.select(
+        F.col("doc").alias("doc_id"),
+        "n_grams",
+        F.round("log_ratio", 4).alias("log_ratio"),
+        dsir_select_flag("log_ratio", cut=1.346, u_col=u).alias(
+            "dsir_selected"
+        ),
     )

@@ -286,6 +286,26 @@ def test_dsir_sample_deterministic_and_biased(spark):
     assert cold_mean >= kept_mean
 
 
+def test_dsir_select_flag_equals_sample_join_back(spark):
+    """r13: the projected flag must equal membership in dsir_sample's
+    kept set row-for-row (same Gumbel expression, same cut), including
+    the NULL-ratio row (flag False, matching the left-join miss) — the
+    q_dsir join-back elimination rides on exactly this contract."""
+    from dbbspark.operators.lm import dsir_sample, dsir_select_flag
+
+    rows = [(i, float(i) / 10.0) for i in range(200)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc long, log_ratio double")
+    cut = 2.0
+    kept = {r["doc"] for r in dsir_sample(df, 0.25, seed=3, cut=cut).collect()}
+    flagged = df.select(
+        "doc", dsir_select_flag("log_ratio", cut=cut, seed=3).alias("sel")
+    ).collect()
+    assert {r["doc"] for r in flagged if r["sel"]} == kept
+    by_doc = {r["doc"]: r["sel"] for r in flagged}
+    assert by_doc[999] is False  # NULL ratio flags False, never NULL
+    assert all(v is not None for v in by_doc.values())
+
+
 def test_dsir_weights_broadcast_close_to_plain(spark):
     from dbbspark.operators.lm import dsir_weights
 
