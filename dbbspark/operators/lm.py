@@ -430,9 +430,12 @@ def dsir_select_flag(
     known cut the selection is a deterministic map — callers that need
     a selected-or-not flag on EVERY row (rather than the kept subset)
     can project this column instead of filtering and joining the kept
-    ids back on ``id_col``, which costs a shuffle+sort join of the
-    weighted relation against itself (r13: q_dsir's join-back plan was
-    SortMergeJoin + 2 Exchange + 2 Sort; the flag is a Project). The
+    ids back on ``id_col``, which joins the weighted relation against
+    itself (r13: q_dsir's join-back plan re-scanned the checkpoint and
+    paid a BroadcastExchange + BroadcastHashJoin locally — and the
+    ~25% kept side outgrows any broadcast threshold at corpus scale,
+    where the same join becomes a two-shuffle sort-merge; the flag is
+    a Project). The
     Gumbel key expression is shared with `dsir_sample` term for term,
     so flag == membership in the sampled subset, row for row; NULL
     ratios (and NULL-id lottery draws) flag False, matching the

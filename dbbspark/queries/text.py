@@ -1264,9 +1264,11 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(1_000_000_007.0)
     # r13: the cut is explicit, so selection is a deterministic per-row
     # map — project dsir_select_flag instead of filtering dsir_sample's
-    # kept set and left-joining it back on doc (that join-back plan was
-    # SortMergeJoin + 2 Exchange + 2 Sort of the weight relation
-    # against itself; the flag is a Project over the checkpoint). Flag
+    # kept set and left-joining it back on doc (that join-back re-scans
+    # the checkpoint and joins the weight relation against itself:
+    # BroadcastExchange + BroadcastHashJoin locally, a two-shuffle
+    # sort-merge once the ~25% kept side outgrows broadcast at scale;
+    # the flag is a Project over the checkpoint). Flag
     # ≡ join-back membership row-for-row: shared Gumbel expression,
     # NULL ratio/lottery → False, pinned in tests/test_lm.py.
     return w.select(
