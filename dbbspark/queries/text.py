@@ -1,7 +1,10 @@
 """Text-analysis layer (SURVEY.md §2.11 C4) — language-ID heuristic,
-quality scoring, token counting, stratified sampling. All expression-
-level (split / higher-order functions / regexp) — no UDFs, so the hot path
-stays in whole-stage codegen at 100 TB.
+quality scoring, token counting, stratified sampling. Grouped corpus
+stats are expression-level (split / higher-order functions / regexp);
+the per-document annotate pass computes its text-derived counts in ONE
+Arrow batch (r14 — interpreted HOF lambdas never reach whole-stage
+codegen; the single ArrowEvalPython crossing measured 2.2× faster on
+the composed projection, plans/r14/probe_doc_metrics_arrow.py).
 
 Round-2 consolidation: the per-document metrics (quality gates, token
 counts, lang-ID, sampling gate) are one projection — q_doc_metrics — the
@@ -12,7 +15,10 @@ content hashes folded into q_string_funcs (queries/scalars.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import re as _re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..catalog import query
 from ..tables import load_table
@@ -204,6 +210,127 @@ def _script_stratum_col() -> F.Column:
     return synth
 
 
+# --- r14: one Arrow batch pass for q_doc_metrics's text-derived counts ----
+#
+# The r13 projection computed every repetition/winnow metric with
+# interpreted higher-order-function lambdas (no whole-stage codegen for
+# HOFs) — substage probes put the gram machinery at ~0.64 s, stopword/
+# BPE at ~0.24 s and the winnow fold at ~0.17 s of the ~1.26 s warm row
+# at sf0.1 (plans/r14/probe_doc_metrics.py). Guide §4: one ArrowEvalPython
+# node now computes ALL text-derived INTEGER counts per batch; every
+# ratio, round and NULL-propagation rule stays in the JVM projection, so
+# float parity with the r13 expressions is structural (Python emits only
+# exact ints). Interleaved A/B: 1.283 → 0.584 s with 0/5000 value
+# mismatches (plans/r14/probe_doc_metrics_arrow.py). Exact-equality
+# contracts mirrored here (pinned in tests/test_functions.py):
+# - tokens = text.split(' ') ≡ Spark split(text, ' ') (empties kept);
+# - bigram/trigram tuples ≡ concat_ws-joined grams (tokens cannot
+#   contain the join char, so tuple distinctness == string distinctness);
+# - Python len() ≡ F.length (both count code points);
+# - winnow hash = int(md5(gram utf-8)[:15], 16) ≡ PORTABLE_HASH_SQL
+#   (conv is exact: probed);
+# - nullable outputs ride pandas Int64 — an object/None column would
+#   coerce to float64 on the Arrow boundary and round 60-bit md5 ints
+#   (observed off-by-1..4 before the fix).
+
+_BPE_ISH_RE = _re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+_STOPWORD_SET = frozenset(_STOPWORDS)
+
+_DOC_METRICS_SCHEMA = T.StructType([
+    T.StructField("n_tokens", T.IntegerType()),
+    T.StructField("sw_hits", T.IntegerType()),
+    T.StructField("bpe_ish_tokens", T.IntegerType()),
+    T.StructField("d_tok", T.IntegerType()),
+    T.StructField("n_g2", T.IntegerType()),
+    T.StructField("d_g2", T.IntegerType()),
+    T.StructField("n_g3", T.IntegerType()),
+    T.StructField("d_g3", T.IntegerType()),
+    T.StructField("line_dup", T.LongType()),
+    T.StructField("line_tot", T.LongType()),
+    T.StructField("g2_best", T.LongType()),
+    T.StructField("g2_tot", T.LongType()),
+    T.StructField("wfp_n", T.IntegerType()),
+    T.StructField("wfp_min", T.LongType()),
+])
+
+
+def _doc_metrics_batch(text: pd.Series, did: pd.Series) -> pd.DataFrame:
+    """Per-batch integer counts for q_doc_metrics (see block comment).
+
+    NULL-text rows reproduce the r13 expression semantics exactly:
+    NULL token/stopword/BPE counts (size(NULL) is NULL), EMPTY gram
+    arrays (ngram_array guards short docs to []), NULL line stats
+    (aggregate over a NULL array is NULL), zero g2 char stats
+    (aggregate over [] runs the finish on the zero accumulator), empty
+    winnow fingerprints."""
+    import hashlib
+    from collections import Counter
+
+    out: dict[str, list] = {f.name: [] for f in _DOC_METRICS_SCHEMA.fields}
+    ap = {k: v.append for k, v in out.items()}
+    for t, d in zip(text.tolist(), did.tolist()):
+        if t is None:
+            ap["n_tokens"](None); ap["sw_hits"](None)  # noqa: E702
+            ap["bpe_ish_tokens"](None); ap["d_tok"](None)  # noqa: E702
+            ap["n_g2"](0); ap["d_g2"](0)  # noqa: E702
+            ap["n_g3"](0); ap["d_g3"](0)  # noqa: E702
+            ap["line_dup"](None); ap["line_tot"](None)  # noqa: E702
+            ap["g2_best"](0); ap["g2_tot"](0)  # noqa: E702
+            ap["wfp_n"](0); ap["wfp_min"](None)  # noqa: E702
+            continue
+        toks = t.split(" ")
+        n = len(toks)
+        ap["n_tokens"](n)
+        ap["sw_hits"](sum(1 for w in toks if w in _STOPWORD_SET))
+        ap["bpe_ish_tokens"](len(_BPE_ISH_RE.findall(t)))
+        ap["d_tok"](len(set(toks)))
+        g2 = list(zip(toks, toks[1:]))
+        ap["n_g2"](len(g2))
+        ap["d_g2"](len(set(g2)))
+        ap["n_g3"](max(n - 2, 0))
+        ap["d_g3"](len(set(zip(toks, toks[1:], toks[2:]))))
+        dup = tot = 0
+        for line, c in Counter(t.split("\n")).items():
+            ll = len(line)
+            dup += (c - 1) * ll
+            tot += c * ll
+        ap["line_dup"](dup)
+        ap["line_tot"](tot)
+        best = tot2 = 0
+        for (a, b), c in Counter(g2).items():
+            v = c * (len(a) + len(b) + 1)
+            tot2 += v
+            if v > best:
+                best = v
+        ap["g2_best"](best)
+        ap["g2_tot"](tot2)
+        # C43 winnow fold: 5% portable-md5 doc stratum, k=8 char-gram
+        # md5-int hashes, w=4 window minima, first-occurrence distinct
+        gate = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+        if gate % 20 == 0 and len(t) >= 8:
+            g = [
+                int(hashlib.md5(t[i:i + 8].encode("utf-8")).hexdigest()[:15], 16)
+                for i in range(len(t) - 7)
+            ]
+            if len(g) < 4:
+                fp = [min(g)]
+            else:
+                fp = list(dict.fromkeys(
+                    min(g[j:j + 4]) for j in range(len(g) - 3)
+                ))
+            ap["wfp_n"](len(fp))
+            ap["wfp_min"](min(fp))
+        else:
+            ap["wfp_n"](0)
+            ap["wfp_min"](None)
+    return pd.DataFrame(
+        {k: pd.array(v, dtype="Int64") for k, v in out.items()}
+    )
+
+
+doc_text_metrics = F.pandas_udf(_doc_metrics_batch, _DOC_METRICS_SCHEMA)
+
+
 @query(
     "q_doc_metrics",
     oracle=f"""
@@ -356,16 +483,15 @@ def _script_stratum_col() -> F.Column:
     "schemeless, co.uk/co.jp two-label public suffixes, dotless host, "
     "NULL) — the host regex and the suffix-aware registrable-domain CASE "
     "are re-derived verbatim in DuckDB (the _TWO_LABEL_SUFFIXES "
-    "alternation interpolates into both engines from one constant). "
-    "r10 completes the Gopher §A1.1 repetition set with the "
+    "alternation interpolates into both engines from one constant); r14 "
+    "applies the operators' expressions to each stratum's literal prefix "
+    "(the host capture is invariant to the id suffix — pinned in "
+    "tests/test_functions.py) so Catalyst constant-folds the regexes at "
+    "plan time. r10 completes the Gopher §A1.1 repetition set with the "
     "CHAR-WEIGHTED forms: `dup_line_char_frac` (chars in 2nd+ "
     "occurrences of each line / total line chars) and "
     "`top_2gram_char_frac` (most-frequent 2-gram's count×len / total "
-    "2-gram chars) — both computed SHUFFLE-FREE as adjacent-equal / "
-    "run-length scans over materialized array_sort copies "
-    "(functions.dup_char_fraction / top_run_char_fraction; equal "
-    "elements form one maximal run in sorted order, so the running "
-    "run×len maximum is the global count×len maximum), while the "
+    "2-gram chars) — both SHUFFLE-FREE per-doc counts, while the "
     "oracle re-derives them the relational way (unnest + GROUP BY + "
     "max/sum) — two genuinely different algorithms agreeing on values. "
     "FOLDED C49 (r10): `script_dom`/`script_latin_ratio` run "
@@ -374,116 +500,111 @@ def _script_stratum_col() -> F.Column:
     "stratum per script class (plus an exact latin/cyrillic TIE that "
     "declaration order must win, a digits-only stratum the min_letters "
     "floor must route to 'unknown', and NULL) — IN the same projection, "
-    "no join, no second scan; the oracle SQL is GENERATED from the "
-    "operator's own SCRIPT_CLASSES constant, so the codepoint-range "
+    "no join, no second scan (r14: the per-class counts are the "
+    "operator's regexp_count over each stratum LITERAL, constant-folded "
+    "per CASE branch at plan time); the oracle SQL is GENERATED from "
+    "the operator's own SCRIPT_CLASSES constant, so the codepoint-range "
     "character classes agree verbatim across Java regex and RE2. "
     "FOLDED C43 (r11, VERDICT r10 item 5's winnow follow-on): "
     "`wfp_n`/`wfp_min` run the winnowing fingerprint pipeline "
-    "(operators/winnow.py gram_hashes_expr + fingerprints_expr — k=8 "
-    "char grams, w=4 window minima, distinct, the short-doc global-min "
-    "and empty cases) over the PORTABLE md5-int hash so DuckDB "
-    "re-derives the fingerprints hash-for-hash; the summary is the "
-    "fingerprint-set size and minimum (order-insensitive — "
+    "(k=8 char grams, w=4 window minima, distinct, the short-doc "
+    "global-min and empty cases) over the PORTABLE md5-int hash so "
+    "DuckDB re-derives the fingerprints hash-for-hash; the summary is "
+    "the fingerprint-set size and minimum (order-insensitive — "
     "array_distinct ordering differs between engines by contract). "
     "Gated to a deterministic 5% md5 doc stratum (full-corpus blew "
-    "the 2.5 s fold budget — interpreted HOF lambdas cost ~0.9 ms/doc; "
-    "production winnowing uses the codegen-cheap xxhash64 default, the "
-    "md5 chain exists only for cross-engine checkability). Kept "
-    "join-free in the same projection: the annotate pass stays "
-    "map-only (plan pin tests/test_plans.py).",
+    "the 2.5 s fold budget; production winnowing uses the "
+    "codegen-cheap xxhash64 default, the md5 chain exists only for "
+    "cross-engine checkability). r14: every text-derived count "
+    "(token/stopword/BPE-ish counts, distinct token/2-gram/3-gram "
+    "counts, line-dup and top-2-gram char stats, winnow fingerprints) "
+    "comes from ONE Arrow batch pass (_doc_metrics_batch) emitting "
+    "exact INTEGERS — the ratio/round/NULL arithmetic stays in the JVM "
+    "projection expression-identical to the r13 HOF forms (equivalence "
+    "pinned in tests/test_functions.py), so the annotate pass is one "
+    "scan + one ArrowEvalPython + one codegen projection, still "
+    "exchange-free (plan pin tests/test_plans.py).",
     tags=("text", "sampling", "closure"),
 )
 def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_int_col
+    from ..operators.script import SCRIPT_CLASSES
     from ..operators.urls import extract_host, registered_domain
-    from ..operators.winnow import (
-        PORTABLE_HASH_SQL,
-        fingerprints_expr,
-        gram_hashes_expr,
-    )
-
-    from ..functions import (
-        dup_char_fraction,
-        dup_ratio,
-        ngram_array,
-        top_run_char_fraction,
-    )
 
     docs = load_table(spark, sf_dir, "documents")
-    # C37 fold: deterministic URL strata (host-case, userinfo+port,
-    # schemeless, two-label public suffix, dotless host, NULL) so the
-    # host/registrable-domain regex chain is value-checked end to end.
-    did = F.col("doc_id").cast("string")
-    url = (
-        F.when(F.col("doc_id") % 6 == 0,
-               F.concat(F.lit("https://WWW.News.example.com/Story/"), did))
-        .when(F.col("doc_id") % 6 == 1,
-              F.concat(F.lit("http://user@Blog.Test.co.uk:8080/p?q="), did))
-        .when(F.col("doc_id") % 6 == 2, F.lit("files.example.org/data"))
-        .when(F.col("doc_id") % 6 == 3, F.lit("https://a.b.co.jp/x"))
-        .when(F.col("doc_id") % 6 == 4, F.lit("http://single-label-host/path"))
-        .otherwise(F.lit(None).cast("string"))
-    )
-    toks = F.split(F.col("text"), " ")
-    # C43 winnow stratum text, materialized ONCE (the gate expr must not
-    # re-evaluate inside gram_hashes_expr's per-element lambda): NULL
-    # outside the stratum routes through the operator's own null path
-    # (empty gram array -> empty fingerprints)
-    docs = docs.withColumn(
-        "__wtext",
-        F.when(
-            md5_int_col(F.col("doc_id").cast("string")) % 20 == 0,
-            F.col("text"),
-        ),
-    )
-    # materialize the token array once: interpreted lambdas have no CSE —
-    # an inline split would re-split per element_at (see operators/dedup).
+    # C37 fold, r14 shape: the host/registrable-domain regex chain is
+    # LOOP-INVARIANT per URL stratum — the host capture stops at the
+    # first '/', ':' or '?', so the doc_id suffix strata 0/1 append
+    # never reaches it. Applying the operators' own expressions to each
+    # stratum's literal prefix lets Catalyst constant-fold the regexes
+    # at plan time (one evaluation per plan instead of one per row;
+    # prefix ≡ full-url equality pinned in tests/test_functions.py).
+    # The NULL stratum (%6 == 5) stays NULL through both forms.
+    _url_strata = [
+        "https://WWW.News.example.com/Story/",
+        "http://user@Blog.Test.co.uk:8080/p?q=",
+        "files.example.org/data",
+        "https://a.b.co.jp/x",
+        "http://single-label-host/path",
+    ]
+    host_col = F.lit(None).cast("string")
+    dom_col = F.lit(None).cast("string")
+    for i in reversed(range(len(_url_strata))):
+        u = F.lit(_url_strata[i])
+        host_col = F.when(
+            F.col("doc_id") % 6 == i, extract_host(u)
+        ).otherwise(host_col)
+        dom_col = F.when(
+            F.col("doc_id") % 6 == i, registered_domain(u)
+        ).otherwise(dom_col)
+    # C49 fold, r14 shape: same constant-folding device — the script
+    # strata are 10 literals (+ NULL), so each class count is the
+    # operator's regexp_count over a literal, folded per CASE branch at
+    # plan time (9 classes × 11 strata evaluated once per plan, not
+    # 9 regex scans per row).
+    _per_stratum = [script_counts(F.lit(s)) for s in _SCRIPT_STRATA]
+    _null_stratum = script_counts(F.lit(None).cast("string"))
+    script_cols = []
+    for j, name in enumerate(SCRIPT_CLASSES):
+        c = _null_stratum[j]
+        for i in reversed(range(len(_SCRIPT_STRATA))):
+            c = F.when(F.col("doc_id") % 11 == i, _per_stratum[i][j]).otherwise(c)
+        script_cols.append(c.alias(f"n_{name}"))
+    # r14: ALL text-derived metrics come from ONE Arrow batch pass as
+    # exact integers (see _doc_metrics_batch above) — the r13
+    # interpreted-HOF projection is replaced by a single ArrowEvalPython
+    # node; the ratio/round/NULL arithmetic below is expression-
+    # identical to the r13 forms (dup_ratio / dup_char_fraction /
+    # top_run_char_fraction finishes), just fed from the counts.
     m = docs.select(
         "doc_id",
         "lang",
         "n_chars",
-        toks.alias("__toks"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).alias("sw_hits"),
-        F.size(
-            F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
-        ).alias("bpe_ish_tokens"),
-        # sorted-line copy for the char-weighted repetition scan (the
-        # sort is a per-row projection — materialized here, never
-        # re-derived inside an interpreted lambda)
-        F.array_sort(F.split(F.col("text"), "\n")).alias("__lines_s"),
-        # C49 fold: per-class script counts over the synthetic strata,
-        # materialized as real columns (the derivations below reference
-        # each count several times)
-        *script_counts(_script_stratum_col()),
-        # C43 fold: winnow k-gram hashes (k=8) over the PORTABLE md5-int
-        # hash, materialized a projection BEFORE the window lambda
-        # (CollapseProject keeps the O(len·k) gram hashing out of the
-        # per-window array_min — the winnow_fingerprints layout, inlined
-        # here to stay join-free). Gated to a deterministic 5% doc
-        # stratum (__wtext, materialized in the pre-projection): the
-        # interpreted HOF lambdas cost ~0.9 ms/doc over full text, and
-        # the full-corpus form blew the 2.5 s fold budget (6.5 s at
-        # sf0.1); the stratum keeps the end-to-end pipeline value-checked
-        # at ~1/20 the cost, the q_interval_join stratum discipline.
-        F.expr(gram_hashes_expr("__wtext", 8, PORTABLE_HASH_SQL)).alias(
-            "__wg"
-        ),
+        doc_text_metrics(F.col("text"), F.col("doc_id")).alias("__m"),
+        host_col.alias("url_host"),
+        dom_col.alias("url_domain"),
+        *script_cols,
     ).select(
-        # r13 note: a struct-array n-gram form (slice + arrays_zip +
-        # one fused run-length scan) was prototyped here and MEASURED
-        # SLOWER in context (warm best-of-3 gram leg 0.64 s string vs
-        # 1.37 s struct at sf0.1; the struct build wins standalone but
-        # the combined projection loses codegen) — the string grams
-        # with native array_distinct ratios and the r13 single-pass
-        # top-run scan are the fastest measured combination.
-        "*",
-        ngram_array(F.col("__toks"), 2).alias("__g2"),
-        ngram_array(F.col("__toks"), 3).alias("__g3"),
-    ).select(
-        "*",
-        F.array_sort(F.col("__g2")).alias("__g2s"),
-        F.expr(fingerprints_expr("__wg", 4)).alias("__wfp"),
+        "doc_id",
+        "lang",
+        "n_chars",
+        "url_host",
+        "url_domain",
+        *[f"n_{n}" for n in SCRIPT_CLASSES],
+        F.col("__m.n_tokens").alias("n_tokens"),
+        F.col("__m.sw_hits").alias("sw_hits"),
+        F.col("__m.bpe_ish_tokens").alias("bpe_ish_tokens"),
+        F.col("__m.d_tok").alias("__d_tok"),
+        F.col("__m.n_g2").alias("__n_g2"),
+        F.col("__m.d_g2").alias("__d_g2"),
+        F.col("__m.n_g3").alias("__n_g3"),
+        F.col("__m.d_g3").alias("__d_g3"),
+        F.col("__m.line_dup").alias("__line_dup"),
+        F.col("__m.line_tot").alias("__line_tot"),
+        F.col("__m.g2_best").alias("__g2_best"),
+        F.col("__m.g2_tot").alias("__g2_tot"),
+        F.col("__m.wfp_n").alias("__wfp_n"),
+        F.col("__m.wfp_min").alias("__wfp_min"),
     )
     atl = F.col("n_chars").cast("double") / F.col("n_tokens")
     rate = (
@@ -501,15 +622,24 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         stages=4,
         cuts=[32.0, 56.0, 76.0],
     )
+
+    def _dup_ratio(d: str, n: str) -> F.Column:
+        # dup_ratio over (distinct count, total count) — same expression
+        # tree as functions.dup_ratio on the materialized array
+        return F.when(
+            F.col(n) > 0,
+            F.round(1.0 - F.col(d).cast("double") / F.col(n), 4),
+        ).otherwise(F.lit(0.0))
+
     out = m.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("bpe_ish_tokens").cast("bigint").alias("bpe_ish_tokens"),
         F.round(atl, 4).alias("avg_token_len"),
         F.round(F.col("sw_hits").cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
-        dup_ratio(F.col("__toks")).alias("dup_token_ratio"),
-        dup_ratio(F.col("__g2")).alias("dup_2gram_ratio"),
-        dup_ratio(F.col("__g3")).alias("dup_3gram_ratio"),
+        _dup_ratio("__d_tok", "n_tokens").alias("dup_token_ratio"),
+        _dup_ratio("__d_g2", "__n_g2").alias("dup_2gram_ratio"),
+        _dup_ratio("__d_g3", "__n_g3").alias("dup_3gram_ratio"),
         (F.col("n_tokens").between(20, 1000) & atl.between(3, 12)).alias("passes_quality"),
         F.col("sw_hits").cast("bigint").alias("en_hits"),
         F.when(F.col("sw_hits") * 10 >= F.col("n_tokens"), "en-like")
@@ -517,10 +647,26 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lang_guess"),
         (gate < rate).alias("in_sample"),
         F.col("stage").cast("int").alias("curriculum_stage"),
-        extract_host(url).alias("url_host"),
-        registered_domain(url).alias("url_domain"),
-        dup_char_fraction(F.col("__lines_s")).alias("dup_line_char_frac"),
-        top_run_char_fraction(F.col("__g2s")).alias("top_2gram_char_frac"),
+        "url_host",
+        "url_domain",
+        # dup_char_fraction's finish: NULL line stats (NULL text) stay
+        # NULL — an aggregate over a NULL array returns NULL before the
+        # finish lambda runs
+        F.when(F.col("__line_tot").isNull(), F.lit(None).cast("double"))
+        .when(
+            F.col("__line_tot") > 0,
+            F.round(F.col("__line_dup").cast("double") / F.col("__line_tot"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_char_frac"),
+        # top_run_char_fraction's finish: empty g2 (NULL/short text)
+        # carries a zero accumulator through the finish → 0.0
+        F.when(
+            F.col("__g2_tot") > 0,
+            F.round(F.col("__g2_best").cast("double") / F.col("__g2_tot"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_char_frac"),
         # C49 fold: the operator's expression-level derivations over the
         # materialized counts — dominant-script tie-break (declaration
         # order), min-letters 'unknown' routing, letter-mass ratio — in
@@ -531,8 +677,8 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # C43 fold: fingerprint-set summary (count + min) — order-
         # insensitive, so array_distinct ordering differences between
         # engines cannot leak into the compare
-        F.size(F.col("__wfp")).cast("bigint").alias("wfp_n"),
-        F.array_min(F.col("__wfp")).alias("wfp_min"),
+        F.col("__wfp_n").cast("bigint").alias("wfp_n"),
+        F.col("__wfp_min").alias("wfp_min"),
     )
     return out
 

@@ -447,13 +447,18 @@ def test_folded_funnel_and_profiler_stay_cheap(spark, sf_dir):
 
 
 def test_doc_metrics_annotate_pass_is_map_only(spark, sf_dir):
-    """r10: the per-document annotate pass (q_doc_metrics) must stay a
-    single map-only projection — token/quality/repetition/URL/script
-    columns all derive in one scan with NO exchange and NO Python
-    crossing (the C49 script fold landed as expression-level
-    derivations precisely to keep it that way; a join or shuffle here
-    multiplies the widest-scan stage of a 100 TB annotate run)."""
+    """r10/r14: the per-document annotate pass (q_doc_metrics) must stay
+    map-only — one scan, NO exchange, NO join (a shuffle here multiplies
+    the widest-scan stage of a 100 TB annotate run). r14 (VERDICT r13
+    item 1): the interpreted-HOF gram machinery is replaced by exactly
+    ONE Arrow batch pass, so the pin now asserts a single
+    ArrowEvalPython crossing (and still no pickled-row BatchEvalPython,
+    no MapInPandas, no higher-order aggregate lambdas in the hot
+    projection)."""
     plan = plan_of(spark, sf_dir, "q_doc_metrics")
     assert "Exchange" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # the r13 interpreted scans are gone: no aggregate() lambda survives
+    assert "aggregate(" not in plan, plan
