@@ -160,6 +160,93 @@ def score_linear_portable(
     )
 
 
+def score_linear_portable_arrow(
+    docs: DataFrame,
+    text_col: str = "text",
+    score_col: str = "clf_score",
+    num_features: int = 4096,
+    weight_scale: float = 0.01,
+) -> DataFrame:
+    """Arrow-pass twin of `score_linear_portable` — bit-identical output
+    (r14, guide §4): the expression form pays an interpreted
+    higher-order `aggregate` with one JVM md5 per gram OCCURRENCE
+    (~120/doc) and never reaches whole-stage codegen. Here ONE
+    ArrowEvalPython node computes the margin per batch:
+
+    - tokenize/bigram rules mirror the expression form per code point
+      (ASCII fold regex, lower, split on non-alphanumeric runs — all
+      exact-equivalent on the post-fold ASCII text);
+    - the weight arithmetic is exact int64 → one float64 division/
+      multiply in the same order, and the margin is the same
+      left-to-right float fold, so margins are BIT-identical (pinned
+      against the expression form in tests/test_classify.py, 0
+      mismatches at sf0.1 in plans/r14/probe_exact_dedup_arrow.py);
+    - gram weights are a pure function of the gram, so a per-batch memo
+      collapses Zipf-repeated grams to one md5 each (558× repetition in
+      the fixture; bounded at 1M entries so executor memory stays
+      capped on adversarial vocabularies). No cross-run state: the memo
+      lives and dies inside each Arrow batch call.
+
+    Interleaved A/B on the q_exact_dedup host at sf0.1: 1.19 → 0.55 s.
+    Returns docs + ``{score_col}_margin`` + ``score_col`` exactly like
+    the expression form (NULL text → NULL margin/score)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    import re as _re
+
+    nonprint = _re.compile(r"[^ -~]")
+    splitter = _re.compile(r"[^a-z0-9]+")
+
+    # no type annotations: pandas_udf would try to resolve them against
+    # the function-local `pd` import and reject the signature
+    def _margin_batch(text):
+        import hashlib
+
+        md5 = hashlib.md5
+        memo: dict[str, float] = {}
+
+        def w(g: str) -> float:
+            v = memo.get(g)
+            if v is None:
+                h = int(md5(g.encode()).hexdigest()[:15], 16)
+                v = (
+                    ((h % num_features) * 2654435761 % 2000003 - 1000001)
+                    / 1000001.0
+                    * weight_scale
+                )
+                if len(memo) < 1_000_000:
+                    memo[g] = v
+            return v
+
+        out = []
+        for t in text.tolist():
+            if t is None:
+                out.append(None)
+                continue
+            toks = [x for x in splitter.split(nonprint.sub(" ", t).lower()) if x]
+            if len(toks) >= 2:
+                grams = toks + [
+                    f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+                ]
+            else:
+                grams = toks
+            acc = 0.0
+            for g in grams:
+                acc += w(g)
+            out.append(acc)
+        # float64 end to end: NaN never arises from finite weight sums,
+        # so None→NaN→null round-trips exactly on the Arrow boundary
+        return pd.Series(out, dtype="float64")
+
+    margin_udf = F.pandas_udf(_margin_batch, T.DoubleType())
+    m = docs.withColumn(f"{score_col}_margin", margin_udf(F.col(text_col)))
+    return m.withColumn(
+        score_col,
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(f"{score_col}_margin"))),
+    )
+
+
 def CLF_TOKS_SQL(text_expr: str) -> str:
     """DuckDB SQL for `score_linear_portable`'s token list (ASCII-fold →
     lower → split on non-alphanumeric runs → drop empties) — put this in

@@ -30,6 +30,16 @@ def sha_dedup_keep_first(df: DataFrame, text_col: str, key_col: str) -> DataFram
     """Exact dedup: keep the lowest-key row per sha256(text) — a
     deterministic winner, unlike dropDuplicates (SURVEY.md §7).
 
+    PRECONDITION (r14, ADVICE r13): ``key_col`` must be UNIQUE and
+    NON-NULL across rows with non-null text. The winner re-attaches by
+    semi-joining on the key ALONE (so the text payload never has to be
+    re-hashed or shuffled on the probe side); with duplicate keys a
+    non-winner row would be kept whenever its key wins some OTHER sha
+    group, and an all-NULL-key sha group would vanish (min(key) NULL).
+    Every in-repo caller passes a primary-key id (doc_id); callers with
+    non-unique keys must dedup the key first or use the row_number
+    window form.
+
     NULL texts are not duplicates of one another (same stance as
     urls.dedup_by_url: an unknown equals nothing) — they are all kept,
     and they never enter the winner aggregation at all.
@@ -364,25 +374,22 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shared-shingle blocking.
 
-    Instead of a self-equi-join of the exploded (doc, shingle) relation —
-    which evaluates the shingle transform once per join branch and
-    shuffles both — the posting list of each shingle is collected once
-    (`groupBy(shingle).collect_list`), df-capped, then RE-exploded into a
-    kept-mention stream that is `localCheckpoint`ed (lazy) and self-joined
-    on the shingle hash to emit the upper-triangle pairs. The re-explode
-    looks like the self-join just rejected, but differs in two
-    load-bearing ways: (a) the checkpoint pins the scan → shingle →
-    posting pipeline to exactly ONE execution — Catalyst's ReuseExchange
-    does not fire across these branches (the aliased projections
-    canonicalize differently), so without it the full pipeline runs once
-    per consumer; (b) pair generation runs in whole-stage codegen,
-    whereas the previous formulation built pairs in-array with nested
-    `transform` lambdas — interpreted per element, measured ~45% slower
-    at sf0.1 once the pair-mention stream reaches ~10⁷ entries. One
-    shingle computation, one shuffle of (doc, shingle), pair blow-up
-    still bounded by the hottest kept posting list. (LSH keeps the
-    in-array combos instead: its buckets are tiny, so the interpreted
-    per-pair cost is negligible against an extra join+distinct.)
+    Shape (r13, joinless): the exploded (doc, shingle) relation is
+    grouped into per-shingle posting lists (`groupBy(shingle).
+    collect_list`), df-capped, and the upper-triangle pairs come
+    STRAIGHT off each kept posting list via two stacked `explode`s plus
+    an a<b filter — both Generate nodes run in whole-stage codegen, and
+    there is NO mention-stream self-join, no second shuffle, no sort,
+    and no lineage-cut job (the r7-r12 form self-joined a checkpointed
+    kept-mention stream on the shingle hash; with the join gone neither
+    of its historical failure modes — AQE mis-broadcasting the full
+    mention stream, or the checkpoint re-executing per consumer — can
+    recur, pinned by the zero-Join plan test in tests/test_plans.py).
+    Pair volume is unchanged (Σ df² per kept shingle, df ≤ max_df, so
+    per-task fan-out stays bounded exactly as the join's hot key was);
+    the sf1 A/B read 3.3 s vs the join form's 26 s on the 10× dup-heavy
+    fixture. One shingle computation, one shuffle of (doc, shingle),
+    pair blow-up still bounded by the hottest kept posting list.
 
     `max_df` caps that bound and is ON BY DEFAULT: a shingle appearing in
     more docs than the cap is background vocabulary (standard df-pruning)

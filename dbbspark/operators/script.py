@@ -45,6 +45,20 @@ def script_counts(text: Column) -> list[Column]:
     ]
 
 
+def SCRIPT_COUNT_SQL(text_sql: str, name: str) -> str:
+    """Spark-SQL twin of one `script_counts` column over a SQL
+    expression string (r14): constant-stratum call sites (q_doc_metrics)
+    generate one CASE expression per class instead of paying a py4j
+    round-trip per expression node — same regexp_count over the same
+    SCRIPT_CLASSES constant, so values are the operator's own."""
+    from .urls import _sql_str
+
+    return (
+        f"regexp_count(coalesce({text_sql}, ''), "
+        f"{_sql_str(SCRIPT_CLASSES[name])})"
+    )
+
+
 def script_derivations(min_letters: int = 5) -> tuple[list[Column], Column]:
     """(ratio columns, dominant column) over ALREADY-MATERIALIZED
     ``n_<class>`` count columns (the script_counts output) — the

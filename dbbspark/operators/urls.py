@@ -73,11 +73,28 @@ def canonicalize_url(url: Column) -> Column:
     return u
 
 
+# Single-source regexes shared by the Column builders below and the
+# generated-SQL twins (HOST_SQL/REGISTERED_DOMAIN_SQL — r14): the
+# constant-URL call sites build one F.expr string instead of a py4j
+# round-trip per expression node.
+HOST_RE = r"^(?:[^/?]*://)?(?:[^@/?]*@)?([^:/?#]+)"
+_REG3_RE = rf"([^.]+\.(?:{_TWO_LABEL_SUFFIXES}))$"
+_REG2_RE = r"([^.]+\.[^.]+)$"
+
+
+def _sql_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal (backslash escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def extract_host(url: Column) -> Column:
     """The lowercase host (no scheme, port, path, or userinfo)."""
-    return F.lower(
-        F.regexp_extract(url, r"^(?:[^/?]*://)?(?:[^@/?]*@)?([^:/?#]+)", 1)
-    )
+    return F.lower(F.regexp_extract(url, HOST_RE, 1))
+
+
+def HOST_SQL(url_expr: str) -> str:
+    """Spark-SQL twin of `extract_host` over a SQL expression string."""
+    return f"lower(regexp_extract({url_expr}, {_sql_str(HOST_RE)}, 1))"
 
 
 def registered_domain(url: Column) -> Column:
@@ -86,12 +103,22 @@ def registered_domain(url: Column) -> Column:
     (co.uk etc. — `_TWO_LABEL_SUFFIXES` approximates the public-suffix
     list; swap in the full PSL as broadcast data for production)."""
     host = extract_host(url)
-    three = F.regexp_extract(
-        host, rf"([^.]+\.(?:{_TWO_LABEL_SUFFIXES}))$", 1
-    )
-    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    three = F.regexp_extract(host, _REG3_RE, 1)
+    two = F.regexp_extract(host, _REG2_RE, 1)
     return F.when(three != "", three).otherwise(
         F.when(two != "", two).otherwise(host)
+    )
+
+
+def REGISTERED_DOMAIN_SQL(url_expr: str) -> str:
+    """Spark-SQL twin of `registered_domain` (flattened CASE ≡ the
+    nested when/otherwise: a NULL comparison falls through both)."""
+    host = HOST_SQL(url_expr)
+    three = f"regexp_extract({host}, {_sql_str(_REG3_RE)}, 1)"
+    two = f"regexp_extract({host}, {_sql_str(_REG2_RE)}, 1)"
+    return (
+        f"CASE WHEN {three} != '' THEN {three} "
+        f"WHEN {two} != '' THEN {two} ELSE {host} END"
     )
 
 

@@ -73,11 +73,14 @@ def _exact_dedup_oracle() -> str:
     tags=("dedup", "closure"),
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.classify import score_linear_portable
+    # r14: the Arrow-pass scoring twin (bit-identical margins, pinned in
+    # tests/test_classify.py) — the expression form's interpreted
+    # per-gram md5 aggregate dominated the row (guide §4)
+    from ..operators.classify import score_linear_portable_arrow
 
     docs = load_table(spark, sf_dir, "documents")
     kept = D.sha_dedup_keep_first(docs, "text", "doc_id")
-    scored = score_linear_portable(kept, text_col="text")
+    scored = score_linear_portable_arrow(kept, text_col="text")
     return scored.select(
         "doc_id",
         F.sha2(F.col("text").cast("binary"), 256).alias("sha"),

@@ -331,6 +331,70 @@ def _doc_metrics_batch(text: pd.Series, did: pd.Series) -> pd.DataFrame:
 doc_text_metrics = F.pandas_udf(_doc_metrics_batch, _DOC_METRICS_SCHEMA)
 
 
+# --- r14: generated constant-stratum CASE SQL for the C37/C49 folds -------
+#
+# Both legs are pure functions of doc_id % k over literal strata, so each
+# output column is ONE CASE whose branches apply the operators' SQL twins
+# (urls.HOST_SQL / REGISTERED_DOMAIN_SQL, script.SCRIPT_COUNT_SQL) to a
+# string literal — Catalyst constant-folds every branch at plan time.
+# Built once at import as plain strings: the previous py4j when/otherwise
+# composition cost ~2.5 s of plan-build per bench run (~900 gateway
+# round-trips), which sat inside the timed region.
+
+from ..operators.script import SCRIPT_COUNT_SQL as _SCRIPT_COUNT_SQL  # noqa: E402
+from ..operators.urls import (  # noqa: E402
+    HOST_SQL as _HOST_SQL,
+    REGISTERED_DOMAIN_SQL as _REG_DOM_SQL,
+    _sql_str,
+)
+
+_URL_STRATA = (
+    "https://WWW.News.example.com/Story/",
+    "http://user@Blog.Test.co.uk:8080/p?q=",
+    "files.example.org/data",
+    "https://a.b.co.jp/x",
+    "http://single-label-host/path",
+)
+
+
+_URL_HOST_CASE_SQL = (
+    "CASE CAST(doc_id % 6 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN {_HOST_SQL(_sql_str(u))}"
+        for i, u in enumerate(_URL_STRATA)
+    )
+    + " ELSE CAST(NULL AS STRING) END"
+)
+_URL_DOMAIN_CASE_SQL = (
+    "CASE CAST(doc_id % 6 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN {_REG_DOM_SQL(_sql_str(u))}"
+        for i, u in enumerate(_URL_STRATA)
+    )
+    + " ELSE CAST(NULL AS STRING) END"
+)
+# per class: CASE over the 10 strata, ELSE = the operator's NULL-text
+# path (regexp_count over coalesce(NULL,'') — folds to 0)
+_SCRIPT_COUNT_CASE_SQL = {}
+
+
+def _build_script_cases() -> None:
+    from ..operators.script import SCRIPT_CLASSES
+
+    for name in SCRIPT_CLASSES:
+        branches = " ".join(
+            f"WHEN {i} THEN {_SCRIPT_COUNT_SQL(_sql_str(s), name)}"
+            for i, s in enumerate(_SCRIPT_STRATA)
+        )
+        _SCRIPT_COUNT_CASE_SQL[name] = (
+            f"CASE CAST(doc_id % 11 AS INT) {branches} "
+            f"ELSE {_SCRIPT_COUNT_SQL('CAST(NULL AS STRING)', name)} END"
+        )
+
+
+_build_script_cases()
+
+
 @query(
     "q_doc_metrics",
     oracle=f"""
@@ -529,47 +593,23 @@ doc_text_metrics = F.pandas_udf(_doc_metrics_batch, _DOC_METRICS_SCHEMA)
 def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import md5_int_col
     from ..operators.script import SCRIPT_CLASSES
-    from ..operators.urls import extract_host, registered_domain
 
     docs = load_table(spark, sf_dir, "documents")
-    # C37 fold, r14 shape: the host/registrable-domain regex chain is
-    # LOOP-INVARIANT per URL stratum — the host capture stops at the
-    # first '/', ':' or '?', so the doc_id suffix strata 0/1 append
-    # never reaches it. Applying the operators' own expressions to each
-    # stratum's literal prefix lets Catalyst constant-fold the regexes
-    # at plan time (one evaluation per plan instead of one per row;
-    # prefix ≡ full-url equality pinned in tests/test_functions.py).
-    # The NULL stratum (%6 == 5) stays NULL through both forms.
-    _url_strata = [
-        "https://WWW.News.example.com/Story/",
-        "http://user@Blog.Test.co.uk:8080/p?q=",
-        "files.example.org/data",
-        "https://a.b.co.jp/x",
-        "http://single-label-host/path",
+    # C37/C49 folds, r14 shape: the host/domain and script-count regex
+    # chains are LOOP-INVARIANT per stratum (the host capture stops at
+    # the first '/', ':' or '?', so the doc_id suffix never reaches it
+    # — pinned in tests/test_functions.py), so both legs become ONE
+    # generated CASE over the operators' own SQL twins applied to each
+    # stratum LITERAL: Catalyst constant-folds every branch at plan
+    # time (zero per-row regex work), and generating SQL text instead
+    # of composing ~900 py4j Column calls cuts ~2.5 s of PLAN-BUILD
+    # time per run (measured; plan construction is inside the bench's
+    # timed region). CASE-equality with the original per-row operator
+    # forms is pinned in tests/test_functions.py.
+    script_cols = [
+        F.expr(_SCRIPT_COUNT_CASE_SQL[name]).alias(f"n_{name}")
+        for name in SCRIPT_CLASSES
     ]
-    host_col = F.lit(None).cast("string")
-    dom_col = F.lit(None).cast("string")
-    for i in reversed(range(len(_url_strata))):
-        u = F.lit(_url_strata[i])
-        host_col = F.when(
-            F.col("doc_id") % 6 == i, extract_host(u)
-        ).otherwise(host_col)
-        dom_col = F.when(
-            F.col("doc_id") % 6 == i, registered_domain(u)
-        ).otherwise(dom_col)
-    # C49 fold, r14 shape: same constant-folding device — the script
-    # strata are 10 literals (+ NULL), so each class count is the
-    # operator's regexp_count over a literal, folded per CASE branch at
-    # plan time (9 classes × 11 strata evaluated once per plan, not
-    # 9 regex scans per row).
-    _per_stratum = [script_counts(F.lit(s)) for s in _SCRIPT_STRATA]
-    _null_stratum = script_counts(F.lit(None).cast("string"))
-    script_cols = []
-    for j, name in enumerate(SCRIPT_CLASSES):
-        c = _null_stratum[j]
-        for i in reversed(range(len(_SCRIPT_STRATA))):
-            c = F.when(F.col("doc_id") % 11 == i, _per_stratum[i][j]).otherwise(c)
-        script_cols.append(c.alias(f"n_{name}"))
     # r14: ALL text-derived metrics come from ONE Arrow batch pass as
     # exact integers (see _doc_metrics_batch above) — the r13
     # interpreted-HOF projection is replaced by a single ArrowEvalPython
@@ -581,8 +621,8 @@ def q_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         doc_text_metrics(F.col("text"), F.col("doc_id")).alias("__m"),
-        host_col.alias("url_host"),
-        dom_col.alias("url_domain"),
+        F.expr(_URL_HOST_CASE_SQL).alias("url_host"),
+        F.expr(_URL_DOMAIN_CASE_SQL).alias("url_domain"),
         *script_cols,
     ).select(
         "doc_id",

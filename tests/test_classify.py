@@ -181,3 +181,37 @@ def _bigram_w(spark, gram):
         )
         .first()[0]
     )
+
+
+def test_arrow_scoring_is_bit_identical_to_expression_form(spark):
+    """r14 pin: score_linear_portable_arrow reproduces the expression
+    form's margins BIT-identically (same tokenization per code point,
+    same exact-int weight arithmetic, same left-fold float addition
+    order), including NULL text, empty/whitespace text, single-token
+    docs, non-ASCII fold, and non-default num_features/weight_scale."""
+    from dbbspark.operators.classify import (
+        score_linear_portable,
+        score_linear_portable_arrow,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "beta"),
+        (5, "beta beta beta beta"),
+        (6, "The QUICK brown-fox; jumps_over 42 lazy dogs!"),
+        (7, "café naïve 中文 résumé"),
+        (8, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 4),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for kw in ({}, {"num_features": 128, "weight_scale": 0.5}):
+        a = {
+            r["doc_id"]: (r["clf_score_margin"], r["clf_score"])
+            for r in score_linear_portable(docs, **kw).collect()
+        }
+        b = {
+            r["doc_id"]: (r["clf_score_margin"], r["clf_score"])
+            for r in score_linear_portable_arrow(docs, **kw).collect()
+        }
+        assert a == b, f"{kw}: {a} vs {b}"  # == is exact: bit-identical

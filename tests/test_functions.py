@@ -243,3 +243,49 @@ def test_url_host_is_invariant_to_id_suffix(spark):
             registered_domain(F.col("u")).alias("d"),
         ).collect()
         assert len({(v["h"], v["d"]) for v in vals}) == 1, vals
+
+
+def test_doc_metrics_stratum_cases_equal_operator_forms(spark):
+    """r14 pin: the generated constant-stratum CASE SQL (url host/domain
+    + script class counts) equals the per-row operator forms
+    (extract_host/registered_domain over the synthesized URL column,
+    script_counts over the stratum column) for every residue class,
+    including the NULL strata."""
+    from dbbspark.operators.script import SCRIPT_CLASSES, script_counts
+    from dbbspark.operators.urls import extract_host, registered_domain
+    from dbbspark.queries.text import (
+        _SCRIPT_COUNT_CASE_SQL,
+        _URL_DOMAIN_CASE_SQL,
+        _URL_HOST_CASE_SQL,
+        _script_stratum_col,
+    )
+
+    docs = spark.range(0, 66 * 2).select(F.col("id").alias("doc_id"))
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("https://WWW.News.example.com/Story/"), did))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("http://user@Blog.Test.co.uk:8080/p?q="), did))
+        .when(F.col("doc_id") % 6 == 2, F.lit("files.example.org/data"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("https://a.b.co.jp/x"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("http://single-label-host/path"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    rows = docs.select(
+        "doc_id",
+        extract_host(url).alias("h_op"),
+        F.expr(_URL_HOST_CASE_SQL).alias("h_case"),
+        registered_domain(url).alias("d_op"),
+        F.expr(_URL_DOMAIN_CASE_SQL).alias("d_case"),
+        *script_counts(_script_stratum_col()),
+        *[
+            F.expr(_SCRIPT_COUNT_CASE_SQL[n]).alias(f"case_n_{n}")
+            for n in SCRIPT_CLASSES
+        ],
+    ).collect()
+    for r in rows:
+        assert r["h_op"] == r["h_case"], r
+        assert r["d_op"] == r["d_case"], r
+        for n in SCRIPT_CLASSES:
+            assert r[f"n_{n}"] == r[f"case_n_{n}"], (n, r)
