@@ -202,3 +202,21 @@ def money_sum(col: Column | str, alias: str) -> Column:
 def MONEY_SUM_SQL(expr: str, alias: str) -> str:
     """DuckDB SQL counterpart of `money_sum` (same DECIMAL discipline)."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+
+def round_half_up_py(x: float | None, scale: int) -> float | None:
+    """Python twin of ``F.round`` on DOUBLE columns (r14): Spark rounds
+    via ``BigDecimal.valueOf(x).setScale(scale, HALF_UP)`` where
+    ``BigDecimal.valueOf`` parses ``Double.toString``'s shortest decimal
+    representation — exactly what Python's ``repr(float)`` produces — so
+    ``Decimal(repr(x))`` + ``ROUND_HALF_UP`` reproduces the value
+    bit-for-bit. Driver-regime callers (the q_dedup_clusters fused
+    local assembly) use it to finish already-collected rows without a
+    Spark job; equality with F.round is pinned in
+    tests/test_functions.py including .5 ties and repr-edge doubles."""
+    if x is None:
+        return None
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))

@@ -775,11 +775,23 @@ def cluster_rank_adaptive(
     on the distributed path) — driver-regime callers (the
     q_dedup_clusters purity stratum) that need the rows anyway then
     derive them without re-collecting the local relation they just
-    built."""
+    built.
+
+    Probe memory (r14, ADVICE r13): the path decision is TWO-phase so
+    the distributed path never materializes threshold-many driver rows.
+    Phase 1 pulls at most ``small_probe_cap`` + 1 edges (Arrow
+    ``toPandas`` — two numeric columns, ~16 B/edge in pandas) — the
+    common case for counted-regime graphs, still one job. Only when
+    that overflows does a bounded ``limit(threshold+1).count()`` decide
+    between collecting the full edge set (now KNOWN ≤ threshold) and
+    delegating. The small path's Python edge list costs ~100-200 B/
+    tuple — ~0.2-0.4 GB at the 2 M default threshold, which is the
+    driver-regime price for O(E α(E)) union-find, not the probe's."""
     from pyspark.sql import types as T
 
     from .graph import pagerank, pagerank_numpy
 
+    small_probe_cap = min(100_000, driver_edge_threshold)
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col(src) != F.col(dst))
@@ -791,21 +803,24 @@ def cluster_rank_adaptive(
         T.StructField("component", ntype),
         T.StructField("rank", T.DoubleType()),
     ])
-    probe = e.limit(driver_edge_threshold + 1).collect()
-    if len(probe) > driver_edge_threshold:
-        del probe
-        cc = connected_components_star(e, "u", "v")
-        edges = e.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
-            e.select("v", "u")
-        )
-        pr = pagerank(
-            edges, src="s", dst="d", damping=damping, max_iter=max_iter,
-            tol=0.0, assume_no_dangling=True, assume_distinct=True,
-            scaled=True,
-        )
-        out = cc.join(pr, "node").select("node", "component", "rank")
-        return (out, None) if with_local_rows else out
-    und = [(r["u"], r["v"]) for r in probe]
+    pdf = e.limit(small_probe_cap + 1).toPandas()
+    if len(pdf) > small_probe_cap:
+        cnt = e.limit(driver_edge_threshold + 1).count()
+        if cnt > driver_edge_threshold:
+            del pdf
+            cc = connected_components_star(e, "u", "v")
+            edges = e.select(
+                F.col("u").alias("s"), F.col("v").alias("d")
+            ).union(e.select("v", "u"))
+            pr = pagerank(
+                edges, src="s", dst="d", damping=damping, max_iter=max_iter,
+                tol=0.0, assume_no_dangling=True, assume_distinct=True,
+                scaled=True,
+            )
+            out = cc.join(pr, "node").select("node", "component", "rank")
+            return (out, None) if with_local_rows else out
+        pdf = e.toPandas()
+    und = list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
     comp = dict(union_find_components(und))
     ranks = pagerank_numpy(
         und + [(b, a) for a, b in und], damping, max_iter, tol=0.0,

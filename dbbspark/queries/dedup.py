@@ -415,6 +415,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"node": c, "component": c} for c in {c for _n, c in stratum}
     ]
     jmap = member_rep_jaccard_map(docs, comp_rows, "doc_id", "text", 3)
+    if local_rows is not None:
+        # r14 (guide §5 — the driver does no data work it can avoid):
+        # on the driver regime every input is ALREADY local, so the
+        # final frame is assembled in Python — ONE createDataFrame
+        # instead of two + a broadcast join + two withColumn jobs.
+        # round_half_up_py ≡ F.round and md5_int_py ≡ md5_int_col are
+        # pinned in tests (leakage_safe_split's pmod == % here: the
+        # md5-int is non-negative). Interleaved tail A/B: 1.47 → 0.48 s
+        # (plans/r14/probe_dedup_clusters.py). The distributed path
+        # keeps the composed join/split below.
+        from pyspark.sql import types as T
+
+        from ..functions import round_half_up_py
+
+        final = [
+            (
+                n,
+                c,
+                round_half_up_py(rank, 4),
+                round_half_up_py(jmap.get(n), 6),
+                md5_int_py("split-v1" + str(c)) % 1_000_000 < 100_000,
+            )
+            for n, c, rank in local_rows
+        ]
+        return spark.createDataFrame(
+            final,
+            T.StructType([
+                T.StructField("doc", T.LongType()),
+                T.StructField("component", T.LongType()),
+                T.StructField("pr3", T.DoubleType()),
+                T.StructField("purity_j", T.DoubleType()),
+                T.StructField("is_val", T.BooleanType()),
+            ]),
+        )
     purity = spark.createDataFrame(
         [(int(m), float(j)) for m, j in jmap.items()],
         "node long, purity_j double",

@@ -192,3 +192,48 @@ def test_md5_int_py_matches_spark_expr(spark):
     }
     for v in vals:
         assert got[v] == D.md5_int_py(v), v
+
+
+def test_dedup_clusters_fused_local_assembly_matches_composed(spark, sf_dir):
+    """r14 pin: q_dedup_clusters' driver-path output (one local
+    createDataFrame assembled in Python) equals the composed
+    join+F.round+leakage_safe_split tail over the same
+    cluster_rank_adaptive rows and purity map."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.catalog import load_all
+    from dbbspark.operators import dedup as D
+    from dbbspark.operators.audit import member_rep_jaccard_map
+    from dbbspark.operators.dedup import md5_int_py
+    from dbbspark.operators.scrub import leakage_safe_split
+    from dbbspark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                            threshold=0.5, max_df=1000)
+    ranked, local_rows = D.cluster_rank_adaptive(
+        pairs, src="doc_a", dst="doc_b", damping=0.85, max_iter=3,
+        with_local_rows=True,
+    )
+    assert local_rows is not None  # fixture graphs take the driver path
+    stratum = [(n, c) for n, c, _r in local_rows
+               if n != c and md5_int_py("purity-v1" + str(n)) % 100 < 25]
+    comp_rows = [{"node": n, "component": c} for n, c in stratum]
+    comp_rows += [{"node": c, "component": c} for c in {c for _n, c in stratum}]
+    jmap = member_rep_jaccard_map(docs, comp_rows, "doc_id", "text", 3)
+    purity = spark.createDataFrame(
+        [(int(m), float(j)) for m, j in jmap.items()],
+        "node long, purity_j double")
+    composed = leakage_safe_split(
+        ranked.join(F.broadcast(purity), "node", "left").select(
+            F.col("node").alias("doc"), "component",
+            F.round(F.col("rank"), 4).alias("pr3"),
+            F.round(F.col("purity_j"), 6).alias("purity_j")),
+        "component", val_fraction=0.1)
+    got = load_all()["q_dedup_clusters"].builder(
+        spark, sf_dir).collect()
+    want = composed.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert [f.name for f in load_all()["q_dedup_clusters"]
+            .builder(spark, sf_dir).schema] == \
+        [f.name for f in composed.schema]

@@ -289,3 +289,24 @@ def test_doc_metrics_stratum_cases_equal_operator_forms(spark):
         assert r["d_op"] == r["d_case"], r
         for n in SCRIPT_CLASSES:
             assert r[f"n_{n}"] == r[f"case_n_{n}"], (n, r)
+
+
+def test_round_half_up_py_matches_spark_round(spark):
+    """r14 pin: round_half_up_py ≡ F.round on doubles — exact .5 ties
+    at several scales, negatives, repr-edge doubles (0.1+0.2), very
+    small/large magnitudes, and None."""
+    from dbbspark.functions import round_half_up_py
+
+    vals = [
+        0.00005, 0.00015, 0.000049999, -0.00005, -0.00015,
+        0.5, 1.5, 2.5, -2.5, 0.12345, 0.123456789,
+        0.1 + 0.2, 1e-12, -1e-12, 123456.789054999, 98765.000050001,
+        2.0 ** 52 + 0.5, 0.0, -0.0, 1.00005, 0.9999950000001,
+    ]
+    for scale in (4, 6):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = [r["r"] for r in
+               df.select(F.round("x", scale).alias("r")).collect()]
+        want = [round_half_up_py(v, scale) for v in vals]
+        assert got == want, list(zip(vals, got, want))
+    assert round_half_up_py(None, 4) is None
