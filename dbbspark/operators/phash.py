@@ -881,16 +881,29 @@ def hamming_ball_stats(
     hashes, reps, pairs = _rep_graph(df, id_col, hash_col, max_distance, bands)
     from ..session import cut_lineage
 
-    # Gate on a count of the lineage-cut reps BEFORE collecting: an
-    # unconditional take(threshold+1) ships up to threshold+1 rows to
-    # the driver even when the rep graph exceeds the bound and the
-    # distributed regime runs anyway (ADVICE r9). The count materializes
-    # the localCheckpoint once; the collect then reads cached blocks —
-    # and it only happens when the driver regime is actually selected
-    # (the connected_components_adaptive pattern).
-    if reps.count() <= driver_rep_threshold:
+    # r14 (the cluster_rank_adaptive two-phase device): ONE bounded
+    # Arrow probe decides the common case — limit(cap+1).toPandas()
+    # both materializes the lineage-cut reps AND ships them when they
+    # fit, replacing the r9-r13 count job + collect job. Only an
+    # overflowing probe pays the count, and the distributed regime
+    # never materializes threshold-many driver rows (ADVICE r9's
+    # original complaint stays fixed).
+    cap = min(100_000, driver_rep_threshold)
+    pdf = reps.limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        if reps.limit(driver_rep_threshold + 1).count() <= driver_rep_threshold:
+            pdf = reps.toPandas()
+        else:
+            pdf = None
+    if pdf is not None:
+        rep_rows = [
+            {"_ph": a, "_rep": b, "_cnt": c}
+            for a, b, c in zip(
+                pdf["_ph"].tolist(), pdf["_rep"].tolist(), pdf["_cnt"].tolist()
+            )
+        ]
         res = _ball_stats_driver(
-            hashes, reps, reps.collect(), max_distance, bands, id_col
+            hashes, reps, rep_rows, max_distance, bands, id_col
         )
         if res is not None:
             return res
