@@ -152,7 +152,18 @@ def _create_exclusive(fs, jvm, path_str: str, payload: str) -> bool:
             from urllib.parse import urlparse
 
             raw = urlparse(raw).path
-        if not jvm.java.io.File(raw).createNewFile():
+        f = jvm.java.io.File(raw)
+        # Hadoop's create() made parents implicitly; createNewFile()
+        # throws IOException on a missing parent instead (ADVICE r13) —
+        # mkdirs first so a fresh root acquires rather than erroring.
+        # Note: between createNewFile() and the payload write below the
+        # lock exists EMPTY for a moment; a concurrent stale-breaker
+        # compares ages, not contents, so an empty same-aged file is
+        # never broken (see lock_break_stale_after).
+        parent = f.getParentFile()
+        if parent is not None and not parent.exists():
+            parent.mkdirs()
+        if not f.createNewFile():
             return False
         out = fs.create(p, True)
     else:

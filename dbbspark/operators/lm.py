@@ -306,7 +306,13 @@ def dsir_weights(
     log_ratio = n_grams * (nll_source - nll_target)); the composed ≡
     fused equivalence is pinned in tests/test_lm.py. Models must share
     the gram order so the per-doc gram counts line up; docs too short
-    to score get a null log_ratio (report-don't-drop)."""
+    to score get a null log_ratio (report-don't-drop).
+
+    Raises ``ValueError`` when either model's vocabulary is empty
+    (vocab_size <= 0 — e.g. the target condition matched zero docs):
+    an empty-vocab model has no smoothing denominator, and the
+    `perplexity` path the composed form routes through raises the same
+    error — pinned for both forms in tests/test_lm.py (ADVICE r13)."""
     if lm_target.n != lm_source.n:
         raise ValueError("target and source models must share the gram order")
     if lm_target.vocab_size <= 0 or lm_source.vocab_size <= 0:

@@ -581,3 +581,16 @@ def test_corrupt_slot_record_delete_failure_refuses(
     monkeypatch.undo()
     # the foreign dir carries no _SUCCESS: nothing reads as committed
     assert committed_versions(spark, root) == []
+
+
+def test_exclusive_lock_acquires_when_parent_dir_missing(spark, tmp_path):
+    """ADVICE r13 pin: the local-FS atomic path (createNewFile) must
+    create missing parent directories the way Hadoop create() did
+    implicitly — a lock under a not-yet-existing root acquires instead
+    of raising IOException."""
+    root = str(tmp_path / "never" / "made" / "ds")
+    with exclusive_lock(spark, root, purpose="fresh-root"):
+        pass
+    # and again (release left the slot clean)
+    with exclusive_lock(spark, root, purpose="fresh-root-2"):
+        pass

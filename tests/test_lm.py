@@ -370,3 +370,29 @@ def test_train_ngram_lm_pair_matches_composed(spark):
             assert w1[d][1] is None
         else:
             assert abs(w0[d][1] - w1[d][1]) < 1e-9
+
+
+def test_dsir_weights_empty_target_raises_like_perplexity(spark):
+    """ADVICE r13 pin: a target model with an empty vocabulary (the
+    target condition matched zero docs) raises ValueError from BOTH the
+    fused dsir_weights and the perplexity path the composed form
+    routes through — the degenerate case is a loud error, not a silent
+    frame, in either formulation."""
+    from dbbspark.operators.lm import (
+        dsir_weights,
+        perplexity,
+        train_ngram_lm_pair,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "src"), (2, "beta gamma delta", "src")],
+        "doc_id long, text string, kind string",
+    )
+    lm_t, lm_s = train_ngram_lm_pair(
+        docs, F.col("kind") == "never-matches", text_col="text", n=2
+    )
+    assert lm_t.vocab_size == 0 and lm_s.vocab_size > 0
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        dsir_weights(docs, lm_t, lm_s, id_col="doc_id", text_col="text")
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        perplexity(docs, lm_t, id_col="doc_id", text_col="text")
