@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import shingle_docs
+from .dedup import shingle_hash_docs
 
 
 def cluster_purity(
@@ -78,16 +78,13 @@ def cluster_purity(
             return _cluster_purity_driver(
                 docs, comp.collect(), id_col, text_col, shingle_n, suspect_below
             )
-    sh = shingle_docs(
+    # distinct shingle hashes per involved doc + per-doc set size —
+    # tuple-hashed without building shingle strings (r14; equality
+    # classes identical, see shingle_hash_docs)
+    sh = shingle_hash_docs(
         docs.join(involved, id_col, "left_semi"), id_col, text_col, shingle_n
     )
-    # distinct shingle hashes per involved doc + per-doc set size
-    mentions = sh.select(
-        F.col("doc"),
-        F.explode(
-            F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
-        ).alias("h"),
-    )
+    mentions = sh.select(F.col("doc"), F.explode("hs").alias("h"))
     sizes = mentions.groupBy("doc").agg(F.count("*").alias("n_sh"))
 
     # Exact text hash per involved doc: documents shorter than

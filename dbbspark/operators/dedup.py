@@ -118,6 +118,51 @@ def shingle_docs(
     )
 
 
+def shingle_hash_docs(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, n_sh, hs array<long>) — distinct n-token shingles as
+    INTERNAL 64-bit hashes, without ever building the shingle strings
+    (r14, guide §4.1 per-task work).
+
+    `shingle_docs` + transform(xxhash64) builds ~L concat_ws strings per
+    doc only to hash them, and runs array_distinct over those strings —
+    all interpreted lambda work. Here each position hashes its token
+    TUPLE directly (multi-arg xxhash64) and array_distinct runs over
+    longs. Equality classes are unchanged: tokens come from
+    split(text, ' ') so they are space-free, which makes
+    concat_ws(' ', t_i..t_{i+n-1}) INJECTIVE on token tuples — two
+    positions had equal shingle strings iff they have equal tuples. The
+    only semantic delta is WHICH 64-bit internal hash may collide
+    (tuple-hash vs hash-of-string), the same ~(distinct)²/2⁶⁵ risk
+    jaccard_pairs already accepts and documents; n_sh (the exact Jaccard
+    denominator) now counts distinct hashes, identical to distinct
+    strings except under such a collision. Pair-set identity and per-doc
+    n_sh equality vs the string front verified at sf0.1
+    (plans/r14/probe_shingle_tuplehash.py: 256/256 pairs, 0 n_sh diffs;
+    interleaved full-pipeline A/B 1.50 → 1.12 s best-of-7).
+
+    ONLY for consumers whose hashes stay internal (jaccard_pairs,
+    _kept_shingle_structs, the purity audit): minhash/simhash/scrub keep
+    md5-derived STRING hashes because theirs are output values the
+    DuckDB oracle must reproduce."""
+    toks = F.col("__toks")
+    n_pos = F.size(toks) - (n - 1)
+    # same sequence(1, 0)-descends guard as shingles_from_tokens
+    idx = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    th = lambda i: F.xxhash64(  # noqa: E731
+        *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+        .where(F.size("__toks") >= n)
+        .select("doc", F.array_distinct(F.transform(idx, th)).alias("hs"))
+        .select("doc", F.size("hs").alias("n_sh"), "hs")
+    )
+
+
 def md5_int_col(c: Column, hex_digits: int = 15) -> Column:
     """Engine-portable string→int hash: first `hex_digits` hex chars of
     md5 as a bigint (15 hex digits < 2^60, fits signed 64-bit in both
@@ -411,21 +456,20 @@ def jaccard_pairs(
     pair stream widens from two longs to four, a fair trade measured
     ~20% faster end-to-end at sf0.1 (2.0 s → 1.6 s).
 
-    Shingles are xxhash64'd to int64 BEFORE the explode: the mention
-    stream — the operator's widest shuffle — carries (doc, hash) longs
-    instead of ~25-byte shingle strings (~20% faster end-to-end at
-    sf0.1). The hash is internal only (outputs are doc pairs); a 64-bit
-    collision would merge two shingles' postings, with probability
-    ~(distinct shingles)²/2⁶⁵ — ~10⁻⁴ even at 10⁸ distinct shingles, and
-    it could only perturb one pair's intersection count by 1. minhash/
-    simhash keep md5-derived hashes instead because THEIR hashes are the
-    output values and must reproduce across engines."""
-    sh = shingle_docs(docs, id_col, text_col, shingle_n)
-    mentions = sh.select(
-        "doc",
-        F.size("shingles").alias("n_sh"),
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle"),
-    )
+    Shingles are 64-bit-hashed BEFORE the explode: the mention stream —
+    the operator's widest shuffle — carries (doc, hash) longs instead of
+    ~25-byte shingle strings (~20% faster end-to-end at sf0.1). r14 goes
+    one step further: the shingle STRINGS are never built at all —
+    `shingle_hash_docs` hashes each token tuple directly (equality
+    classes identical; see its docstring). The hash is internal only
+    (outputs are doc pairs); a 64-bit collision would merge two
+    shingles' postings, with probability ~(distinct shingles)²/2⁶⁵ —
+    ~10⁻⁴ even at 10⁸ distinct shingles, and it could only perturb one
+    pair's intersection count by 1. minhash/simhash keep md5-derived
+    hashes instead because THEIR hashes are the output values and must
+    reproduce across engines."""
+    sh = shingle_hash_docs(docs, id_col, text_col, shingle_n)
+    mentions = sh.select("doc", "n_sh", F.explode("hs").alias("shingle"))
     # Unsorted collect_list: the self-join below orders pairs with a
     # doc_a < doc_b predicate, so a per-posting sort is pure overhead
     # (measured ~10% of the pipeline at sf0.1).
@@ -474,11 +518,11 @@ def _kept_shingle_structs(
     struct list sorted rarest-first — the capped-Jaccard verification
     state shared by the prefix and LSH formulations. Intersections count
     only shingles with 2 ≤ df ≤ max_df; `na` stays the FULL size, so
-    capped Jaccard is a lower bound (see jaccard_pairs)."""
-    sh = shingle_docs(docs, id_col, text_col, shingle_n)
-    mentions = sh.select(
-        "doc", F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("h")
-    )
+    capped Jaccard is a lower bound (see jaccard_pairs). Hashes come
+    from `shingle_hash_docs` (r14) — internal-only, same equality
+    classes as the string shingles, no string construction."""
+    sh = shingle_hash_docs(docs, id_col, text_col, shingle_n)
+    mentions = sh.select("doc", F.explode("hs").alias("h"))
     dfs = mentions.groupBy("h").agg(F.count("*").alias("df"))
     m = mentions.join(dfs, "h")
     cap = F.lit(max_df) if max_df is not None else F.lit(None).cast("long")

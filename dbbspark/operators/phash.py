@@ -278,6 +278,121 @@ def thumbnails(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def decode_and_thumbnails(
+    df: DataFrame,
+    kind: str = "image",
+    thumb_kind: str | None = None,
+    content_col: str = "content",
+    on_unregistered: str | None = None,
+    min_variance: float | None = None,
+) -> DataFrame:
+    """`decode_media` + `thumbnails` in ONE Arrow crossing (r14, guide
+    §4): the composed pair ships the payload across the Python boundary
+    four times (in+out per mapInPandas pass) and re-serializes the
+    decoded struct through the second pass untouched. Here the bytes
+    cross ONCE and ``content_col`` is dropped inside the worker, so only
+    the narrow features (``decoded`` struct + ``thumb`` array) return to
+    the JVM. Interleaved A/B on the q_multimodal_decode front at sf0.1:
+    1.97 → 0.78 s best-of-5 (plans/r14/probe_multimodal_fused.py), 0/5000
+    value mismatches vs the composed pair.
+
+    Per-row semantics are EXACTLY the composed operators' (pinned in
+    tests/test_phash.py): NULL content → decoded/thumb NULL; a decoder
+    or thumbnailer raising → that column NULL, row survives;
+    ``min_variance`` NULLs degenerate thumbs; ``on_unregistered``
+    follows `thumbnails` ('fake'/'null'/'error'/None-warn).
+    ``thumb_kind`` defaults to ``kind``. Output: ``df``'s columns minus
+    ``content_col``, then ``decoded``, then ``thumb`` — the composed
+    pipeline's columns after the caller's usual ``drop(content)``."""
+    from ..sources.multimodal import (
+        DECODE_SCHEMA,
+        _DECODERS,
+        _fake_decode,
+        _load_default_codecs,
+    )
+
+    _load_default_codecs()
+    _load_default_thumbnailers()
+    if on_unregistered not in (None, "fake", "null", "error"):
+        raise ValueError(
+            "on_unregistered must be one of 'fake'|'null'|'error' (or "
+            "None for fake-with-warning)"
+        )
+    tkind = kind if thumb_kind is None else thumb_kind
+    decoder = _DECODERS.get(kind, _fake_decode)
+    tfn = _THUMBNAILERS.get(tkind)
+    thumb_disabled = False
+    if tfn is None:
+        if on_unregistered == "error":
+            raise ValueError(
+                f"decode_and_thumbnails: no registered thumbnailer for "
+                f"kind={tkind!r} (registered: {sorted(_THUMBNAILERS)}); "
+                "pass on_unregistered='fake'|'null' or register one"
+            )
+        if on_unregistered == "null":
+            thumb_disabled = True
+        else:
+            if on_unregistered is None and tkind not in _WARNED_FAKE_KINDS:
+                import warnings
+
+                _WARNED_FAKE_KINDS.add(tkind)
+                warnings.warn(
+                    f"decode_and_thumbnails: kind={tkind!r} has no "
+                    "registered thumbnailer — using the deterministic "
+                    "sha256 FAKE (content-equality fingerprints only). "
+                    "Pass on_unregistered='fake' to silence, "
+                    "'null'/'error' to refuse.",
+                    stacklevel=2,
+                )
+            tfn = _fake_thumb
+
+    keep = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = T.StructType(
+        keep
+        + [
+            T.StructField("decoded", DECODE_SCHEMA, True),
+            T.StructField("thumb", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec: list[dict | None] = []
+            th: list[list[float] | None] = []
+            for raw in pdf[content_col]:
+                if raw is None:
+                    dec.append(None)
+                    th.append(None)
+                    continue
+                b = bytes(raw)
+                try:
+                    dec.append(decoder(b))
+                except Exception:  # malformed media → NULL, row survives
+                    dec.append(None)
+                if thumb_disabled:
+                    th.append(None)
+                    continue
+                try:
+                    vals = tfn(b)
+                except Exception:
+                    vals = None
+                if (
+                    min_variance is not None
+                    and vals is not None
+                    and float(np.var(np.asarray(vals, dtype=np.float64)))
+                    < min_variance
+                ):
+                    vals = None  # degenerate (flat) media → matches nothing
+                th.append(vals)
+            out = pdf[keep_names].copy()
+            out["decoded"] = dec
+            out["thumb"] = th
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Hash assembly (pure JVM expressions; no Python, no shuffle)
 

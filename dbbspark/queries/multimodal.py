@@ -16,14 +16,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import query
 from ..operators.phash import (
+    decode_and_thumbnails,
     dhash_col,
     dhash_oracle_sql,
     fake_thumb_sql,
     hamming_ball_stats,
     thumb_variance_col,
-    thumbnails,
 )
-from ..sources.multimodal import decode_media, extract_kv_metadata
+from ..sources.multimodal import extract_kv_metadata
 from ..tables import load_table
 
 # C56 fold: the perceptual-hash pipeline over the deterministic fake
@@ -163,9 +163,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("content")
     )
-    decoded = decode_media(docs)
+    # r14 (guide §4): decode + thumbnail in ONE Arrow crossing — the
+    # composed decode_media→thumbnails pair shipped the payload across
+    # the Python boundary four times; the fused pass ships it once and
+    # drops it in the worker. Per-row semantics identical (fused ≡
+    # composed pinned in tests/test_phash.py; interleaved front A/B
+    # 1.97 → 0.78 s, plans/r14/probe_multimodal_fused.py).
     hashed = (
-        thumbnails(decoded, kind="image", on_unregistered="fake")
+        decode_and_thumbnails(docs, kind="image", on_unregistered="fake")
         .select(
             "doc_id",
             F.col("decoded.width").alias("width"),

@@ -594,3 +594,70 @@ def test_banded_corpus_index_identical_decisions_and_colocation(spark):
         hamming_incremental_pairs(
             new, corpus, "id", "h", 4, corpus_banded=True
         )
+
+
+def test_decode_and_thumbnails_equals_composed(spark):
+    """r14 fused single-crossing pass ≡ decode_media → thumbnails →
+    drop(content), per row and per column, across every seam the
+    composed pair exposes: NULL content, the sha256 fake (unregistered
+    kind), a real codec, malformed media (decoder raises → NULL, row
+    survives), the min_variance degenerate gate, and the 'null'
+    unregistered mode."""
+    from dbbspark.operators.phash import decode_and_thumbnails, thumbnails
+    from dbbspark.sources.codecs import encode_pgm
+    from dbbspark.sources.multimodal import decode_media
+
+    flat = np.full((16, 16), 7, dtype=np.uint8)  # zero-variance thumb
+    rows = [
+        ("txt", bytearray(b"some text-like payload")),
+        ("empty", bytearray(b"")),
+        ("null", None),
+        ("pgm", bytearray(encode_pgm(_smooth_image(3)))),
+        ("flat", bytearray(encode_pgm(flat))),
+        ("bad", bytearray(b"P5\n3 2\n")),  # truncated header: decoder raises
+    ]
+    df = spark.createDataFrame(rows, "id string, content binary")
+
+    def composed(kind, tkind, **kw):
+        return (
+            thumbnails(decode_media(df, kind=kind), kind=tkind, **kw)
+            .drop("content")
+            .orderBy("id")
+            .collect()
+        )
+
+    def fused(kind, tkind, **kw):
+        return (
+            decode_and_thumbnails(df, kind=kind, thumb_kind=tkind, **kw)
+            .orderBy("id")
+            .collect()
+        )
+
+    # fake path (the q_multimodal_decode configuration)
+    a = composed("image", "image", on_unregistered="fake")
+    b = fused("image", "image", on_unregistered="fake")
+    assert a == b
+    assert [r["id"] for r in b] == sorted(r[0] for r in rows)
+    # real codec + malformed media + degenerate-variance gate
+    a = composed("pgm", "pgm", min_variance=1e-9)
+    b = fused("pgm", "pgm", min_variance=1e-9)
+    assert a == b
+    by_id = {r["id"]: r for r in b}
+    assert by_id["bad"]["decoded"] is None and by_id["bad"]["thumb"] is None
+    assert by_id["flat"]["decoded"] is not None  # decode survives the gate
+    assert by_id["flat"]["thumb"] is None
+    assert by_id["pgm"]["thumb"] is not None
+    # 'null' unregistered mode: decode still runs, thumbs all NULL
+    a = composed("image", "jgp2", on_unregistered="null")
+    b = fused("image", "jgp2", on_unregistered="null")
+    assert a == b
+    assert all(r["thumb"] is None for r in b)
+    # 'error' refuses at plan time; bogus mode refused
+    with pytest.raises(ValueError, match="no registered thumbnailer"):
+        decode_and_thumbnails(df, kind="image", thumb_kind="jgp2",
+                              on_unregistered="error")
+    with pytest.raises(ValueError, match="on_unregistered"):
+        decode_and_thumbnails(df, kind="image", on_unregistered="bogus")
+    # schema: composed-minus-content, decoded, thumb — in that order
+    out = decode_and_thumbnails(df, kind="image", on_unregistered="fake")
+    assert out.columns == ["id", "decoded", "thumb"]
