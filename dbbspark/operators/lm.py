@@ -57,7 +57,17 @@ def _gram_pairs_col(toks: Column, n: int) -> Column:
     two array slices instead of per-index element_at lookups — same
     hashes, ~35% less interpreted-expression time on the gram stream
     (measured at sf0.1; interpreted lambdas have no CSE, so every
-    element_at re-walks the array)."""
+    element_at re-walks the array).
+
+    r14: grams are hashed as token TUPLES (multi-arg xxhash64) instead
+    of concat_ws strings — tokens are space-free (split on ' '), so
+    concat_ws(' ') is injective on tuples and the equality classes are
+    identical; the hash VALUES change but they are internal join/groupBy
+    keys only (counts, vocab sizes and weights are functions of gram
+    equality classes). Skips one string build per gram occurrence:
+    interleaved stream A/B 0.52 → 0.39 s at sf0.1
+    (plans/r14/probe_gram_tuplehash.py, count-multiset identity
+    checked)."""
     if n == 2:
         n_g = F.size(toks) - 1
         empty = F.array().cast("array<string>")
@@ -67,7 +77,7 @@ def _gram_pairs_col(toks: Column, n: int) -> Column:
             heads,
             tails,
             lambda a, b: F.struct(
-                F.xxhash64(F.concat_ws(" ", a, b)).alias("gram_h"),
+                F.xxhash64(a, b).alias("gram_h"),
                 F.xxhash64(a).alias("ctx_h"),
             ),
         )
@@ -77,15 +87,13 @@ def _gram_pairs_col(toks: Column, n: int) -> Column:
     )
 
     def pair(i: Column) -> Column:
-        gram = F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
+        gram = F.xxhash64(*[F.element_at(toks, i + k) for k in range(n)])
         ctx = (
-            F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n - 1)])
+            F.xxhash64(*[F.element_at(toks, i + k) for k in range(n - 1)])
             if n > 1
-            else F.lit("")
+            else F.xxhash64(F.lit(""))
         )
-        return F.struct(
-            F.xxhash64(gram).alias("gram_h"), F.xxhash64(ctx).alias("ctx_h")
-        )
+        return F.struct(gram.alias("gram_h"), ctx.alias("ctx_h"))
 
     return F.transform(idx, pair)
 

@@ -47,13 +47,22 @@ def _ngram_mentions(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(doc, pos, h): every token n-gram start position with the
-    xxhash64 of the n-gram. pos is 0-based token index."""
+    xxhash64 of the n-gram's token-array SLICE. pos is 0-based token
+    index.
+
+    r14: the gram is hashed as the sliced token array (xxhash64 hashes
+    array elements sequentially) instead of a concat_ws string — tokens
+    are space-free, so the equality classes are identical (array
+    equality == joined-string equality) and the per-gram string build
+    disappears. h is internal only (outputs are span positions);
+    interleaved stream A/B 1.13 → 0.90 s at sf0.1, count-multiset
+    identity checked (plans/r14/probe_gram_tuplehash.py)."""
     toks = docs.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
     toks = toks.where(F.size("__toks") >= n)
     n_grams = F.size("__toks") - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i, n))),
+        lambda i: F.xxhash64(F.slice("__toks", i, n)),
     )
     return toks.select(
         "doc", F.posexplode(grams).alias("pos", "h")
