@@ -36,12 +36,23 @@ class NgramLM(NamedTuple):
     context_counts: (ctx_h, c_ctx)   — count per distinct (n-1)-gram context
     vocab_size:     |distinct unigrams| (the smoothing denominator's V)
     n:              gram order (2 = bigram)
+    pair_counts:    OPTIONAL shared per-gram relation
+                    (gram_h, ctx_h, one count column per sibling model)
+                    set by `train_ngram_lm_pair` when both models come
+                    from one conditional-aggregation pass — lets
+                    `dsir_weights` join the gram stream against the
+                    SHARED relation (2 joins) instead of each model's
+                    derived tables (4 joins). Purely an execution hint;
+                    ngram_counts/context_counts stay authoritative.
+    pair_col:       this model's count column inside ``pair_counts``.
     """
 
     ngram_counts: DataFrame
     context_counts: DataFrame
     vocab_size: int
     n: int
+    pair_counts: DataFrame | None = None
+    pair_col: str | None = None
 
 
 def _gram_pairs_col(toks: Column, n: int) -> Column:
@@ -213,6 +224,12 @@ def train_ngram_lm_pair(
             context_counts=cc,
             vocab_size=int(vocab or 0),
             n=n,
+            # With min_count > 1 the shared relation no longer mirrors
+            # ngram_counts (the filter drops rows cc keeps) — the fused
+            # consumer would have to replicate it, so only the exact
+            # mirror is advertised.
+            pair_counts=counts if min_count == 1 else None,
+            pair_col=count_col if min_count == 1 else None,
         )
 
     return _lm("__ct", vt), _lm("__cs", vs)
@@ -307,7 +324,10 @@ def dsir_weights(
 
     Fused single-pass form (r13): ONE outer-exploded gram stream joins
     against BOTH models' count tables (four left equi-joins on long
-    keys) and ONE per-doc aggregation computes both avg-NLL legs —
+    keys; r14: TWO when both models share a `pair_counts` relation from
+    `train_ngram_lm_pair` — one gram_h join carrying both counts, one
+    ctx_h join carrying both context sums) and ONE per-doc aggregation
+    computes both avg-NLL legs —
     where the previous two-`perplexity` composition exploded and
     aggregated the corpus stream twice and joined the halves back on
     doc. Same arithmetic row for row (avg over the identical gram set;
@@ -327,25 +347,58 @@ def dsir_weights(
         raise ValueError("model has an empty vocabulary")
     pairs = _exploded_grams(docs, id_col, text_col, lm_target.n, outer=True)
 
-    def _side(lm: NgramLM, tag: str):
-        ng = lm.ngram_counts.select(
-            "gram_h", F.col("c").alias(f"__c_{tag}")
+    shared = (
+        lm_target.pair_counts is not None
+        and lm_target.pair_counts is lm_source.pair_counts
+        and lm_target.pair_col
+        and lm_source.pair_col
+        and lm_target.pair_col != lm_source.pair_col
+    )
+    if shared:
+        # r14: both models ride ONE per-gram relation (the
+        # train_ngram_lm_pair shape), so the gram stream joins twice —
+        # once on gram_h for both counts, once on ctx_h for both
+        # context sums — instead of once per model table (4 joins).
+        # Values are identical: a gram missing from a model's
+        # ngram_counts and a gram with count 0 both coalesce to 0, and
+        # each model's context sum over its >0 grams equals the sum
+        # over ALL grams of that context (zeros add nothing). Pinned
+        # fused ≡ per-model in tests/test_lm.py; at corpus scale this
+        # halves the model-relation joins the scoring stream pays.
+        base = lm_target.pair_counts
+        ng = base.select(
+            "gram_h",
+            F.col(lm_target.pair_col).alias("__c_t"),
+            F.col(lm_source.pair_col).alias("__c_s"),
         )
-        cc = lm.context_counts.select(
-            "ctx_h", F.col("c_ctx").alias(f"__cc_{tag}")
+        cc = base.groupBy("ctx_h").agg(
+            F.sum(lm_target.pair_col).alias("__cc_t"),
+            F.sum(lm_source.pair_col).alias("__cc_s"),
         )
         if broadcast_model:
             ng, cc = F.broadcast(ng), F.broadcast(cc)
-        return ng, cc
+        joined = pairs.join(ng, "gram_h", "left").join(cc, "ctx_h", "left")
+    else:
 
-    ng_t, cc_t = _side(lm_target, "t")
-    ng_s, cc_s = _side(lm_source, "s")
-    joined = (
-        pairs.join(ng_t, "gram_h", "left")
-        .join(cc_t, "ctx_h", "left")
-        .join(ng_s, "gram_h", "left")
-        .join(cc_s, "ctx_h", "left")
-    )
+        def _side(lm: NgramLM, tag: str):
+            ng = lm.ngram_counts.select(
+                "gram_h", F.col("c").alias(f"__c_{tag}")
+            )
+            cc = lm.context_counts.select(
+                "ctx_h", F.col("c_ctx").alias(f"__cc_{tag}")
+            )
+            if broadcast_model:
+                ng, cc = F.broadcast(ng), F.broadcast(cc)
+            return ng, cc
+
+        ng_t, cc_t = _side(lm_target, "t")
+        ng_s, cc_s = _side(lm_source, "s")
+        joined = (
+            pairs.join(ng_t, "gram_h", "left")
+            .join(cc_t, "ctx_h", "left")
+            .join(ng_s, "gram_h", "left")
+            .join(cc_s, "ctx_h", "left")
+        )
 
     def _logp(tag: str, vocab: int):
         return F.when(

@@ -527,26 +527,58 @@ def cosine_pairs_above_blocked(
     O((N/B)²) similarity cells. Pick B ≈ N/50k so a task's matrix stays
     ~GB-scale; at 100 TB add an LSH/IVF pre-filter to drop empty block
     pairs entirely (operators: `ivf_assign`, `lsh_candidate_pairs`).
+
+    r14: the block-pair assignment is a per-row computed ARRAY of
+    (bi, bj, side) structs exploded off ONE scan, where it used to be
+    two broadcast joins against a (bi, bj) relation — that shape read
+    the vector table twice, unioned the halves, and shipped an unused
+    side=1 copy of every vector for its own diagonal pair (emit()
+    reads only side=0 rows when bi == bj). The exploded row set is
+    otherwise identical group for group, so the emitted pair relation
+    is unchanged (pair-set equality pinned in tests/test_similarity.py
+    and measured in plans/r14/probe_embed_near_dup.py: 1.13 → 0.59 s
+    warm at sf0.1; one parquet scan instead of two).
     """
     import numpy as np
     import pandas as pd
 
     out_schema = "vec_a long, vec_b long"
-    spark = vectors.sparkSession
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
-        "bi int, bj int",
-    )
     v = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
     )
-    left = v.join(F.broadcast(pairs), v.blk == pairs.bi).select(
-        "bi", "bj", "vid", "vec", F.lit(0).alias("side")
+    idx = F.sequence(F.lit(0), F.lit(num_blocks - 1))
+    # side 0 of every pair whose LEFT block is this row's block
+    # (includes the diagonal), side 1 of every pair whose RIGHT block
+    # is this row's block EXCLUDING the diagonal (the join form shipped
+    # that copy too; emit() never reads it).
+    left_entries = F.transform(
+        F.filter(idx, lambda j: j >= F.col("blk")),
+        lambda j: F.struct(
+            F.col("blk").cast("int").alias("bi"),
+            j.cast("int").alias("bj"),
+            F.lit(0).alias("side"),
+        ),
     )
-    right = v.join(F.broadcast(pairs), v.blk == pairs.bj).select(
-        "bi", "bj", "vid", "vec", F.lit(1).alias("side")
+    right_entries = F.transform(
+        F.filter(idx, lambda i: i < F.col("blk")),
+        lambda i: F.struct(
+            i.cast("int").alias("bi"),
+            F.col("blk").cast("int").alias("bj"),
+            F.lit(1).alias("side"),
+        ),
+    )
+    assigned = v.select(
+        "vid",
+        "vec",
+        F.explode(F.concat(left_entries, right_entries)).alias("e"),
+    ).select(
+        F.col("e.bi").alias("bi"),
+        F.col("e.bj").alias("bj"),
+        "vid",
+        "vec",
+        F.col("e.side").alias("side"),
     )
 
     def emit(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -578,9 +610,7 @@ def cosine_pairs_above_blocked(
         )
 
     return (
-        left.unionByName(right)
-        .groupBy("bi", "bj")
-        .applyInPandas(emit, out_schema)
+        assigned.groupBy("bi", "bj").applyInPandas(emit, out_schema)
     )
 
 

@@ -462,3 +462,49 @@ def test_doc_metrics_annotate_pass_is_map_only(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 1, plan
     # the r13 interpreted scans are gone: no aggregate() lambda survives
     assert "aggregate(" not in plan, plan
+
+
+def test_blocked_cosine_is_joinless_single_scan(spark, sf_dir):
+    """r14: cosine_pairs_above_blocked assigns block pairs via a
+    computed (bi, bj, side) array exploded off ONE scan — the old
+    shape's two broadcast joins against the pair relation (and the
+    union that read the vector table twice) are gone. A join sneaking
+    back in would double the 100 TB vector scan and re-broadcast the
+    pair relation per leg."""
+    from dbbspark.operators.similarity import cosine_pairs_above_blocked
+    from dbbspark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        cosine_pairs_above_blocked(emb, 0.45)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Union" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Generate" in plan  # the explode carries the assignment
+
+
+def test_dsir_weights_shared_counts_two_joins(spark, sf_dir):
+    """r14: when both models come from train_ngram_lm_pair, the scoring
+    stream joins the SHARED per-gram relation once on gram_h and once
+    on ctx_h — exactly two joins, not one per model table (4). At
+    corpus scale each extra join is a full pass of the gram stream."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.lm import dsir_weights, train_ngram_lm_pair
+    from dbbspark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    lm_t, lm_s = train_ngram_lm_pair(docs, F.col("lang") == "en", "text", n=2)
+    plan = (
+        dsir_weights(docs, lm_t, lm_s)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Join") == 2, plan
