@@ -856,10 +856,21 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    l2 = F.transform(F.col("e"), lambda x: x / F.col("__norm"))
-    normed = emb.withColumn("__norm", norm).select("vec_id", l2.alias("l2"))
+    # r14 (guide §4.1): the fold references __norm TWICE — (x/n)*(x/n)
+    # instead of squaring a pre-divided l2 array — so CollapseProject
+    # refuses to inline the alias and the sqrt(Σx²) aggregate stays a
+    # per-ROW projection. The collapsed single-reference form inlined
+    # the whole norm tree into the interpreted lambda, re-evaluating it
+    # per ARRAY ELEMENT (64×; measured 0.64 → 0.21 s on this leg,
+    # plans/r14/probe_norm_inline.py). Values are bit-identical:
+    # v = x/n is deterministic IEEE division, so v*v == (x/n)*(x/n),
+    # and the fold order is unchanged.
+    normed = emb.withColumn("__norm", norm)
     norm_sq = F.aggregate(
-        F.transform(F.col("l2"), lambda x: x * x),
+        F.transform(
+            F.col("e"),
+            lambda x: (x / F.col("__norm")) * (x / F.col("__norm")),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
