@@ -181,9 +181,11 @@ def train_ngram_lm_pair(
     returns both vocabulary sizes. The per-gram table is lineage-cut so
     its four consumers (two ngram + two derived context relations) read
     one materialization (it is |distinct grams|-sized — the model, not
-    the corpus). Equivalence with the composed form is pinned in
-    tests/test_lm.py: identical count relations, vocab sizes, and
-    downstream scores."""
+    the corpus); r14 materializes it eagerly IN PARALLEL with the
+    vocabulary job (two driver threads — both are independent corpus
+    passes, see the body comment). Equivalence with the composed form
+    is pinned in tests/test_lm.py: identical count relations, vocab
+    sizes, and downstream scores."""
     from dbbspark.session import cut_lineage
 
     if n < 1:
@@ -203,14 +205,30 @@ def train_ngram_lm_pair(
             F.count("*").alias("__cs"),
             F.count(F.when(F.col("__t"), 1)).alias("__ct"),
         )
-        .transform(cut_lineage, eager=False)
     )
-    vt, vs = base.select(
+    vocab_df = base.select(
         "__t", F.explode(F.split(F.col("__txt"), " ")).alias("t")
     ).agg(
         F.countDistinct(F.when(F.col("__t"), F.col("t"))).alias("vt"),
         F.countDistinct("t").alias("vs"),
-    ).first()
+    )
+    # r14 (guide §2.6 job overlap): the vocabulary job and the per-gram
+    # count materialization are independent full passes over the corpus
+    # — submit both from two driver threads so the second job's tasks
+    # back-fill the first's scheduling tail (the q_pack_sequences
+    # device; the two plans are exactly the sequential ones and the two
+    # scans share no uncut lineage, so results are unchanged —
+    # interleaved A/B 1.32 → 1.14 s on the q_dsir row,
+    # plans/r14/probe_dsir_overlap.py). The cut is eager now: the
+    # counts relation is always consumed (it IS the model), so
+    # materializing it here costs nothing extra.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_counts = pool.submit(cut_lineage, counts, True)
+        f_vocab = pool.submit(vocab_df.first)
+        counts = f_counts.result()
+        vt, vs = f_vocab.result()
 
     def _lm(count_col: str, vocab: int) -> NgramLM:
         ng = counts.where(F.col(count_col) > 0).select(
