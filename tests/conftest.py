@@ -93,19 +93,165 @@ SMOKE = {
 }
 
 
+# Driver-budget tier (VERDICT r13 item 6): the full suite runs ~55-65
+# minutes on this box — past the verify budget of the external driver,
+# whose round-13 pytest signal was truncated at ~30% with zero failures
+# shown. The heaviest tests — multi-process race/chaos suites,
+# streaming-trigger waits, and sf-heavy sweeps, selected from a
+# --durations=0 run at the r14 HEAD — are SKIPPED in the default
+# invocation (what the driver runs) and enabled with
+# DBBSPARK_FULL_SUITE=1, the builder-side gate run before every round
+# close. Entries are module -> set of test names, or ALL for the whole
+# module; tests/test_smoke_tier.py fails if an entry goes stale, and
+# every skipped module keeps at least its smoke representative running
+# by construction (representatives are chosen from the fast tests).
+ALL = "*"
+SLOW: dict[str, object] = {
+    "test_bloom.py": {
+        "test_neardedup_streaming_bloom_across_batches",  # 21s
+        "test_streaming_gate_with_bloom_across_batches",  # 13s
+    },
+    "test_bpe.py": {
+        "test_batched_equals_sequential_adversarial",  # 42s
+        "test_batched_equals_sequential_random",  # 34s
+        "test_batched_equals_sequential_on_corpus",  # 20s
+    },
+    "test_checkpoint_seam.py": {
+        "test_reliable_checkpoint_survives_executor_kill",  # 26s
+        "test_flip_produces_identical_results_and_writes_blocks",  # 14s
+    },
+    "test_cli_quality.py": {
+        "test_nightly_ops_script_composes_monitor_scrub_profile",  # 328s
+        "test_media_dedup_cli_incremental",  # 16s
+        "test_curate_funnel_attributes_script_drops",  # 14s
+        "test_media_dedup_incremental_refuses_index_lag",  # 12s
+    },
+    "test_codecs.py": {
+        "test_codecs_register_lazily_in_fresh_interpreter",  # 14s
+    },
+    "test_driver_contract.py": {
+        # the external driver RUNS bench.py itself; this in-suite
+        # replica is builder-gate material
+        "test_bench_runs_and_emits_json",  # 177s
+    },
+    "test_example.py": {
+        "test_ann_gate_ops_example",  # 95s
+        "test_curation_pipeline_runs_and_shrinks",  # 78s
+        "test_rolling_corpus_example",  # 13s
+    },
+    "test_example_multimodal.py": {
+        "test_multimodal_pipeline_runs",  # 154s
+    },
+    "test_executor_chaos.py": {
+        "test_clip_gate_survives_executor_sigkill_between_writes",  # 59s
+    },
+    "test_gate_lock_recovery.py": {
+        "test_two_process_gate_vs_takedown_race",  # 29s
+    },
+    "test_gate_maintenance_race.py": {
+        "test_threaded_race_no_torn_index_admissions",  # 51s
+        "test_text_and_ann_gates_share_the_maintenance_lock",  # 26s
+    },
+    "test_graph.py": {
+        "test_duplicate_edges_count_once",  # 12s
+    },
+    "test_index_remove.py": {
+        "test_ann_gate_delete_from_multi_generation_index",  # 40s
+        "test_ann_gate_delete_then_resubmit_accepted",  # 35s
+        "test_bounded_state_through_delete_compact_cycles",  # 31s
+        "test_clip_gate_delete_then_resubmit_accepted",  # 16s
+        "test_media_gate_delete_then_resubmit_accepted",  # 13s
+        "test_remove_composes_with_compacted_index",  # 13s
+        "test_neardedup_delete_then_resubmit_accepted",  # 11s
+    },
+    "test_operator_equivalence.py": {
+        "test_jaccard_prefix_matches_plain",  # 17s
+    },
+    "test_phash.py": {
+        "test_ahash_and_color_and_cross_format",  # 23s
+    },
+    "test_pq.py": {
+        "test_ivfpq_scores_match_explicit_reconstruction",  # 29s
+        "test_adc_recall_and_rerank_monotone",  # 11s
+        "test_ivfpq_encode_partition_invariant",  # 11s
+    },
+    "test_property.py": {
+        "test_hamming_ball_stats_matches_brute_on_random_hashes",  # 16s
+        "test_verify_archive_frames_matches_reference_on_random_faults",  # 15s
+        "test_hamming_incremental_equals_full_on_random_hashes",  # 11s
+        "test_epoch_repeats_count_bounds_property",  # 10s
+    },
+    "test_sketches.py": {
+        "test_gate_sketch_telemetry_incremental_and_retry_idempotent",  # 12s
+    },
+    "test_streaming_annindex.py": {
+        "test_lazy_rekey_scores_mixed_generations_and_converges",  # 89s
+        "test_rekey_stale_partitions_bounded_and_idempotent",  # 56s
+        "test_restart_after_retrain_uses_persisted_quantizer",  # 48s
+        "test_drift_triggered_retrain_and_rebuild",  # 33s
+        "test_restart_heals_crash_between_quantizer_save_and_rebuild",  # 28s
+        "test_retry_is_idempotent",  # 20s
+        "test_drift_gate_refuses_bootstrap_over_stamped_index",  # 19s
+        "test_gen_column_survives_mixed_schema_index",  # 18s
+        "test_quantizer_drift_detection",  # 17s
+        "test_multi_gen_scoring_refuses_missing_generation",  # 11s
+    },
+    "test_streaming_linededup.py": {
+        "test_soak_state_stays_bounded",  # 25s
+    },
+    "test_streaming_mediadedup.py": {
+        "test_bloom_decisions_identical_and_undecodable_accepted",  # 19s
+        "test_stream_equals_batch_caller",  # 16s
+        "test_bloom_enabled_mid_stream_covers_prior_corpus",  # 15s
+        "test_clip_gate_degenerate_policy",  # 14s
+        "test_gate_across_micro_batches",  # 12s
+        "test_clip_gate_policy_keeps_live_path_verdicts",  # 12s
+    },
+    "test_streaming_neardedup.py": {
+        "test_index_compaction_preserves_gate",  # 16s
+        "test_bloom_enabled_mid_stream_covers_prior_corpus",  # 14s
+        "test_retry_is_idempotent",  # 12s
+    },
+    "test_swap_crash.py": {
+        "test_takedown_archive_crash_between_renames_heals",  # 11s
+    },
+    "test_takedown.py": {
+        "test_takedown_partial_crash_heals",  # 25s
+        "test_takedown_reopens_duplicate_gate",  # 20s
+    },
+}
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "smoke: fast tier — one representative test per operator family "
         "(run with `pytest -m smoke`; full suite remains the gate)",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: driver-budget tier — skipped unless DBBSPARK_FULL_SUITE=1 "
+        "(the builder-side full gate)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
+    full = bool(os.environ.get("DBBSPARK_FULL_SUITE"))
+    skip_slow = pytest.mark.skip(
+        reason="slow tier: set DBBSPARK_FULL_SUITE=1 (builder full gate)"
+    )
     for item in items:
         name = getattr(item, "originalname", None) or item.name
-        if SMOKE.get(os.path.basename(str(item.fspath))) == name:
+        fname = os.path.basename(str(item.fspath))
+        if SMOKE.get(fname) == name:
             item.add_marker(pytest.mark.smoke)
+        slow_spec = SLOW.get(fname)
+        if slow_spec is not None and (
+            slow_spec == ALL or name in slow_spec
+        ):
+            item.add_marker(pytest.mark.slow)
+            if not full:
+                item.add_marker(skip_slow)
 
 
 @pytest.fixture(scope="session")

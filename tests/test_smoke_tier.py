@@ -41,3 +41,40 @@ def test_every_module_has_a_smoke_representative():
         f"new test modules need a smoke representative (or an explicit "
         f"exclusion here): {sorted(unrepresented)}"
     )
+
+
+def test_slow_registry_names_exist():
+    """SLOW entries (the driver-budget skip tier, VERDICT r13 item 6)
+    must name real tests — a rename would silently re-enable a 5-minute
+    test in the driver path (or skip nothing)."""
+    from conftest import ALL, SLOW
+
+    stale = []
+    for fname, spec in SLOW.items():
+        path = os.path.join(TESTS_DIR, fname)
+        if not os.path.exists(path):
+            stale.append((fname, "module missing"))
+            continue
+        if spec == ALL:
+            continue
+        src = open(path).read()
+        for tname in spec:
+            if not re.search(rf"^def {tname}\b", src, re.M):
+                stale.append((fname, tname))
+    assert not stale, f"SLOW entries no longer match a test: {stale}"
+
+
+def test_slow_tier_never_skips_a_smoke_representative():
+    """Every module keeps at least its smoke representative in the
+    default (driver) tier — the fast sanity test per family must
+    always run."""
+    from conftest import ALL, SLOW
+
+    bad = []
+    for fname, spec in SLOW.items():
+        rep = SMOKE.get(fname)
+        if rep is None:
+            continue
+        if spec == ALL or rep in spec:
+            bad.append((fname, rep))
+    assert not bad, f"SLOW would skip a smoke representative: {bad}"
