@@ -326,8 +326,8 @@ def kmv_cardinality(
 
 
 def corpus_overlap(
-    sketch_a: DataFrame,
-    sketch_b: DataFrame,
+    sketch_a: "DataFrame | list[int]",
+    sketch_b: "DataFrame | list[int]",
     k: int = KMV_K,
     domain: tuple[int, int] | None = None,
 ) -> dict:
@@ -345,9 +345,20 @@ def corpus_overlap(
     saturated estimators divide by the right u_(k); without it a
     portable-hash sketch would silently normalize over xxhash64's int64
     range (the r13 snapshot-diff fold's requirement).
+
+    Either sketch may also be a pre-collected list of hash ints (r14):
+    callers that overlap the two collect jobs on driver threads
+    (snapshot_diff's fold mode) hand the results in directly — the
+    arithmetic is identical.
     """
-    ha = sorted(r["h"] for r in sketch_a.collect())
-    hb = sorted(r["h"] for r in sketch_b.collect())
+    ha = sorted(
+        sketch_a if isinstance(sketch_a, list)
+        else (r["h"] for r in sketch_a.collect())
+    )
+    hb = sorted(
+        sketch_b if isinstance(sketch_b, list)
+        else (r["h"] for r in sketch_b.collect())
+    )
     if not ha or not hb:
         return {"jaccard": 0.0, "containment_a_in_b": 0.0,
                 "containment_b_in_a": 0.0, "card_a": float(len(ha)),
