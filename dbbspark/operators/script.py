@@ -68,25 +68,33 @@ def script_derivations(min_letters: int = 5) -> tuple[list[Column], Column]:
     be real columns: the derivations reference each count several
     times, and a prior select is the no-CSE discipline this codebase
     uses for interpreted re-evaluation hazards."""
+    # r14: the expressions are GENERATED SQL text parsed by one F.expr
+    # call per output column, not nested py4j Column builders — the
+    # when/otherwise chains over the class list cost ~0.9 s of driver
+    # round trips per plan build (construction is inside the bench's
+    # timed region). The parsed trees are the same expressions: CASE
+    # WHEN ≡ when/otherwise (the nested dominant chain flattens to the
+    # equivalent multi-branch CASE with identical first-match-wins
+    # order), `/` on bigints is double division in both forms, and
+    # every reference is to the materialized n_<class> columns.
+    # Ratio/dominant equality vs the Column-built forms is pinned in
+    # tests/test_script.py.
     letters = [n for n in SCRIPT_CLASSES if n != "digit"]
-    total_letters = sum(
-        (F.col(f"n_{n}") for n in letters[1:]), F.col(f"n_{letters[0]}")
-    )
+    total = " + ".join(f"n_{n}" for n in letters)
     ratio_cols = [
-        (
-            F.when(total_letters > 0, F.col(f"n_{n}") / total_letters)
-            .otherwise(F.lit(0.0))
-            .alias(f"{n}_ratio")
-        )
+        F.expr(
+            f"CASE WHEN ({total}) > 0 THEN n_{n} / ({total}) "
+            f"ELSE 0.0D END"
+        ).alias(f"{n}_ratio")
         for n in letters
     ]
-    max_count = F.greatest(*[F.col(f"n_{n}") for n in letters])
-    dominant = F.lit("unknown")
-    for n in reversed(letters):
-        dominant = F.when(
-            (total_letters >= min_letters) & (F.col(f"n_{n}") == max_count),
-            F.lit(n),
-        ).otherwise(dominant)
+    max_count = "greatest(" + ", ".join(f"n_{n}" for n in letters) + ")"
+    branches = " ".join(
+        f"WHEN ({total}) >= {int(min_letters)} AND n_{n} = {max_count} "
+        f"THEN '{n}'"
+        for n in letters
+    )
+    dominant = F.expr(f"CASE {branches} ELSE 'unknown' END")
     return ratio_cols, dominant.alias("dominant_script")
 
 

@@ -63,3 +63,44 @@ def test_jvm_only_plan(spark):
 
     plan = sp(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_script_derivations_sql_equals_column_form(spark):
+    """r14: script_derivations emits generated-SQL expressions; pin
+    them value-equal to the original Column-built when/otherwise forms
+    on a tie/short/empty/NULL-count-free probe matrix."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.script import SCRIPT_CLASSES, script_derivations
+
+    letters = [n for n in SCRIPT_CLASSES if n != "digit"]
+    rows = [
+        tuple(r)
+        for r in [
+            [0] * len(letters),              # all-zero -> unknown, 0.0
+            [5] + [0] * (len(letters) - 1),  # single class
+            [3, 3] + [0] * (len(letters) - 2),  # exact tie -> decl order
+            [1] * len(letters),              # below min_letters? sum>=5?
+            [2] * len(letters),              # all equal above cutoff
+        ]
+    ]
+    df = spark.createDataFrame(
+        rows, ", ".join(f"n_{n} long" for n in letters)
+    )
+    ratio_cols, dominant = script_derivations(5)
+    got = df.select(*ratio_cols, dominant).collect()
+
+    # reference: the pre-r14 Column-built forms
+    total = sum((F.col(f"n_{n}") for n in letters[1:]),
+                F.col(f"n_{letters[0]}"))
+    ref_ratios = [
+        F.when(total > 0, F.col(f"n_{n}") / total).otherwise(F.lit(0.0))
+        .alias(f"{n}_ratio")
+        for n in letters
+    ]
+    mx = F.greatest(*[F.col(f"n_{n}") for n in letters])
+    dom = F.lit("unknown")
+    for n in reversed(letters):
+        dom = F.when((total >= 5) & (F.col(f"n_{n}") == mx), F.lit(n)).otherwise(dom)
+    want = df.select(*ref_ratios, dom.alias("dominant_script")).collect()
+    assert got == want
