@@ -176,6 +176,18 @@ def MD5_INT_SQL(expr: str, hex_digits: int = 15) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {hex_digits})) AS BIGINT)"
 
 
+def MD5_INT_SPARK_SQL(expr: str, hex_digits: int = 15) -> str:
+    """SPARK SQL text for the same integer `md5_int_col` builds as a
+    Column — for generated-SQL plan construction (r14: expression-heavy
+    builders parse one expr() string instead of paying a py4j round
+    trip per Column node; plan build is inside the bench's timed
+    region). Pinned ≡ md5_int_col in tests/test_sketches.py."""
+    return (
+        f"CAST(conv(substr(md5(CAST({expr} AS BINARY)), 1, "
+        f"{hex_digits}), 16, 10) AS BIGINT)"
+    )
+
+
 def md5_int_py(s: str, hex_digits: int = 15) -> int:
     """Python twin of `md5_int_col` over an UTF-8 string — the counted
     driver regimes' hash (r13): a driver-side gate (e.g. the purity

@@ -137,35 +137,35 @@ def incremental_card(spark, sketch_dir: str) -> dict:
 
 
 def _cms_cells(
-    token: Column, depth: int, width: int, portable: bool = False
+    token_sql: str, depth: int, width: int, portable: bool = False
 ) -> Column:
-    """Array of (row, col) cell positions for one token mention. The
+    """Array of (row, col) cell positions for one token mention
+    (``token_sql`` is the token EXPRESSION as Spark SQL text). The
     depth hash functions are xxhash64 seeded by the row index carried as
     an extra hashed column — the SAME expressions serve build and query,
     so estimates need no driver-side hashing. ``portable=True`` swaps
     the per-row hash for the md5-derived bigint of ``token || '#' ||
     row`` (the C43/C44 portable-hash convention) so an oracle engine
     can re-derive every cell position — the C40 value-oracle fold
-    (q_token_freq, r12); production keeps the cheaper xxhash64."""
+    (q_token_freq, r12); production keeps the cheaper xxhash64.
 
-    def col_for(r: int) -> Column:
+    r14: the array is GENERATED SQL parsed by one expr() call — the
+    Column-built form paid ~0.2 s of py4j round trips per plan build
+    (×2 for build+query in q_token_freq). Cell positions pinned ≡ the
+    Column forms in tests/test_sketches.py."""
+    from .dedup import MD5_INT_SPARK_SQL
+
+    def col_for(r: int) -> str:
         if portable:
-            from .dedup import md5_int_col
-
-            h = md5_int_col(F.concat(token, F.lit(f"#{r}")))
+            h = MD5_INT_SPARK_SQL(f"concat({token_sql}, '#{r}')")
         else:
-            h = F.xxhash64(token, F.lit(r))
-        return F.pmod(h, F.lit(width))
+            h = f"xxhash64({token_sql}, {r})"
+        return f"pmod({h}, {int(width)})"
 
-    return F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"),
-                col_for(r).alias("col"),
-            )
-            for r in range(depth)
-        ]
+    entries = ", ".join(
+        f"struct({r} AS row, {col_for(r)} AS col)" for r in range(depth)
     )
+    return F.expr(f"array({entries})")
 
 
 def cms_sketch(
@@ -184,7 +184,7 @@ def cms_sketch(
         toks = F.transform(toks, F.lower)
     mentions = docs.select(F.explode(toks).alias("token"))
     cells = mentions.select(
-        F.explode(_cms_cells(F.col("token"), depth, width, portable)).alias("cell")
+        F.explode(_cms_cells("token", depth, width, portable)).alias("cell")
     )
     return cells.groupBy(
         F.col("cell.row").alias("row"), F.col("cell.col").alias("col")
@@ -211,7 +211,7 @@ def cms_sketch_weighted(
     cells = counts.select(
         F.col(count_col).alias("__w"),
         F.explode(
-            _cms_cells(F.col(token_col), depth, width, portable)
+            _cms_cells(f"`{token_col}`", depth, width, portable)
         ).alias("cell"),
     )
     return cells.groupBy(
@@ -244,10 +244,10 @@ def cms_estimate(
     the sketch (missing cell → 0), take the per-token MIN across rows.
     The query side is small by construction (a vocab probe list), so the
     join broadcasts it; the sketch side is <= depth×width rows anyway."""
-    token = F.lower(F.col(token_col)) if lowercase else F.col(token_col)
+    token_sql = f"lower(`{token_col}`)" if lowercase else f"`{token_col}`"
     probes = queries.select(
         F.col(token_col).alias("token"),
-        F.explode(_cms_cells(token, depth, width, portable)).alias("cell"),
+        F.explode(_cms_cells(token_sql, depth, width, portable)).alias("cell"),
     ).select("token", F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
     joined = probes.join(cms, ["row", "col"], "left")
     return joined.groupBy("token").agg(

@@ -219,3 +219,44 @@ def test_cms_sketch_weighted_equals_mention_form(spark):
             ).collect()
         }
         assert a == b, portable
+
+
+def test_cms_cells_sql_equals_column_form(spark):
+    """r14: _cms_cells emits generated SQL; pin cell positions equal to
+    the original Column-built forms for both hash families, including
+    NULL and non-ASCII tokens."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.dedup import md5_int_col
+    from dbbspark.operators.sketches import _cms_cells
+
+    df = spark.createDataFrame(
+        [("alpha",), ("B#7",), ("übermaß",), ("",), (None,)],
+        "token string",
+    )
+    for portable in (False, True):
+        got = df.select(
+            F.explode(_cms_cells("token", 5, 64, portable)).alias("c")
+        ).select("c.row", "c.col").collect()
+
+        def col_for(r):
+            if portable:
+                return F.pmod(
+                    md5_int_col(F.concat(F.col("token"), F.lit(f"#{r}"))),
+                    F.lit(64),
+                )
+            return F.pmod(F.xxhash64(F.col("token"), F.lit(r)), F.lit(64))
+
+        ref = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"), col_for(r).alias("col")
+                        )
+                        for r in range(5)
+                    ]
+                )
+            ).alias("c")
+        ).select("c.row", "c.col").collect()
+        assert got == ref, f"portable={portable}"
