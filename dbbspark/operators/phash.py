@@ -962,6 +962,7 @@ def hamming_ball_stats(
     max_distance: int = 6,
     bands: int | None = None,
     driver_rep_threshold: int = 2_000_000,
+    by_hash: bool = False,
 ) -> DataFrame:
     """(id, group, n_near, n_group): near-dup group label, Hamming-ball
     neighbor count, and group size per row — from ONE banding over
@@ -992,7 +993,18 @@ def hamming_ball_stats(
     bound (or on a pathological band distribution) the distributed
     plan runs unchanged, so the 100 TB shape is exactly the rep-graph
     algebra above; both regimes are pinned equivalent (and ≡ brute
-    force) in tests."""
+    force) in tests.
+
+    ``by_hash=True`` (r14): return the per-DISTINCT-hash stats relation
+    (``hash_col``, group, n_near, n_group) instead of joining it back
+    onto every input row. A row's stats are a function of its hash
+    alone, so a caller that already holds the hash column joins this
+    relation directly — one hub-safe hash join in ITS plan — instead
+    of paying this operator's row-level join-back and then re-joining
+    on id (q_multimodal_decode's shape: the id-keyed form re-derived
+    the 3-leg hash union inside the final join). Join-by-hash ≡ the
+    id-keyed output composed through the (id, hash) projection, NULL
+    hashes absent from both; pinned in tests/test_phash.py."""
     hashes, reps, pairs = _rep_graph(df, id_col, hash_col, max_distance, bands)
     from ..session import cut_lineage
 
@@ -1018,13 +1030,17 @@ def hamming_ball_stats(
             )
         ]
         res = _ball_stats_driver(
-            hashes, reps, rep_rows, max_distance, bands, id_col
+            hashes, reps, rep_rows, max_distance, bands, id_col,
+            hash_col if by_hash else None,
         )
         if res is not None:
             return res
     # pairs feeds CC AND the weight computation — pin so the banding
     # runs once (CC's own eager cut then materializes from this pin)
-    return _ball_stats_distributed(hashes, reps, cut_lineage(pairs), id_col)
+    return _ball_stats_distributed(
+        hashes, reps, cut_lineage(pairs), id_col,
+        hash_col if by_hash else None,
+    )
 
 
 def _driver_ball_pairs(hs, max_distance: int, bands: int | None):
@@ -1067,7 +1083,9 @@ def _driver_ball_pairs(hs, max_distance: int, bands: int | None):
     return pairs
 
 
-def _ball_stats_driver(hashes, reps, rep_rows, max_distance, bands, id_col):
+def _ball_stats_driver(
+    hashes, reps, rep_rows, max_distance, bands, id_col, by_hash_col=None
+):
     """Driver regime of `hamming_ball_stats`: dict banding over the
     collected distinct hashes, then union-find (min-id root, path
     compression — the `connected_components_adaptive` contract) plus
@@ -1117,12 +1135,16 @@ def _ball_stats_driver(hashes, reps, rep_rows, max_distance, bands, id_col):
         T.StructField("n_group", T.LongType()),
     ])
     labeled = hashes.sparkSession.createDataFrame(out, schema)
+    if by_hash_col is not None:
+        return labeled.select(
+            F.col("_ph").alias(by_hash_col), "group", "n_near", "n_group"
+        )
     return hashes.join(labeled, "_ph").select(
         F.col("_mid").alias(id_col), "group", "n_near", "n_group"
     )
 
 
-def _ball_stats_distributed(hashes, reps, pairs, id_col):
+def _ball_stats_distributed(hashes, reps, pairs, id_col, by_hash_col=None):
     """Distributed regime of `hamming_ball_stats` — rep-level joins and
     aggregations only; the plan at 100 TB."""
     from ..session import cut_lineage
@@ -1182,6 +1204,10 @@ def _ball_stats_distributed(hashes, reps, pairs, id_col):
     labeled = rep_stats.join(sizes, "group").select(
         "_ph", "group", "n_near", F.col("n_group").cast("long").alias("n_group")
     )
+    if by_hash_col is not None:
+        return labeled.select(
+            F.col("_ph").alias(by_hash_col), "group", "n_near", "n_group"
+        )
     return hashes.join(labeled, "_ph").select(
         F.col("_mid").alias(id_col), "group", "n_near", "n_group"
     )

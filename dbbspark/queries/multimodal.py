@@ -237,9 +237,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_near as the brute-force ball and n_group as a recursive-CTE
     # transitive closure, so the banding, the bucket-count weighting,
     # the CC, and the label join-back are all value-checked.
-    stats = hamming_ball_stats(u, "id", "h", max_distance=4)
+    # r14: take the operator's per-DISTINCT-hash stats relation and
+    # join it on the dhash we already hold — the id-keyed form
+    # re-derived the 3-leg hash union inside the final join-back and
+    # then re-joined on doc_id (a row's stats are a function of its
+    # hash alone, so join-by-hash is value-identical; pinned in
+    # tests/test_phash.py). One hub-safe hash join instead of three
+    # checkpoint reads + two joins in the output plan.
+    stats = hamming_ball_stats(u, "id", "h", max_distance=4, by_hash=True)
     return (
-        hashed.join(stats, hashed.doc_id == stats.id)
+        hashed.join(stats, hashed.dhash == stats.h)
         .select(
             "doc_id",
             "width",

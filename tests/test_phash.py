@@ -661,3 +661,41 @@ def test_decode_and_thumbnails_equals_composed(spark):
     # schema: composed-minus-content, decoded, thumb — in that order
     out = decode_and_thumbnails(df, kind="image", on_unregistered="fake")
     assert out.columns == ["id", "decoded", "thumb"]
+
+
+def test_ball_stats_by_hash_equals_id_keyed(spark):
+    """r14: hamming_ball_stats(by_hash=True) returns the per-distinct-
+    hash stats relation; joining it on the hash column must reproduce
+    the id-keyed output row-for-row (incl. duplicate-hash buckets and
+    NULL hashes absent from both), on BOTH regimes."""
+    from pyspark.sql import functions as F
+
+    from dbbspark.operators.phash import hamming_ball_stats
+
+    rows = [
+        (1, 0b1010),
+        (2, 0b1010),          # duplicate-hash bucket
+        (3, 0b1011),          # distance 1 from the bucket
+        (4, 0b1111000011110000),
+        (5, None),            # NULL hash: no row either way
+    ]
+    df = spark.createDataFrame(rows, "id long, h long")
+    for thresh in (2_000_000, 0):  # driver regime, then distributed
+        ids = {
+            tuple(r)
+            for r in hamming_ball_stats(
+                df, "id", "h", max_distance=2, driver_rep_threshold=thresh
+            ).collect()
+        }
+        byh = hamming_ball_stats(
+            df, "id", "h", max_distance=2, driver_rep_threshold=thresh,
+            by_hash=True,
+        )
+        joined = {
+            tuple(r)
+            for r in df.join(byh, df.h == byh.h)
+            .select("id", "group", "n_near", "n_group")
+            .collect()
+        }
+        assert ids == joined, f"threshold={thresh}"
+        assert all(r[0] != 5 for r in joined)  # NULL-hash row absent
